@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private val allDefs: Seq[QDef] = Relational.defs ++ TextQueries.defs
+  private val allDefs: Seq[QDef] =
+    Relational.defs ++ TextQueries.defs ++ VectorQueries.defs
 
   private val (qMap, oMap) = QDef.toMaps(allDefs)
 

@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.VectorSearch._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search coverage over the `embeddings` table: exact
+  * brute-force top-k, exact cosine near-dup pairs, IVF-style probed
+  * search, and sign-bit LSH bucketed ANN.
+  *
+  * Floats are cast to double before any arithmetic and every reduction
+  * is a sequential left fold, so similarity values are bit-identical to
+  * the DuckDB oracle (which uses list_reduce in the same order).
+  */
+object VectorQueries {
+
+  /** DuckDB fragment: sequential-fold dot product of two double lists. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
+
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+
+  private val vSql = "list_transform(embedding, x -> x::DOUBLE)"
+
+  /** DuckDB fragment: sign bit of v · plane(p) (v must be a double list
+    * expression, d is the 0-based dimension).
+    */
+  private def signBitSql(v: String, p: Int): String = {
+    val proj = s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(list_zip($v, generate_series(0, len($v) - 1)), " +
+      s"x -> x[1] * ((cast('0x' || substr(md5('$p:' || x[2]), 1, 8) as bigint) " +
+      s"% 2001 - 1000) / 1000.0))), (p, q) -> p + q)"
+    s"(CASE WHEN $proj > 0 THEN 1 ELSE 0 END)"
+  }
+
+  private def bandKeySql(v: String, band: Int, bits: Int): String =
+    (0 until bits).map(i => s"${signBitSql(v, band * bits + i)} * ${1 << i}")
+      .mkString("(", " + ", ")")
+
+  val defs: Seq[QDef] = Seq(
+
+    // Exact brute-force top-k: scan + per-partition partial top-k, no
+    // shuffle of the corpus.
+    QDef("q28_ann_bruteforce",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = broadcast(e.filter(col("vec_id") === 0)
+          .select(toDouble(col("embedding")).as("qv")))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(q)
+          .select(col("vec_id"),
+            round(cosine(toDouble(col("embedding")), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("sim").desc, col("vec_id").asc)))
+      },
+      Some(s"""WITH q AS (SELECT $vSql AS qv FROM embeddings WHERE vec_id = 0),
+              |e AS (SELECT vec_id, $vSql AS v FROM embeddings WHERE vec_id <> 0),
+              |s AS (SELECT vec_id, round(${cosSql("v", "qv")}, 6) AS sim
+              |      FROM e, q)
+              |SELECT vec_id, sim,
+              |  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+              |FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin)),
+
+    // Embedding-cosine near-dup pairs (exact at this scale; LSH variant
+    // below is the corpus-scale path).
+    QDef("q29_embed_neardup",
+      (s, dir) => nearDupExact(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 0.4),
+      Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings)
+              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |  round(${cosSql("a.v", "b.v")}, 6) AS sim
+              |FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |WHERE ${cosSql("a.v", "b.v")} >= 0.4""".stripMargin)),
+
+    // IVF-style probed search: coarse cells = labels with the min-id
+    // vector as deterministic representative; probe the 2 closest cells,
+    // exact-search only inside them.
+    QDef("q30_ann_ivf",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+        val q = broadcast(e.filter(col("vec_id") === 0).select(col("v").as("qv")))
+        val reps = e.withColumn("rn", row_number().over(
+            Window.partitionBy("label").orderBy("vec_id")))
+          .filter(col("rn") === 1)
+          .crossJoin(q)
+          .withColumn("rsim", cosine(col("v"), col("qv")))
+          .orderBy(col("rsim").desc, col("label").asc)
+          .limit(2)
+          .select(col("label"))
+        e.join(broadcast(reps), "label")
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(q)
+          .select(col("vec_id"), col("label"),
+            round(cosine(col("v"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("sim").desc, col("vec_id").asc)))
+      },
+      Some(s"""WITH q AS (SELECT $vSql AS qv FROM embeddings WHERE vec_id = 0),
+              |e AS (SELECT vec_id, label, $vSql AS v FROM embeddings),
+              |reps AS (
+              |  SELECT label, v FROM (
+              |    SELECT label, v, row_number() OVER (PARTITION BY label
+              |      ORDER BY vec_id) AS rn FROM e) t WHERE rn = 1),
+              |probe AS (
+              |  SELECT label FROM reps, q
+              |  ORDER BY ${cosSql("v", "qv")} DESC, label ASC LIMIT 2),
+              |cand AS (
+              |  SELECT e.vec_id, e.label, e.v FROM e
+              |  JOIN probe ON e.label = probe.label WHERE e.vec_id <> 0),
+              |s AS (SELECT vec_id, label, round(${cosSql("v", "qv")}, 6) AS sim
+              |      FROM cand, q)
+              |SELECT vec_id, label, sim,
+              |  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+              |FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin)),
+
+    // LSH-bucketed ANN (the scale path): 4 bands × 4 sign bits under
+    // deterministic md5-derived hyperplanes; candidates share any band
+    // bucket with the query, then exact cosine top-5.
+    QDef("q31_ann_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val buckets = lshCandidates(emb, "vec_id", "embedding",
+          bands = 4, bitsPerBand = 4)
+        val qKeys = broadcast(buckets.filter(col("id") === 0)
+          .select(col("band"), col("key")))
+        val candIds = buckets.filter(col("id") =!= 0)
+          .join(qKeys, Seq("band", "key"))
+          .select(col("id").as("vec_id")).distinct()
+        val q = broadcast(e.filter(col("vec_id") === 0).select(col("v").as("qv")))
+        candIds.join(e, "vec_id")
+          .crossJoin(q)
+          .select(col("vec_id"),
+            round(cosine(col("v"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(5)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("sim").desc, col("vec_id").asc)))
+      },
+      Some {
+        val bandExprs = (0 until 4).map(b =>
+          s"${bandKeySql("v", b, 4)} AS k$b").mkString(", ")
+        val matchCond = (0 until 4).map(b => s"e.k$b = q.k$b").mkString(" OR ")
+        s"""WITH e AS (
+           |  SELECT vec_id, v, $bandExprs FROM (
+           |    SELECT vec_id, $vSql AS v FROM embeddings) t),
+           |q AS (SELECT * FROM e WHERE vec_id = 0),
+           |cand AS (
+           |  SELECT DISTINCT e.vec_id, e.v FROM e, q
+           |  WHERE e.vec_id <> 0 AND ($matchCond)),
+           |s AS (SELECT c.vec_id, round(${cosSql("c.v", "q.v")}, 6) AS sim
+           |      FROM cand c, q)
+           |SELECT vec_id, sim,
+           |  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+           |FROM s ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+      })
+  )
+}
