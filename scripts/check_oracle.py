@@ -48,6 +48,13 @@ def main(sf_dir, out_dir):
         eq = True
         for c in a.columns:
             av, bv = a[c], b[c]
+            # The driver's hasher is dtype-sensitive: int64 vs float64 on the
+            # same values fails there, so it must fail here too.
+            if (av.dtype.kind == "f") != (bv.dtype.kind == "f"):
+                print(f"FAIL {name}: col {c} dtype {av.dtype} vs {bv.dtype} "
+                      "(int/float mismatch would fail the driver's hash)")
+                eq = False
+                break
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 ok = all(
                     (math.isnan(x) and math.isnan(y)) or x == y

@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A query failure is
+  * recorded per-query (`"errors"` map) and flips the exit code — a
+  * regression must never masquerade as a speedup.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,15 +18,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    var errors = List.empty[(String, String)]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        errors ::= name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

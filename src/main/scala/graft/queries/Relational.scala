@@ -260,7 +260,7 @@ object Relational {
           .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
       },
       Some("""SELECT event_type,
-             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  count(json_extract_string(props, '$.k')) AS n_k
              |FROM events GROUP BY event_type""".stripMargin)),
 

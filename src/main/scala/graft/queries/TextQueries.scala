@@ -57,8 +57,8 @@ object TextQueries {
             sum(col("n_chars")).as("total_chars"))
       },
       Some(s"""SELECT lang, count(*) AS n_docs,
-              |  sum(len($toksSql)) AS total_tokens,
-              |  sum(n_chars) AS total_chars
+              |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
+              |  CAST(sum(n_chars) AS BIGINT) AS total_chars
               |FROM documents GROUP BY lang""".stripMargin)),
 
     // Token counting rollup per source.
@@ -72,8 +72,8 @@ object TextQueries {
             max(col("n_tokens")).as("max_tokens"))
       },
       Some(s"""SELECT source, count(*) AS n_docs,
-              |  sum(len($toksSql)) AS total_tokens,
-              |  max(len($toksSql)) AS max_tokens
+              |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
+              |  CAST(max(len($toksSql)) AS BIGINT) AS max_tokens
               |FROM documents GROUP BY source""".stripMargin)),
 
     // Rolling-hash document fingerprint (order-sensitive).
