@@ -1,0 +1,139 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Codegen'd compute kernels for the hot array paths.
+  *
+  * Catalyst higher-order functions (transform/aggregate/zip_with) are
+  * interpreted — ~100ns+ per expression node per element. For kernels
+  * that run per (row × seed × element), e.g. minhash signatures and
+  * embedding dot products, that interpreter tax dominates the whole
+  * query. These expressions produce the exact same values as their HOF
+  * equivalents (same operation order, so bit-identical doubles) but
+  * compile to tight scalar loops inside whole-stage codegen.
+  */
+
+/** MinHash signature over pre-hashed shingles: out[j] = min over h of
+  * (h·a_j + b_j) mod p. Equivalent HOF form:
+  * `array((0 until n).map(j => aggregate(hs, MaxValue, (acc,h) =>
+  * least(acc, (h*a_j + b_j) % p))))`.
+  *
+  * Null array elements are not expected (the producer is a hash) and are
+  * treated as 0.
+  */
+case class MinHashSignature(child: Expression, a: Array[Long], b: Array[Long],
+                            prime: Long)
+    extends UnaryExpression {
+  require(a.length == b.length)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature needs array<bigint>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = Array.fill(a.length)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = if (arr.isNullAt(i)) 0L else arr.getLong(i)
+      var j = 0
+      while (j < out.length) {
+        val v = (h * a(j) + b(j)) % prime
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    val out = ctx.freshName("mhOut")
+    val n = ctx.freshName("mhN")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val h = ctx.freshName("h")
+    val v = ctx.freshName("v")
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |long[] $out = new long[${a.length}];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $arr.isNullAt($i) ? 0L : $arr.getLong($i);
+         |  for (int $j = 0; $j < ${a.length}; $j++) {
+         |    long $v = ($h * $aRef[$j] + $bRef[$j]) % ${prime}L;
+         |    if ($v < $out[$j]) $out[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Sequential-fold dot product of two double arrays — identical IEEE
+  * operation order to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (one
+  * ascending multiply-add chain), so results are bit-identical to the
+  * HOF form and to DuckDB's list_reduce fold. Sums over the shorter
+  * length if they differ; null elements contribute 0.
+  */
+case class DotProductDbl(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_product needs two array<double>, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]
+    val y = r.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("dpN")
+    val acc = ctx.freshName("dpAcc")
+    val i = ctx.freshName("i")
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductDbl =
+    copy(left = newLeft, right = newRight)
+}

@@ -20,7 +20,14 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
-  /** Distinct word 3-gram shingles (set semantics, for Jaccard). */
+  /** Distinct word 3-gram shingles (set semantics, for Jaccard).
+    *
+    * `toks` MUST be a materialized column (project [[tokens]] first, as
+    * its own select), not an inline expression: the lambda below indexes
+    * into `toks` per shingle, and Catalyst re-evaluates non-attribute
+    * subtrees inside lambda bodies per element — an inlined tokenizer
+    * would re-split the document once per shingle reference.
+    */
   def shingles3(toks: Column): Column = {
     val idx = when(size(toks) >= 3, sequence(lit(1), size(toks) - 2))
       .otherwise(array().cast("array<int>"))
@@ -43,26 +50,76 @@ object TextAnalysis {
     aggregate(toks, lit(0L),
       (acc, t) => (acc * 31 + tokenHash(t)) % 1000000007L)
 
-  /** MinHash signature: for hash seed j, min over shingles of
-    * md5(j:shingle) (lexicographic min over hex = uniform min-hash).
+  /** Distinct int64 hashes of the word 3-gram shingles: each shingle is
+    * hashed exactly ONCE (one md5 per shingle, total), and all downstream
+    * minhash / verification math runs on the fixed-width hashes — at
+    * corpus scale the shuffle carries small long arrays, never the
+    * shingle strings.
     */
-  def minhash(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), j =>
-      array_min(transform(shingles,
-        t => md5(concat(j.cast("string"), lit(":"), t)))))
+  def shingleHashes(toks: Column): Column =
+    array_distinct(transform(shingles3(toks), g => tokenHash(g)))
+
+  /** Smallest prime above 2^32 — modulus of the affine minhash family. */
+  val MinhashPrime: Long = 4294967311L
+
+  /** Deterministic md5-derived affine parameters (a_j, b_j) for hash j.
+    * a_j ∈ [1, 2^31): with h < 2^32, a·h + b < 2^63 — no long overflow.
+    */
+  private[graft] def affineParam(j: Int): (Long, Long) = {
+    val a = (md5Hex8(s"a:$j") % ((1L << 31) - 1)) + 1
+    val b = md5Hex8(s"b:$j") % (1L << 31)
+    (a, b)
+  }
+
+  /** First 8 md5 hex digits of a string as a long — the plan-time Scala
+    * twin of [[tokenHash]] (same values).
+    */
+  private[graft] def md5Hex8(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  /** MinHash signature over pre-hashed shingles: signature j is
+    * min over h of (a_j·h + b_j) mod p — one cheap affine pass per seed
+    * over an in-memory long array, instead of one md5 pass per seed over
+    * the shingle strings. Runs as a codegen'd kernel
+    * ([[graft.expressions.MinHashSignature]]): the HOF form of the same
+    * math pays ~10 interpreted expression nodes per (seed × shingle),
+    * which dominates the whole near-dup query.
+    */
+  def minhashAffine(hashes: Column, numHashes: Int): Column = {
+    val params = (0 until numHashes).map(affineParam)
+    org.apache.spark.sql.GraftExpr.column(
+      graft.expressions.MinHashSignature(
+        org.apache.spark.sql.GraftExpr.expression(hashes),
+        params.map(_._1).toArray, params.map(_._2).toArray, MinhashPrime))
+  }
 
   /** 32-bit SimHash over the token multiset: bit b is set iff the sum of
     * per-token votes (+1 when bit b of the token hash is set, else -1)
     * is positive. Ties (sum == 0) clear the bit.
+    *
+    * Single pass: one fold over the token hashes carrying a 33-slot
+    * accumulator (32 per-bit set counts + the token count), finished by
+    * the vote rule `ones·2 > n`. The md5 token hashes are computed once —
+    * O(n) total, not O(32·n) refolds.
     */
   def simhash32(toks: Column): Column = {
     val hashes = transform(toks, t => tokenHash(t))
-    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) => {
-      val vote = aggregate(hashes, lit(0L),
-        (a, h) => a + when(call_function("shiftright", h, b)
-          .bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      acc + when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)
-    })
+    val zero = array_repeat(lit(0L), 33)
+    aggregate(hashes, zero,
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(32)), (a, b) =>
+        when(b === 32, a + 1L)
+          .otherwise(a + call_function("shiftright", h, b).bitwiseAND(1L))),
+      acc => {
+        val n = element_at(acc, 33)
+        aggregate(
+          zip_with(slice(acc, 1, 32), sequence(lit(0), lit(31)), (ones, b) =>
+            when(ones * 2 > n, call_function("shiftleft", lit(1L), b))
+              .otherwise(0L)),
+          lit(0L), (s, x) => s + x)
+      })
   }
 
   /** Hamming distance between two simhash values. */

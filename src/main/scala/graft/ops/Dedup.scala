@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Fan a narrow input out to full parallelism before a compute-heavy
+    * per-row stage. On a cluster the scan already has one split per
+    * row-group/file and this is a no-op; the local testdata is a single
+    * row group, so without it every downstream hash runs on one core.
+    */
+  private[ops] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact dedup by content hash: one row per distinct content with the
     * canonical (minimum) id and the duplicate count.
     */
@@ -35,30 +45,50 @@ object Dedup {
                      numBands: Int = 8, rowsPerBand: Int = 2,
                      threshold: Double = 0.8): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    val withSh = docs.select(col(idCol).as("doc_id"),
-        shingles3(tokens(col(textCol))).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = withSh.withColumn("mh", minhash(col("sh"), numHashes))
-    // band value = concat of its rowsPerBand minhashes
+    // One md5 per shingle, materialized once; everything downstream
+    // (signatures, bucketing, verification) runs on the long array.
+    // tokens() is materialized as its own projection first: shingles3
+    // indexes into it per element, and an inlined expression there would
+    // re-tokenize the document once per shingle (O(n²) per doc).
+    //
+    // The signature table is cached: it is referenced four times below
+    // (both sides of the bucket join + both sides of the verification
+    // join), and without the cache Catalyst re-plans and re-executes the
+    // whole hashing + minhash subtree per reference (checkpoint cuts the
+    // lineage, so analysis + cache-matching never re-walk it). Footprint
+    // is one long-array + 16 longs per doc — tiny next to the corpus.
+    // The no-shingle guard filters on token count, NOT on size(hs):
+    // Catalyst pushes filters through projections by inlining them, and
+    // an inlined size(shingleHashes(...)) > 0 at the scan would re-run
+    // the whole O(n²) shingle pipeline single-threaded. size(toks) >= 3
+    // inlines to one cheap split per row and is equivalent (≥3 tokens ⇔
+    // ≥1 shingle).
+    val sig = spread(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingleHashes(col("toks")).as("hs"))
+      .withColumn("mh", minhashAffine(col("hs"), numHashes))
+      .localCheckpoint()
+    // Band key = xxhash64 of the band's rowsPerBand signature values —
+    // a single long shuffle key per (doc, band).
     val bands = sig.select(col("doc_id"), explode(
       transform(sequence(lit(0), lit(numBands - 1)), k =>
-        struct(k.as("band"), concat_ws("|",
-          (0 until rowsPerBand).map(r =>
-            element_at(col("mh"), k * rowsPerBand + r + 1)): _*).as("bv"))))
-      .as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bv"))
+        xxhash64((k +: (0 until rowsPerBand).map(r =>
+          element_at(col("mh"), k * rowsPerBand + r + 1))): _*)))
+      .as("bk"))
     val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val a = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    // Exact-Jaccard verification on the fixed-width hash arrays — the
+    // shuffle never carries shingle strings.
+    val a = sig.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -72,8 +102,12 @@ object Dedup {
   def nearDupSimhash(docs: DataFrame, idCol: String, textCol: String,
                      maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-byte blocking guarantees recall only to distance 3")
-    val sh = docs.select(col(idCol).as("doc_id"),
-      simhash32(tokens(col(textCol))).as("simhash"))
+    // Cached for the same reason as the minhash table: both sides of the
+    // blocked self-join reference it, and the simhash expression tree is
+    // expensive to re-plan and re-execute.
+    val sh = spread(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), simhash32(tokens(col(textCol))).as("simhash"))
+      .localCheckpoint()
     val blocked = sh.select(col("doc_id"), col("simhash"), explode(
       transform(sequence(lit(0), lit(3)), k =>
         struct(k.as("blk"),

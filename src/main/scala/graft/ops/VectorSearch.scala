@@ -17,9 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorSearch {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product of two double arrays. Runs as a
+    * codegen'd kernel ([[graft.expressions.DotProductDbl]]) with the
+    * same ascending multiply-add order as the HOF form
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` — bit-identical doubles,
+    * ~100× less per-element overhead than the interpreted lambdas.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftExpr.column(graft.expressions.DotProductDbl(
+      org.apache.spark.sql.GraftExpr.expression(a),
+      org.apache.spark.sql.GraftExpr.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -64,34 +71,39 @@ object VectorSearch {
         round(col("sim"), 6).as("sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p,
-    * dim d): md5-derived integer in [-1000, 1000] / 1000. Portable to
-    * SQL: (cast('0x'||substr(md5(p||':'||d),1,8) as bigint) % 2001 - 1000)
-    * / 1000.0
+  /** Deterministic pseudo-random hyperplane for plane p, materialized
+    * ONCE at plan time as a literal array (the hyperplane is a constant —
+    * recomputing an md5 per (plane, dim) per row, as the SQL oracle
+    * spells it, would be pure waste on the executors). Component d is
+    * (md5Hex8("p:d") % 2001 - 1000) / 1000 — bit-identical to the SQL
+    * formula `(cast('0x'||substr(md5(p||':'||d),1,8) as bigint) % 2001
+    * - 1000) / 1000.0`.
     */
-  def planeComponent(p: Int, d: Column): Column =
-    (conv(substring(md5(concat(lit(p.toString), lit(":"), d.cast("string"))),
-      1, 8), 16, 10).cast("long") % 2001 - 1000).cast("double") / 1000.0
+  def planeVector(p: Int, dims: Int): Seq[Double] =
+    Seq.tabulate(dims)(d =>
+      (graft.functions.TextAnalysis.md5Hex8(s"$p:$d") % 2001 - 1000) / 1000.0)
 
-  /** Sign bit of vector · hyperplane p (1 when positive). */
-  def signBit(vec: Column, p: Int): Column = {
+  /** Sign bit of vector · hyperplane p (1 when positive): one zip_with
+    * dot against the broadcast literal plane.
+    */
+  def signBit(vec: Column, p: Int, dims: Int): Column = {
     val proj = aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, d) => x * planeComponent(p, d)),
+      zip_with(vec, typedLit(planeVector(p, dims)), (x, w) => x * w),
       lit(0.0), (acc, x) => acc + x)
     when(proj > 0, lit(1)).otherwise(lit(0))
   }
 
   /** LSH bucket keys: `bands` bands of `bitsPerBand` sign bits each.
     * Returns (id, band, key) rows — join on equal (band, key) for
-    * candidates.
+    * candidates. `dims` is the (fixed) embedding dimensionality, needed
+    * to materialize the literal plane matrix at plan time.
     */
   def lshCandidates(emb: DataFrame, idCol: String, vecCol: String,
-                    bands: Int, bitsPerBand: Int): DataFrame = {
+                    bands: Int, bitsPerBand: Int, dims: Int): DataFrame = {
     val v = toDouble(col(vecCol))
     val bandCols = (0 until bands).map { b =>
       val key = (0 until bitsPerBand)
-        .map(i => signBit(v, b * bitsPerBand + i) * (1 << i))
+        .map(i => signBit(v, b * bitsPerBand + i, dims) * (1 << i))
         .reduce((x, y) => x + y)
       struct(lit(b).as("band"), key.as("key"))
     }

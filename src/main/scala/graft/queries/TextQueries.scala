@@ -125,10 +125,12 @@ object TextQueries {
       Some(s"""WITH t AS (
               |  SELECT doc_id, $toksSql AS toks FROM documents),
               |s AS (
-              |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
-              |    list_transform(generate_series(1, len(toks) - 2),
-              |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-              |    ELSE [] END) AS sh
+              |  SELECT doc_id, list_distinct(list_transform(
+              |    CASE WHEN len(toks) >= 3 THEN
+              |      list_transform(generate_series(1, len(toks) - 2),
+              |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              |      ELSE [] END,
+              |    g -> ${tokenHashSql.replace("__T__", "g")})) AS sh
               |  FROM t),
               |p AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

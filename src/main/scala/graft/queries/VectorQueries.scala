@@ -131,7 +131,7 @@ object VectorQueries {
         val emb = Tables.embeddings(s, dir)
         val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
         val buckets = lshCandidates(emb, "vec_id", "embedding",
-          bands = 4, bitsPerBand = 4)
+          bands = 4, bitsPerBand = 4, dims = 64)
         val qKeys = broadcast(buckets.filter(col("id") === 0)
           .select(col("band"), col("key")))
         val candIds = buckets.filter(col("id") =!= 0)
