@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val allDefs: Seq[QDef] =
-    Relational.defs ++ TextQueries.defs ++ VectorQueries.defs
+    Relational.defs ++ TextQueries.defs ++ VectorQueries.defs ++
+      DomainQueries.defs
 
   private val (qMap, oMap) = QDef.toMaps(allDefs)
 

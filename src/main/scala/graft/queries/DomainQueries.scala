@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.domain.Actors
+import graft.fixtures.FixtureGen
+import org.apache.spark.sql.functions._
+
+/** Domain (blockchain-ETL) query surface over the committed block
+  * fixtures at /root/repo/fixtures — actor extraction, activity
+  * filtering, and the derived-table operators. These queries are
+  * scale-factor independent: the fixture corpus is the input, the DuckDB
+  * oracle reads the same parquet by absolute path.
+  */
+object DomainQueries {
+
+  private val txnsPq =
+    s"read_parquet('${FixtureGen.FixtureDir}/transactions.parquet/*.parquet')"
+
+  /** DuckDB typed view of the txn fields JSON — mirror of
+    * [[Actors.fieldsSchema]].
+    */
+  private val fieldsTransform =
+    """{"payee":"VARCHAR","payer":"VARCHAR","owner":"VARCHAR",
+      |"gateway":"VARCHAR","address":"VARCHAR","challenger":"VARCHAR",
+      |"closer":"VARCHAR","seller":"VARCHAR","buyer":"VARCHAR",
+      |"new_owner":"VARCHAR","old_owner":"VARCHAR","validator":"VARCHAR",
+      |"old_validator":"VARCHAR","new_validator":"VARCHAR",
+      |"public_key":"VARCHAR","subnetwork_key":"VARCHAR",
+      |"payments":[{"payee":"VARCHAR","amount":"BIGINT"}],
+      |"addresses":["VARCHAR"],"members":["VARCHAR"],
+      |"failed_members":["VARCHAR"],
+      |"rewards":[{"account":"VARCHAR","gateway":"VARCHAR","amount":"BIGINT",
+      |"type":"VARCHAR","reward_account":"VARCHAR"}],
+      |"path":[{"challengee":"VARCHAR","witnesses":[{"gateway":"VARCHAR"}]}],
+      |"state_channel":{"owner":"VARCHAR","summaries":[{"client":"VARCHAR",
+      |"owner":"VARCHAR","num_packets":"BIGINT","num_dcs":"BIGINT",
+      |"location":"VARCHAR"}]},
+      |"action":{"action":"VARCHAR","addresses":["VARCHAR"]},
+      |"reward_server_keys":["VARCHAR"]}""".stripMargin.replace("\n", "")
+
+  private val parsedCte =
+    s"""t AS (
+       |  SELECT block, hash, type,
+       |    json_transform(fields, '$fieldsTransform') AS f
+       |  FROM $txnsPq)""".stripMargin
+
+  val defs: Seq[QDef] = Seq(
+
+    // §2.3 actor extraction — the 29-clause to_actors UDTF
+    // (ref: src/be_db_txn_actor.erl:107-453) over all 34+ txn types.
+    QDef("q32_actor_extract",
+      (s, _) => Actors.transactionActors(
+        s.read.parquet(s"${FixtureGen.FixtureDir}/transactions.parquet")),
+      Some(s"""WITH $parsedCte,
+        |pairs AS (
+        |  SELECT block, hash, 'payee' AS role, f.payee AS actor FROM t
+        |    WHERE type IN ('coinbase_v1','security_coinbase_v1','dc_coinbase_v1')
+        |  UNION ALL SELECT block, hash, 'owner', f.owner FROM t WHERE type = 'oui_v1'
+        |  UNION ALL SELECT block, hash, 'payer', f.payer FROM t WHERE type = 'oui_v1'
+        |  UNION ALL SELECT block, hash, 'router', unnest(f.addresses) FROM t WHERE type = 'oui_v1'
+        |  UNION ALL SELECT block, hash, 'gateway', f.gateway FROM t WHERE type = 'gen_gateway_v1'
+        |  UNION ALL SELECT block, hash, 'owner', f.owner FROM t WHERE type = 'gen_gateway_v1'
+        |  UNION ALL SELECT block, hash, 'owner', f.owner FROM t WHERE type = 'routing_v1'
+        |  UNION ALL SELECT block, hash, 'payer', f.owner FROM t WHERE type = 'routing_v1'
+        |  UNION ALL SELECT block, hash, 'router', unnest(f.action.addresses) FROM t
+        |    WHERE type = 'routing_v1' AND f.action.action = 'update_routers'
+        |  UNION ALL SELECT block, hash, 'payer', f.payer FROM t
+        |    WHERE type IN ('payment_v1','security_exchange_v1','token_burn_v1')
+        |  UNION ALL SELECT block, hash, 'payee', f.payee FROM t
+        |    WHERE type IN ('payment_v1','security_exchange_v1','token_burn_v1')
+        |  UNION ALL SELECT block, hash, 'consensus_member', unnest(f.members) FROM t
+        |    WHERE type = 'consensus_group_v1'
+        |  UNION ALL SELECT block, hash, 'gateway', f.gateway FROM t
+        |    WHERE type IN ('add_gateway_v1','assert_location_v1','assert_location_v2')
+        |  UNION ALL SELECT block, hash, 'owner', f.owner FROM t
+        |    WHERE type IN ('add_gateway_v1','assert_location_v1','assert_location_v2')
+        |  UNION ALL SELECT block, hash, 'payer', coalesce(nullif(f.payer, ''), f.owner) FROM t
+        |    WHERE type IN ('add_gateway_v1','assert_location_v1','assert_location_v2')
+        |  UNION ALL SELECT block, hash, 'payer', f.payer FROM t WHERE type = 'create_htlc_v1'
+        |  UNION ALL SELECT block, hash, 'payee', f.payee FROM t
+        |    WHERE type IN ('create_htlc_v1','redeem_htlc_v1')
+        |  UNION ALL SELECT block, hash, 'escrow', f.address FROM t
+        |    WHERE type IN ('create_htlc_v1','redeem_htlc_v1')
+        |  UNION ALL SELECT block, hash, 'challenger', f.challenger FROM t
+        |    WHERE type IN ('poc_request_v1','poc_receipts_v1','poc_receipts_v2')
+        |  UNION ALL SELECT block, hash, 'validator', f.challenger FROM t WHERE type = 'poc_receipts_v2'
+        |  UNION ALL SELECT block, hash, 'challengee', unnest(list_transform(f.path, e -> e.challengee))
+        |    FROM t WHERE type IN ('poc_receipts_v1','poc_receipts_v2')
+        |  UNION ALL SELECT block, hash, 'witness',
+        |    unnest(flatten(list_transform(f.path, e -> list_transform(e.witnesses, w -> w.gateway))))
+        |    FROM t WHERE type IN ('poc_receipts_v1','poc_receipts_v2')
+        |  UNION ALL SELECT block, hash, 'payee', unnest(list_transform(f.rewards, r -> r.account))
+        |    FROM t WHERE type IN ('rewards_v1','rewards_v2')
+        |  UNION ALL SELECT block, hash, 'reward_gateway',
+        |    unnest(list_transform(list_filter(f.rewards, r -> r.gateway IS NOT NULL), r -> r.gateway))
+        |    FROM t WHERE type IN ('rewards_v1','rewards_v2')
+        |  UNION ALL SELECT block, hash, 'payer', f.payer FROM t WHERE type = 'payment_v2'
+        |  UNION ALL SELECT block, hash, 'payee', unnest(list_transform(f.payments, p -> p.payee))
+        |    FROM t WHERE type = 'payment_v2'
+        |  UNION ALL SELECT block, hash, 'sc_opener', f.owner FROM t WHERE type = 'state_channel_open_v1'
+        |  UNION ALL SELECT block, hash, 'payer', f.owner FROM t WHERE type = 'state_channel_open_v1'
+        |  UNION ALL SELECT block, hash, 'owner', f.owner FROM t WHERE type = 'state_channel_open_v1'
+        |  UNION ALL SELECT block, hash, 'sc_closer', f.closer FROM t WHERE type = 'state_channel_close_v1'
+        |  UNION ALL SELECT block, hash, 'payee', f.closer FROM t WHERE type = 'state_channel_close_v1'
+        |  UNION ALL SELECT block, hash, 'owner', f.state_channel.owner FROM t WHERE type = 'state_channel_close_v1'
+        |  UNION ALL SELECT block, hash, 'packet_receiver',
+        |    unnest(list_transform(f.state_channel.summaries, s -> s.client))
+        |    FROM t WHERE type = 'state_channel_close_v1'
+        |  UNION ALL SELECT block, hash, 'oracle', f.public_key FROM t WHERE type = 'price_oracle_v1'
+        |  UNION ALL SELECT block, hash, 'gateway', f.gateway FROM t
+        |    WHERE type IN ('transfer_hotspot_v1','transfer_hotspot_v2')
+        |  UNION ALL SELECT block, hash, 'payee', f.seller FROM t WHERE type = 'transfer_hotspot_v1'
+        |  UNION ALL SELECT block, hash, 'payer', f.buyer FROM t WHERE type = 'transfer_hotspot_v1'
+        |  UNION ALL SELECT block, hash, 'owner', f.buyer FROM t WHERE type = 'transfer_hotspot_v1'
+        |  UNION ALL SELECT block, hash, 'owner', f.new_owner FROM t WHERE type = 'transfer_hotspot_v2'
+        |  UNION ALL SELECT block, hash, 'payer', f.owner FROM t WHERE type = 'transfer_hotspot_v2'
+        |  UNION ALL SELECT block, hash, 'validator', f.address FROM t
+        |    WHERE type IN ('gen_validator_v1','unstake_validator_v1','validator_heartbeat_v1')
+        |  UNION ALL SELECT block, hash, 'validator', f.validator FROM t WHERE type = 'stake_validator_v1'
+        |  UNION ALL SELECT block, hash, 'payer', f.owner FROM t
+        |    WHERE type IN ('gen_validator_v1','stake_validator_v1')
+        |  UNION ALL SELECT block, hash, 'owner', f.owner FROM t
+        |    WHERE type IN ('gen_validator_v1','stake_validator_v1','unstake_validator_v1')
+        |  UNION ALL SELECT block, hash, 'payee', f.owner FROM t WHERE type = 'unstake_validator_v1'
+        |  UNION ALL SELECT block, hash, 'validator', f.old_validator FROM t WHERE type = 'transfer_validator_stake_v1'
+        |  UNION ALL SELECT block, hash, 'validator', f.new_validator FROM t WHERE type = 'transfer_validator_stake_v1'
+        |  UNION ALL SELECT block, hash, 'payer', f.new_owner FROM t WHERE type = 'transfer_validator_stake_v1'
+        |  UNION ALL SELECT block, hash, 'payee', f.old_owner FROM t WHERE type = 'transfer_validator_stake_v1'
+        |  UNION ALL SELECT block, hash, 'owner', f.old_owner FROM t WHERE type = 'transfer_validator_stake_v1'
+        |  UNION ALL SELECT block, hash, 'owner', f.new_owner FROM t
+        |    WHERE type = 'transfer_validator_stake_v1' AND f.new_owner <> f.old_owner AND f.new_owner <> ''
+        |  UNION ALL SELECT block, hash, 'consensus_failure_member', unnest(f.members) FROM t
+        |    WHERE type = 'consensus_group_failure_v1'
+        |  UNION ALL SELECT block, hash, 'consensus_failure_failed_member', unnest(f.failed_members) FROM t
+        |    WHERE type = 'consensus_group_failure_v1'
+        |  UNION ALL SELECT block, hash, 'subnetwork_key', f.subnetwork_key FROM t WHERE type = 'add_subnetwork_v1'
+        |  UNION ALL SELECT block, hash, 'reward_server', unnest(f.reward_server_keys) FROM t
+        |    WHERE type = 'add_subnetwork_v1'
+        |  UNION ALL SELECT block, hash, 'payee', unnest(list_transform(f.rewards, r -> r.reward_account))
+        |    FROM t WHERE type = 'subnetwork_rewards_v1'
+        |  UNION ALL SELECT block, hash, 'payer', f.payer FROM t WHERE type = 'subnetwork_fund_v1'
+        |)
+        |SELECT DISTINCT block, actor, role AS actor_role, hash AS transaction_hash
+        |FROM pairs WHERE actor IS NOT NULL AND actor <> ''""".stripMargin))
+  )
+}
