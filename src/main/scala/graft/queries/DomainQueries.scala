@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.domain.Actors
+import graft.domain.{Actors, Activity}
 import graft.fixtures.FixtureGen
 import org.apache.spark.sql.functions._
 
@@ -43,15 +43,8 @@ object DomainQueries {
        |    json_transform(fields, '$fieldsTransform') AS f
        |  FROM $txnsPq)""".stripMargin
 
-  val defs: Seq[QDef] = Seq(
-
-    // §2.3 actor extraction — the 29-clause to_actors UDTF
-    // (ref: src/be_db_txn_actor.erl:107-453) over all 34+ txn types.
-    QDef("q32_actor_extract",
-      (s, _) => Actors.transactionActors(
-        s.read.parquet(s"${FixtureGen.FixtureDir}/transactions.parquet")),
-      Some(s"""WITH $parsedCte,
-        |pairs AS (
+  private val pairsCte =
+    s"""pairs AS (
         |  SELECT block, hash, 'payee' AS role, f.payee AS actor FROM t
         |    WHERE type IN ('coinbase_v1','security_coinbase_v1','dc_coinbase_v1')
         |  UNION ALL SELECT block, hash, 'owner', f.owner FROM t WHERE type = 'oui_v1'
@@ -138,8 +131,102 @@ object DomainQueries {
         |  UNION ALL SELECT block, hash, 'payee', unnest(list_transform(f.rewards, r -> r.reward_account))
         |    FROM t WHERE type = 'subnetwork_rewards_v1'
         |  UNION ALL SELECT block, hash, 'payer', f.payer FROM t WHERE type = 'subnetwork_fund_v1'
-        |)
+        |)""".stripMargin
+
+  val defs: Seq[QDef] = Seq(
+
+    // §2.3 actor extraction — the 29-clause to_actors UDTF
+    // (ref: src/be_db_txn_actor.erl:107-453) over all 34+ txn types.
+    QDef("q32_actor_extract",
+      (s, _) => Actors.transactionActors(
+        s.read.parquet(s"${FixtureGen.FixtureDir}/transactions.parquet")),
+      Some(s"""WITH $parsedCte,
+        |$pairsCte
         |SELECT DISTINCT block, actor, role AS actor_role, hash AS transaction_hash
-        |FROM pairs WHERE actor IS NOT NULL AND actor <> ''""".stripMargin))
+        |FROM pairs WHERE actor IS NOT NULL AND actor <> ''""".stripMargin)),
+
+    // §2.8 txn_filter_actor_activity — the per-actor activity projection
+    // (ref: migrations/1628075186:4-27). Verified through scalar
+    // projections of the filtered result (counts/sums per case), which
+    // sidesteps cross-engine JSON serialization differences while
+    // exercising every branch: rewards filter (NULL when empty),
+    // summaries coalesce-to-[], payment_v2 payer passthrough vs payee
+    // filter, consensus proof strip.
+    QDef("q33_actor_activity",
+      (s, _) => {
+        val txns = s.read.parquet(s"${FixtureGen.FixtureDir}/transactions.parquet")
+        val parsed = txns
+          .filter(col("type").isin("rewards_v1", "rewards_v2",
+            "state_channel_close_v1", "payment_v2", "consensus_group_v1"))
+          .select(col("block"), col("hash"), col("type"),
+            from_json(col("fields"), Actors.fieldsSchema).as("f"))
+        val actors = Actors.transactionActors(txns)
+          .select(col("transaction_hash").as("hash"), col("actor")).distinct()
+        val joined = actors.join(parsed, "hash")
+        val f = col("f"); val actor = col("actor")
+        val kr = Activity.keptRewards(actor, f)
+        val ks = Activity.keptSummaries(actor, f)
+        val kp = Activity.keptPayments(actor, f)
+        val isRw = col("type").isin("rewards_v1", "rewards_v2")
+        val isSc = col("type") === "state_channel_close_v1"
+        val isP2 = col("type") === "payment_v2"
+        joined.select(
+          col("block"), col("hash").as("transaction_hash"), col("type"), actor,
+          when(isRw, size(kr)).as("n_rewards_kept"),
+          when(isRw, aggregate(kr, lit(0L), (a, r) => a + r("amount")))
+            .as("rewards_amount_kept"),
+          when(isSc, size(ks)).as("n_summaries_kept"),
+          when(isSc, aggregate(ks, lit(0L), (a, x) => a + x("num_packets")))
+            .as("packets_kept"),
+          when(isSc, aggregate(ks, lit(0L), (a, x) => a + x("num_dcs")))
+            .as("dcs_kept"),
+          when(isP2, f("payer") === actor).as("payer_full"),
+          when(isP2, size(kp)).as("n_payments_kept"),
+          when(isP2, aggregate(kp, lit(0L), (a, p) => a + p("amount")))
+            .as("payments_amount_kept"),
+          (col("type") === "consensus_group_v1").as("proof_stripped"))
+      },
+      Some(s"""WITH $parsedCte,
+        |$pairsCte,
+        |actors AS (
+        |  SELECT DISTINCT hash, actor FROM pairs
+        |  WHERE actor IS NOT NULL AND actor <> ''),
+        |sel AS (
+        |  SELECT t.block, t.hash, t.type, a.actor, t.f FROM t
+        |  JOIN actors a ON a.hash = t.hash
+        |  WHERE t.type IN ('rewards_v1','rewards_v2','state_channel_close_v1',
+        |                   'payment_v2','consensus_group_v1')),
+        |c1 AS (
+        |  SELECT *,
+        |    list_filter(f.rewards, r -> r.account = actor OR r.gateway = actor) AS kr0,
+        |    coalesce(list_filter(f.state_channel.summaries,
+        |      s -> s.owner = actor OR s.client = actor), []) AS ks,
+        |    CASE WHEN f.payer = actor THEN f.payments
+        |         ELSE list_filter(f.payments, p -> p.payee = actor) END AS kp0,
+        |    (f.payer = actor) AS pf
+        |  FROM sel),
+        |c2 AS (
+        |  SELECT *, CASE WHEN len(kr0) > 0 THEN kr0 END AS kr,
+        |    CASE WHEN pf OR len(kp0) > 0 THEN kp0 END AS kp
+        |  FROM c1)
+        |SELECT block, hash AS transaction_hash, type, actor,
+        |  CASE WHEN type IN ('rewards_v1','rewards_v2') THEN len(kr) END AS n_rewards_kept,
+        |  CASE WHEN type IN ('rewards_v1','rewards_v2') AND kr IS NOT NULL
+        |    THEN CAST(coalesce(list_sum(list_transform(kr, r -> r.amount)), 0) AS BIGINT)
+        |    END AS rewards_amount_kept,
+        |  CASE WHEN type = 'state_channel_close_v1' THEN len(ks) END AS n_summaries_kept,
+        |  CASE WHEN type = 'state_channel_close_v1'
+        |    THEN CAST(coalesce(list_sum(list_transform(ks, s -> s.num_packets)), 0) AS BIGINT)
+        |    END AS packets_kept,
+        |  CASE WHEN type = 'state_channel_close_v1'
+        |    THEN CAST(coalesce(list_sum(list_transform(ks, s -> s.num_dcs)), 0) AS BIGINT)
+        |    END AS dcs_kept,
+        |  CASE WHEN type = 'payment_v2' THEN pf END AS payer_full,
+        |  CASE WHEN type = 'payment_v2' THEN len(kp) END AS n_payments_kept,
+        |  CASE WHEN type = 'payment_v2' AND kp IS NOT NULL
+        |    THEN CAST(coalesce(list_sum(list_transform(kp, p -> p.amount)), 0) AS BIGINT)
+        |    END AS payments_amount_kept,
+        |  (type = 'consensus_group_v1') AS proof_stripped
+        |FROM c2""".stripMargin))
   )
 }
