@@ -23,11 +23,23 @@ object Inventory {
     * from the row with the highest `ver`, plus `first_<ver>`/`last_<ver>`
     * and a row count. `ver` must be unique per key (the reference's block
     * height is; our fixtures use event_id) so the argmax is deterministic.
+    *
+    * Columns in `coalesceCols` take the value of the latest row where the
+    * column is NON-NULL — the row-level effect of the trigger's
+    * `x = coalesce(EXCLUDED.x, old.x)` upsert rule applied per insert in
+    * `ver` order (ref: migrations/1610634227:27). `max_by` skips rows
+    * whose ordering expression is null, so `max_by(c, ver when c not
+    * null)` is exactly "last non-null".
     */
   def latestPerKey(df: DataFrame, key: Seq[String], ver: String,
-                   latestCols: Seq[String]): DataFrame = {
+                   latestCols: Seq[String],
+                   coalesceCols: Set[String] = Set.empty): DataFrame = {
     val aggs =
-      latestCols.map(c => max_by(col(c), col(ver)).as(s"last_$c")) ++
+      latestCols.map { c =>
+        val ord = if (coalesceCols(c))
+          when(col(c).isNotNull, col(ver)) else col(ver)
+        max_by(col(c), ord).as(s"last_$c")
+      } ++
         Seq(min(col(ver)).as(s"first_$ver"),
             max(col(ver)).as(s"last_$ver"),
             count(lit(1)).as("n_rows"))
@@ -48,7 +60,7 @@ object Inventory {
   def mergeBatch(state: DataFrame, batch: DataFrame, key: Seq[String],
                  ver: String, latestCols: Seq[String],
                  coalesceCols: Set[String] = Set.empty): DataFrame = {
-    val b = latestPerKey(batch, key, ver, latestCols)
+    val b = latestPerKey(batch, key, ver, latestCols, coalesceCols)
     val joined = state.as("s").join(b.as("b"), key, "full_outer")
     def pick(c: String): Column = {
       val newer = col(s"b.last_$ver").isNotNull &&

@@ -227,6 +227,43 @@ object DomainQueries {
         |    THEN CAST(coalesce(list_sum(list_transform(kp, p -> p.amount)), 0) AS BIGINT)
         |    END AS payments_amount_kept,
         |  (type = 'consensus_group_v1') AS proof_stripped
-        |FROM c2""".stripMargin))
+        |FROM c2""".stripMargin)),
+
+    // §2.2 trigger-maintained inventory upsert, exercised incrementally:
+    // three ver-ordered batches folded through Inventory.mergeBatch must
+    // equal the single-shot latest-per-key AND the DuckDB oracle. The
+    // nullable `k` column (json props.$.k) exercises the reference's
+    // `reward_scale = coalesce(EXCLUDED, old)` rule
+    // (ref: migrations/1610634227:27, 1590689602:32-62): its final value
+    // is the k of the latest row where k was NON-null.
+    QDef("q34_inventory_merge",
+      (s, dir) => {
+        val e = graft.Tables.events(s, dir)
+          .withColumn("value",
+            col("value").cast("decimal(18,2)").cast("double"))
+          .withColumn("k",
+            get_json_object(col("props"), "$.k").cast("long"))
+        val maxId = e.agg(max("event_id")).head().getLong(0)
+        val key = Seq("user_id")
+        val cols = Seq("event_type", "value", "k")
+        val co = Set("k")
+        val b1 = e.filter(col("event_id") <= maxId / 3)
+        val b2 = e.filter(col("event_id") > maxId / 3 &&
+          col("event_id") <= 2 * maxId / 3)
+        val b3 = e.filter(col("event_id") > 2 * maxId / 3)
+        val st1 = graft.ops.Inventory.latestPerKey(b1, key, "event_id", cols, co)
+        val st2 = graft.ops.Inventory.mergeBatch(st1, b2, key, "event_id", cols, co)
+        graft.ops.Inventory.mergeBatch(st2, b3, key, "event_id", cols, co)
+      },
+      Some("""WITH e AS (
+        |  SELECT *, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT user_id,
+        |  arg_max(event_type, event_id) AS last_event_type,
+        |  CAST(arg_max(CAST(value AS DECIMAL(18,2)), event_id) AS DOUBLE) AS last_value,
+        |  last(k ORDER BY event_id) FILTER (WHERE k IS NOT NULL) AS last_k,
+        |  min(event_id) AS first_event_id, max(event_id) AS last_event_id,
+        |  count(*) AS n_rows
+        |FROM e GROUP BY user_id""".stripMargin))
   )
 }
