@@ -1,0 +1,84 @@
+package graft
+
+import graft.domain.Actors
+import graft.streaming.BlockIngest
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Golden end-to-end ingest over the committed block fixtures: full
+  * drain, idempotent replay, and the strict-order assertion.
+  */
+class BlockIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val streamDir = "/root/repo/fixtures/stream"
+
+  test("golden ingest: fixtures -> blocks/transactions/actors/inventory") {
+    val sink = Files.createTempDirectory("ingest").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    BlockIngest.run(spark, streamDir, sink, ckpt)
+
+    val blocks = spark.read.parquet(s"$sink/blocks")
+    val txns = spark.read.parquet(s"$sink/transactions")
+    val actors = spark.read.parquet(s"$sink/transaction_actors")
+    val inv = spark.read.parquet(s"$sink/actor_inventory")
+
+    assert(BlockIngest.committedHeight(sink) === 60L)
+    assert(blocks.count() === 60L)
+    val expectedTxns = spark.read
+      .parquet("/root/repo/fixtures/transactions.parquet")
+    assert(txns.count() === expectedTxns.count())
+    // actor rows must equal the batch operator over the same txns
+    val expectedActors = Actors.transactionActors(expectedTxns)
+    assert(actors.count() === expectedActors.count())
+    assert(actors.select("actor", "actor_role", "transaction_hash")
+      .except(expectedActors.select("actor", "actor_role", "transaction_hash"))
+      .count() === 0L)
+    // inventory: one row per distinct actor, counts add up
+    assert(inv.count() ===
+      expectedActors.select("actor").distinct().count())
+    assert(inv.agg(sum("n_rows")).head().getLong(0) === expectedActors.count())
+    val sample = inv.orderBy("actor").limit(1).collect().head
+    assert(sample.getAs[Long]("first_block") <= sample.getAs[Long]("last_block"))
+
+    // replay the same stream from a fresh checkpoint: all heights are
+    // already committed -> every table unchanged (idempotent)
+    val ckpt2 = Files.createTempDirectory("ckpt2").toString
+    BlockIngest.run(spark, streamDir, sink, ckpt2)
+    assert(BlockIngest.committedHeight(sink) === 60L)
+    assert(spark.read.parquet(s"$sink/blocks").count() === 60L)
+    assert(spark.read.parquet(s"$sink/transactions").count() === txns.count())
+    assert(spark.read.parquet(s"$sink/transaction_actors").count() === actors.count())
+    assert(spark.read.parquet(s"$sink/actor_inventory")
+      .agg(sum("n_rows")).head().getLong(0) === expectedActors.count())
+  }
+
+  test("height gap aborts the batch (strict ordering)") {
+    val sink = Files.createTempDirectory("ingest_gap").toString
+    val batch = Seq((5L, 1000L, "h5", "h4", 1L, 1L, 1L))
+      .toDF("height", "time", "block_hash", "prev_hash",
+        "election_epoch", "epoch_start", "hbbft_round")
+      .withColumn("transactions", typedLit(
+        Seq.empty[(String, String, String)])
+        .cast("array<struct<hash:string,type:string,fields:string>>"))
+    val e = intercept[Exception](
+      BlockIngest.processBatch(spark, batch, sink))
+    assert(e.getMessage.contains("height gap"))
+  }
+
+  test("non-consecutive heights inside one batch abort") {
+    val sink = Files.createTempDirectory("ingest_gap2").toString
+    val batch = Seq(
+        (1L, 1000L, "h1", "h0", 1L, 1L, 1L),
+        (3L, 1002L, "h3", "h2", 1L, 1L, 1L))
+      .toDF("height", "time", "block_hash", "prev_hash",
+        "election_epoch", "epoch_start", "hbbft_round")
+      .withColumn("transactions", typedLit(
+        Seq.empty[(String, String, String)])
+        .cast("array<struct<hash:string,type:string,fields:string>>"))
+    val e = intercept[Exception](
+      BlockIngest.processBatch(spark, batch, sink))
+    assert(e.getMessage.contains("non-consecutive"))
+  }
+}
