@@ -56,8 +56,9 @@ object VectorSearch {
   }
 
   /** All pairs with cosine >= threshold. Exact (O(n²) scored pairs) —
-    * the correctness baseline; use [[lshCandidates]] ahead of this at
-    * corpus scale.
+    * the correctness baseline; prefer [[nearDupExactTiled]] (same result,
+    * distributed tiling) or, at thresholds high enough for pruning,
+    * [[nearDupIvf]].
     */
   def nearDupExact(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
@@ -68,6 +69,48 @@ object VectorSearch {
         dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Exact all-pairs cosine mining, tiled for scale.
+    *
+    * At low thresholds exact pair mining is irreducibly O(n²) compute —
+    * measured on this corpus: cosine 0.4 ⇒ ~66° pair angles, and ANY
+    * bucketing with full recall (IVF probes=6/16, sign-LSH r=2 b=24)
+    * generates MORE candidate pairs than brute force. What scale design
+    * can fix is the plan shape, not the math: tile the corpus into T
+    * buckets, emit one task per tile-pair (T(T+1)/2 tasks), so shuffle
+    * volume is O(n·T) rows (never O(n²)), per-task memory is bounded by
+    * 2n/T vectors, and every dot runs in the codegen'd kernel. T scales
+    * with the cluster; the work is embarrassingly parallel.
+    */
+  def nearDupExactTiled(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, tiles: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"),
+        norm(toDouble(col(vecCol))).as("nrm"))
+      .withColumn("t", pmod(col("id"), lit(tiles)).cast("int"))
+    val tilePairs = (for {
+      i <- 0 until tiles; j <- i until tiles
+    } yield (i, j, i * tiles + j)).toDF("ti", "tj", "tp")
+    val left = vecs.join(broadcast(tilePairs), col("t") === col("ti"))
+      .select(col("tp"), col("id").as("ida"), col("v").as("va"),
+        col("nrm").as("na"))
+    val right = vecs.join(broadcast(tilePairs), col("t") === col("tj"))
+      .select(col("tp"), col("id").as("idb"), col("v").as("vb"),
+        col("nrm").as("nb"))
+    // Each unordered pair appears in exactly one tile-pair task: on the
+    // diagonal (ti == tj) both orientations show up, so id order dedups
+    // there; across tiles only one orientation exists (which may have
+    // ida > idb — emit the canonical least/greatest order).
+    val diag = (col("tp") % lit(tiles + 1) === 0) // tp = ti*tiles+tj, ti==tj
+    left.join(right, "tp")
+      .filter(!diag || col("ida") < col("idb"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(least(col("ida"), col("idb")).as("vec_a"),
+        greatest(col("ida"), col("idb")).as("vec_b"),
         round(col("sim"), 6).as("sim"))
   }
 
@@ -91,6 +134,107 @@ object VectorSearch {
       zip_with(vec, typedLit(planeVector(p, dims)), (x, w) => x * w),
       lit(0.0), (acc, x) => acc + x)
     when(proj > 0, lit(1)).otherwise(lit(0))
+  }
+
+  /** Deterministic k-means++ centroids computed driver-side from a
+    * fixed sample (at corpus scale: a seeded bounded sample; here the
+    * corpora are small enough to use whole). Driver-side iteration keeps
+    * the centroids bit-deterministic — a distributed float sum would
+    * depend on partition order.
+    */
+  def kmeansCentroids(sample: Array[Array[Double]], k: Int, iters: Int,
+                      seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = sample.length
+    val dims = sample.head.length
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dims) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centroids = scala.collection.mutable.ArrayBuffer(
+      sample(rnd.nextInt(n)).clone())
+    while (centroids.length < k) {
+      val d2 = sample.map(v => centroids.map(c => dist2(v, c)).min)
+      val total = d2.sum
+      var pick = rnd.nextDouble() * total
+      var idx = 0
+      while (idx < n - 1 && pick > d2(idx)) { pick -= d2(idx); idx += 1 }
+      centroids += sample(idx).clone()
+    }
+    // Lloyd iterations
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          val d = dist2(v, centroids(c)); if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dims) { sums(best)(i) += v(i); i += 1 }
+      }
+      (0 until k).foreach { c =>
+        if (counts(c) > 0)
+          centroids(c) = sums(c).map(_ / counts(c))
+      }
+    }
+    centroids.toArray
+  }
+
+  /** Assign each vector to its `probes` nearest centroids (by cosine):
+    * (id, cell) rows. The centroid matrix rides along as a broadcast
+    * literal; each assignment is `k` codegen'd dot products.
+    */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[Array[Double]], probes: Int): DataFrame = {
+    val v = toDouble(col(vecCol))
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(v, typedLit(c.toSeq)).as("sim"), lit(i).as("cell"))
+    }
+    emb.select(col(idCol).as("id"),
+        explode(slice(reverse(array_sort(array(cells: _*))), 1, probes))
+          .as("e"))
+      .select(col("id"), col("e.cell").as("cell"))
+  }
+
+  /** Near-dup pairs above a cosine threshold, IVF-gated: candidates are
+    * pairs sharing one of their `probes` nearest of `k` centroids, then
+    * exact-cosine verified. The scale path for embedding dedup (the
+    * FAISS-IVF shape): candidate count ~ Σ cell² instead of n², and no
+    * all-pairs join ever materializes. Sign-bit LSH is NOT usable here:
+    * at thresholds this low (0.4) the per-bit agreement probability is
+    * ~0.63, so any banding with usable recall generates more candidate
+    * pairs than brute force. Recall is data-dependent (no theoretical
+    * guarantee at arbitrary thresholds) — the exact-pairs DuckDB oracle
+    * gates it per corpus.
+    */
+  def nearDupIvf(emb: DataFrame, idCol: String, vecCol: String,
+                 threshold: Double, k: Int = 16, probes: Int = 2,
+                 seed: Long = 42): DataFrame = {
+    val sample = emb.select(col(idCol), toDouble(col(vecCol)))
+      .orderBy(col(idCol)).collect().map(_.getSeq[Double](1).toArray)
+    val centroids = kmeansCentroids(sample, k, iters = 10, seed = seed)
+    val assign = ivfAssign(emb, idCol, vecCol, centroids, probes)
+      .localCheckpoint()
+    val cand = assign.as("x").join(assign.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("vec_a"), col("y.id").as("vec_b"))
+      .distinct()
+    val vecs = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"),
+        norm(toDouble(col(vecCol))).as("nrm"))
+      .localCheckpoint()
+    cand
+      .join(vecs.select(col("id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), "vec_a")
+      .join(vecs.select(col("id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "vec_b")
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
   }
 
   /** LSH bucket keys: `bands` bands of `bitsPerBand` sign bits each.

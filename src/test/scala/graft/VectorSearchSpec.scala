@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.VectorSearch
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Vector-search structure guarantees: tiling preserves the exact pair
+  * set, k-means is deterministic, and IVF achieves full recall where it
+  * is supposed to (clustered corpora at high thresholds).
+  */
+class VectorSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randUnit(rnd: Random, d: Int): Array[Double] = {
+    val v = Array.fill(d)(rnd.nextGaussian())
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
+
+  test("tiled exact all-pairs == plain exact all-pairs") {
+    val rnd = new Random(30)
+    val vecs = (0 until 80).map(i => (i.toLong, randUnit(rnd, 16).toSeq))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val plain = VectorSearch.nearDupExact(vecs, "vec_id", "embedding", 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tiled = VectorSearch.nearDupExactTiled(vecs, "vec_id", "embedding", 0.2,
+        tiles = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(plain.nonEmpty)
+    assert(tiled === plain)
+  }
+
+  test("kmeans centroids are deterministic for a fixed seed") {
+    val rnd = new Random(31)
+    val sample = Array.fill(200)(randUnit(rnd, 8))
+    val a = VectorSearch.kmeansCentroids(sample, 4, 5, seed = 7)
+    val b = VectorSearch.kmeansCentroids(sample.map(_.clone), 4, 5, seed = 7)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("IVF near-dup has full recall on clustered data at high threshold") {
+    // 5 tight clusters: near-dup pairs (sim >= 0.9) live inside clusters,
+    // where co-cell assignment is certain
+    val rnd = new Random(32)
+    val centers = Array.fill(5)(randUnit(rnd, 16))
+    val vecs = (0 until 150).map { i =>
+      val c = centers(i % 5)
+      val noise = randUnit(rnd, 16).map(_ * 0.05)
+      val v = c.zip(noise).map { case (a, b) => a + b }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n).toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val exact = VectorSearch.nearDupExact(vecs, "vec_id", "embedding", 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val ivf = VectorSearch.nearDupIvf(vecs, "vec_id", "embedding", 0.9,
+        k = 8, probes = 2)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "clustered fixture must contain near-dups")
+    assert(ivf === exact)
+  }
+
+  test("ivfAssign puts each vector in exactly `probes` cells") {
+    val rnd = new Random(33)
+    val vecs = (0 until 40).map(i => (i.toLong, randUnit(rnd, 8).toSeq))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val sample = vecs.orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val cents = VectorSearch.kmeansCentroids(sample, 4, 5, 1)
+    val assign = VectorSearch.ivfAssign(vecs, "vec_id", "embedding", cents, 2)
+    assert(assign.count() === 80L)
+    assert(assign.groupBy("id").count().filter(col("count") =!= 2).count() === 0L)
+  }
+}
