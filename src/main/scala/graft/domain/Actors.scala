@@ -61,7 +61,10 @@ object Actors {
     StructField("action", StructType(Seq(
       StructField("action", StringType),
       StructField("addresses", ArrayType(StringType))))),
-    StructField("reward_server_keys", ArrayType(StringType))))
+    StructField("reward_server_keys", ArrayType(StringType)),
+    StructField("staking_fee", LongType), StructField("fee", LongType),
+    StructField("amount", LongType), StructField("price", LongType),
+    StructField("vars", MapType(StringType, StringType))))
 
   private val pairType = "array<struct<role:string,actor:string>>"
 

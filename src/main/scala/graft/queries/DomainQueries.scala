@@ -35,7 +35,9 @@ object DomainQueries {
       |"owner":"VARCHAR","num_packets":"BIGINT","num_dcs":"BIGINT",
       |"location":"VARCHAR"}]},
       |"action":{"action":"VARCHAR","addresses":["VARCHAR"]},
-      |"reward_server_keys":["VARCHAR"]}""".stripMargin.replace("\n", "")
+      |"reward_server_keys":["VARCHAR"],
+      |"staking_fee":"BIGINT","fee":"BIGINT","amount":"BIGINT",
+      |"price":"BIGINT"}""".stripMargin.replace("\n", "")
 
   private val parsedCte =
     s"""t AS (
@@ -132,6 +134,11 @@ object DomainQueries {
         |    FROM t WHERE type = 'subnetwork_rewards_v1'
         |  UNION ALL SELECT block, hash, 'payer', f.payer FROM t WHERE type = 'subnetwork_fund_v1'
         |)""".stripMargin
+
+  /** Shared "typed txns + actor pairs" CTE prefix for oracles in other
+    * query modules.
+    */
+  private[queries] def parsedAndPairsSql: String = s"$parsedCte,\n$pairsCte"
 
   val defs: Seq[QDef] = Seq(
 
