@@ -393,8 +393,31 @@ object FixtureGen {
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$FixtureDir/locations.parquet")
 
+    // media fixtures — deterministic fake containers for the multimodal
+    // operators (see ops/Multimodal.scala): ASCII header + base64-ASCII
+    // payload so both engines can parse the same bytes
+    val mRnd = new Random(13)
+    val media = (0 until 120).map { i =>
+      val kind = Seq("image", "audio", "video")(i % 3)
+      val (w, h, dur) = kind match {
+        case "image" => (160 + mRnd.nextInt(8) * 160, 120 + mRnd.nextInt(8) * 120, 0L)
+        case "audio" => (0, 0, 1000L + mRnd.nextInt(29) * 1000L)
+        case _ => (320 + mRnd.nextInt(4) * 320, 240 + mRnd.nextInt(4) * 240,
+          2000L + mRnd.nextInt(28) * 1000L)
+      }
+      val payloadLen = 100 + mRnd.nextInt(300)
+      val payload = java.util.Base64.getEncoder.encodeToString(
+        Array.fill[Byte](payloadLen)(mRnd.nextInt().toByte))
+      val header = s"FAKEMEDIA;kind=$kind;w=$w;h=$h;dur=$dur;codec=fake-$kind;|"
+      (i.toLong, (i % 40).toLong, kind,
+        (header + payload).getBytes("US-ASCII"))
+    }
+    media.toDF("media_id", "doc_id", "kind", "bytes")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$FixtureDir/media.parquet")
+
     println(s"[fixtures] blocks=${blocks.size} txns=${txns.size} " +
-      s"types=${txns.map(_.typ).distinct.size}")
+      s"types=${txns.map(_.typ).distinct.size} media=${media.size}")
     spark.stop()
   }
 }

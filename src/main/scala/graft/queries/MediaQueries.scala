@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.fixtures.FixtureGen
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column coverage: binary media payloads with typed
+  * metadata, per-partition batched decode, frame sampling, and
+  * feature extraction into embedding columns — the Spark plumbing is
+  * real (schemas, mapPartitions batch shape, explode stages); only the
+  * codec itself is the documented deterministic stub
+  * (ops/Multimodal.scala).
+  */
+object MediaQueries {
+
+  private val mediaPq =
+    s"read_parquet('${FixtureGen.FixtureDir}/media.parquet/*.parquet')"
+
+  /** Shared DuckDB view of the fake container: header fields +
+    * payload.
+    */
+  private val mCte =
+    s"""m AS (
+       |  SELECT media_id, doc_id, kind, decode(bytes) AS s FROM $mediaPq),
+       |p AS (
+       |  SELECT media_id, doc_id, kind,
+       |    CAST(regexp_extract(s, 'w=(\\d+)', 1) AS INT) AS width,
+       |    CAST(regexp_extract(s, 'h=(\\d+)', 1) AS INT) AS height,
+       |    CAST(regexp_extract(s, 'dur=(\\d+)', 1) AS BIGINT) AS duration_ms,
+       |    regexp_extract(s, 'codec=([^;]+)', 1) AS codec,
+       |    substr(s, strpos(s, '|') + 1) AS payload
+       |  FROM m)""".stripMargin
+
+  val defs: Seq[QDef] = Seq(
+
+    // Batched metadata decode: binary -> typed meta struct via one codec
+    // instance per partition.
+    QDef("q44_media_meta",
+      (s, _) => {
+        val media = Multimodal.readMedia(s,
+          s"${FixtureGen.FixtureDir}/media.parquet")
+        Multimodal.decodeMeta(media).toDF()
+      },
+      Some(s"""WITH $mCte
+        |SELECT media_id, doc_id, kind, width, height, duration_ms, codec,
+        |  CAST(length(payload) AS INT) AS payload_bytes
+        |FROM p""".stripMargin)),
+
+    // Frame sampling (video/audio): explode per-media time grid with
+    // deterministic frame ids — the frame-grab stage of a video
+    // pipeline, shaped for downstream per-frame feature extraction.
+    QDef("q45_media_frames",
+      (s, _) => {
+        val media = Multimodal.readMedia(s,
+          s"${FixtureGen.FixtureDir}/media.parquet")
+        Multimodal.sampleFrames(media, everyMs = 5000L)
+      },
+      Some(s"""WITH $mCte
+        |SELECT media_id,
+        |  CAST(off / 5000 AS INT) AS frame_no, off AS offset_ms,
+        |  md5(media_id || ':' || off) AS frame_hash
+        |FROM (
+        |  SELECT media_id,
+        |    unnest(range(0, duration_ms, 5000)) AS off
+        |  FROM p WHERE duration_ms > 0)""".stripMargin)),
+
+    // Feature extraction: payload -> deterministic 8-dim embedding (the
+    // stub encoder), exploded to (media_id, dim, feat) so the check is
+    // engine-portable; the float embedding itself feeds VectorSearch in
+    // MultimodalSpec.
+    QDef("q46_media_embed",
+      (s, _) => {
+        import s.implicits._
+        val media = Multimodal.readMedia(s,
+          s"${FixtureGen.FixtureDir}/media.parquet")
+        Multimodal.extractFeatures(media).toDF()
+          .select(col("media_id"), posexplode(col("embedding")))
+          .select(col("media_id"), col("pos").as("dim"),
+            round(col("col").cast("double"), 3).as("feat"))
+      },
+      Some(s"""WITH $mCte,
+        |dims AS (SELECT unnest(generate_series(0, 7)) AS dim)
+        |SELECT media_id, dim,
+        |  round(CAST(list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(
+        |      list_filter(generate_series(1, CAST(length(payload) AS INT)),
+        |        i -> (i - 1) % 8 = dim),
+        |      i -> CAST(ascii(substr(payload, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (a, c) -> (a * 31 + c) % 1000003) % 2000 - 1000 AS DOUBLE)
+        |    / 1000.0, 3) AS feat
+        |FROM p, dims""".stripMargin))
+  )
+}
