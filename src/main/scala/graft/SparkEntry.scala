@@ -8,7 +8,8 @@ object SparkEntry {
 
   private val allDefs: Seq[QDef] =
     Relational.defs ++ TextQueries.defs ++ VectorQueries.defs ++
-      DomainQueries.defs ++ DomainQueries2.defs ++ MediaQueries.defs
+      DomainQueries.defs ++ DomainQueries2.defs ++ DomainQueries3.defs ++
+      MediaQueries.defs
 
   private val (qMap, oMap) = QDef.toMaps(allDefs)
 

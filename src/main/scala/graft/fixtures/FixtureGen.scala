@@ -377,13 +377,15 @@ object FixtureGen {
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$FixtureDir/ledger_validators.parquet")
 
-    // locations — deterministic fake geocodes keyed by h3
-    // (geocoder stub output, ref: src/be_db_geocoder.erl:194-225)
+    // locations — deterministic fake geocodes keyed by h3 (geocoder
+    // stub output, ref: src/be_db_geocoder.erl:194-225). The LAST THREE
+    // gateway locations are left ungeocoded so the geocode-candidate
+    // anti-join has work to find.
     val cities = Seq(("San Francisco", "SF", "California", "CA", "United States", "US"),
       ("Amsterdam", "AMS", "North Holland", "NH", "Netherlands", "NL"),
       ("Shenzhen", "SZ", "Guangdong", "GD", "China", "CN"),
       ("Lagos", "LOS", "Lagos State", "LA", "Nigeria", "NG"))
-    gwLocs.distinct.zipWithIndex.map { case (loc, i) =>
+    gwLocs.distinct.dropRight(3).zipWithIndex.map { case (loc, i) =>
       val (lc, sc, ls, ss, lco, sco) = cities(i % cities.size)
       (loc, s"${100 + i} Main St", s"${100 + i} Main",
         lc, sc, ls, ss, lco, sco,
@@ -392,6 +394,26 @@ object FixtureGen {
         "long_state", "short_state", "long_country", "short_country", "lat", "lon")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$FixtureDir/locations.parquet")
+
+    // pending transactions — protobuf-decode stand-in: a fake binary
+    // wire format with planted corrupt rows for the dead-letter path
+    // (ref: src/be_db_pending_txn.erl:211-227)
+    val pRnd = new Random(17)
+    val pending = (0 until 40).map { i =>
+      val created = 1600000000L + i * 7
+      val data: Array[Byte] =
+        if (i % 9 == 8) Array.fill[Byte](12)(pRnd.nextInt().toByte) // corrupt
+        else {
+          val typ = Seq("payment_v1", "payment_v2", "token_burn_v1")(i % 3)
+          val payer = accounts(pRnd.nextInt(accounts.size))
+          s"TXNPB;type=$typ;payer=$payer;nonce=${pRnd.nextInt(50)};"
+            .getBytes("US-ASCII")
+        }
+      (i.toLong, created, data)
+    }
+    pending.toDF("pending_id", "created_at", "data")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$FixtureDir/pending_txns.parquet")
 
     // media fixtures — deterministic fake containers for the multimodal
     // operators (see ops/Multimodal.scala): ASCII header + base64-ASCII

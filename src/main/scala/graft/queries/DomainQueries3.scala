@@ -1,0 +1,266 @@
+package graft.queries
+
+import graft.domain.Actors
+import graft.fixtures.FixtureGen
+import graft.functions.Codecs
+import org.apache.spark.sql.functions._
+
+/** Third tranche: ledger-join txn enrichment, witness-map JSON, trigram
+  * name search, the stats-inventory shape, pending-txn decode with
+  * dead-lettering, and geocode candidates.
+  */
+object DomainQueries3 {
+
+  private val txnsPq =
+    s"read_parquet('${FixtureGen.FixtureDir}/transactions.parquet/*.parquet')"
+  private val gwPq =
+    s"read_parquet('${FixtureGen.FixtureDir}/ledger_gateways.parquet/*.parquet')"
+  private val valPq =
+    s"read_parquet('${FixtureGen.FixtureDir}/ledger_validators.parquet/*.parquet')"
+  private val locPq =
+    s"read_parquet('${FixtureGen.FixtureDir}/locations.parquet/*.parquet')"
+  private val pendPq =
+    s"read_parquet('${FixtureGen.FixtureDir}/pending_txns.parquet/*.parquet')"
+
+  private def parsed(s: org.apache.spark.sql.SparkSession) =
+    s.read.parquet(s"${FixtureGen.FixtureDir}/transactions.parquet")
+      .select(col("block"), col("hash"), col("type"),
+        from_json(col("fields"), Actors.fieldsSchema).as("f"))
+
+  val defs: Seq[QDef] = Seq(
+
+    // §2.3 txn JSON enrichment (ref: src/be_txn.erl:14-126): poc path
+    // actors enriched with ledger-derived owner + location via a
+    // broadcast ledger point-lookup join (§2.1).
+    QDef("q47_txn_enrich",
+      (s, _) => {
+        val gw = broadcast(s.read
+          .parquet(s"${FixtureGen.FixtureDir}/ledger_gateways.parquet")
+          .select(col("address"), col("owner").as("gw_owner"),
+            col("location").as("gw_location")))
+        val p = parsed(s).filter(col("type").isin("poc_receipts_v1",
+          "poc_receipts_v2"))
+        val challengees = p.select(col("block"), col("hash"),
+            lit("challengee").as("role"),
+            explode(col("f")("path")).as("e"))
+          .select(col("block"), col("hash"), col("role"),
+            col("e.challengee").as("gateway"))
+        val witnesses = p.select(col("block"), col("hash"),
+            lit("witness").as("role"), explode(col("f")("path")).as("e"))
+          .select(col("block"), col("hash"), col("role"),
+            explode(col("e.witnesses")).as("w"))
+          .select(col("block"), col("hash"), col("role"),
+            col("w.gateway").as("gateway"))
+        challengees.unionByName(witnesses).distinct()
+          .join(gw, col("gateway") === gw("address"), "left_outer")
+          .select(col("block"), col("hash").as("transaction_hash"),
+            col("role"), col("gateway"), col("gw_owner"), col("gw_location"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT block, hash, type, json_transform(fields,
+        |    '{"path":[{"challengee":"VARCHAR",
+        |      "witnesses":[{"gateway":"VARCHAR"}]}]}') AS f
+        |  FROM $txnsPq
+        |  WHERE type IN ('poc_receipts_v1','poc_receipts_v2')),
+        |roles AS (
+        |  SELECT DISTINCT block, hash, 'challengee' AS role,
+        |    unnest(list_transform(f.path, e -> e.challengee)) AS gateway
+        |  FROM t
+        |  UNION
+        |  SELECT DISTINCT block, hash, 'witness',
+        |    unnest(flatten(list_transform(f.path,
+        |      e -> list_transform(e.witnesses, w -> w.gateway))))
+        |  FROM t)
+        |SELECT r.block, r.hash AS transaction_hash, r.role, r.gateway,
+        |  g.owner AS gw_owner, g.location AS gw_location
+        |FROM roles r LEFT JOIN $gwPq g ON r.gateway = g.address""".stripMargin)),
+
+    // §2.8 witness map -> JSON (ref: src/be_db_gateway.erl:239-259):
+    // per challengee, the witness histogram serialized as sorted JSON.
+    QDef("q48_witness_json",
+      (s, _) => {
+        val p = parsed(s).filter(col("type").isin("poc_receipts_v1",
+          "poc_receipts_v2"))
+        p.select(explode(col("f")("path")).as("e"))
+          .select(col("e.challengee").as("challengee"),
+            explode(col("e.witnesses")).as("w"))
+          .groupBy(col("challengee"), col("w.gateway").as("witness"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy("challengee")
+          .agg(to_json(sort_array(collect_list(
+            struct(col("witness"), col("n"))))).as("witnesses_json"),
+            sum(col("n")).as("n_witness_reports"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT json_transform(fields, '{"path":[{"challengee":"VARCHAR",
+        |    "witnesses":[{"gateway":"VARCHAR"}]}]}') AS f
+        |  FROM $txnsPq
+        |  WHERE type IN ('poc_receipts_v1','poc_receipts_v2')),
+        |w AS (
+        |  SELECT e.challengee AS challengee,
+        |    unnest(list_transform(e.witnesses, x -> x.gateway)) AS witness
+        |  FROM (SELECT unnest(f.path) AS e FROM t)),
+        |h AS (
+        |  SELECT challengee, witness, count(*) AS n FROM w
+        |  GROUP BY challengee, witness)
+        |SELECT challengee,
+        |  to_json(list_sort(list({'witness': witness, 'n': n})))
+        |    AS witnesses_json,
+        |  CAST(sum(n) AS BIGINT) AS n_witness_reports
+        |FROM h GROUP BY challengee""".stripMargin)),
+
+    // §2.8 trigram similarity (pg_trgm shape,
+    // ref: migrations/1616176828:3): gateway-name fuzzy search against a
+    // probe name, sim = |A∩B| / |A∪B| over padded char trigrams.
+    QDef("q49_trigram_search",
+      (s, _) => {
+        val probe = Codecs.animalName(FixtureGen.gateways(0))
+        val gw = s.read.parquet(s"${FixtureGen.FixtureDir}/ledger_gateways.parquet")
+        val padded = concat(lit("  "), lower(col("name")), lit(" "))
+        // pg_trgm shape: trigram set of the padded lowercase name; the
+        // padded string is materialized as its own column so the lambda
+        // indexes an attribute, not a re-evaluated expression
+        val withG = gw.select(col("address"), col("name"), padded.as("p"))
+          .select(col("address"), col("name"),
+            array_distinct(transform(sequence(lit(1), length(col("p")) - 2),
+              i => col("p").substr(i, lit(3)))).as("g"))
+        val probePadded = "  " + probe.toLowerCase + " "
+        val probeGrams = probePadded.sliding(3).toSeq.distinct
+        val pg = typedLit(probeGrams)
+        withG.select(col("address"), col("name"),
+            (size(array_intersect(col("g"), pg)).cast("double") /
+              (size(col("g")) + size(pg) -
+                size(array_intersect(col("g"), pg))).cast("double"))
+              .as("sim"))
+          .filter(col("sim") > 0.2)
+          .select(col("address"), col("name"), round(col("sim"), 6).as("sim"))
+      },
+      Some {
+        val probe = Codecs.animalName(FixtureGen.gateways(0))
+        val probePadded = "  " + probe.toLowerCase + " "
+        val probeGrams = probePadded.sliding(3).toSeq.distinct
+          .map(g => s"'${g}'").mkString("[", ",", "]")
+        s"""WITH g AS (
+        |  SELECT address, name, '  ' || lower(name) || ' ' AS p FROM $gwPq),
+        |tg AS (
+        |  SELECT address, name, list_distinct(list_transform(
+        |    generate_series(1, len(p) - 2), i -> substr(p, CAST(i AS INT), 3)))
+        |    AS grams
+        |  FROM g),
+        |sim AS (
+        |  SELECT address, name,
+        |    len(list_intersect(grams, $probeGrams))::DOUBLE /
+        |    (len(grams) + len($probeGrams)
+        |      - len(list_intersect(grams, $probeGrams))) AS sim
+        |  FROM tg)
+        |SELECT address, name, round(sim, 6) AS sim FROM sim
+        |WHERE sim > 0.2""".stripMargin
+      }),
+
+    // §2.4 stats-inventory shape (ref: src/be_db_stats.erl:63-217):
+    // chain + ledger counts as (name, value) rows — the recompute form
+    // of the incremental counters (BlockIngest maintains the additive
+    // form; IngestStatsSpec asserts they agree).
+    QDef("q50_chain_stats",
+      (s, _) => {
+        val t = s.read.parquet(s"${FixtureGen.FixtureDir}/transactions.parquet")
+        val gw = s.read.parquet(s"${FixtureGen.FixtureDir}/ledger_gateways.parquet")
+        val vl = s.read.parquet(s"${FixtureGen.FixtureDir}/ledger_validators.parquet")
+        val loc = s.read.parquet(s"${FixtureGen.FixtureDir}/locations.parquet")
+        Seq(
+          t.agg(countDistinct(col("block")).as("value"))
+            .select(lit("blocks").as("name"), col("value")),
+          t.agg(count(lit(1)).as("value"))
+            .select(lit("transactions").as("name"), col("value")),
+          t.filter(col("type") === "consensus_group_v1")
+            .agg(count(lit(1)).as("value"))
+            .select(lit("consensus_groups").as("name"), col("value")),
+          t.filter(col("type") === "poc_request_v1")
+            .agg(count(lit(1)).as("value"))
+            .select(lit("challenges").as("name"), col("value")),
+          gw.agg(count(lit(1)).as("value"))
+            .select(lit("hotspots").as("name"), col("value")),
+          gw.filter(col("mode") === "dataonly")
+            .agg(count(lit(1)).as("value"))
+            .select(lit("hotspots_dataonly").as("name"), col("value")),
+          vl.filter(col("status") === "staked")
+            .agg(count(lit(1)).as("value"))
+            .select(lit("validators_staked").as("name"), col("value")),
+          gw.join(loc, gw("location") === loc("location"))
+            .agg(countDistinct(col("long_city")).as("value"))
+            .select(lit("cities").as("name"), col("value")),
+          gw.join(loc, gw("location") === loc("location"))
+            .agg(countDistinct(col("long_country")).as("value"))
+            .select(lit("countries").as("name"), col("value"))
+        ).reduce(_ unionByName _)
+      },
+      Some(s"""SELECT 'blocks' AS name, count(DISTINCT block) AS value FROM $txnsPq
+        |UNION ALL SELECT 'transactions', count(*) FROM $txnsPq
+        |UNION ALL SELECT 'consensus_groups', count(*) FROM $txnsPq
+        |  WHERE type = 'consensus_group_v1'
+        |UNION ALL SELECT 'challenges', count(*) FROM $txnsPq
+        |  WHERE type = 'poc_request_v1'
+        |UNION ALL SELECT 'hotspots', count(*) FROM $gwPq
+        |UNION ALL SELECT 'hotspots_dataonly', count(*) FROM $gwPq
+        |  WHERE mode = 'dataonly'
+        |UNION ALL SELECT 'validators_staked', count(*) FROM $valPq
+        |  WHERE status = 'staked'
+        |UNION ALL SELECT 'cities', count(DISTINCT long_city)
+        |  FROM $gwPq g JOIN $locPq l ON g.location = l.location
+        |UNION ALL SELECT 'countries', count(DISTINCT long_country)
+        |  FROM $gwPq g JOIN $locPq l ON g.location = l.location""".stripMargin)),
+
+    // §2.1 pending-txn decode with dead-lettering
+    // (ref: src/be_db_pending_txn.erl:211-227): binary payloads decoded
+    // by the stub wire codec; failures become status
+    // 'failed'/'decoding_failure' instead of crashing the batch.
+    QDef("q51_pending_decode",
+      (s, _) => {
+        val p = s.read.parquet(s"${FixtureGen.FixtureDir}/pending_txns.parquet")
+        val txt = col("data").cast("string")
+        val ok = txt.startsWith("TXNPB;")
+        p.select(col("pending_id"), col("created_at"),
+          when(ok, lit("pending")).otherwise(lit("failed")).as("status"),
+          when(ok, lit(null).cast("string"))
+            .otherwise(lit("decoding_failure")).as("failed_reason"),
+          when(ok, regexp_extract(txt, "type=([^;]+)", 1)).as("txn_type"),
+          when(ok, regexp_extract(txt, "payer=([^;]+)", 1)).as("payer"),
+          when(ok, regexp_extract(txt, "nonce=([0-9]+)", 1).cast("long"))
+            .as("nonce"))
+      },
+      Some(s"""WITH p0 AS (
+        |  SELECT pending_id, created_at, TRY_CAST(data AS VARCHAR) AS raw
+        |  FROM $pendPq),
+        |p AS (
+        |  SELECT pending_id, created_at,
+        |    CASE WHEN raw IS NOT NULL AND position('TXNPB;' IN raw) = 1
+        |      THEN raw END AS txt
+        |  FROM p0)
+        |SELECT pending_id, created_at,
+        |  CASE WHEN txt IS NOT NULL THEN 'pending' ELSE 'failed' END AS status,
+        |  CASE WHEN txt IS NOT NULL THEN NULL
+        |       ELSE 'decoding_failure' END AS failed_reason,
+        |  regexp_extract(txt, 'type=([^;]+)', 1) AS txn_type,
+        |  regexp_extract(txt, 'payer=([^;]+)', 1) AS payer,
+        |  CAST(regexp_extract(txt, 'nonce=([0-9]+)', 1) AS BIGINT) AS nonce
+        |FROM p""".stripMargin)),
+
+    // §2.1 geocode candidates (ref: src/be_db_geocoder.erl:28-59): the
+    // anti-join finding locations with no geocode yet, rate-limited
+    // oldest-first (here: by address for determinism).
+    QDef("q52_geocode_candidates",
+      (s, _) => {
+        val gw = s.read.parquet(s"${FixtureGen.FixtureDir}/ledger_gateways.parquet")
+        val loc = s.read.parquet(s"${FixtureGen.FixtureDir}/locations.parquet")
+          .select(col("location"))
+        gw.select(col("address"), col("location")).distinct()
+          .join(loc, Seq("location"), "left_anti")
+          .orderBy(col("address")).limit(100)
+      },
+      Some(s"""SELECT location, address FROM (
+        |  SELECT DISTINCT g.location, g.address FROM $gwPq g
+        |  WHERE NOT EXISTS (SELECT 1 FROM $locPq l
+        |    WHERE l.location = g.location))
+        |ORDER BY address LIMIT 100""".stripMargin))
+  )
+}
