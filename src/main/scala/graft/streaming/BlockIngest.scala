@@ -106,6 +106,7 @@ object BlockIngest {
         .parquet(s"$sinkDir/transaction_actors")
 
       mergeActorInventory(spark, sinkDir, committed, newCommitted)
+      mergeStats(spark, sinkDir, newCommitted, fresh, txns)
 
       // watermark last — readers gate on it, so the multi-table commit
       // becomes visible atomically
@@ -149,6 +150,38 @@ object BlockIngest {
     val tmp = s"$invDir._tmp"
     out.write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(invDir)
+  }
+
+  /** Incremental counter stats (ref: src/be_db_stats.erl:63-217): the
+    * additive counters (blocks, transactions, consensus_groups,
+    * challenges) are maintained per batch by adding the batch's deltas
+    * to the stored values — never rescanning history — with the same
+    * replay guard as the inventory. IngestStatsSpec asserts the additive
+    * form equals a full recompute.
+    */
+  private def mergeStats(spark: SparkSession, sinkDir: String,
+                         newCommitted: Long, freshBlocks: DataFrame,
+                         txns: DataFrame): Unit = {
+    val statsDir = s"$sinkDir/stats_inventory"
+    val prior: Map[String, Long] =
+      if (Files.exists(Paths.get(statsDir)))
+        spark.read.parquet(statsDir).collect()
+          .map(r => r.getAs[String]("name") -> r.getAs[Long]("value")).toMap
+      else Map.empty
+    if (prior.getOrElse("_merged_height", 0L) >= newCommitted) return
+    val deltas = Map(
+      "blocks" -> freshBlocks.count(),
+      "transactions" -> txns.count(),
+      "consensus_groups" ->
+        txns.filter(col("type") === "consensus_group_v1").count(),
+      "challenges" -> txns.filter(col("type") === "poc_request_v1").count())
+    val updated = deltas.map { case (k, d) => k -> (prior.getOrElse(k, 0L) + d) } +
+      ("_merged_height" -> newCommitted)
+    import spark.implicits._
+    val tmp = s"$statsDir._tmp"
+    updated.toSeq.toDF("name", "value")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(statsDir)
   }
 
   /** Structured-Streaming wrapper: drain the drop-dir with AvailableNow,
