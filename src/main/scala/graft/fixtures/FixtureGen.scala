@@ -287,7 +287,7 @@ object FixtureGen {
     "poc_receipts_v2", "rewards_v1", "state_channel_close_v1",
     "validator_heartbeat_v1", "token_burn_v1", "assert_location_v2")
 
-  def generate(): (Seq[(Long, Long, String, String, Long, Long, Long)], Seq[Txn]) = {
+  def generate(): (Seq[(Long, Long, String, String, Long, Long, Long, String)], Seq[Txn]) = {
     val rnd = new Random(42)
     val nBlocks = 60
     var txnId = 0
@@ -306,11 +306,28 @@ object FixtureGen {
         txns += Txn(h, txnHash(txnId), typ, time, genTxn(typ, rnd))
         txnId += 1
       }
+      // every 13th block carries a snapshot hash
+      // (ref: src/be_db_block.erl:118-157)
+      val snap = if (h % 13 == 0) blockHash(h + 100000) else null
       (h, time, blockHash(h), blockHash(h - 1), h / 10 + 1,
-        (h / 10) * 10 + 3, rnd.nextInt(1000).toLong)
+        (h / 10) * 10 + 3, rnd.nextInt(1000).toLong, snap)
     }
     (blocks, txns.toSeq)
   }
+
+  /** Ledger-CDC "unhandled key" sidecar per block: keys changed by the
+    * ledger without a block actor (ref: src/be_db_account.erl:236-247) —
+    * every 7th block touches a couple of accounts/gateways/validators.
+    */
+  def cdcKeys(h: Long): Option[(Seq[String], Seq[String], Seq[String])] =
+    if (h % 7 != 0) None
+    else {
+      val r = new Random(h)
+      Some((
+        Seq.fill(r.nextInt(2) + 1)(accounts(r.nextInt(accounts.size))).distinct,
+        Seq.fill(r.nextInt(2))(gateways(r.nextInt(gateways.size))).distinct,
+        Seq.fill(r.nextInt(2))(validators(r.nextInt(validators.size))).distinct))
+    }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -324,7 +341,7 @@ object FixtureGen {
     val (blocks, txns) = generate()
 
     blocks.toDF("height", "time", "block_hash", "prev_hash", "election_epoch",
-        "epoch_start", "hbbft_round")
+        "epoch_start", "hbbft_round", "snapshot_hash")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$FixtureDir/blocks.parquet")
 
@@ -335,14 +352,23 @@ object FixtureGen {
 
     // blocks.jsonl — stream input for the ordered ingest driver
     val txnsByBlock = txns.groupBy(_.block)
-    val lines = blocks.map { case (h, time, hash, prev, epoch, start, round) =>
-      val bt = txnsByBlock.getOrElse(h, Seq.empty).map(t =>
-        jobj(Seq("hash" -> jstr(t.hash), "type" -> jstr(t.typ),
-          "fields" -> t.fields)))
-      jobj(Seq("height" -> h.toString, "time" -> time.toString,
-        "block_hash" -> jstr(hash), "prev_hash" -> jstr(prev),
-        "election_epoch" -> epoch.toString, "epoch_start" -> start.toString,
-        "hbbft_round" -> round.toString, "transactions" -> jarr(bt)))
+    val lines = blocks.map {
+      case (h, time, hash, prev, epoch, start, round, snap) =>
+        val bt = txnsByBlock.getOrElse(h, Seq.empty).map(t =>
+          jobj(Seq("hash" -> jstr(t.hash), "type" -> jstr(t.typ),
+            "fields" -> t.fields)))
+        val cdc = cdcKeys(h).map { case (as, gs, vs) =>
+          jobj(Seq("accounts" -> jarr(as.map(jstr)),
+            "gateways" -> jarr(gs.map(jstr)),
+            "validators" -> jarr(vs.map(jstr))))
+        }.orNull
+        jobj(Seq("height" -> h.toString, "time" -> time.toString,
+          "block_hash" -> jstr(hash), "prev_hash" -> jstr(prev),
+          "election_epoch" -> epoch.toString, "epoch_start" -> start.toString,
+          "hbbft_round" -> round.toString,
+          "snapshot_hash" -> (if (snap == null) null else jstr(snap)),
+          "cdc_keys" -> cdc,
+          "transactions" -> jarr(bt)))
     }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$FixtureDir/stream"))
     java.nio.file.Files.write(

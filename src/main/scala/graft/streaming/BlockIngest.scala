@@ -41,6 +41,13 @@ object BlockIngest {
     StructField("block_hash", StringType), StructField("prev_hash", StringType),
     StructField("election_epoch", LongType), StructField("epoch_start", LongType),
     StructField("hbbft_round", LongType),
+    StructField("snapshot_hash", StringType),
+    // ledger commit-hook keys changed without a block actor
+    // (ref: src/be_db_account.erl:236-247)
+    StructField("cdc_keys", StructType(Seq(
+      StructField("accounts", ArrayType(StringType)),
+      StructField("gateways", ArrayType(StringType)),
+      StructField("validators", ArrayType(StringType))))),
     // `fields` stays a raw JSON string at this layer (parsed by each
     // consumer against its own schema), which Spark's JSON reader
     // produces for object-typed tokens read as StringType
@@ -87,7 +94,7 @@ object BlockIngest {
       // dynamic partition overwrite: a replayed batch rewrites ONLY its
       // own height partitions (static mode would truncate the table)
       fresh.select("height", "time", "block_hash", "prev_hash",
-          "election_epoch", "epoch_start", "hbbft_round")
+          "election_epoch", "epoch_start", "hbbft_round", "snapshot_hash")
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic").partitionBy("height")
         .parquet(s"$sinkDir/blocks")
@@ -104,6 +111,9 @@ object BlockIngest {
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic").partitionBy("block")
         .parquet(s"$sinkDir/transaction_actors")
+
+      writeDirtySets(spark, sinkDir, fresh)
+      writeSnapshotManifest(spark, sinkDir, fresh)
 
       mergeActorInventory(spark, sinkDir, committed, newCommitted)
       mergeStats(spark, sinkDir, newCommitted, fresh, txns)
@@ -150,6 +160,63 @@ object BlockIngest {
     val tmp = s"$invDir._tmp"
     out.write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(invDir)
+  }
+
+  /** Per-block dirty key sets — the keys each handler re-snapshots
+    * (ref: src/be_db_account.erl:95-163, be_db_gateway.erl:78-124):
+    * actor-derived keys by role family UNIONED with the ledger-CDC keys
+    * the block carries (the commit-hook side stream,
+    * src/be_db_account.erl:236-247). The reference's reward_scale guard
+    * anti-join needs ledger deltas we don't model — documented gap.
+    */
+  private def writeDirtySets(spark: SparkSession, sinkDir: String,
+                             fresh: DataFrame): Unit = {
+    val accountRoles = Seq("payer", "payee", "owner", "escrow")
+    val gatewayRoles = Seq("gateway", "reward_gateway", "witness",
+      "challenger", "challengee", "packet_receiver")
+    val validatorRoles = Seq("validator", "consensus_member",
+      "consensus_failure_member", "consensus_failure_failed_member")
+    val actors = spark.read.parquet(s"$sinkDir/transaction_actors")
+      .withColumn("block", col("block").cast("long"))
+    val fromActors = actors.select(col("block"), col("actor"),
+        when(col("actor_role").isin(accountRoles.map(x => x: Any): _*), "account")
+          .when(col("actor_role").isin(gatewayRoles.map(x => x: Any): _*), "gateway")
+          .when(col("actor_role").isin(validatorRoles.map(x => x: Any): _*), "validator")
+          .as("kind"))
+      .filter(col("kind").isNotNull)
+    val fromCdc = Seq("accounts" -> "account", "gateways" -> "gateway",
+        "validators" -> "validator")
+      .map { case (field, kind) =>
+        fresh.select(col("height").as("block"),
+          explode_outer(col("cdc_keys")(field)).as("actor"),
+          lit(kind).as("kind"))
+      }.reduce(_ unionByName _)
+      .filter(col("actor").isNotNull)
+    val batchHeights = fresh.select(col("height").as("block"))
+    fromActors.join(batchHeights, Seq("block"), "left_semi")
+      .unionByName(fromCdc)
+      .distinct()
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic").partitionBy("block")
+      .parquet(s"$sinkDir/dirty_sets")
+  }
+
+  /** Snapshot manifest (ref: src/be_db_block.erl:118-157): when a batch
+    * carries snapshot blocks, record the newest as latest-snap.json.
+    */
+  private def writeSnapshotManifest(spark: SparkSession, sinkDir: String,
+                                    fresh: DataFrame): Unit = {
+    val snaps = fresh.filter(col("snapshot_hash").isNotNull)
+      .select(col("height"), col("snapshot_hash"))
+      .orderBy(col("height").desc).limit(1).collect()
+    snaps.headOption.foreach { r =>
+      val json = s"""{"height": ${r.getLong(0)}, "snapshot_hash": "${r.getString(1)}"}"""
+      Files.createDirectories(Paths.get(sinkDir))
+      Files.write(Paths.get(s"$sinkDir/latest-snap.json"),
+        json.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+        StandardOpenOption.WRITE)
+    }
   }
 
   /** Incremental counter stats (ref: src/be_db_stats.erl:63-217): the

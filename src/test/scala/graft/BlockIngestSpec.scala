@@ -42,6 +42,19 @@ class BlockIngestSpec extends SparkSpec {
     val sample = inv.orderBy("actor").limit(1).collect().head
     assert(sample.getAs[Long]("first_block") <= sample.getAs[Long]("last_block"))
 
+    // dirty sets: actor-derived keys + the CDC sidecar keys
+    val dirty = spark.read.parquet(s"$sink/dirty_sets")
+    val cdc7 = graft.fixtures.FixtureGen.cdcKeys(7L).get
+    cdc7._1.foreach { acct =>
+      assert(dirty.filter(col("block") === 7 && col("actor") === acct &&
+        col("kind") === "account").count() === 1L,
+        s"cdc account $acct missing from block-7 dirty set")
+    }
+    // snapshot manifest records the newest snapshot block (52 = 13*4)
+    val snap = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$sink/latest-snap.json")), "UTF-8")
+    assert(snap.contains("\"height\": 52"))
+
     // replay the same stream from a fresh checkpoint: all heights are
     // already committed -> every table unchanged (idempotent)
     val ckpt2 = Files.createTempDirectory("ckpt2").toString
