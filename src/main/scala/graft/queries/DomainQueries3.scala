@@ -261,6 +261,73 @@ object DomainQueries3 {
         |  SELECT DISTINCT g.location, g.address FROM $gwPq g
         |  WHERE NOT EXISTS (SELECT 1 FROM $locPq l
         |    WHERE l.location = g.location))
-        |ORDER BY address LIMIT 100""".stripMargin))
+        |ORDER BY address LIMIT 100""".stripMargin)),
+
+    // §2.8 penalty JSON construction (ref: src/be_db_validator.erl:126-148
+    // shape {type, height, amount}): per failed validator, penalty events
+    // from consensus_group_failure txns serialized as sorted JSON.
+    QDef("q53_penalty_json",
+      (s, _) => {
+        val fails = parsed(s)
+          .filter(col("type") === "consensus_group_failure_v1")
+          .select(col("block"), explode(col("f")("failed_members")).as("validator"))
+          .groupBy(col("validator"), col("block"))
+          .agg(count(lit(1)).as("amount"))
+          .select(col("validator"),
+            struct(lit("performance").as("type"), col("block").as("height"),
+              col("amount")).as("p"))
+        fails.groupBy("validator")
+          .agg(to_json(sort_array(collect_list(col("p")))).as("penalties"),
+            sum(col("p.amount")).as("total_penalties"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT block, json_transform(fields,
+        |    '{"failed_members":["VARCHAR"]}') AS f
+        |  FROM $txnsPq WHERE type = 'consensus_group_failure_v1'),
+        |ev0 AS (
+        |  SELECT unnest(f.failed_members) AS validator, block FROM t),
+        |ev AS (
+        |  SELECT validator, block, count(*) AS amount FROM ev0 GROUP BY 1, 2)
+        |SELECT validator,
+        |  to_json(list_sort(list({'type': 'performance', 'height': block,
+        |    'amount': amount}))) AS penalties,
+        |  CAST(sum(amount) AS BIGINT) AS total_penalties
+        |FROM ev GROUP BY validator""".stripMargin)),
+
+    // §2.9/§2.8 gateway status computation
+    // (ref: src/be_db_gateway_status.erl:247-281): online iff the
+    // gateway had poc activity within the interactivity window of the
+    // chain tip — derived from transaction_actors, the ledger-math part
+    // of the status refresh loop.
+    QDef("q54_gateway_status",
+      (s, _) => {
+        val txnsDf = s.read.parquet(s"${FixtureGen.FixtureDir}/transactions.parquet")
+        val actors = Actors.transactionActors(txnsDf)
+        val tip = txnsDf.agg(max(col("block"))).head().getLong(0)
+        val window = 20L
+        val pocRoles = Seq("challenger", "challengee", "witness")
+        val gw = s.read.parquet(s"${FixtureGen.FixtureDir}/ledger_gateways.parquet")
+        val activity = actors
+          .filter(col("actor_role").isin(pocRoles.map(x => x: Any): _*))
+          .groupBy(col("actor").as("address"))
+          .agg(max(col("block")).as("last_poc_block"))
+        gw.select(col("address"), col("name"))
+          .join(activity, Seq("address"), "left_outer")
+          .select(col("address"), col("name"), col("last_poc_block"),
+            when(col("last_poc_block").isNotNull &&
+              col("last_poc_block") >= tip - window, lit("online"))
+              .otherwise(lit("offline")).as("online"))
+      },
+      Some(s"""WITH ${DomainQueries.parsedAndPairsSql},
+        |tip AS (SELECT max(block) AS tip FROM t),
+        |activity AS (
+        |  SELECT actor AS address, max(block) AS last_poc_block
+        |  FROM pairs WHERE role IN ('challenger','challengee','witness')
+        |  GROUP BY actor)
+        |SELECT g.address, g.name, a.last_poc_block,
+        |  CASE WHEN a.last_poc_block IS NOT NULL
+        |         AND a.last_poc_block >= (SELECT tip FROM tip) - 20
+        |    THEN 'online' ELSE 'offline' END AS online
+        |FROM $gwPq g LEFT JOIN activity a ON g.address = a.address""".stripMargin))
   )
 }
