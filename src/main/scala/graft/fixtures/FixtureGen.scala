@@ -441,6 +441,20 @@ object FixtureGen {
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$FixtureDir/pending_txns.parquet")
 
+    // peer-book sidecar — libp2p peer metadata stub
+    // (ref: src/be_peer_status.erl:20-68); ~70% of validators have an
+    // entry, with heights straggling behind the chain tip
+    val pbRnd = new Random(19)
+    validators.zipWithIndex.filter(_._2 % 3 != 2).map { case (v, i) =>
+      (v, 60L - pbRnd.nextInt(80), // some peers lag beyond the window
+        s"/ip4/10.0.${i}.1/tcp/2154", s"10.0.${i}.1:8080",
+        s"1.${pbRnd.nextInt(10)}.${pbRnd.nextInt(5)}",
+        1600000000L + pbRnd.nextInt(3600))
+    }.toDF("address", "peer_height", "listen_addr", "grpc_addr",
+        "release_version", "peer_time")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$FixtureDir/peerbook.parquet")
+
     // media fixtures — deterministic fake containers for the multimodal
     // operators (see ops/Multimodal.scala): ASCII header + base64-ASCII
     // payload so both engines can parse the same bytes

@@ -328,6 +328,36 @@ object DomainQueries3 {
         |  CASE WHEN a.last_poc_block IS NOT NULL
         |         AND a.last_poc_block >= (SELECT tip FROM tip) - 20
         |    THEN 'online' ELSE 'offline' END AS online
-        |FROM $gwPq g LEFT JOIN activity a ON g.address = a.address""".stripMargin))
+        |FROM $gwPq g LEFT JOIN activity a ON g.address = a.address""".stripMargin)),
+
+    // §2.1 peer-book status probe (stubbed,
+    // ref: src/be_peer_status.erl:20-68) + §2.5 validator status left
+    // join with per-column coalesce defaults
+    // (ref: src/be_db_validator_status.erl:66-105): a validator is
+    // online iff staked AND its peer entry is within 50 blocks of the
+    // chain tip (height 60 in the fixtures).
+    QDef("q55_validator_status",
+      (s, _) => {
+        val vl = s.read.parquet(s"${FixtureGen.FixtureDir}/ledger_validators.parquet")
+        val pb = broadcast(
+          s.read.parquet(s"${FixtureGen.FixtureDir}/peerbook.parquet"))
+        vl.join(pb, Seq("address"), "left_outer")
+          .select(col("address"), col("name"), col("status"),
+            when(col("status") === "staked" &&
+              col("peer_height").isNotNull && col("peer_height") >= 60L - 50L,
+              lit("online")).otherwise(lit("offline")).as("online"),
+            coalesce(col("release_version"), lit("unknown"))
+              .as("release_version"),
+            coalesce(col("peer_height"), lit(0L)).as("peer_height"))
+      },
+      Some(s"""SELECT v.address, v.name, v.status,
+        |  CASE WHEN v.status = 'staked' AND p.peer_height IS NOT NULL
+        |         AND p.peer_height >= 60 - 50
+        |    THEN 'online' ELSE 'offline' END AS online,
+        |  coalesce(p.release_version, 'unknown') AS release_version,
+        |  coalesce(p.peer_height, 0) AS peer_height
+        |FROM $valPq v LEFT JOIN
+        |  read_parquet('${FixtureGen.FixtureDir}/peerbook.parquet/*.parquet') p
+        |  ON v.address = p.address""".stripMargin))
   )
 }
