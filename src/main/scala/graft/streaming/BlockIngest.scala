@@ -112,6 +112,7 @@ object BlockIngest {
         .option("partitionOverwriteMode", "dynamic").partitionBy("block")
         .parquet(s"$sinkDir/transaction_actors")
 
+      writeDerivedFacts(sinkDir, txns)
       writeDirtySets(spark, sinkDir, fresh)
       writeSnapshotManifest(spark, sinkDir, fresh)
 
@@ -160,6 +161,72 @@ object BlockIngest {
     val tmp = s"$invDir._tmp"
     out.write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(invDir)
+  }
+
+  /** Derived per-block fact tables, written with the same idempotent
+    * height-partition overwrite as the primary tables:
+    *  - rewards: exploded reward entries summed per (txn, account,
+    *    gateway) (ref: src/be_db_reward.erl:159-236)
+    *  - packets: per-client packet/DC sums from state-channel closes
+    *    (ref: src/be_db_packet.erl:85-101)
+    *  - dc_burns: staking/fee/state-channel burns
+    *    (ref: src/be_db_dc_burn.erl:43-125)
+    *  - oracle_prices: price-oracle submissions
+    *    (ref: src/be_db_oracle_price.erl)
+    */
+  private def writeDerivedFacts(sinkDir: String, txns: DataFrame): Unit = {
+    val parsed = txns.select(col("block"), col("hash"), col("type"),
+      col("time"), from_json(col("fields"), Actors.fieldsSchema).as("f"))
+    val f = col("f")
+
+    def write(df: DataFrame, table: String): Unit =
+      df.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic").partitionBy("block")
+        .parquet(s"$sinkDir/$table")
+
+    write(parsed.filter(col("type").isin("rewards_v1", "rewards_v2"))
+      .select(col("block"), col("hash"), col("time"),
+        explode(f("rewards")).as("r"))
+      .groupBy(col("block"), col("hash").as("transaction_hash"), col("time"),
+        col("r.account").as("account"), col("r.gateway").as("gateway"))
+      .agg(sum(col("r.amount")).as("amount")), "rewards")
+
+    write(parsed.filter(col("type") === "state_channel_close_v1")
+      .select(col("block"), col("time"),
+        explode(f("state_channel")("summaries")).as("sm"))
+      .groupBy(col("block"), col("time"), col("sm.client").as("client"))
+      .agg(sum(col("sm.num_packets")).as("num_packets"),
+        sum(col("sm.num_dcs")).as("num_dcs")), "packets")
+
+    val payerOrOwner = coalesce(nullif(f("payer"), lit("")), f("owner"))
+    val staking = parsed.filter(col("type").isin("oui_v1", "add_gateway_v1",
+        "assert_location_v1", "assert_location_v2", "routing_v1"))
+      .select(col("block"), col("hash"),
+        when(col("type") === "oui_v1", f("payer"))
+          .when(col("type") === "routing_v1", f("owner"))
+          .otherwise(payerOrOwner).as("actor"),
+        when(col("type") === "oui_v1", lit("oui"))
+          .when(col("type") === "routing_v1", lit("routing"))
+          .when(col("type") === "add_gateway_v1", lit("add_gateway"))
+          .otherwise(lit("assert_location")).as("burn_type"),
+        coalesce(f("staking_fee"), lit(0L)).as("amount"))
+    val scBurns = parsed.filter(col("type") === "state_channel_close_v1")
+      .select(col("block"), col("hash"),
+        explode(f("state_channel")("summaries")).as("sm"))
+      .groupBy(col("block"), col("hash"), col("sm.client").as("actor"))
+      .agg(sum(col("sm.num_dcs")).as("amount"))
+      .select(col("block"), col("hash"), col("actor"),
+        lit("state_channel").as("burn_type"), col("amount"))
+    val feeBurns = parsed.select(col("block"), col("hash"),
+        payerOrOwner.as("actor"), lit("fee").as("burn_type"),
+        f("fee").as("amount"))
+      .filter(col("amount").isNotNull && col("amount") > 0 &&
+        col("actor").isNotNull)
+    write(staking.unionByName(scBurns).unionByName(feeBurns), "dc_burns")
+
+    write(parsed.filter(col("type") === "price_oracle_v1")
+      .select(col("block"), col("time"), f("public_key").as("oracle"),
+        f("price").as("price")), "oracle_prices")
   }
 
   /** Per-block dirty key sets — the keys each handler re-snapshots

@@ -42,6 +42,18 @@ class BlockIngestSpec extends SparkSpec {
     val sample = inv.orderBy("actor").limit(1).collect().head
     assert(sample.getAs[Long]("first_block") <= sample.getAs[Long]("last_block"))
 
+    // derived fact tables agree with the declared query operators
+    val rewards = spark.read.parquet(s"$sink/rewards")
+    val q36 = SparkEntry.queries("q36_rewards_rollup")(spark, "unused")
+    assert(rewards.count() === q36.count())
+    assert(rewards.agg(sum("amount")).head().getLong(0) ===
+      q36.agg(sum("amount")).head().getLong(0))
+    val burns = spark.read.parquet(s"$sink/dc_burns")
+    val q35 = SparkEntry.queries("q35_dc_burns")(spark, "unused")
+    assert(burns.count() === q35.count())
+    assert(spark.read.parquet(s"$sink/packets").count() > 0)
+    assert(spark.read.parquet(s"$sink/oracle_prices").count() > 0)
+
     // dirty sets: actor-derived keys + the CDC sidecar keys
     val dirty = spark.read.parquet(s"$sink/dirty_sets")
     val cdc7 = graft.fixtures.FixtureGen.cdcKeys(7L).get
