@@ -154,7 +154,11 @@ object DomainQueries2 {
           col("short_state"), col("long_country"), col("short_country")))
         loc.select(col("location"),
           array_join(array_distinct(filter(split(blob, "\\s+"),
-            w => length(w) >= 3)), " ").as("search_city"))
+            w => length(w) >= 3)), " ").as("search_city"),
+          // city_id (ref: migrations/1593782722:24-29)
+          lower(concat(coalesce(col("long_city"), lit("")),
+            coalesce(col("long_state"), lit("")),
+            coalesce(col("long_country"), lit("")))).as("city_id"))
       },
       Some(s"""WITH l AS (
         |  SELECT location, string_split_regex(lower(
@@ -169,10 +173,15 @@ object DomainQueries2 {
         |  FROM l),
         |d AS (
         |  SELECT location, word, min(rn) AS rn FROM u
-        |  WHERE length(word) >= 3 GROUP BY location, word)
-        |SELECT location,
-        |  coalesce(string_agg(word, ' ' ORDER BY rn), '') AS search_city
-        |FROM d GROUP BY location""".stripMargin)),
+        |  WHERE length(word) >= 3 GROUP BY location, word),
+        |sc AS (
+        |  SELECT location,
+        |    coalesce(string_agg(word, ' ' ORDER BY rn), '') AS search_city
+        |  FROM d GROUP BY location)
+        |SELECT sc.location, sc.search_city,
+        |  lower(coalesce(l.long_city, '') || coalesce(l.long_state, '') ||
+        |    coalesce(l.long_country, '')) AS city_id
+        |FROM sc JOIN $locPq l ON sc.location = l.location""".stripMargin)),
 
     // §2.8 state_channel_counts (ref: migrations/1591282933:4-16):
     // packet/DC sums per txn; NULL for an scc with no summaries (the
