@@ -358,6 +358,79 @@ object DomainQueries3 {
         |  coalesce(p.peer_height, 0) AS peer_height
         |FROM $valPq v LEFT JOIN
         |  read_parquet('${FixtureGen.FixtureDir}/peerbook.parquet/*.parquet') p
-        |  ON v.address = p.address""".stripMargin))
+        |  ON v.address = p.address""".stripMargin)),
+
+    // §2.3 OUI dirty-set builder with the oui+1 renumber quirk
+    // (ref: src/be_db_oui.erl:66-98: oui_v1 touches oui+1 — or 1 when
+    // oui <= 1 — while routing_v1 touches the oui as-is).
+    QDef("q56_oui_dirty",
+      (s, _) => {
+        val p = parsed(s).filter(col("type").isin("oui_v1", "routing_v1"))
+        p.select(col("block"),
+            when(col("type") === "oui_v1",
+              when(col("f")("oui") <= 1, lit(1L))
+                .otherwise(col("f")("oui") + 1))
+              .otherwise(col("f")("oui")).as("oui"))
+          .distinct()
+      },
+      Some(s"""WITH o AS (
+        |  SELECT block, type,
+        |    CAST(json_extract_string(fields, '$$.oui') AS BIGINT) AS oui
+        |  FROM $txnsPq WHERE type IN ('oui_v1','routing_v1'))
+        |SELECT DISTINCT block,
+        |  CASE WHEN type = 'oui_v1' THEN
+        |    CASE WHEN oui <= 1 THEN 1 ELSE oui + 1 END
+        |  ELSE oui END AS oui
+        |FROM o""".stripMargin)),
+
+    // §2.5 sc_closer JSON-projection join
+    // (ref: migrations/1599584290:7-10): owner actors derived by joining
+    // the sc_closer actor rows back to the txn JSON.
+    QDef("q57_sc_closer_owner",
+      (s, _) => {
+        val txnsDf = s.read.parquet(s"${FixtureGen.FixtureDir}/transactions.parquet")
+        val closers = Actors.transactionActors(txnsDf)
+          .filter(col("actor_role") === "sc_closer")
+          .select(col("block"), col("transaction_hash"))
+        closers.join(txnsDf, closers("transaction_hash") === txnsDf("hash"))
+          .select(closers("block"), col("transaction_hash"),
+            get_json_object(col("fields"), "$.state_channel.owner")
+              .as("actor"),
+            lit("owner").as("actor_role"))
+          .filter(col("actor").isNotNull)
+          .distinct()
+      },
+      Some(s"""WITH ${DomainQueries.parsedAndPairsSql},
+        |closers AS (
+        |  SELECT DISTINCT block, hash FROM pairs
+        |  WHERE role = 'sc_closer' AND actor IS NOT NULL AND actor <> '')
+        |SELECT DISTINCT c.block, c.hash AS transaction_hash,
+        |  json_extract_string(x.fields, '$$.state_channel.owner') AS actor,
+        |  'owner' AS actor_role
+        |FROM closers c JOIN $txnsPq x ON c.hash = x.hash
+        |WHERE json_extract_string(x.fields, '$$.state_channel.owner')
+        |  IS NOT NULL""".stripMargin)),
+
+    // §2.5 txn-height continuity check
+    // (ref: src/be_db_backfill.erl:49-54): blocks ⟕ transactions on
+    // height — the backfill's orphan/continuity audit join.
+    QDef("q58_height_continuity",
+      (s, _) => {
+        val blocks = s.read.parquet(s"${FixtureGen.FixtureDir}/blocks.parquet")
+        val txnsDf = s.read.parquet(s"${FixtureGen.FixtureDir}/transactions.parquet")
+          .groupBy(col("block")).agg(count(lit(1)).as("n_txns"))
+        blocks.select(col("height"), col("block_hash"))
+          .join(txnsDf, blocks("height") === txnsDf("block"), "left_outer")
+          .select(col("height"), col("block_hash"),
+            coalesce(col("n_txns"), lit(0L)).as("n_txns"),
+            col("n_txns").isNotNull.as("has_txns"))
+      },
+      Some(s"""WITH bt AS (
+        |  SELECT block, count(*) AS n_txns FROM $txnsPq GROUP BY block)
+        |SELECT b.height, b.block_hash,
+        |  coalesce(bt.n_txns, 0) AS n_txns,
+        |  bt.n_txns IS NOT NULL AS has_txns
+        |FROM read_parquet('${FixtureGen.FixtureDir}/blocks.parquet/*.parquet') b
+        |LEFT JOIN bt ON b.height = bt.block""".stripMargin))
   )
 }
