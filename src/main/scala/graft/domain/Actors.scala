@@ -64,7 +64,7 @@ object Actors {
     StructField("reward_server_keys", ArrayType(StringType)),
     StructField("staking_fee", LongType), StructField("fee", LongType),
     StructField("amount", LongType), StructField("price", LongType),
-    StructField("oui", LongType),
+    StructField("oui", LongType), StructField("stake", LongType),
     StructField("vars", MapType(StringType, StringType))))
 
   private val pairType = "array<struct<role:string,actor:string>>"

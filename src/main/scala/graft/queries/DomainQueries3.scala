@@ -431,6 +431,92 @@ object DomainQueries3 {
         |  coalesce(bt.n_txns, 0) AS n_txns,
         |  bt.n_txns IS NOT NULL AS has_txns
         |FROM read_parquet('${FixtureGen.FixtureDir}/blocks.parquet/*.parquet') b
-        |LEFT JOIN bt ON b.height = bt.block""".stripMargin))
+        |LEFT JOIN bt ON b.height = bt.block""".stripMargin)),
+
+    // §2.1 genesis load (ref: src/be_cli_genesis.erl:59-66): the gen_*
+    // transactions seed the initial inventory state.
+    QDef("q59_genesis_load",
+      (s, _) => {
+        val p = parsed(s).filter(col("type").isin("gen_gateway_v1",
+          "gen_validator_v1", "gen_price_oracle_v1"))
+        val f = col("f")
+        p.select(col("block"), col("type"),
+            when(col("type") === "gen_gateway_v1", f("gateway"))
+              .when(col("type") === "gen_validator_v1", f("address"))
+              .as("entity"),
+            f("owner").as("owner"),
+            when(col("type") === "gen_validator_v1", f("stake")).as("stake"),
+            when(col("type") === "gen_price_oracle_v1", f("price")).as("price"))
+      },
+      Some(s"""SELECT block, type,
+        |  CASE WHEN type = 'gen_gateway_v1'
+        |         THEN json_extract_string(fields, '$$.gateway')
+        |       WHEN type = 'gen_validator_v1'
+        |         THEN json_extract_string(fields, '$$.address') END AS entity,
+        |  json_extract_string(fields, '$$.owner') AS owner,
+        |  CASE WHEN type = 'gen_validator_v1'
+        |    THEN CAST(json_extract_string(fields, '$$.stake') AS BIGINT)
+        |    END AS stake,
+        |  CASE WHEN type = 'gen_price_oracle_v1'
+        |    THEN CAST(json_extract_string(fields, '$$.price') AS BIGINT)
+        |    END AS price
+        |FROM $txnsPq
+        |WHERE type IN ('gen_gateway_v1','gen_validator_v1',
+        |  'gen_price_oracle_v1')""".stripMargin)),
+
+    // §1.1 vars_inventory — the dynamic-typed key/value table
+    // (ref: src/be_db_vars.erl:84-99, migrations/1592306954): latest
+    // value per var name across the chain, set/unset semantics in
+    // (block, hash) order.
+    QDef("q60_vars_inventory",
+      (s, _) => {
+        val p = parsed(s).filter(col("type") === "vars_v1")
+        val sets = p.select(col("block"), col("hash"),
+            explode(col("f")("vars")).as(Seq("name", "value")))
+        sets.groupBy("name")
+          .agg(max_by(col("value"), struct(col("block"), col("hash")))
+            .as("value"),
+            max(col("block")).as("last_block"),
+            count(lit(1)).as("n_sets"))
+      },
+      Some(s"""WITH v AS (
+        |  SELECT block, hash, fields FROM $txnsPq WHERE type = 'vars_v1'),
+        |u AS (
+        |  SELECT block, hash, unnest(json_keys(fields, '$$.vars')) AS name
+        |  FROM v),
+        |kv AS (
+        |  SELECT u.block, u.hash, u.name,
+        |    json_extract_string(v.fields, '$$.vars.' || u.name) AS value
+        |  FROM u JOIN v ON u.block = v.block AND u.hash = v.hash),
+        |mx AS (SELECT name, max(block) AS last_block, count(*) AS n_sets
+        |       FROM kv GROUP BY name),
+        |pick AS (
+        |  SELECT kv.name, arg_max(kv.value, kv.hash) AS value
+        |  FROM kv JOIN mx ON kv.name = mx.name AND kv.block = mx.last_block
+        |  GROUP BY kv.name)
+        |SELECT p.name, p.value, m.last_block, m.n_sets
+        |FROM pick p JOIN mx m ON p.name = m.name""".stripMargin)),
+
+    // §2.4 staked-balance rollup (ref: src/be_db_account.erl:73-88):
+    // sum validator stakes per owner, broadcast-joined onto accounts.
+    QDef("q61_staked_balance",
+      (s, _) => {
+        val acct = s.read.parquet(s"${FixtureGen.FixtureDir}/ledger_accounts.parquet")
+        val vl = s.read.parquet(s"${FixtureGen.FixtureDir}/ledger_validators.parquet")
+        val staked = vl.filter(col("status") === "staked")
+          .groupBy(col("owner")).agg(sum(col("stake")).as("staked_balance"))
+        acct.select(col("address"), col("balance"))
+          .join(broadcast(staked), acct("address") === staked("owner"),
+            "left_outer")
+          .select(col("address"), col("balance"),
+            coalesce(col("staked_balance"), lit(0L)).as("staked_balance"))
+      },
+      Some(s"""WITH staked AS (
+        |  SELECT owner, CAST(sum(stake) AS BIGINT) AS staked_balance
+        |  FROM $valPq WHERE status = 'staked' GROUP BY owner)
+        |SELECT a.address, a.balance,
+        |  coalesce(s.staked_balance, 0) AS staked_balance
+        |FROM read_parquet('${FixtureGen.FixtureDir}/ledger_accounts.parquet/*.parquet') a
+        |LEFT JOIN staked s ON a.address = s.owner""".stripMargin))
   )
 }
