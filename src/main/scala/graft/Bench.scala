@@ -26,6 +26,9 @@ object Bench {
         case c => c.toString
       }
     var errors = List.empty[(String, String)]
+    // warm the JVM/codegen paths so the first measured query doesn't
+    // absorb session startup
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }

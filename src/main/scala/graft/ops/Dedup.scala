@@ -37,12 +37,15 @@ object Dedup {
     * @param numHashes total minhash functions (numBands * rowsPerBand)
     * @param threshold keep pairs with shingle-set Jaccard >= threshold
     *
-    * With r=2, b=8 the miss probability for a true pair at s=0.8 is
-    * (1-s^2)^b ≈ 0.36^8 ≈ 3e-4 and ~1e-6 at the s≥0.9 regime planted
-    * dups live in; candidates below threshold are filtered exactly.
+    * With r=2, b=12 the miss probability for a true pair at s=0.8 is
+    * (1-s^2)^b ≈ 0.36^12 ≈ 5e-6 (and ~1e-9 at the s≥0.9 regime planted
+    * dups live in) — the affine signatures are cheap enough that the
+    * extra bands cost nothing, and the hash-equality gate vs the exact
+    * oracle stays robust to new fixtures. Candidates below threshold are
+    * filtered exactly.
     */
   def nearDupMinhash(docs: DataFrame, idCol: String, textCol: String,
-                     numBands: Int = 8, rowsPerBand: Int = 2,
+                     numBands: Int = 12, rowsPerBand: Int = 2,
                      threshold: Double = 0.8): DataFrame = {
     val numHashes = numBands * rowsPerBand
     // One md5 per shingle, materialized once; everything downstream
