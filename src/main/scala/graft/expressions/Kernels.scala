@@ -85,6 +85,73 @@ case class MinHashSignature(child: Expression, a: Array[Long], b: Array[Long],
     copy(child = newChild)
 }
 
+/** 32-bit SimHash over pre-hashed tokens: bit b is set iff the count of
+  * tokens with bit b set strictly exceeds half the token count (the
+  * +1/-1 vote rule; ties clear the bit). Same values as the HOF fold in
+  * TextAnalysis.simhash32, as one tight loop. Null elements count as 0.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash32 needs array<bigint>, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val ones = new Array[Int](32)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = if (arr.isNullAt(i)) 0L else arr.getLong(i)
+      var b = 0
+      while (b < 32) {
+        ones(b) += ((h >>> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (ones(b) * 2 > n) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ones = ctx.freshName("ones")
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val b = ctx.freshName("b")
+    val h = ctx.freshName("h")
+    val out = ctx.freshName("out")
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |int[] $ones = new int[32];
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $arr.isNullAt($i) ? 0L : $arr.getLong($i);
+         |  for (int $b = 0; $b < 32; $b++) {
+         |    $ones[$b] += (int) (($h >>> $b) & 1L);
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 32; $b++) {
+         |  if ($ones[$b] * 2 > $n) $out |= 1L << $b;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
 /** Sequential-fold dot product of two double arrays — identical IEEE
   * operation order to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (one
   * ascending multiply-add chain), so results are bit-identical to the

@@ -100,27 +100,14 @@ object TextAnalysis {
     * per-token votes (+1 when bit b of the token hash is set, else -1)
     * is positive. Ties (sum == 0) clear the bit.
     *
-    * Single pass: one fold over the token hashes carrying a 33-slot
-    * accumulator (32 per-bit set counts + the token count), finished by
-    * the vote rule `ones·2 > n`. The md5 token hashes are computed once —
-    * O(n) total, not O(32·n) refolds.
+    * Runs as a codegen'd kernel ([[graft.expressions.SimHash32]]) over
+    * the md5 token hashes — one tight loop instead of ~33 interpreted
+    * expression nodes per (token × bit).
     */
-  def simhash32(toks: Column): Column = {
-    val hashes = transform(toks, t => tokenHash(t))
-    val zero = array_repeat(lit(0L), 33)
-    aggregate(hashes, zero,
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(32)), (a, b) =>
-        when(b === 32, a + 1L)
-          .otherwise(a + call_function("shiftright", h, b).bitwiseAND(1L))),
-      acc => {
-        val n = element_at(acc, 33)
-        aggregate(
-          zip_with(slice(acc, 1, 32), sequence(lit(0), lit(31)), (ones, b) =>
-            when(ones * 2 > n, call_function("shiftleft", lit(1L), b))
-              .otherwise(0L)),
-          lit(0L), (s, x) => s + x)
-      })
-  }
+  def simhash32(toks: Column): Column =
+    org.apache.spark.sql.GraftExpr.column(graft.expressions.SimHash32(
+      org.apache.spark.sql.GraftExpr.expression(
+        transform(toks, t => tokenHash(t)))))
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column =
