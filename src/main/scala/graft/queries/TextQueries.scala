@@ -158,6 +158,31 @@ object TextQueries {
               |    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
               |FROM h""".stripMargin)),
 
+    // BPE-ish subword token counting: alpha runs / digit runs /
+    // punctuation runs (the GPT-2-style pre-tokenizer shape) alongside
+    // whitespace tokens — the chars-per-token ratio is the usual
+    // quality/cost signal for training-data budgeting.
+    QDef("q62_bpe_tokens",
+      (s, dir) => {
+        // pattern passed as a Column literal — an expr() SQL string
+        // would eat the \s escape in Spark's non-standard literals
+        val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+        Tables.documents(s, dir)
+          .withColumn("ws_tokens", size(tokens(col("text"))))
+          .withColumn("bpe_tokens", regexp_count(col("text"), lit(pat)))
+          .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+            round(col("n_chars").cast("double") /
+              col("bpe_tokens").cast("double"), 6).as("chars_per_token"))
+      },
+      Some(s"""SELECT doc_id,
+        |  len($toksSql) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+        |    AS bpe_tokens,
+        |  round(n_chars::DOUBLE /
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')),
+        |    6) AS chars_per_token
+        |FROM documents""".stripMargin)),
+
     // SimHash near-dup pairs (hamming <= 3, byte-blocked join); oracle
     // brute-forces hamming over all pairs.
     QDef("q27_neardup_simhash",
