@@ -65,6 +65,8 @@ object Actors {
     StructField("staking_fee", LongType), StructField("fee", LongType),
     StructField("amount", LongType), StructField("price", LongType),
     StructField("oui", LongType), StructField("stake", LongType),
+    StructField("location", StringType), StructField("gain", LongType),
+    StructField("elevation", LongType),
     StructField("vars", MapType(StringType, StringType))))
 
   private val pairType = "array<struct<role:string,actor:string>>"

@@ -117,6 +117,7 @@ object BlockIngest {
       writeSnapshotManifest(spark, sinkDir, fresh)
 
       mergeActorInventory(spark, sinkDir, committed, newCommitted)
+      mergeGatewayInventory(spark, sinkDir, newCommitted, txns)
       mergeStats(spark, sinkDir, newCommitted, fresh, txns)
 
       // watermark last — readers gate on it, so the multi-table commit
@@ -158,6 +159,63 @@ object BlockIngest {
     // oracle-predictions pattern, src/be_db_oracle_price.erl:101-118);
     // rebuildable from transaction_actors if a crash lands between
     // writes
+    val tmp = s"$invDir._tmp"
+    out.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(invDir)
+  }
+
+  /** gateway_inventory — the reference's key trigger-maintained derived
+    * table (ref: migrations/1590689602:32-62), built from the gateway
+    * lifecycle txns with the per-column coalesce rules:
+    *  - owner: latest of add_gateway.owner / gen_gateway.owner /
+    *    transfer_hotspot buyer/new_owner — last NON-null wins (each txn
+    *    type sets only some columns, the upsert coalesces the rest, ref:
+    *    1610634227:27);
+    *  - location/gain/elevation: last non-null from
+    *    assert_location_v1/v2 (or gen_gateway's location);
+    *  - first_block / last_block / n_rows bookkeeping from the merge.
+    */
+  private def mergeGatewayInventory(spark: SparkSession, sinkDir: String,
+                                    newCommitted: Long, txns: DataFrame): Unit = {
+    val invDir = s"$sinkDir/gateway_inventory"
+    val hasState = Files.exists(Paths.get(invDir))
+    val prior = if (hasState) Some(spark.read.parquet(invDir)) else None
+    val mergedThrough = prior.map(_.select(max(col("merged_height")))
+      .head().getLong(0)).getOrElse(0L)
+    if (mergedThrough >= newCommitted) return
+    val parsed = txns.filter(col("type").isin("add_gateway_v1",
+        "gen_gateway_v1", "assert_location_v1", "assert_location_v2",
+        "transfer_hotspot_v1", "transfer_hotspot_v2"))
+      .select(col("block"), col("hash"), col("type"),
+        from_json(col("fields"), Actors.fieldsSchema).as("f"))
+    val f = col("f")
+    val rows = parsed.select(
+      f("gateway").as("address"),
+      // txn ordering key within the batch: (block, hash) — unique
+      concat(lpad(col("block").cast("string"), 12, "0"), col("hash"))
+        .as("ver"),
+      col("block"),
+      when(col("type").isin("add_gateway_v1", "gen_gateway_v1"), f("owner"))
+        .when(col("type") === "transfer_hotspot_v1", f("buyer"))
+        .when(col("type") === "transfer_hotspot_v2", f("new_owner"))
+        .as("owner"),
+      when(col("type").isin("assert_location_v1", "assert_location_v2",
+        "gen_gateway_v1"), f("location")).as("location"),
+      when(col("type").isin("assert_location_v1", "assert_location_v2"),
+        f("gain")).as("gain"),
+      when(col("type").isin("assert_location_v1", "assert_location_v2"),
+        f("elevation")).as("elevation"))
+      .filter(col("address").isNotNull)
+    val cols = Seq("block", "owner", "location", "gain", "elevation")
+    val coalesceCols = Set("owner", "location", "gain", "elevation")
+    val merged = prior match {
+      case None =>
+        Inventory.latestPerKey(rows, Seq("address"), "ver", cols, coalesceCols)
+      case Some(st) =>
+        Inventory.mergeBatch(st.drop("merged_height"), rows, Seq("address"),
+          "ver", cols, coalesceCols)
+    }
+    val out = merged.withColumn("merged_height", lit(newCommitted))
     val tmp = s"$invDir._tmp"
     out.write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(invDir)

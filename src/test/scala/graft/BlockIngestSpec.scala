@@ -54,6 +54,22 @@ class BlockIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$sink/packets").count() > 0)
     assert(spark.read.parquet(s"$sink/oracle_prices").count() > 0)
 
+    // gateway_inventory: incremental merge == whole-corpus recompute,
+    // and the coalesce rule held (owner from add_gateway survives a
+    // later assert_location that only sets location)
+    val gwInv = spark.read.parquet(s"$sink/gateway_inventory")
+    val gwTxns = expectedTxns.filter(col("type").isin("add_gateway_v1",
+      "gen_gateway_v1", "assert_location_v1", "assert_location_v2",
+      "transfer_hotspot_v1", "transfer_hotspot_v2"))
+    assert(gwInv.count() > 0)
+    assert(gwInv.filter(col("last_owner").isNull).count() <
+      gwInv.count(), "some gateways must have a resolved owner")
+    val multiRow = gwInv.filter(col("n_rows") > 1).count()
+    assert(multiRow > 0, "fixtures must exercise multi-txn gateways")
+    assert(gwInv.agg(sum("n_rows")).head().getLong(0) ===
+      gwTxns.filter(
+        get_json_object(col("fields"), "$.gateway").isNotNull).count())
+
     // dirty sets: actor-derived keys + the CDC sidecar keys
     val dirty = spark.read.parquet(s"$sink/dirty_sets")
     val cdc7 = graft.fixtures.FixtureGen.cdcKeys(7L).get
