@@ -118,6 +118,7 @@ object BlockIngest {
 
       mergeActorInventory(spark, sinkDir, committed, newCommitted)
       mergeGatewayInventory(spark, sinkDir, newCommitted, txns)
+      mergeValidatorInventory(spark, sinkDir, newCommitted, txns)
       mergeStats(spark, sinkDir, newCommitted, fresh, txns)
 
       // watermark last — readers gate on it, so the multi-table commit
@@ -218,6 +219,71 @@ object BlockIngest {
     val out = merged.withColumn("merged_height", lit(newCommitted))
     val tmp = s"$invDir._tmp"
     out.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(invDir)
+  }
+
+  /** validator_inventory — same trigger-upsert pattern for the validator
+    * lifecycle (ref: migrations/1622293265:49-82): stake/owner from
+    * gen/stake/transfer txns, status transitions (staked/unstaked),
+    * last heartbeat height/version — each column coalesced to the last
+    * non-null setter in (block, hash) order.
+    */
+  private def mergeValidatorInventory(spark: SparkSession, sinkDir: String,
+                                      newCommitted: Long, txns: DataFrame): Unit = {
+    val invDir = s"$sinkDir/validator_inventory"
+    val prior = if (Files.exists(Paths.get(invDir)))
+      Some(spark.read.parquet(invDir)) else None
+    val mergedThrough = prior.map(_.select(max(col("merged_height")))
+      .head().getLong(0)).getOrElse(0L)
+    if (mergedThrough >= newCommitted) return
+    val parsed = txns.filter(col("type").isin("gen_validator_v1",
+        "stake_validator_v1", "unstake_validator_v1",
+        "transfer_validator_stake_v1", "validator_heartbeat_v1"))
+      .select(col("block"), col("hash"), col("type"),
+        from_json(col("fields"), Actors.fieldsSchema).as("f"))
+    val f = col("f")
+    // transfer emits two rows: old validator unstakes, new one stakes
+    val base = parsed.filter(col("type") =!= "transfer_validator_stake_v1")
+      .select(
+        when(col("type").isin("gen_validator_v1", "unstake_validator_v1",
+          "validator_heartbeat_v1"), f("address"))
+          .otherwise(f("validator")).as("address"),
+        col("block"), col("hash"),
+        f("owner").as("owner"),
+        when(col("type").isin("gen_validator_v1", "stake_validator_v1"),
+          f("stake")).as("stake"),
+        when(col("type").isin("gen_validator_v1", "stake_validator_v1"),
+          lit("staked"))
+          .when(col("type") === "unstake_validator_v1", lit("unstaked"))
+          .as("status"),
+        when(col("type") === "validator_heartbeat_v1", col("block"))
+          .as("heartbeat"))
+    val xferOld = parsed.filter(col("type") === "transfer_validator_stake_v1")
+      .select(f("old_validator").as("address"), col("block"), col("hash"),
+        f("old_owner").as("owner"), lit(null).cast("long").as("stake"),
+        lit("unstaked").as("status"), lit(null).cast("long").as("heartbeat"))
+    val xferNew = parsed.filter(col("type") === "transfer_validator_stake_v1")
+      .select(f("new_validator").as("address"), col("block"), col("hash"),
+        nullif(f("new_owner"), lit("")).as("owner"),
+        f("stake").as("stake"), lit("staked").as("status"),
+        lit(null).cast("long").as("heartbeat"))
+    val rows = base.unionByName(xferOld).unionByName(xferNew)
+      .filter(col("address").isNotNull)
+      .withColumn("ver",
+        concat(lpad(col("block").cast("string"), 12, "0"), col("hash")))
+      .drop("hash")
+    val cols = Seq("block", "owner", "stake", "status", "heartbeat")
+    val co = Set("owner", "stake", "status", "heartbeat")
+    val merged = prior match {
+      case None =>
+        Inventory.latestPerKey(rows, Seq("address"), "ver", cols, co)
+      case Some(st) =>
+        Inventory.mergeBatch(st.drop("merged_height"), rows, Seq("address"),
+          "ver", cols, co)
+    }
+    val tmp = s"$invDir._tmp"
+    merged.withColumn("merged_height", lit(newCommitted))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(invDir)
   }
 

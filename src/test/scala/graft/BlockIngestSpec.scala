@@ -70,6 +70,14 @@ class BlockIngestSpec extends SparkSpec {
       gwTxns.filter(
         get_json_object(col("fields"), "$.gateway").isNotNull).count())
 
+    // validator_inventory: lifecycle rows folded, statuses resolved
+    val vInv = spark.read.parquet(s"$sink/validator_inventory")
+    assert(vInv.count() > 0)
+    assert(vInv.filter(col("last_status").isin("staked", "unstaked"))
+      .count() === vInv.filter(col("last_status").isNotNull).count())
+    assert(vInv.filter(col("last_heartbeat").isNotNull).count() > 0,
+      "heartbeats must register")
+
     // dirty sets: actor-derived keys + the CDC sidecar keys
     val dirty = spark.read.parquet(s"$sink/dirty_sets")
     val cdc7 = graft.fixtures.FixtureGen.cdcKeys(7L).get
