@@ -76,35 +76,47 @@ object DomainQueries3 {
         |FROM roles r LEFT JOIN $gwPq g ON r.gateway = g.address""".stripMargin)),
 
     // §2.8 witness map -> JSON (ref: src/be_db_gateway.erl:239-259):
-    // per challengee, the witness histogram serialized as sorted JSON.
+    // per challengee, the witness histogram serialized as sorted JSON —
+    // full reference shape: per-witness count plus first_time/recent_time
+    // carried as strings (the reference stores timestamps stringly in
+    // the witness jsonb).
     QDef("q48_witness_json",
       (s, _) => {
-        val p = parsed(s).filter(col("type").isin("poc_receipts_v1",
-          "poc_receipts_v2"))
-        p.select(explode(col("f")("path")).as("e"))
-          .select(col("e.challengee").as("challengee"),
+        val p = s.read
+          .parquet(s"${FixtureGen.FixtureDir}/transactions.parquet")
+          .filter(col("type").isin("poc_receipts_v1", "poc_receipts_v2"))
+          .select(col("time"),
+            from_json(col("fields"), Actors.fieldsSchema).as("f"))
+        p.select(col("time"), explode(col("f")("path")).as("e"))
+          .select(col("e.challengee").as("challengee"), col("time"),
             explode(col("e.witnesses")).as("w"))
           .groupBy(col("challengee"), col("w.gateway").as("witness"))
-          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n"),
+            min(col("time")).cast("string").as("first_time"),
+            max(col("time")).cast("string").as("recent_time"))
           .groupBy("challengee")
           .agg(to_json(sort_array(collect_list(
-            struct(col("witness"), col("n"))))).as("witnesses_json"),
+            struct(col("witness"), col("n"), col("first_time"),
+              col("recent_time"))))).as("witnesses_json"),
             sum(col("n")).as("n_witness_reports"))
       },
       Some(s"""WITH t AS (
-        |  SELECT json_transform(fields, '{"path":[{"challengee":"VARCHAR",
+        |  SELECT time, json_transform(fields, '{"path":[{"challengee":"VARCHAR",
         |    "witnesses":[{"gateway":"VARCHAR"}]}]}') AS f
         |  FROM $txnsPq
         |  WHERE type IN ('poc_receipts_v1','poc_receipts_v2')),
         |w AS (
-        |  SELECT e.challengee AS challengee,
+        |  SELECT time, e.challengee AS challengee,
         |    unnest(list_transform(e.witnesses, x -> x.gateway)) AS witness
-        |  FROM (SELECT unnest(f.path) AS e FROM t)),
+        |  FROM (SELECT time, unnest(f.path) AS e FROM t)),
         |h AS (
-        |  SELECT challengee, witness, count(*) AS n FROM w
-        |  GROUP BY challengee, witness)
+        |  SELECT challengee, witness, count(*) AS n,
+        |    CAST(min(time) AS VARCHAR) AS first_time,
+        |    CAST(max(time) AS VARCHAR) AS recent_time
+        |  FROM w GROUP BY challengee, witness)
         |SELECT challengee,
-        |  to_json(list_sort(list({'witness': witness, 'n': n})))
+        |  to_json(list_sort(list({'witness': witness, 'n': n,
+        |    'first_time': first_time, 'recent_time': recent_time})))
         |    AS witnesses_json,
         |  CAST(sum(n) AS BIGINT) AS n_witness_reports
         |FROM h GROUP BY challengee""".stripMargin)),
@@ -302,7 +314,12 @@ object DomainQueries3 {
     QDef("q54_gateway_status",
       (s, _) => {
         val txnsDf = s.read.parquet(s"${FixtureGen.FixtureDir}/transactions.parquet")
-        val actors = Actors.transactionActors(txnsDf)
+        // poc roles only come from the poc txn types — filtering BEFORE
+        // extraction pushes In(type,…) to the parquet scan instead of
+        // running the 29-clause extraction over every txn and discarding
+        // most of the output after the explode+distinct shuffle
+        val actors = Actors.transactionActors(txnsDf.filter(col("type").isin(
+          "poc_request_v1", "poc_receipts_v1", "poc_receipts_v2")))
         val tip = txnsDf.agg(max(col("block"))).head().getLong(0)
         val window = 20L
         val pocRoles = Seq("challenger", "challengee", "witness")
@@ -389,7 +406,10 @@ object DomainQueries3 {
     QDef("q57_sc_closer_owner",
       (s, _) => {
         val txnsDf = s.read.parquet(s"${FixtureGen.FixtureDir}/transactions.parquet")
-        val closers = Actors.transactionActors(txnsDf)
+        // sc_closer only arises from state_channel_close_v1 — filter the
+        // type at the scan (pushed filter) before the wide extraction
+        val closers = Actors.transactionActors(
+            txnsDf.filter(col("type") === "state_channel_close_v1"))
           .filter(col("actor_role") === "sc_closer")
           .select(col("block"), col("transaction_hash"))
         closers.join(txnsDf, closers("transaction_hash") === txnsDf("hash"))
