@@ -9,7 +9,7 @@ object SparkEntry {
   private val allDefs: Seq[QDef] =
     Relational.defs ++ TextQueries.defs ++ VectorQueries.defs ++
       DomainQueries.defs ++ DomainQueries2.defs ++ DomainQueries3.defs ++
-      MediaQueries.defs
+      DomainQueries4.defs ++ MediaQueries.defs
 
   private val (qMap, oMap) = QDef.toMaps(allDefs)
 

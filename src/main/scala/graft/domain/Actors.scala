@@ -60,10 +60,12 @@ object Actors {
         StructField("location", StringType)))))))),
     StructField("action", StructType(Seq(
       StructField("action", StringType),
-      StructField("addresses", ArrayType(StringType))))),
+      StructField("addresses", ArrayType(StringType)),
+      StructField("subnet_size", LongType)))),
     StructField("reward_server_keys", ArrayType(StringType)),
     StructField("staking_fee", LongType), StructField("fee", LongType),
-    StructField("amount", LongType), StructField("price", LongType),
+    StructField("amount", LongType), StructField("nonce", LongType),
+    StructField("price", LongType),
     StructField("oui", LongType), StructField("stake", LongType),
     StructField("location", StringType), StructField("gain", LongType),
     StructField("elevation", LongType),

@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.domain.{AccountLedger, OuiLedger}
+import graft.fixtures.FixtureGen
+import org.apache.spark.sql.functions._
+
+/** Fourth tranche: the last two first-class derived tables —
+  * account_inventory (balance fold) and oui_inventory (routing state
+  * with array columns) — as one-shot oracle-checked queries; their
+  * incremental twins live in the ingest driver
+  * (streaming/BlockIngest.scala) and BlockIngestSpec asserts the
+  * 3-batch fold equals these single-shot results.
+  */
+object DomainQueries4 {
+
+  private val txnsPq =
+    s"read_parquet('${FixtureGen.FixtureDir}/transactions.parquet/*.parquet')"
+
+  /** Shared DuckDB fragment: txns with the (block, hash) ordering key. */
+  private val txSql =
+    s"""tx AS (
+       |  SELECT block, hash, type, fields,
+       |    lpad(CAST(block AS VARCHAR), 12, '0') || hash AS ver
+       |  FROM $txnsPq)""".stripMargin
+
+  val defs: Seq[QDef] = Seq(
+
+    // §2.2 account_inventory (ref: migrations/1591133143:4-70):
+    // balances/nonces rolled forward per account from the txn deltas,
+    // first/last block bookkeeping — the most-queried inventory table.
+    QDef("q63_account_inventory",
+      (s, _) => AccountLedger.inventory(
+        s.read.parquet(s"${FixtureGen.FixtureDir}/transactions.parquet")),
+      Some(s"""WITH $txSql,
+        |pv2 AS (
+        |  SELECT block, ver, json_extract_string(fields,'$$.payer') AS payer,
+        |    CAST(json_extract_string(fields,'$$.nonce') AS BIGINT) AS pnonce,
+        |    unnest(json_transform(fields,
+        |      '{"payments":[{"payee":"VARCHAR","amount":"BIGINT"}]}').payments)
+        |      AS p
+        |  FROM tx WHERE type = 'payment_v2'),
+        |rw AS (
+        |  SELECT block, ver, unnest(json_transform(fields,
+        |    '{"rewards":[{"account":"VARCHAR","amount":"BIGINT","reward_account":"VARCHAR"}]}').rewards)
+        |    AS r
+        |  FROM tx WHERE type IN ('rewards_v1','rewards_v2')),
+        |srw AS (
+        |  SELECT block, ver, unnest(json_transform(fields,
+        |    '{"rewards":[{"account":"VARCHAR","amount":"BIGINT","reward_account":"VARCHAR"}]}').rewards)
+        |    AS r
+        |  FROM tx WHERE type = 'subnetwork_rewards_v1'),
+        |d AS (
+        |  SELECT json_extract_string(fields,'$$.payee') AS address, block, ver,
+        |    CAST(json_extract_string(fields,'$$.amount') AS BIGINT) AS bal,
+        |    0::BIGINT AS dc, 0::BIGINT AS sec,
+        |    NULL::BIGINT AS nonce, NULL::BIGINT AS sec_nonce
+        |  FROM tx WHERE type = 'coinbase_v1'
+        |  UNION ALL SELECT json_extract_string(fields,'$$.payee'), block, ver,
+        |    0, CAST(json_extract_string(fields,'$$.amount') AS BIGINT), 0,
+        |    NULL, NULL
+        |  FROM tx WHERE type = 'dc_coinbase_v1'
+        |  UNION ALL SELECT json_extract_string(fields,'$$.payee'), block, ver,
+        |    0, 0, CAST(json_extract_string(fields,'$$.amount') AS BIGINT),
+        |    NULL, NULL
+        |  FROM tx WHERE type = 'security_coinbase_v1'
+        |  UNION ALL SELECT json_extract_string(fields,'$$.payer'), block, ver,
+        |    -CAST(json_extract_string(fields,'$$.amount') AS BIGINT), 0, 0,
+        |    CAST(json_extract_string(fields,'$$.nonce') AS BIGINT), NULL
+        |  FROM tx WHERE type = 'payment_v1'
+        |  UNION ALL SELECT json_extract_string(fields,'$$.payee'), block, ver,
+        |    CAST(json_extract_string(fields,'$$.amount') AS BIGINT), 0, 0,
+        |    NULL, NULL
+        |  FROM tx WHERE type = 'payment_v1'
+        |  UNION ALL SELECT payer, block, ver, -p.amount, 0, 0, pnonce, NULL
+        |  FROM pv2
+        |  UNION ALL SELECT p.payee, block, ver, p.amount, 0, 0, NULL, NULL
+        |  FROM pv2
+        |  UNION ALL SELECT json_extract_string(fields,'$$.payer'), block, ver,
+        |    -CAST(json_extract_string(fields,'$$.amount') AS BIGINT), 0, 0,
+        |    CAST(json_extract_string(fields,'$$.nonce') AS BIGINT), NULL
+        |  FROM tx WHERE type = 'token_burn_v1'
+        |  UNION ALL SELECT json_extract_string(fields,'$$.payee'), block, ver,
+        |    0, CAST(json_extract_string(fields,'$$.amount') AS BIGINT), 0,
+        |    NULL, NULL
+        |  FROM tx WHERE type = 'token_burn_v1'
+        |  UNION ALL SELECT json_extract_string(fields,'$$.payer'), block, ver,
+        |    0, 0, -CAST(json_extract_string(fields,'$$.amount') AS BIGINT),
+        |    NULL, CAST(json_extract_string(fields,'$$.nonce') AS BIGINT)
+        |  FROM tx WHERE type = 'security_exchange_v1'
+        |  UNION ALL SELECT json_extract_string(fields,'$$.payee'), block, ver,
+        |    0, 0, CAST(json_extract_string(fields,'$$.amount') AS BIGINT),
+        |    NULL, NULL
+        |  FROM tx WHERE type = 'security_exchange_v1'
+        |  UNION ALL SELECT r.account, block, ver, r.amount, 0, 0, NULL, NULL
+        |  FROM rw
+        |  UNION ALL SELECT r.reward_account, block, ver, r.amount, 0, 0,
+        |    NULL, NULL
+        |  FROM srw
+        |  UNION ALL SELECT json_extract_string(fields,'$$.payer'), block, ver,
+        |    -CAST(json_extract_string(fields,'$$.amount') AS BIGINT), 0, 0,
+        |    NULL, NULL
+        |  FROM tx WHERE type = 'subnetwork_fund_v1'
+        |  UNION ALL SELECT json_extract_string(fields,'$$.owner'), block, ver,
+        |    -CAST(json_extract_string(fields,'$$.stake') AS BIGINT), 0, 0,
+        |    NULL, NULL
+        |  FROM tx WHERE type = 'stake_validator_v1'
+        |  UNION ALL SELECT json_extract_string(fields,'$$.payer'), block, ver,
+        |    -CAST(json_extract_string(fields,'$$.amount') AS BIGINT), 0, 0,
+        |    NULL, NULL
+        |  FROM tx WHERE type = 'create_htlc_v1'
+        |  UNION ALL SELECT json_extract_string(fields,'$$.payee'), block, ver,
+        |    CAST(json_extract_string(fields,'$$.amount') AS BIGINT), 0, 0,
+        |    NULL, NULL
+        |  FROM tx WHERE type = 'redeem_htlc_v1'),
+        |dd AS (SELECT * FROM d WHERE address IS NOT NULL AND address <> ''),
+        |agg AS (
+        |  SELECT address, CAST(sum(bal) AS BIGINT) AS balance,
+        |    CAST(sum(dc) AS BIGINT) AS dc_balance,
+        |    CAST(sum(sec) AS BIGINT) AS security_balance,
+        |    min(block) AS first_block, max(block) AS last_block
+        |  FROM dd GROUP BY address),
+        |nn AS (SELECT address, arg_max(nonce, ver) AS nonce FROM dd
+        |       WHERE nonce IS NOT NULL GROUP BY address),
+        |sn AS (SELECT address, arg_max(sec_nonce, ver) AS security_nonce
+        |       FROM dd WHERE sec_nonce IS NOT NULL GROUP BY address)
+        |SELECT a.address, a.balance, coalesce(nn.nonce, 0) AS nonce,
+        |  a.dc_balance, 0::BIGINT AS dc_nonce, a.security_balance,
+        |  coalesce(sn.security_nonce, 0) AS security_nonce,
+        |  a.first_block, a.last_block
+        |FROM agg a LEFT JOIN nn ON a.address = nn.address
+        |LEFT JOIN sn ON a.address = sn.address""".stripMargin)),
+
+    // §2.2 oui_inventory (ref: migrations/1612480010:16-57,
+    // src/be_db_oui.erl:66-121): routing state per OUI. The array
+    // columns (addresses TEXT[], subnets INT[][]) are presented as JSON
+    // strings HERE because the driver's hash gate cannot sort/hash
+    // list-typed cells; the ingest-driver twin persists them as genuine
+    // parquet LIST columns (BlockIngestSpec asserts the round-trip).
+    QDef("q64_oui_inventory",
+      (s, _) => {
+        val inv = OuiLedger.inventory(
+          s.read.parquet(s"${FixtureGen.FixtureDir}/transactions.parquet"))
+        inv.select(col("oui"), col("owner"), col("nonce"),
+          to_json(col("addresses")).as("addresses_json"),
+          to_json(col("subnets")).as("subnets_json"),
+          col("first_block"), col("last_block"))
+      },
+      Some(s"""WITH $txSql,
+        |r AS (
+        |  SELECT
+        |    CASE WHEN type = 'oui_v1' THEN
+        |      CASE WHEN CAST(json_extract_string(fields,'$$.oui') AS BIGINT) <= 1
+        |        THEN 1
+        |        ELSE CAST(json_extract_string(fields,'$$.oui') AS BIGINT) + 1 END
+        |    ELSE CAST(json_extract_string(fields,'$$.oui') AS BIGINT) END AS oui,
+        |    block, ver,
+        |    json_extract_string(fields,'$$.owner') AS owner,
+        |    CASE WHEN type = 'oui_v1' THEN 0
+        |      ELSE CAST(json_extract_string(fields,'$$.nonce') AS BIGINT) END
+        |      AS nonce,
+        |    CASE WHEN type = 'oui_v1'
+        |      THEN json_transform(fields, '{"addresses":["VARCHAR"]}').addresses
+        |      WHEN json_extract_string(fields,'$$.action.action') = 'update_routers'
+        |      THEN json_transform(fields,
+        |        '{"action":{"addresses":["VARCHAR"]}}').action.addresses
+        |      END AS addresses,
+        |    CASE WHEN type = 'oui_v1'
+        |      THEN [CAST(block AS INT), 8]
+        |      WHEN json_extract_string(fields,'$$.action.action') = 'request_subnet'
+        |      THEN [CAST(block AS INT),
+        |            CAST(json_extract_string(fields,'$$.action.subnet_size') AS INT)]
+        |      END AS subnet
+        |  FROM tx WHERE type IN ('oui_v1','routing_v1')),
+        |base AS (
+        |  SELECT oui, arg_max(owner, ver) AS owner, arg_max(nonce, ver) AS nonce,
+        |    min(block) AS first_block, max(block) AS last_block
+        |  FROM r GROUP BY oui),
+        |addr AS (SELECT oui, arg_max(addresses, ver) AS addresses FROM r
+        |         WHERE addresses IS NOT NULL GROUP BY oui),
+        |sub AS (SELECT oui, list_sort(list(subnet)) AS subnets FROM r
+        |        WHERE subnet IS NOT NULL GROUP BY oui)
+        |SELECT b.oui, b.owner, b.nonce,
+        |  to_json(coalesce(a.addresses, CAST([] AS VARCHAR[])))
+        |    AS addresses_json,
+        |  to_json(coalesce(s.subnets, CAST([] AS INT[][]))) AS subnets_json,
+        |  b.first_block, b.last_block
+        |FROM base b LEFT JOIN addr a ON b.oui = a.oui
+        |LEFT JOIN sub s ON b.oui = s.oui""".stripMargin))
+  )
+}

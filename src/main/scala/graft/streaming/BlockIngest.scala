@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.domain.Actors
+import graft.domain.{AccountLedger, Actors, OuiLedger}
 import graft.ops.Inventory
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -119,6 +119,8 @@ object BlockIngest {
       mergeActorInventory(spark, sinkDir, committed, newCommitted)
       mergeGatewayInventory(spark, sinkDir, newCommitted, txns)
       mergeValidatorInventory(spark, sinkDir, newCommitted, txns)
+      mergeAccountInventory(spark, sinkDir, newCommitted, txns)
+      mergeOuiInventory(spark, sinkDir, newCommitted, txns)
       mergeStats(spark, sinkDir, newCommitted, fresh, txns)
 
       // watermark last — readers gate on it, so the multi-table commit
@@ -280,6 +282,58 @@ object BlockIngest {
       case Some(st) =>
         Inventory.mergeBatch(st.drop("merged_height"), rows, Seq("address"),
           "ver", cols, co)
+    }
+    val tmp = s"$invDir._tmp"
+    merged.withColumn("merged_height", lit(newCommitted))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(invDir)
+  }
+
+  /** account_inventory — balances per account rolled forward per batch
+    * (ref: migrations/1591133143-account_inventory.sql:4-70). The batch
+    * fold (per-address delta sums + latest nonces) merges additively
+    * into the stored state; strict block order makes "batch nonce wins"
+    * correct. Single-shot equivalence (3-batch fold == whole-corpus
+    * recompute == DuckDB oracle q63) is asserted in BlockIngestSpec.
+    */
+  private def mergeAccountInventory(spark: SparkSession, sinkDir: String,
+                                    newCommitted: Long, txns: DataFrame): Unit = {
+    val invDir = s"$sinkDir/account_inventory"
+    val prior = if (Files.exists(Paths.get(invDir)))
+      Some(spark.read.parquet(invDir)) else None
+    val mergedThrough = prior.map(_.select(max(col("merged_height")))
+      .head().getLong(0)).getOrElse(0L)
+    // the balance fold is additive — the replay guard is load-bearing
+    if (mergedThrough >= newCommitted) return
+    val batch = AccountLedger.fold(AccountLedger.deltas(txns))
+    val merged = prior match {
+      case None => AccountLedger.finish(batch)
+      case Some(st) => AccountLedger.merge(st.drop("merged_height"), batch)
+    }
+    val tmp = s"$invDir._tmp"
+    merged.withColumn("merged_height", lit(newCommitted))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(invDir)
+  }
+
+  /** oui_inventory — routing state per OUI with the nested array
+    * columns (addresses TEXT[] / subnets INT[][],
+    * ref: migrations/1612480010-ouis.sql:16-57) persisted as genuine
+    * parquet LIST columns; the subnet set is unioned + re-sorted per
+    * merge so the accumulated list is independent of batch boundaries.
+    */
+  private def mergeOuiInventory(spark: SparkSession, sinkDir: String,
+                                newCommitted: Long, txns: DataFrame): Unit = {
+    val invDir = s"$sinkDir/oui_inventory"
+    val prior = if (Files.exists(Paths.get(invDir)))
+      Some(spark.read.parquet(invDir)) else None
+    val mergedThrough = prior.map(_.select(max(col("merged_height")))
+      .head().getLong(0)).getOrElse(0L)
+    if (mergedThrough >= newCommitted) return
+    val batch = OuiLedger.fold(OuiLedger.rows(txns))
+    val merged = prior match {
+      case None => OuiLedger.finish(batch)
+      case Some(st) => OuiLedger.merge(st.drop("merged_height"), batch)
     }
     val tmp = s"$invDir._tmp"
     merged.withColumn("merged_height", lit(newCommitted))

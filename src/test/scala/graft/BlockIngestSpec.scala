@@ -1,7 +1,8 @@
 package graft
 
-import graft.domain.Actors
+import graft.domain.{AccountLedger, Actors, OuiLedger}
 import graft.streaming.BlockIngest
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import java.nio.file.Files
@@ -78,6 +79,22 @@ class BlockIngestSpec extends SparkSpec {
     assert(vInv.filter(col("last_heartbeat").isNotNull).count() > 0,
       "heartbeats must register")
 
+    // account_inventory: the single-drain fold equals the one-shot
+    // recompute (which q63 checks against the DuckDB oracle)
+    val acctInv = spark.read.parquet(s"$sink/account_inventory")
+      .drop("merged_height")
+    val acctExp = AccountLedger.inventory(expectedTxns)
+    assert(acctInv.except(acctExp).count() === 0L)
+    assert(acctExp.except(acctInv).count() === 0L)
+
+    // oui_inventory: genuine LIST columns round-trip through parquet
+    val ouiInv = spark.read.parquet(s"$sink/oui_inventory")
+    assert(ouiInv.schema("addresses").dataType.simpleString ===
+      "array<string>")
+    assert(ouiInv.schema("subnets").dataType.simpleString ===
+      "array<array<int>>")
+    assert(ouiInv.count() > 0)
+
     // dirty sets: actor-derived keys + the CDC sidecar keys
     val dirty = spark.read.parquet(s"$sink/dirty_sets")
     val cdc7 = graft.fixtures.FixtureGen.cdcKeys(7L).get
@@ -101,6 +118,51 @@ class BlockIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$sink/transaction_actors").count() === actors.count())
     assert(spark.read.parquet(s"$sink/actor_inventory")
       .agg(sum("n_rows")).head().getLong(0) === expectedActors.count())
+  }
+
+  test("account & oui inventories: 3-batch incremental fold == single-shot") {
+    val sink = Files.createTempDirectory("ingest3b").toString
+    val blocks = spark.read.schema(BlockIngest.blockSchema)
+      .json(s"$streamDir/blocks.jsonl")
+    Seq((1L, 20L), (21L, 40L), (41L, 60L)).foreach { case (lo, hi) =>
+      BlockIngest.processBatch(spark,
+        blocks.filter(col("height").between(lo, hi)), sink)
+    }
+    val txns = spark.read.parquet("/root/repo/fixtures/transactions.parquet")
+
+    // accounts: additive balances + newest-wins nonces across batch
+    // boundaries must equal the whole-corpus fold
+    val acct = spark.read.parquet(s"$sink/account_inventory")
+      .drop("merged_height")
+    val acctExp = AccountLedger.inventory(txns)
+    assert(acct.count() === acctExp.count())
+    assert(acct.except(acctExp).count() === 0L)
+    assert(acctExp.except(acct).count() === 0L)
+    // the nonce coalesce case is exercised: accounts whose nonce was set
+    // in an earlier batch and not touched later keep it
+    assert(acct.filter(col("nonce") > 0).count() > 0)
+    assert(acct.filter(col("balance") =!= 0).count() > 0)
+
+    // ouis: subnet accumulation across batches (compare as JSON — the
+    // nested lists aren't hashable for except on some planners)
+    def canon(df: DataFrame): DataFrame =
+      df.select(col("oui"), col("owner"), col("nonce"),
+        to_json(col("addresses")).as("a"), to_json(col("subnets")).as("s"),
+        col("first_block"), col("last_block"))
+    val oui = spark.read.parquet(s"$sink/oui_inventory")
+      .drop("merged_height")
+    val ouiExp = OuiLedger.inventory(txns)
+    assert(canon(oui).except(canon(ouiExp)).count() === 0L)
+    assert(canon(ouiExp).except(canon(oui)).count() === 0L)
+    // every subnet allocation event (oui_v1 grant + request_subnet) must
+    // land in exactly one inventory list — accumulation loses nothing
+    val subnetEvents =
+      txns.filter(col("type") === "oui_v1").count() +
+        txns.filter(col("type") === "routing_v1" &&
+          get_json_object(col("fields"), "$.action.action") ===
+            "request_subnet").count()
+    assert(oui.agg(sum(size(col("subnets")))).head().getLong(0) ===
+      subnetEvents)
   }
 
   test("height gap aborts the batch (strict ordering)") {
