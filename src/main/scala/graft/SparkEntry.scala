@@ -11,7 +11,7 @@ object SparkEntry {
       DomainQueries.defs ++ DomainQueries2.defs ++ DomainQueries3.defs ++
       DomainQueries4.defs ++ MediaQueries.defs
 
-  private val (qMap, oMap) = QDef.toMaps(allDefs)
+  private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -21,6 +21,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = qMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = oMap
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * Resolved at call time so late-bound oracles (q30's run-computed
+    * centroid literals) are visible — Verify dumps this AFTER running
+    * the queries. */
+  def oracleSql: Map[String, String] = QDef.oracleMap(allDefs)
 }

@@ -136,11 +136,24 @@ object VectorSearch {
     when(proj > 0, lit(1)).otherwise(lit(0))
   }
 
+  /** Seeded bounded sample of vectors for centroid training: order the
+    * corpus by a seeded hash of the id (uniform and deterministic) and
+    * take the first `n` — a distributed TakeOrdered that moves exactly
+    * `n` vectors to the driver, NEVER a full-table collect, so the
+    * sample cost is O(n) regardless of corpus size.
+    */
+  def sampleVectors(emb: DataFrame, idCol: String, vecCol: String,
+                    n: Int, seed: Long): Array[Array[Double]] =
+    emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .orderBy(xxhash64(concat_ws(":", lit(seed.toString),
+        col("id").cast("string"))), col("id"))
+      .limit(n)
+      .collect().map(_.getSeq[Double](1).toArray)
+
   /** Deterministic k-means++ centroids computed driver-side from a
-    * fixed sample (at corpus scale: a seeded bounded sample; here the
-    * corpora are small enough to use whole). Driver-side iteration keeps
-    * the centroids bit-deterministic — a distributed float sum would
-    * depend on partition order.
+    * seeded bounded sample ([[sampleVectors]]). Driver-side iteration
+    * keeps the centroids bit-deterministic — a distributed float sum
+    * would depend on partition order.
     */
   def kmeansCentroids(sample: Array[Array[Double]], k: Int, iters: Int,
                       seed: Long): Array[Array[Double]] = {
@@ -214,9 +227,8 @@ object VectorSearch {
     */
   def nearDupIvf(emb: DataFrame, idCol: String, vecCol: String,
                  threshold: Double, k: Int = 16, probes: Int = 2,
-                 seed: Long = 42): DataFrame = {
-    val sample = emb.select(col(idCol), toDouble(col(vecCol)))
-      .orderBy(col(idCol)).collect().map(_.getSeq[Double](1).toArray)
+                 seed: Long = 42, maxSample: Int = 4096): DataFrame = {
+    val sample = sampleVectors(emb, idCol, vecCol, maxSample, seed)
     val centroids = kmeansCentroids(sample, k, iters = 10, seed = seed)
     val assign = ivfAssign(emb, idCol, vecCol, centroids, probes)
       .localCheckpoint()

@@ -42,6 +42,51 @@ object VectorQueries {
     (0 until bits).map(i => s"${signBitSql(v, band * bits + i)} * ${1 << i}")
       .mkString("(", " + ", ")")
 
+  /** q30's late-bound oracle: populated by the query run with the SQL
+    * that replays IVF assignment/probe/top-k against the run's trained
+    * centroids as literals.
+    */
+  private object IvfOracle {
+    @volatile var sql: Option[String] = None
+  }
+
+  /** Shortest-safe double literal: 17 fractional digits of scientific
+    * notation round-trips any finite double, and the exponent form makes
+    * DuckDB parse it as DOUBLE (a plain decimal literal would parse as
+    * DECIMAL and change the arithmetic).
+    */
+  private def dbl(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+
+  /** DuckDB replay of [[graft.ops.VectorSearch.ivfAssign]] + probe +
+    * exact top-k with literal centroids. Norms of the centroids are
+    * precomputed with the same ascending multiply-add fold the codegen'd
+    * kernel uses, so assignment sims are bit-identical cross-engine.
+    */
+  private def ivfOracleSql(centroids: Array[Array[Double]], probes: Int,
+                           topK: Int): String = {
+    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      val n = dbl(math.sqrt(c.map(x => x * x).sum))
+      s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), 'cell': $i}"
+    }.mkString("[", ",\n", "]")
+    s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+       |a AS (SELECT vec_id, list_reverse_sort($cells) AS cs FROM e),
+       |cells AS (
+       |  SELECT vec_id, unnest(list_transform(list_slice(cs, 1, $probes),
+       |    x -> x.cell)) AS cell
+       |  FROM a),
+       |qc AS (SELECT DISTINCT cell FROM cells WHERE vec_id = 0),
+       |cand AS (SELECT DISTINCT c.vec_id FROM cells c
+       |         JOIN qc ON c.cell = qc.cell WHERE c.vec_id <> 0),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |s AS (SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+       |      FROM e JOIN cand ON e.vec_id = cand.vec_id, q)
+       |SELECT vec_id, sim,
+       |  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+       |FROM s ORDER BY sim DESC, vec_id ASC LIMIT $topK""".stripMargin
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // Exact brute-force top-k: scan + per-partition partial top-k, no
@@ -85,21 +130,24 @@ object VectorQueries {
               |WHERE ${cosSql("a.v", "b.v")} >= 0.4""".stripMargin)),
 
     // IVF probed search with real k-means centroids (deterministic
-    // seeded k-means++ from a fixed sample) and multiprobe 4: assign
-    // every vector to its top-4 cells, probe the query's cells,
-    // exact-search only co-probed vectors. Genuinely approximate — on
-    // this (near-uniform) corpus measured top-10 recall is ~90% at
-    // sf0.01; k-means is not SQL-expressible, so no DuckDB oracle (the
-    // driver records the weaker rows-only check) and the recall contract
-    // is unit-tested on clustered data where IVF is exact
+    // k-means++ over a SEEDED BOUNDED sample — a distributed TakeOrdered
+    // of 512 vectors, never a full-table collect) and multiprobe 4:
+    // assign every vector to its top-4 cells, probe the query's cells,
+    // exact-search only co-probed vectors. k-means itself is not
+    // SQL-expressible, but the trained centroids are plan-time constants
+    // — so the oracle embeds them as literals (exactly as q31 embeds its
+    // hyperplane matrix) and replays assignment + probe + top-k in
+    // DuckDB: published late (after the run) via QDef.oracleLate.
+    // Recall is unit-tested on clustered data where IVF is exact
     // (VectorSearchSpec).
     QDef("q30_ann_ivf",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        val sample = emb.select(col("vec_id"), toDouble(col("embedding")))
-          .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+        val sample = sampleVectors(emb, "vec_id", "embedding",
+          n = 512, seed = 42)
         val centroids = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
+        IvfOracle.sql = Some(ivfOracleSql(centroids, probes = 4, topK = 10))
         val assign = ivfAssign(emb, "vec_id", "embedding", centroids,
           probes = 4).localCheckpoint()
         val qCells = broadcast(assign.filter(col("id") === 0)
@@ -117,7 +165,8 @@ object VectorQueries {
           .withColumn("rank", row_number().over(
             Window.orderBy(col("sim").desc, col("vec_id").asc)))
       },
-      None),
+      None,
+      Some(() => IvfOracle.sql)),
 
     // LSH-bucketed ANN (the scale path): 4 bands × 4 sign bits under
     // deterministic md5-derived hyperplanes; candidates share any band
