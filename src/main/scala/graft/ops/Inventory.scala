@@ -33,7 +33,8 @@ object Inventory {
     */
   def latestPerKey(df: DataFrame, key: Seq[String], ver: String,
                    latestCols: Seq[String],
-                   coalesceCols: Set[String] = Set.empty): DataFrame = {
+                   coalesceCols: Set[String] = Set.empty,
+                   touch: Option[(String, Column)] = None): DataFrame = {
     val aggs =
       latestCols.map { c =>
         val ord = if (coalesceCols(c))
@@ -43,7 +44,9 @@ object Inventory {
         Seq(min(col(ver)).as(s"first_$ver"),
             max(col(ver)).as(s"last_$ver"),
             count(lit(1)).as("n_rows"))
-    df.groupBy(key.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val base = df.groupBy(key.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // every row of a fresh fold was just written — all get the touch
+    touch.fold(base) { case (name, v) => base.withColumn(name, v) }
   }
 
   /** Incremental form: merge a new batch into an existing inventory state
@@ -59,12 +62,13 @@ object Inventory {
     */
   def mergeBatch(state: DataFrame, batch: DataFrame, key: Seq[String],
                  ver: String, latestCols: Seq[String],
-                 coalesceCols: Set[String] = Set.empty): DataFrame = {
+                 coalesceCols: Set[String] = Set.empty,
+                 touch: Option[(String, Column)] = None): DataFrame = {
     val b = latestPerKey(batch, key, ver, latestCols, coalesceCols)
     val joined = state.as("s").join(b.as("b"), key, "full_outer")
+    val newer = col(s"b.last_$ver").isNotNull &&
+      (col(s"s.last_$ver").isNull || col(s"b.last_$ver") > col(s"s.last_$ver"))
     def pick(c: String): Column = {
-      val newer = col(s"b.last_$ver").isNotNull &&
-        (col(s"s.last_$ver").isNull || col(s"b.last_$ver") > col(s"s.last_$ver"))
       val bv = col(s"b.last_$c")
       val sv = col(s"s.last_$c")
       val v = when(newer, if (coalesceCols(c)) coalesce(bv, sv) else bv)
@@ -76,7 +80,13 @@ object Inventory {
         least(col(s"s.first_$ver"), col(s"b.first_$ver")).as(s"first_$ver"),
         greatest(col(s"s.last_$ver"), col(s"b.last_$ver")).as(s"last_$ver"),
         (coalesce(col("s.n_rows"), lit(0L)) + coalesce(col("b.n_rows"), lit(0L)))
-          .as("n_rows"))
+          .as("n_rows")) ++
+        // updated_at touch (ref: migrations/1580305069:4-10): rows that
+        // took batch data get the batch's touch value, untouched rows
+        // keep their stored one — NOW() replaced by a deterministic
+        // batch watermark so replays and oracles reproduce
+        touch.map { case (name, v) =>
+          when(newer, v).otherwise(col(s"s.$name")).as(name) }
     joined.select(cols: _*)
   }
 }

@@ -116,9 +116,13 @@ object BlockIngest {
       writeDirtySets(spark, sinkDir, fresh)
       writeSnapshotManifest(spark, sinkDir, fresh)
 
-      mergeActorInventory(spark, sinkDir, committed, newCommitted)
-      mergeGatewayInventory(spark, sinkDir, newCommitted, txns)
-      mergeValidatorInventory(spark, sinkDir, newCommitted, txns)
+      // deterministic updated_at touch value: the batch's newest block
+      // time (the reproducible stand-in for the reference's NOW() touch
+      // trigger, ref: migrations/1580305069:4-10)
+      val batchTime = fresh.agg(max(col("time"))).head().getLong(0)
+      mergeActorInventory(spark, sinkDir, committed, newCommitted, batchTime)
+      mergeGatewayInventory(spark, sinkDir, newCommitted, txns, batchTime)
+      mergeValidatorInventory(spark, sinkDir, newCommitted, txns, batchTime)
       mergeAccountInventory(spark, sinkDir, newCommitted, txns)
       mergeOuiInventory(spark, sinkDir, newCommitted, txns)
       mergeStats(spark, sinkDir, newCommitted, fresh, txns)
@@ -135,7 +139,8 @@ object BlockIngest {
     * (ref: migrations/1590689602:32-62).
     */
   private def mergeActorInventory(spark: SparkSession, sinkDir: String,
-                                  committed: Long, newCommitted: Long): Unit = {
+                                  committed: Long, newCommitted: Long,
+                                  batchTime: Long): Unit = {
     val invDir = s"$sinkDir/actor_inventory"
     val hasState = Files.exists(Paths.get(invDir))
     val prior = if (hasState) Some(spark.read.parquet(invDir)) else None
@@ -149,13 +154,14 @@ object BlockIngest {
       .withColumn("block", col("block").cast("long"))
       .filter(col("block") > committed && col("block") <= newCommitted)
       .select(col("actor"), col("block"), col("actor_role"))
+    val touch = Some("updated_at" -> timestamp_seconds(lit(batchTime)))
     val merged = prior match {
       case None =>
         Inventory.latestPerKey(batchActors, Seq("actor"), "block",
-          Seq("actor_role"))
+          Seq("actor_role"), touch = touch)
       case Some(st) =>
         Inventory.mergeBatch(st.drop("merged_height"), batchActors,
-          Seq("actor"), "block", Seq("actor_role"))
+          Seq("actor"), "block", Seq("actor_role"), touch = touch)
     }
     val out = merged.withColumn("merged_height", lit(newCommitted))
     // small state table: delete-then-insert refresh (the reference's
@@ -179,7 +185,8 @@ object BlockIngest {
     *  - first_block / last_block / n_rows bookkeeping from the merge.
     */
   private def mergeGatewayInventory(spark: SparkSession, sinkDir: String,
-                                    newCommitted: Long, txns: DataFrame): Unit = {
+                                    newCommitted: Long, txns: DataFrame,
+                                    batchTime: Long): Unit = {
     val invDir = s"$sinkDir/gateway_inventory"
     val hasState = Files.exists(Paths.get(invDir))
     val prior = if (hasState) Some(spark.read.parquet(invDir)) else None
@@ -211,12 +218,14 @@ object BlockIngest {
       .filter(col("address").isNotNull)
     val cols = Seq("block", "owner", "location", "gain", "elevation")
     val coalesceCols = Set("owner", "location", "gain", "elevation")
+    val touch = Some("updated_at" -> timestamp_seconds(lit(batchTime)))
     val merged = prior match {
       case None =>
-        Inventory.latestPerKey(rows, Seq("address"), "ver", cols, coalesceCols)
+        Inventory.latestPerKey(rows, Seq("address"), "ver", cols,
+          coalesceCols, touch = touch)
       case Some(st) =>
         Inventory.mergeBatch(st.drop("merged_height"), rows, Seq("address"),
-          "ver", cols, coalesceCols)
+          "ver", cols, coalesceCols, touch = touch)
     }
     val out = merged.withColumn("merged_height", lit(newCommitted))
     val tmp = s"$invDir._tmp"
@@ -231,7 +240,8 @@ object BlockIngest {
     * non-null setter in (block, hash) order.
     */
   private def mergeValidatorInventory(spark: SparkSession, sinkDir: String,
-                                      newCommitted: Long, txns: DataFrame): Unit = {
+                                      newCommitted: Long, txns: DataFrame,
+                                      batchTime: Long): Unit = {
     val invDir = s"$sinkDir/validator_inventory"
     val prior = if (Files.exists(Paths.get(invDir)))
       Some(spark.read.parquet(invDir)) else None
@@ -276,12 +286,14 @@ object BlockIngest {
       .drop("hash")
     val cols = Seq("block", "owner", "stake", "status", "heartbeat")
     val co = Set("owner", "stake", "status", "heartbeat")
+    val touch = Some("updated_at" -> timestamp_seconds(lit(batchTime)))
     val merged = prior match {
       case None =>
-        Inventory.latestPerKey(rows, Seq("address"), "ver", cols, co)
+        Inventory.latestPerKey(rows, Seq("address"), "ver", cols, co,
+          touch = touch)
       case Some(st) =>
         Inventory.mergeBatch(st.drop("merged_height"), rows, Seq("address"),
-          "ver", cols, co)
+          "ver", cols, co, touch = touch)
     }
     val tmp = s"$invDir._tmp"
     merged.withColumn("merged_height", lit(newCommitted))
@@ -481,12 +493,17 @@ object BlockIngest {
           .map(r => r.getAs[String]("name") -> r.getAs[Long]("value")).toMap
       else Map.empty
     if (prior.getOrElse("_merged_height", 0L) >= newCommitted) return
+    // one aggregation pass over the batch txns for all txn-derived
+    // counters (count_if is a conditional map-side count — no extra
+    // scans, no shuffle beyond the single global agg)
+    val txnAgg = txns.agg(count(lit(1)),
+      count_if(col("type") === "consensus_group_v1"),
+      count_if(col("type") === "poc_request_v1")).head()
     val deltas = Map(
       "blocks" -> freshBlocks.count(),
-      "transactions" -> txns.count(),
-      "consensus_groups" ->
-        txns.filter(col("type") === "consensus_group_v1").count(),
-      "challenges" -> txns.filter(col("type") === "poc_request_v1").count())
+      "transactions" -> txnAgg.getLong(0),
+      "consensus_groups" -> txnAgg.getLong(1),
+      "challenges" -> txnAgg.getLong(2))
     val updated = deltas.map { case (k, d) => k -> (prior.getOrElse(k, 0L) + d) } +
       ("_merged_height" -> newCommitted)
     import spark.implicits._

@@ -143,6 +143,17 @@ class BlockIngestSpec extends SparkSpec {
     assert(acct.filter(col("nonce") > 0).count() > 0)
     assert(acct.filter(col("balance") =!= 0).count() > 0)
 
+    // updated_at touch across batches: each actor-inventory row carries
+    // the watermark time of the LAST batch that updated it (batch ends
+    // at heights 20/40/60, block time = 1600000000 + h*60)
+    val actorInv = spark.read.parquet(s"$sink/actor_inventory")
+    val expTouch = timestamp_seconds(lit(1600000000L) +
+      ceil(col("last_block") / lit(20.0)).cast("long") * 20L * 60L)
+    assert(actorInv.filter(col("updated_at") =!= expTouch).count() === 0L,
+      "updated_at must equal the touching batch's watermark time")
+    assert(actorInv.select("updated_at").distinct().count() === 3L,
+      "rows untouched by later batches keep their earlier updated_at")
+
     // ouis: subnet accumulation across batches (compare as JSON — the
     // nested lists aren't hashable for except on some planners)
     def canon(df: DataFrame): DataFrame =

@@ -74,6 +74,25 @@ class InventorySpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_rows") === 1L)
   }
 
+  test("updated_at touch: changes on update, survives on non-update") {
+    import org.apache.spark.sql.functions.lit
+    val t1 = Some("updated_at" -> lit(100L))
+    val t2 = Some("updated_at" -> lit(200L))
+    val st = Inventory.latestPerKey(rows(("a", 1, "a1", 1L), ("b", 2, "b2", null)),
+      Seq("key"), "ver", Seq("status", "scale"), Set("scale"), touch = t1)
+    assert(st.collect().forall(_.getAs[Long]("updated_at") === 100L),
+      "a fresh fold touches every row")
+    // batch touches only b (and inserts z): a must keep its old touch
+    val out = Inventory.mergeBatch(st,
+      rows(("b", 5, "b5", null), ("z", 6, "z6", null)),
+      Seq("key"), "ver", Seq("status", "scale"), Set("scale"), touch = t2)
+      .collect().map(r => r.getAs[String]("key") ->
+        r.getAs[Long]("updated_at")).toMap
+    assert(out("a") === 100L, "non-updated row keeps its updated_at")
+    assert(out("b") === 200L, "updated row is touched")
+    assert(out("z") === 200L, "inserted row is touched")
+  }
+
   test("mergeBatch ignores a batch that is older than state for a key") {
     // ver-ordered ingest never produces this, but the guard must hold
     val st = Inventory.latestPerKey(rows(("a", 10, "s10", null)), Seq("key"),
