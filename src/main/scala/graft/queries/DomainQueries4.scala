@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.domain.{AccountLedger, OuiLedger}
 import graft.fixtures.FixtureGen
+import graft.functions.Geo
 import org.apache.spark.sql.functions._
 
 /** Fourth tranche: the last two first-class derived tables —
@@ -185,6 +186,54 @@ object DomainQueries4 {
         |  to_json(coalesce(s.subnets, CAST([] AS INT[][]))) AS subnets_json,
         |  b.first_block, b.last_block
         |FROM base b LEFT JOIN addr a ON b.oui = a.oui
-        |LEFT JOIN sub s ON b.oui = s.oui""".stripMargin))
+        |LEFT JOIN sub s ON b.oui = s.oui""".stripMargin)),
+
+    // §2.8 geo scalars (ref: src/be_db_geocoder.erl:49-51,204-225):
+    // cells resolved to (lat, lon) through the geocode store (the
+    // to_geo surface), then nearest-gateway-within-radius by haversine.
+    // Plan shape: broadcast point-lookup + a self pair join + one
+    // min_by aggregation. At 100 TB the pair join buckets by an
+    // H3-parent grid cell so each task only scores its neighborhood;
+    // at fixture scale the direct pair join is the right plan.
+    QDef("q65_geo_nearest",
+      (s, _) => {
+        val gw = s.read
+          .parquet(s"${FixtureGen.FixtureDir}/ledger_gateways.parquet")
+        val loc = s.read
+          .parquet(s"${FixtureGen.FixtureDir}/locations.parquet")
+        val pts = Geo.toGeo(loc, gw.select(col("address"), col("location")),
+            "location")
+          .filter(col("lat").isNotNull)
+          .select(col("address"), col("lat"), col("lon"))
+        val d = Geo.haversineKm(col("a.lat"), col("a.lon"),
+          col("b.lat"), col("b.lon"))
+        pts.as("a").join(pts.as("b"), col("a.address") =!= col("b.address"))
+          .select(col("a.address").as("address"),
+            col("b.address").as("neighbor"), d.as("d"))
+          .filter(col("d") <= 500.0)
+          .groupBy("address")
+          .agg(min_by(col("neighbor"), struct(col("d"), col("neighbor")))
+            .as("nearest"),
+            round(min(col("d")), 6).as("distance_km"))
+      },
+      Some {
+        val hav = Geo.haversineSql("a.lat", "a.lon", "b.lat", "b.lon")
+        s"""WITH pts AS (
+        |  SELECT g.address, l.lat, l.lon
+        |  FROM read_parquet('${FixtureGen.FixtureDir}/ledger_gateways.parquet/*.parquet') g
+        |  JOIN read_parquet('${FixtureGen.FixtureDir}/locations.parquet/*.parquet') l
+        |    ON g.location = l.location),
+        |pairs AS (
+        |  SELECT a.address AS address, b.address AS neighbor, $hav AS d
+        |  FROM pts a JOIN pts b ON a.address <> b.address
+        |  WHERE $hav <= 500),
+        |mins AS (SELECT address, min(d) AS dmin FROM pairs GROUP BY address),
+        |pick AS (
+        |  SELECT p.address, min(p.neighbor) AS nearest
+        |  FROM pairs p JOIN mins m ON p.address = m.address AND p.d = m.dmin
+        |  GROUP BY p.address)
+        |SELECT p.address, p.nearest, round(m.dmin, 6) AS distance_km
+        |FROM pick p JOIN mins m ON p.address = m.address""".stripMargin
+      })
   )
 }
