@@ -321,19 +321,10 @@ object DomainQueries3 {
         val actors = Actors.transactionActors(txnsDf.filter(col("type").isin(
           "poc_request_v1", "poc_receipts_v1", "poc_receipts_v2")))
         val tip = txnsDf.agg(max(col("block"))).head().getLong(0)
-        val window = 20L
-        val pocRoles = Seq("challenger", "challengee", "witness")
         val gw = s.read.parquet(s"${FixtureGen.FixtureDir}/ledger_gateways.parquet")
-        val activity = actors
-          .filter(col("actor_role").isin(pocRoles.map(x => x: Any): _*))
-          .groupBy(col("actor").as("address"))
-          .agg(max(col("block")).as("last_poc_block"))
-        gw.select(col("address"), col("name"))
-          .join(activity, Seq("address"), "left_outer")
-          .select(col("address"), col("name"), col("last_poc_block"),
-            when(col("last_poc_block").isNotNull &&
-              col("last_poc_block") >= tip - window, lit("online"))
-              .otherwise(lit("offline")).as("online"))
+        // shared with the periodic refresh loop (streaming/StatusRefresh)
+        graft.streaming.StatusRefresh.computeStatus(gw, actors, tip,
+          window = 20L)
       },
       Some(s"""WITH ${DomainQueries.parsedAndPairsSql},
         |tip AS (SELECT max(block) AS tip FROM t),
