@@ -39,6 +39,12 @@ object AccountLedger {
     * (address, block, ver, bal, dc, sec, nonce, sec_nonce) where `ver`
     * is the (block, hash) ordering key and the nonce columns are null
     * unless this txn sets them for this address.
+    *
+    * Plan shape: ONE scan of the transactions table (a union of
+    * type-filtered branches would scan it 17 times), a per-type
+    * `when`-chain building the delta array — the Actors.actorArray
+    * pattern — then a single explode. The `In(type, …)` filter still
+    * reaches the scan.
     */
   def deltas(txns: DataFrame): DataFrame = {
     val parsed = txns
@@ -48,50 +54,52 @@ object AccountLedger {
           .as("ver"),
         from_json(col("fields"), Actors.fieldsSchema).as("f"))
     val f = col("f")
+    val typ = col("type")
 
-    def rows(df: DataFrame, addr: Column, bal: Column = zero,
-             dc: Column = zero, sec: Column = zero, nonce: Column = noL,
-             secNonce: Column = noL): DataFrame =
-      df.select(addr.as("address"), col("block"), col("ver"),
+    def d(addr: Column, bal: Column = zero, dc: Column = zero,
+          sec: Column = zero, nonce: Column = noL,
+          secNonce: Column = noL): Column =
+      struct(addr.cast("string").as("address"),
         bal.cast("long").as("bal"), dc.cast("long").as("dc"),
         sec.cast("long").as("sec"), nonce.cast("long").as("nonce"),
         secNonce.cast("long").as("sec_nonce"))
 
-    def ofType(t: String) = parsed.filter(col("type") === t)
-
-    val pv2 = ofType("payment_v2")
-      .select(col("block"), col("ver"), f("payer").as("payer"),
-        f("nonce").as("pnonce"), explode(f("payments")).as("p"))
-    val rw = parsed
-      .filter(col("type").isin("rewards_v1", "rewards_v2"))
-      .select(col("block"), col("ver"), explode(f("rewards")).as("r"))
-    val srw = ofType("subnetwork_rewards_v1")
-      .select(col("block"), col("ver"), explode(f("rewards")).as("r"))
-
-    Seq(
-      rows(ofType("coinbase_v1"), f("payee"), bal = f("amount")),
-      rows(ofType("dc_coinbase_v1"), f("payee"), dc = f("amount")),
-      rows(ofType("security_coinbase_v1"), f("payee"), sec = f("amount")),
-      rows(ofType("payment_v1"), f("payer"), bal = -f("amount"),
-        nonce = f("nonce")),
-      rows(ofType("payment_v1"), f("payee"), bal = f("amount")),
-      rows(pv2, col("payer"), bal = -col("p.amount"), nonce = col("pnonce")),
-      rows(pv2, col("p.payee"), bal = col("p.amount")),
+    val arr =
+      when(typ === "coinbase_v1", array(d(f("payee"), bal = f("amount"))))
+      .when(typ === "dc_coinbase_v1", array(d(f("payee"), dc = f("amount"))))
+      .when(typ === "security_coinbase_v1",
+        array(d(f("payee"), sec = f("amount"))))
+      .when(typ === "payment_v1", array(
+        d(f("payer"), bal = -f("amount"), nonce = f("nonce")),
+        d(f("payee"), bal = f("amount"))))
+      .when(typ === "payment_v2", concat(
+        transform(f("payments"),
+          p => d(f("payer"), bal = -p("amount"), nonce = f("nonce"))),
+        transform(f("payments"), p => d(p("payee"), bal = p("amount")))))
       // token burn debits HNT from the payer and credits the payee's DC
       // balance (1:1 stand-in for the oracle-price conversion)
-      rows(ofType("token_burn_v1"), f("payer"), bal = -f("amount"),
-        nonce = f("nonce")),
-      rows(ofType("token_burn_v1"), f("payee"), dc = f("amount")),
-      rows(ofType("security_exchange_v1"), f("payer"), sec = -f("amount"),
-        secNonce = f("nonce")),
-      rows(ofType("security_exchange_v1"), f("payee"), sec = f("amount")),
-      rows(rw, col("r.account"), bal = col("r.amount")),
-      rows(srw, col("r.reward_account"), bal = col("r.amount")),
-      rows(ofType("subnetwork_fund_v1"), f("payer"), bal = -f("amount")),
-      rows(ofType("stake_validator_v1"), f("owner"), bal = -f("stake")),
-      rows(ofType("create_htlc_v1"), f("payer"), bal = -f("amount")),
-      rows(ofType("redeem_htlc_v1"), f("payee"), bal = f("amount"))
-    ).reduce(_ unionByName _)
+      .when(typ === "token_burn_v1", array(
+        d(f("payer"), bal = -f("amount"), nonce = f("nonce")),
+        d(f("payee"), dc = f("amount"))))
+      .when(typ === "security_exchange_v1", array(
+        d(f("payer"), sec = -f("amount"), secNonce = f("nonce")),
+        d(f("payee"), sec = f("amount"))))
+      .when(typ.isin("rewards_v1", "rewards_v2"),
+        transform(f("rewards"), r => d(r("account"), bal = r("amount"))))
+      .when(typ === "subnetwork_rewards_v1",
+        transform(f("rewards"),
+          r => d(r("reward_account"), bal = r("amount"))))
+      .when(typ === "subnetwork_fund_v1",
+        array(d(f("payer"), bal = -f("amount"))))
+      .when(typ === "stake_validator_v1",
+        array(d(f("owner"), bal = -f("stake"))))
+      .when(typ === "create_htlc_v1", array(d(f("payer"), bal = -f("amount"))))
+      .when(typ === "redeem_htlc_v1", array(d(f("payee"), bal = f("amount"))))
+
+    parsed.select(col("block"), col("ver"), explode(arr).as("x"))
+      .select(col("x.address").as("address"), col("block"), col("ver"),
+        col("x.bal").as("bal"), col("x.dc").as("dc"), col("x.sec").as("sec"),
+        col("x.nonce").as("nonce"), col("x.sec_nonce").as("sec_nonce"))
       .filter(col("address").isNotNull && col("address") =!= "")
   }
 

@@ -96,6 +96,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Prefix-filtered set-similarity self-join — the AllPairs/PPJoin
+    * prefix principle, giving deterministic FULL recall at the
+    * threshold (the guarantee-path complement to MinHash-LSH's
+    * probabilistic recall). Under any global element order, two sets
+    * with Jaccard >= t share their smallest common element inside both
+    * length-scaled prefixes (first `|s| - ceil(t*|s|) + 1` of the
+    * sorted set): if that element sat past either prefix, the elements
+    * before it would all be non-common, leaving fewer than ceil(t*|s|)
+    * common elements — below what J >= t forces. So the candidate join
+    * keys on prefix elements only: shuffle volume O(n * prefix), bucket
+    * sizes shrunk by the t-scaling, never the O(n²) cross product.
+    * Verification is exact Jaccard on the sorted hash arrays.
+    */
+  def nearDupPrefix(docs: DataFrame, idCol: String, textCol: String,
+                    threshold: Double = 0.7): DataFrame = {
+    val sig = spread(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_sort(shingleHashes(col("toks"))).as("hs"))
+      .localCheckpoint()
+    val prefixLen = size(col("hs")) -
+      ceil(lit(threshold) * size(col("hs"))).cast("int") + 1
+    val pref = sig.select(col("doc_id"),
+      explode(slice(col("hs"), lit(1), prefixLen)).as("tok"))
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = sig.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** SimHash near-dup pairs: hamming distance <= maxDist over the 32-bit
     * simhash. Blocked on the four 8-bit bytes: by pigeonhole, two hashes
     * within hamming distance 3 agree exactly on at least one byte, so the

@@ -403,7 +403,11 @@ object DomainQueries3 {
             txnsDf.filter(col("type") === "state_channel_close_v1"))
           .filter(col("actor_role") === "sc_closer")
           .select(col("block"), col("transaction_hash"))
-        closers.join(txnsDf, closers("transaction_hash") === txnsDf("hash"))
+        // every closer hash IS an sc_close txn — the enrichment side
+        // prunes to the same type, so at scale the join reads (and can
+        // broadcast) only that slice instead of the whole fact table
+        val scTxns = txnsDf.filter(col("type") === "state_channel_close_v1")
+        closers.join(scTxns, closers("transaction_hash") === scTxns("hash"))
           .select(closers("block"), col("transaction_hash"),
             get_json_object(col("fields"), "$.state_channel.owner")
               .as("actor"),

@@ -141,6 +141,32 @@ object TextQueries {
               |SELECT doc_a, doc_b, round(inter::DOUBLE / uni, 6) AS jaccard
               |FROM p WHERE inter::DOUBLE / uni >= 0.8""".stripMargin)),
 
+    // Prefix-filtered set-similarity join (AllPairs/PPJoin prefix
+    // principle): deterministic full recall at threshold 0.7 — the
+    // guarantee-path dedup, vs q25's probabilistic LSH. Same brute-force
+    // exact-Jaccard oracle shape as q25, lower threshold.
+    QDef("q66_neardup_prefix",
+      (s, dir) => Dedup.nearDupPrefix(
+        Tables.documents(s, dir), "doc_id", "text", threshold = 0.7),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |s AS (
+              |  SELECT doc_id, list_distinct(list_transform(
+              |    CASE WHEN len(toks) >= 3 THEN
+              |      list_transform(generate_series(1, len(toks) - 2),
+              |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              |      ELSE [] END,
+              |    g -> ${tokenHashSql.replace("__T__", "g")})) AS sh
+              |  FROM t),
+              |p AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    len(list_intersect(a.sh, b.sh)) AS inter,
+              |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+              |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+              |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+              |SELECT doc_a, doc_b, round(inter::DOUBLE / uni, 6) AS jaccard
+              |FROM p WHERE inter::DOUBLE / uni >= 0.7""".stripMargin)),
+
     // SimHash values (portable md5-derived bits).
     QDef("q26_simhash",
       (s, dir) => {

@@ -55,6 +55,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix filter finds EVERY pair at the threshold (full recall)") {
+    // random docs with heavy overlap so real pairs exist across a range
+    // of similarities; prefix-filtered result must equal brute force
+    // EXACTLY — the operator's guarantee is deterministic recall
+    val rnd = new Random(23)
+    val vocab = (1 to 60).map(i => s"w$i")
+    def doc(n: Int) = List.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val originals = (0 until 25).map(i => (i.toLong, doc(30)))
+    val mutated = originals.take(12).map { case (i, t) =>
+      val toks = t.split(" ").toVector
+      val k = rnd.nextInt(6) // 0..5 token swaps -> jaccard from ~1.0 down
+      val out = (0 until k).foldLeft(toks)((v, _) =>
+        v.updated(rnd.nextInt(v.size), s"m${rnd.nextInt(9)}"))
+      (100L + i, out.mkString(" "))
+    }
+    val docs = (originals ++ mutated).toDF("doc_id", "text")
+    val got = Dedup.nearDupPrefix(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute force over the same shingle-hash sets
+    val hs = docs.select(col("doc_id"),
+        graft.functions.TextAnalysis.shingleHashes(
+          graft.functions.TextAnalysis.tokens(col("text"))).as("h"))
+      .as[(Long, Seq[Long])].collect()
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && ha.nonEmpty && hb.nonEmpty
+      inter = ha.toSet.intersect(hb.toSet).size
+      j = inter.toDouble / (ha.toSet.size + hb.toSet.size - inter)
+      if j >= 0.5
+    } yield (ia, ib)).toSet
+    assert(brute.nonEmpty, "test data must contain qualifying pairs")
+    assert(got === brute)
+  }
+
   test("exact dedup groups by content with canonical min id") {
     val docs = Seq((1L, "same text"), (5L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")
