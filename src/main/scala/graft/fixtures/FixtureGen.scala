@@ -323,11 +323,38 @@ object FixtureGen {
     if (h % 7 != 0) None
     else {
       val r = new Random(h)
-      Some((
-        Seq.fill(r.nextInt(2) + 1)(accounts(r.nextInt(accounts.size))).distinct,
-        Seq.fill(r.nextInt(2))(gateways(r.nextInt(gateways.size))).distinct,
-        Seq.fill(r.nextInt(2))(validators(r.nextInt(validators.size))).distinct))
+      val accts = Seq.fill(r.nextInt(2) + 1)(accounts(r.nextInt(accounts.size)))
+        .distinct
+      // gateways rotate through a small pool so the same gateway recurs
+      // across CDC blocks — the reward_scale guard needs repeat
+      // occurrences to exercise its skip branch
+      val idx = (h / 7).toInt
+      val gws = Seq(gateways(idx % 3), gateways(3 + idx % 2)).distinct
+      val vals = Seq.fill(r.nextInt(2))(validators(r.nextInt(validators.size)))
+        .distinct
+      Some((accts, gws, vals))
     }
+
+  /** Base reward scale per gateway — deterministic, 2-decimal values so
+    * cross-representation equality is exact.
+    */
+  def scale0(gw: String): Double =
+    (math.abs(gw.hashCode) % 90) / 100.0 + 0.05
+
+  /** Ledger reward scales carried by the CDC sidecar: the gateway's
+    * scale bumps on every ODD occurrence (1st, 3rd, …) of the gateway
+    * in a CDC block and repeats unchanged on even occurrences — so the
+    * reference's reward_scale guard (skip re-snapshot when the scale is
+    * unchanged, src/be_db_gateway.erl:158-186) has both branches to
+    * exercise.
+    */
+  def cdcScales(h: Long): Seq[(String, Double)] = cdcKeys(h) match {
+    case None => Seq.empty
+    case Some((_, gws, _)) => gws.map { g =>
+      val occ = (7L to h by 7).count(hh => cdcKeys(hh).exists(_._2.contains(g)))
+      g -> (scale0(g) + 0.01 * math.ceil(occ / 2.0))
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -360,7 +387,10 @@ object FixtureGen {
         val cdc = cdcKeys(h).map { case (as, gs, vs) =>
           jobj(Seq("accounts" -> jarr(as.map(jstr)),
             "gateways" -> jarr(gs.map(jstr)),
-            "validators" -> jarr(vs.map(jstr))))
+            "validators" -> jarr(vs.map(jstr)),
+            "gateway_scales" -> jarr(cdcScales(h).map { case (g, sc) =>
+              jobj(Seq("gateway" -> jstr(g), "scale" -> sc.toString))
+            })))
         }.orNull
         jobj(Seq("height" -> h.toString, "time" -> time.toString,
           "block_hash" -> jstr(hash), "prev_hash" -> jstr(prev),

@@ -47,7 +47,13 @@ object BlockIngest {
     StructField("cdc_keys", StructType(Seq(
       StructField("accounts", ArrayType(StringType)),
       StructField("gateways", ArrayType(StringType)),
-      StructField("validators", ArrayType(StringType))))),
+      StructField("validators", ArrayType(StringType)),
+      // the ledger's freshly-computed reward scale per indirectly-
+      // changed gateway — what the reference reads from its ledger for
+      // the unchanged-scale guard (src/be_db_gateway.erl:163-186)
+      StructField("gateway_scales", ArrayType(StructType(Seq(
+        StructField("gateway", StringType),
+        StructField("scale", DoubleType)))))))),
     // `fields` stays a raw JSON string at this layer (parsed by each
     // consumer against its own schema), which Spark's JSON reader
     // produces for object-typed tokens read as StringType
@@ -423,8 +429,16 @@ object BlockIngest {
     * (ref: src/be_db_account.erl:95-163, be_db_gateway.erl:78-124):
     * actor-derived keys by role family UNIONED with the ledger-CDC keys
     * the block carries (the commit-hook side stream,
-    * src/be_db_account.erl:236-247). The reference's reward_scale guard
-    * anti-join needs ledger deltas we don't model — documented gap.
+    * src/be_db_account.erl:236-247).
+    *
+    * CDC gateways pass the reference's reward_scale guard
+    * (src/be_db_gateway.erl:158-186): an indirectly-changed gateway is
+    * re-snapshotted only if its freshly-computed ledger scale differs
+    * from the last written one — unless the block's actors already made
+    * it dirty. The comparison chains per block inside the batch (lag
+    * window over the gateway's carried scales) and falls back to the
+    * stored `gateway_scales` state for the first occurrence, so batch
+    * granularity never changes the per-block semantics.
     */
   private def writeDirtySets(spark: SparkSession, sinkDir: String,
                              fresh: DataFrame): Unit = {
@@ -441,21 +455,62 @@ object BlockIngest {
           .when(col("actor_role").isin(validatorRoles.map(x => x: Any): _*), "validator")
           .as("kind"))
       .filter(col("kind").isNotNull)
-    val fromCdc = Seq("accounts" -> "account", "gateways" -> "gateway",
-        "validators" -> "validator")
+    val batchHeights = fresh.select(col("height").as("block"))
+    val actorDirty = fromActors.join(batchHeights, Seq("block"), "left_semi")
+
+    // accounts/validators: every CDC key is dirty (no guard exists)
+    val fromCdcPlain = Seq("accounts" -> "account", "validators" -> "validator")
       .map { case (field, kind) =>
         fresh.select(col("height").as("block"),
           explode_outer(col("cdc_keys")(field)).as("actor"),
           lit(kind).as("kind"))
       }.reduce(_ unionByName _)
       .filter(col("actor").isNotNull)
-    val batchHeights = fresh.select(col("height").as("block"))
-    fromActors.join(batchHeights, Seq("block"), "left_semi")
-      .unionByName(fromCdc)
+
+    // gateways: guard on the carried reward scale
+    val scalesDir = s"$sinkDir/gateway_scales"
+    val stored = if (Files.exists(Paths.get(scalesDir)))
+      spark.read.parquet(scalesDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("actor", StringType),
+        StructField("stored_scale", DoubleType))))
+    val carried = fresh.select(col("height").as("block"),
+        explode_outer(col("cdc_keys")("gateway_scales")).as("gs"))
+      .select(col("block"), col("gs.gateway").as("actor"),
+        col("gs.scale").as("scale"))
+      .filter(col("actor").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("actor").orderBy("block")
+    val guarded = carried
+      .withColumn("prev_in_batch", lag(col("scale"), 1).over(w))
+      .join(stored, Seq("actor"), "left_outer")
+      .withColumn("prev", coalesce(col("prev_in_batch"), col("stored_scale")))
+      .filter(col("prev").isNull || col("prev") =!= col("scale"))
+      .select(col("block"), col("actor"), lit("gateway").as("kind"))
+    // actor-dirty gateways are re-added harmlessly (distinct below) —
+    // the reference's cache check only avoids double-processing
+
+    actorDirty
+      .unionByName(fromCdcPlain)
+      .unionByName(guarded)
       .distinct()
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic").partitionBy("block")
       .parquet(s"$sinkDir/dirty_sets")
+
+    // upsert the scales state: newest carried scale per gateway.
+    // (A skipped gateway carried a value equal to the stored one, so
+    // the unconditional upsert equals upserting only the processed set.)
+    if (carried.limit(1).count() > 0) {
+      val newest = carried.groupBy("actor")
+        .agg(max_by(col("scale"), col("block")).as("stored_scale"))
+      val merged = stored.join(newest, Seq("actor"), "left_anti")
+        .unionByName(newest)
+      val tmp = s"$scalesDir._tmp"
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+      spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(scalesDir)
+    }
   }
 
   /** Snapshot manifest (ref: src/be_db_block.erl:118-157): when a batch

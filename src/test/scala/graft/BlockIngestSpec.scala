@@ -174,6 +174,46 @@ class BlockIngestSpec extends SparkSpec {
             "request_subnet").count()
     assert(oui.agg(sum(size(col("subnets")))).head().getLong(0) ===
       subnetEvents)
+
+    // reward_scale guard (ref: be_db_gateway.erl:158-186): a CDC gateway
+    // is dirty only when its carried scale CHANGED (odd fixture
+    // occurrences) — even occurrences repeat the scale and are skipped
+    // unless the block's own actors dirtied the gateway anyway. The
+    // 3-batch split makes the guard chain across batch boundaries.
+    import spark.implicits._
+    val dirty = spark.read.parquet(s"$sink/dirty_sets")
+      .withColumn("block", col("block").cast("long"))
+    val gwRoles = Seq("gateway", "reward_gateway", "witness",
+      "challenger", "challengee", "packet_receiver")
+    val actorGw = Actors.transactionActors(txns)
+      .filter(col("actor_role").isin(gwRoles.map(x => x: Any): _*))
+      .select(col("block"), col("actor")).distinct()
+      .as[(Long, String)].collect().toSet
+    var skipsSeen = 0
+    (7L to 56L by 7L).foreach { h =>
+      graft.fixtures.FixtureGen.cdcScales(h).foreach { case (g, _) =>
+        val occ = (7L to h by 7L).count(hh =>
+          graft.fixtures.FixtureGen.cdcKeys(hh).exists(_._2.contains(g)))
+        val present = dirty.filter(col("block") === h &&
+          col("actor") === g && col("kind") === "gateway").count() == 1L
+        if (occ % 2 == 1) assert(present, s"changed scale must process $g@$h")
+        else if (!actorGw((h, g))) {
+          assert(!present, s"unchanged scale must skip $g@$h")
+          skipsSeen += 1
+        }
+      }
+    }
+    assert(skipsSeen > 0, "fixtures must exercise the guard's skip branch")
+    // scales state holds each gateway's newest carried scale
+    val scales = spark.read.parquet(s"$sink/gateway_scales")
+      .as[(String, Double)].collect().toMap
+    (7L to 56L by 7L).foreach { h =>
+      graft.fixtures.FixtureGen.cdcScales(h).foreach { case (g, sc) =>
+        val lastH = (7L to 56L by 7L).filter(hh =>
+          graft.fixtures.FixtureGen.cdcKeys(hh).exists(_._2.contains(g))).max
+        if (h == lastH) assert(scales(g) === sc, s"stored scale for $g")
+      }
+    }
   }
 
   test("height gap aborts the batch (strict ordering)") {
