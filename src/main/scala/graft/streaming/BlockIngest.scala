@@ -147,36 +147,20 @@ object BlockIngest {
   private def mergeActorInventory(spark: SparkSession, sinkDir: String,
                                   committed: Long, newCommitted: Long,
                                   batchTime: Long): Unit = {
-    val invDir = s"$sinkDir/actor_inventory"
-    val hasState = Files.exists(Paths.get(invDir))
-    val prior = if (hasState) Some(spark.read.parquet(invDir)) else None
-    // replay guard: the MERGE is not idempotent per row, so skip if this
-    // batch is already folded in
-    val mergedThrough = prior.map(_.select(max(col("merged_height")))
-      .head().getLong(0)).getOrElse(0L)
-    if (mergedThrough >= newCommitted) return
     // partition-column inference reads `block` back as int — normalize
     val batchActors = spark.read.parquet(s"$sinkDir/transaction_actors")
       .withColumn("block", col("block").cast("long"))
       .filter(col("block") > committed && col("block") <= newCommitted)
       .select(col("actor"), col("block"), col("actor_role"))
-    val touch = Some("updated_at" -> timestamp_seconds(lit(batchTime)))
-    val merged = prior match {
-      case None =>
-        Inventory.latestPerKey(batchActors, Seq("actor"), "block",
-          Seq("actor_role"), touch = touch)
-      case Some(st) =>
-        Inventory.mergeBatch(st.drop("merged_height"), batchActors,
-          Seq("actor"), "block", Seq("actor_role"), touch = touch)
-    }
-    val out = merged.withColumn("merged_height", lit(newCommitted))
-    // small state table: delete-then-insert refresh (the reference's
-    // oracle-predictions pattern, src/be_db_oracle_price.erl:101-118);
-    // rebuildable from transaction_actors if a crash lands between
-    // writes
-    val tmp = s"$invDir._tmp"
-    out.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(invDir)
+    // the LARGEST inventory (one row per actor ever seen) uses the
+    // bucket-partitioned state: a batch reads and rewrites only the
+    // buckets its actors hash into — O(touched) per batch, not
+    // O(state) — with a per-bucket replay guard (exactly-once per
+    // bucket even across a crash mid-write)
+    Inventory.mergeBucketedState(spark, s"$sinkDir/actor_inventory",
+      batchActors, Seq("actor"), "block", Seq("actor_role"),
+      touch = Some("updated_at" -> timestamp_seconds(lit(batchTime))),
+      nBuckets = 64, mergedHeight = newCommitted)
   }
 
   /** gateway_inventory — the reference's key trigger-maintained derived
