@@ -118,10 +118,15 @@ object Dedup {
       .localCheckpoint()
     val prefixLen = size(col("hs")) -
       ceil(lit(threshold) * size(col("hs"))).cast("int") + 1
-    val pref = sig.select(col("doc_id"),
+    val pref = sig.select(col("doc_id"), size(col("hs")).as("len"),
       explode(slice(col("hs"), lit(1), prefixLen)).as("tok"))
+    // AllPairs length filter: J(a,b) >= t forces t*|a| <= |b| (and
+    // symmetrically), so size-incompatible pairs are dropped inside the
+    // join before the candidate shuffle materializes them
     val cand = pref.as("x").join(pref.as("y"),
-        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") &&
+          col("y.len") >= ceil(lit(threshold) * col("x.len")) &&
+          col("x.len") >= ceil(lit(threshold) * col("y.len")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val a = sig.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))

@@ -122,29 +122,17 @@ object DomainQueries3 {
         |FROM h GROUP BY challengee""".stripMargin)),
 
     // §2.8 trigram similarity (pg_trgm shape,
-    // ref: migrations/1616176828:3): gateway-name fuzzy search against a
-    // probe name, sim = |A∩B| / |A∪B| over padded char trigrams.
+    // ref: migrations/1616176828:3): gateway-name fuzzy search against
+    // a probe name, sim = |A∩B| / |A∪B| over padded char trigrams —
+    // served from the inverted posting table (ops/TrigramIndex, the GIN
+    // index shape): probe cost is the probe grams' posting lists, not a
+    // full scan of every name.
     QDef("q49_trigram_search",
       (s, _) => {
         val probe = Codecs.animalName(FixtureGen.gateways(0))
         val gw = s.read.parquet(s"${FixtureGen.FixtureDir}/ledger_gateways.parquet")
-        val padded = concat(lit("  "), lower(col("name")), lit(" "))
-        // pg_trgm shape: trigram set of the padded lowercase name; the
-        // padded string is materialized as its own column so the lambda
-        // indexes an attribute, not a re-evaluated expression
-        val withG = gw.select(col("address"), col("name"), padded.as("p"))
-          .select(col("address"), col("name"),
-            array_distinct(transform(sequence(lit(1), length(col("p")) - 2),
-              i => col("p").substr(i, lit(3)))).as("g"))
-        val probePadded = "  " + probe.toLowerCase + " "
-        val probeGrams = probePadded.sliding(3).toSeq.distinct
-        val pg = typedLit(probeGrams)
-        withG.select(col("address"), col("name"),
-            (size(array_intersect(col("g"), pg)).cast("double") /
-              (size(col("g")) + size(pg) -
-                size(array_intersect(col("g"), pg))).cast("double"))
-              .as("sim"))
-          .filter(col("sim") > 0.2)
+        val index = graft.ops.TrigramIndex.build(gw, "name", "address", "name")
+        graft.ops.TrigramIndex.search(index, probe, 0.2, "address", "name")
           .select(col("address"), col("name"), round(col("sim"), 6).as("sim"))
       },
       Some {
