@@ -120,7 +120,26 @@ object Inventory {
                          coalesceCols: Set[String] = Set.empty,
                          touch: Option[(String, Column)] = None,
                          nBuckets: Int = 64,
-                         mergedHeight: Long = 0L): Boolean = {
+                         mergedHeight: Long = 0L): Boolean =
+    mergeBucketedBy(spark, stateDir, batch, key, nBuckets, mergedHeight) {
+      case (None, b) => latestPerKey(b, key, ver, latestCols,
+        coalesceCols, touch)
+      case (Some(st), b) => mergeBatch(st, b, key, ver, latestCols,
+        coalesceCols, touch)
+    }
+
+  /** The generic bucket-partitioned state driver: handles bucket
+    * assignment, touched/behind selection, the partition-pruned prior
+    * read, and the dynamic-overwrite write — `combine(priorBehind,
+    * batchBehind)` supplies the merge semantics (latest-per-key,
+    * additive balances, subnet accumulation, …) and must emit the key
+    * columns unchanged so the bucket re-derives identically.
+    */
+  def mergeBucketedBy(spark: SparkSession, stateDir: String,
+                      batch: DataFrame, key: Seq[String], nBuckets: Int,
+                      mergedHeight: Long)
+                     (combine: (Option[DataFrame], DataFrame) => DataFrame)
+      : Boolean = {
     val bucket = pmod(xxhash64(key.map(col): _*), lit(nBuckets)).cast("int")
     val withBucket = batch.withColumn("bucket", bucket)
     val touched = withBucket.select("bucket").distinct()
@@ -144,20 +163,13 @@ object Inventory {
     val bBehind = withBucket
       .filter(col("bucket").isin(behind.map(x => x: Any): _*))
       .drop("bucket")
-    val priorBehind = prior.map(
-      _.filter(col("bucket").isin(behind.map(x => x: Any): _*)))
-    val merged = priorBehind match {
-      case None =>
-        val fresh = latestPerKey(bBehind, key, ver, latestCols,
-          coalesceCols, touch)
-        fresh.withColumn("bucket", bucket)
-      case Some(st) =>
-        // state and batch agree on the hash, so the merge re-derives
-        // the bucket from the key — no cross-bucket movement possible
-        mergeBatch(st.drop("bucket", "merged_height"),
-          bBehind, key, ver, latestCols, coalesceCols, touch)
-          .withColumn("bucket", bucket)
-    }
+    val priorBehind = prior
+      .map(_.filter(col("bucket").isin(behind.map(x => x: Any): _*))
+        .drop("bucket", "merged_height"))
+      .filter(_ => hasState)
+    // state and batch agree on the hash, so the merge re-derives the
+    // bucket from the key — no cross-bucket movement possible
+    val merged = combine(priorBehind, bBehind).withColumn("bucket", bucket)
     // localCheckpoint materializes the merged buckets (bounded: only
     // the touched slice of state) and cuts the lineage back to
     // stateDir, so the write below is not "overwriting a path being

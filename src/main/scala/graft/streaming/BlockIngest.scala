@@ -178,11 +178,6 @@ object BlockIngest {
                                     newCommitted: Long, txns: DataFrame,
                                     batchTime: Long): Unit = {
     val invDir = s"$sinkDir/gateway_inventory"
-    val hasState = Files.exists(Paths.get(invDir))
-    val prior = if (hasState) Some(spark.read.parquet(invDir)) else None
-    val mergedThrough = prior.map(_.select(max(col("merged_height")))
-      .head().getLong(0)).getOrElse(0L)
-    if (mergedThrough >= newCommitted) return
     val parsed = txns.filter(col("type").isin("add_gateway_v1",
         "gen_gateway_v1", "assert_location_v1", "assert_location_v2",
         "transfer_hotspot_v1", "transfer_hotspot_v2"))
@@ -208,19 +203,10 @@ object BlockIngest {
       .filter(col("address").isNotNull)
     val cols = Seq("block", "owner", "location", "gain", "elevation")
     val coalesceCols = Set("owner", "location", "gain", "elevation")
-    val touch = Some("updated_at" -> timestamp_seconds(lit(batchTime)))
-    val merged = prior match {
-      case None =>
-        Inventory.latestPerKey(rows, Seq("address"), "ver", cols,
-          coalesceCols, touch = touch)
-      case Some(st) =>
-        Inventory.mergeBatch(st.drop("merged_height"), rows, Seq("address"),
-          "ver", cols, coalesceCols, touch = touch)
-    }
-    val out = merged.withColumn("merged_height", lit(newCommitted))
-    val tmp = s"$invDir._tmp"
-    out.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(invDir)
+    Inventory.mergeBucketedState(spark, invDir, rows, Seq("address"), "ver",
+      cols, coalesceCols,
+      touch = Some("updated_at" -> timestamp_seconds(lit(batchTime))),
+      nBuckets = 64, mergedHeight = newCommitted)
   }
 
   /** validator_inventory — same trigger-upsert pattern for the validator
@@ -233,11 +219,6 @@ object BlockIngest {
                                       newCommitted: Long, txns: DataFrame,
                                       batchTime: Long): Unit = {
     val invDir = s"$sinkDir/validator_inventory"
-    val prior = if (Files.exists(Paths.get(invDir)))
-      Some(spark.read.parquet(invDir)) else None
-    val mergedThrough = prior.map(_.select(max(col("merged_height")))
-      .head().getLong(0)).getOrElse(0L)
-    if (mergedThrough >= newCommitted) return
     val parsed = txns.filter(col("type").isin("gen_validator_v1",
         "stake_validator_v1", "unstake_validator_v1",
         "transfer_validator_stake_v1", "validator_heartbeat_v1"))
@@ -276,19 +257,10 @@ object BlockIngest {
       .drop("hash")
     val cols = Seq("block", "owner", "stake", "status", "heartbeat")
     val co = Set("owner", "stake", "status", "heartbeat")
-    val touch = Some("updated_at" -> timestamp_seconds(lit(batchTime)))
-    val merged = prior match {
-      case None =>
-        Inventory.latestPerKey(rows, Seq("address"), "ver", cols, co,
-          touch = touch)
-      case Some(st) =>
-        Inventory.mergeBatch(st.drop("merged_height"), rows, Seq("address"),
-          "ver", cols, co, touch = touch)
-    }
-    val tmp = s"$invDir._tmp"
-    merged.withColumn("merged_height", lit(newCommitted))
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(invDir)
+    Inventory.mergeBucketedState(spark, invDir, rows, Seq("address"), "ver",
+      cols, co,
+      touch = Some("updated_at" -> timestamp_seconds(lit(batchTime))),
+      nBuckets = 64, mergedHeight = newCommitted)
   }
 
   /** account_inventory — balances per account rolled forward per batch
@@ -300,22 +272,14 @@ object BlockIngest {
     */
   private def mergeAccountInventory(spark: SparkSession, sinkDir: String,
                                     newCommitted: Long, txns: DataFrame): Unit = {
-    val invDir = s"$sinkDir/account_inventory"
-    val prior = if (Files.exists(Paths.get(invDir)))
-      Some(spark.read.parquet(invDir)) else None
-    val mergedThrough = prior.map(_.select(max(col("merged_height")))
-      .head().getLong(0)).getOrElse(0L)
-    // the balance fold is additive — the replay guard is load-bearing
-    if (mergedThrough >= newCommitted) return
-    val batch = AccountLedger.fold(AccountLedger.deltas(txns))
-    val merged = prior match {
-      case None => AccountLedger.finish(batch)
-      case Some(st) => AccountLedger.merge(st.drop("merged_height"), batch)
+    // bucketed by address: the balance fold is additive, so the
+    // per-bucket replay guard is load-bearing (a double fold would
+    // double-count) — exactly-once per bucket across crashes
+    Inventory.mergeBucketedBy(spark, s"$sinkDir/account_inventory",
+      AccountLedger.deltas(txns), Seq("address"), 64, newCommitted) {
+      case (None, d) => AccountLedger.finish(AccountLedger.fold(d))
+      case (Some(st), d) => AccountLedger.merge(st, AccountLedger.fold(d))
     }
-    val tmp = s"$invDir._tmp"
-    merged.withColumn("merged_height", lit(newCommitted))
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(invDir)
   }
 
   /** oui_inventory — routing state per OUI with the nested array
@@ -326,21 +290,11 @@ object BlockIngest {
     */
   private def mergeOuiInventory(spark: SparkSession, sinkDir: String,
                                 newCommitted: Long, txns: DataFrame): Unit = {
-    val invDir = s"$sinkDir/oui_inventory"
-    val prior = if (Files.exists(Paths.get(invDir)))
-      Some(spark.read.parquet(invDir)) else None
-    val mergedThrough = prior.map(_.select(max(col("merged_height")))
-      .head().getLong(0)).getOrElse(0L)
-    if (mergedThrough >= newCommitted) return
-    val batch = OuiLedger.fold(OuiLedger.rows(txns))
-    val merged = prior match {
-      case None => OuiLedger.finish(batch)
-      case Some(st) => OuiLedger.merge(st.drop("merged_height"), batch)
+    Inventory.mergeBucketedBy(spark, s"$sinkDir/oui_inventory",
+      OuiLedger.rows(txns), Seq("oui"), 16, newCommitted) {
+      case (None, r) => OuiLedger.finish(OuiLedger.fold(r))
+      case (Some(st), r) => OuiLedger.merge(st, OuiLedger.fold(r))
     }
-    val tmp = s"$invDir._tmp"
-    merged.withColumn("merged_height", lit(newCommitted))
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(invDir)
   }
 
   /** Derived per-block fact tables, written with the same idempotent

@@ -81,8 +81,8 @@ class BlockIngestSpec extends SparkSpec {
 
     // account_inventory: the single-drain fold equals the one-shot
     // recompute (which q63 checks against the DuckDB oracle)
-    val acctInv = spark.read.parquet(s"$sink/account_inventory")
-      .drop("merged_height")
+    val acctInv = graft.ops.Inventory.readBucketedState(spark,
+      s"$sink/account_inventory")
     val acctExp = AccountLedger.inventory(expectedTxns)
     assert(acctInv.except(acctExp).count() === 0L)
     assert(acctExp.except(acctInv).count() === 0L)
@@ -132,8 +132,8 @@ class BlockIngestSpec extends SparkSpec {
 
     // accounts: additive balances + newest-wins nonces across batch
     // boundaries must equal the whole-corpus fold
-    val acct = spark.read.parquet(s"$sink/account_inventory")
-      .drop("merged_height")
+    val acct = graft.ops.Inventory.readBucketedState(spark,
+      s"$sink/account_inventory")
     val acctExp = AccountLedger.inventory(txns)
     assert(acct.count() === acctExp.count())
     assert(acct.except(acctExp).count() === 0L)
@@ -160,8 +160,8 @@ class BlockIngestSpec extends SparkSpec {
       df.select(col("oui"), col("owner"), col("nonce"),
         to_json(col("addresses")).as("a"), to_json(col("subnets")).as("s"),
         col("first_block"), col("last_block"))
-    val oui = spark.read.parquet(s"$sink/oui_inventory")
-      .drop("merged_height")
+    val oui = graft.ops.Inventory.readBucketedState(spark,
+      s"$sink/oui_inventory")
     val ouiExp = OuiLedger.inventory(txns)
     assert(canon(oui).except(canon(ouiExp)).count() === 0L)
     assert(canon(ouiExp).except(canon(oui)).count() === 0L)
