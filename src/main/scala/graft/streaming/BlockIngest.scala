@@ -506,17 +506,28 @@ object BlockIngest {
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(statsDir)
   }
 
-  /** Structured-Streaming wrapper: drain the drop-dir with AvailableNow,
-    * one ordered `processBatch` per micro-batch.
+  /** Structured-Streaming wrapper: one ordered `processBatch` per
+    * micro-batch. The default AvailableNow trigger drains the drop-dir
+    * and stops (backfill / test mode); pass `followIntervalMs` for the
+    * reference's continuous-follower mode (ref: src/be_db_follower.erl:
+    * 86-108) — a ProcessingTime trigger that keeps polling the drop-dir
+    * for new block files. Returns only after termination (AvailableNow)
+    * or runs until the returned-from-stop (caller stops the query via
+    * spark.streams).
     */
   def run(spark: SparkSession, streamDir: String, sinkDir: String,
-          checkpointDir: String): Unit = {
+          checkpointDir: String, followIntervalMs: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val stream = spark.readStream.schema(blockSchema).json(streamDir)
+    val trigger = followIntervalMs
+      .map(ms => Trigger.ProcessingTime(s"$ms milliseconds"))
+      .getOrElse(Trigger.AvailableNow())
     val q = stream.writeStream
       .foreachBatch((df: DataFrame, _: Long) => processBatch(spark, df, sinkDir))
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
-    q.awaitTermination()
+    if (followIntervalMs.isEmpty) q.awaitTermination()
+    q
   }
 }

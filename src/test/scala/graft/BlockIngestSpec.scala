@@ -216,6 +216,34 @@ class BlockIngestSpec extends SparkSpec {
     }
   }
 
+  test("continuous follow mode picks up newly dropped block files") {
+    import java.nio.file.Paths
+    val base = Files.createTempDirectory("follow").toString
+    val sdir = s"$base/stream"
+    Files.createDirectories(Paths.get(sdir))
+    val lines = Files.readAllLines(
+      Paths.get("/root/repo/fixtures/stream/blocks.jsonl"))
+    Files.write(Paths.get(s"$sdir/a.jsonl"),
+      String.join("\n", lines.subList(0, 30)).getBytes("UTF-8"))
+    val q = BlockIngest.run(spark, sdir, s"$base/sink", s"$base/ckpt",
+      followIntervalMs = Some(200L))
+    def await(h: Long): Boolean = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (BlockIngest.committedHeight(s"$base/sink") < h &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      BlockIngest.committedHeight(s"$base/sink") >= h
+    }
+    try {
+      assert(await(30L), "first drop must commit through height 30")
+      // a new file lands while the follower is live — the reference's
+      // continuous block-follow
+      Files.write(Paths.get(s"$sdir/b.jsonl"),
+        String.join("\n", lines.subList(30, 60)).getBytes("UTF-8"))
+      assert(await(60L), "follower must ingest the new file to height 60")
+    } finally q.stop()
+    assert(spark.read.parquet(s"$base/sink/blocks").count() === 60L)
+  }
+
   test("height gap aborts the batch (strict ordering)") {
     val sink = Files.createTempDirectory("ingest_gap").toString
     val batch = Seq((5L, 1000L, "h5", "h4", 1L, 1L, 1L))
