@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.TextAnalysis._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
@@ -116,8 +116,13 @@ object Dedup {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), array_sort(shingleHashes(col("toks"))).as("hs"))
       .localCheckpoint()
-    val prefixLen = size(col("hs")) -
-      ceil(lit(threshold) * size(col("hs"))).cast("int") + 1
+    // ceil over double arithmetic overshoots at exact multiples
+    // (0.7 * 20 = 14.000000000000002 → ceil 15), which would shorten
+    // the prefix below the recall guarantee and over-tighten the length
+    // filter exactly at the threshold — the epsilon keeps exact-boundary
+    // pairs (J == t) inside both
+    def ceilT(n: Column): Column = ceil(lit(threshold) * n - lit(1e-9))
+    val prefixLen = size(col("hs")) - ceilT(size(col("hs"))).cast("int") + 1
     val pref = sig.select(col("doc_id"), size(col("hs")).as("len"),
       explode(slice(col("hs"), lit(1), prefixLen)).as("tok"))
     // AllPairs length filter: J(a,b) >= t forces t*|a| <= |b| (and
@@ -125,8 +130,8 @@ object Dedup {
     // join before the candidate shuffle materializes them
     val cand = pref.as("x").join(pref.as("y"),
         col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") &&
-          col("y.len") >= ceil(lit(threshold) * col("x.len")) &&
-          col("x.len") >= ceil(lit(threshold) * col("y.len")))
+          col("y.len") >= ceilT(col("x.len")) &&
+          col("x.len") >= ceilT(col("y.len")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val a = sig.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))

@@ -166,7 +166,6 @@ object Inventory {
     val priorBehind = prior
       .map(_.filter(col("bucket").isin(behind.map(x => x: Any): _*))
         .drop("bucket", "merged_height"))
-      .filter(_ => hasState)
     // state and batch agree on the hash, so the merge re-derives the
     // bucket from the key — no cross-bucket movement possible
     val merged = combine(priorBehind, bBehind).withColumn("bucket", bucket)

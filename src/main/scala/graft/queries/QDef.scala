@@ -21,11 +21,6 @@ final case class QDef(
     oracleLate: Option[() => Option[String]] = None)
 
 object QDef {
-  /** Collect a set of QDefs into the two SparkEntry maps. */
-  def toMaps(defs: Seq[QDef])
-      : (Map[String, (SparkSession, String) => DataFrame], Map[String, String]) =
-    (defs.map(d => d.name -> d.fn).toMap, oracleMap(defs))
-
   /** The oracle map, resolving late-bound oracles at call time. */
   def oracleMap(defs: Seq[QDef]): Map[String, String] =
     defs.flatMap(d =>

@@ -119,7 +119,7 @@ object BlockIngest {
         .parquet(s"$sinkDir/transaction_actors")
 
       writeDerivedFacts(sinkDir, txns)
-      writeDirtySets(spark, sinkDir, fresh)
+      writeDirtySets(spark, sinkDir, fresh, committed)
       writeSnapshotManifest(spark, sinkDir, fresh)
 
       // deterministic updated_at touch value: the batch's newest block
@@ -375,11 +375,15 @@ object BlockIngest {
     * from the last written one — unless the block's actors already made
     * it dirty. The comparison chains per block inside the batch (lag
     * window over the gateway's carried scales) and falls back to the
-    * stored `gateway_scales` state for the first occurrence, so batch
-    * granularity never changes the per-block semantics.
+    * `gateway_scales` LOG for the first occurrence. The log is
+    * height-partitioned and replay-idempotent (dynamic overwrite of its
+    * own partitions), and the guard only reads log entries at or below
+    * the COMMITTED watermark — so a crash between the log write and the
+    * watermark cannot make the replayed guard compare against its own
+    * half-applied batch (which would silently drop dirty rows).
     */
   private def writeDirtySets(spark: SparkSession, sinkDir: String,
-                             fresh: DataFrame): Unit = {
+                             fresh: DataFrame, committed: Long): Unit = {
     val accountRoles = Seq("payer", "payee", "owner", "escrow")
     val gatewayRoles = Seq("gateway", "reward_gateway", "witness",
       "challenger", "challengee", "packet_receiver")
@@ -405,10 +409,16 @@ object BlockIngest {
       }.reduce(_ unionByName _)
       .filter(col("actor").isNotNull)
 
-    // gateways: guard on the carried reward scale
+    // gateways: guard on the carried reward scale. "Stored" = latest
+    // log entry per gateway at or below the committed watermark — a
+    // replay after a crash sees exactly what the first attempt saw.
     val scalesDir = s"$sinkDir/gateway_scales"
     val stored = if (Files.exists(Paths.get(scalesDir)))
       spark.read.parquet(scalesDir)
+        .withColumn("block", col("block").cast("long"))
+        .filter(col("block") <= committed)
+        .groupBy(col("actor"))
+        .agg(max_by(col("scale"), col("block")).as("stored_scale"))
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("actor", StringType),
@@ -426,29 +436,34 @@ object BlockIngest {
       .withColumn("prev", coalesce(col("prev_in_batch"), col("stored_scale")))
       .filter(col("prev").isNull || col("prev") =!= col("scale"))
       .select(col("block"), col("actor"), lit("gateway").as("kind"))
+    // CDC gateways carried WITHOUT a scale entry (older sidecar formats,
+    // or a ledger that could not compute one) have no guard information
+    // — always dirty, the reference's failed-lookup path
+    val plainGw = fresh.select(col("height").as("block"),
+        explode_outer(col("cdc_keys")("gateways")).as("actor"))
+      .filter(col("actor").isNotNull)
+      .join(carried.select("block", "actor"), Seq("block", "actor"),
+        "left_anti")
+      .select(col("block"), col("actor"), lit("gateway").as("kind"))
     // actor-dirty gateways are re-added harmlessly (distinct below) —
     // the reference's cache check only avoids double-processing
 
     actorDirty
       .unionByName(fromCdcPlain)
       .unionByName(guarded)
+      .unionByName(plainGw)
       .distinct()
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic").partitionBy("block")
       .parquet(s"$sinkDir/dirty_sets")
 
-    // upsert the scales state: newest carried scale per gateway.
-    // (A skipped gateway carried a value equal to the stored one, so
-    // the unconditional upsert equals upserting only the processed set.)
-    if (carried.limit(1).count() > 0) {
-      val newest = carried.groupBy("actor")
-        .agg(max_by(col("scale"), col("block")).as("stored_scale"))
-      val merged = stored.join(newest, Seq("actor"), "left_anti")
-        .unionByName(newest)
-      val tmp = s"$scalesDir._tmp"
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-      spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(scalesDir)
-    }
+    // append the batch's carried scales to the height-partitioned log —
+    // a replayed batch dynamic-overwrites its OWN partitions, so the
+    // write is idempotent and never mutates pre-batch history
+    if (carried.limit(1).count() > 0)
+      carried.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic").partitionBy("block")
+        .parquet(scalesDir)
   }
 
   /** Snapshot manifest (ref: src/be_db_block.erl:118-157): when a batch

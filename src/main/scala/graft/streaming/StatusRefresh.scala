@@ -73,9 +73,13 @@ object StatusRefresh {
             coalesce(col("updated_at"), lit(0L)).as("updated_at"))
     }
     // stalest-first spread, the reference's `order by coalesce(
-    // updated_at, to_timestamp(0)) limit $rate`
+    // updated_at, to_timestamp(0)) limit $rate`. With NO prior state
+    // (first run, or recovery after a crash mid-swap discarded the
+    // rebuildable cache) the budget is waived and everything refreshes
+    // — partial state would otherwise persist for a whole period.
+    val effectiveBudget = if (prior.isEmpty) Int.MaxValue else budget
     val due = staleness.orderBy(col("updated_at").asc, col("address").asc)
-      .limit(budget).select(col("address"))
+      .limit(effectiveBudget).select(col("address"))
     val refreshed = computeStatus(
         gw.join(due, Seq("address"), "left_semi"), actors, tip, window)
       .withColumn("updated_at", lit(nowSec))

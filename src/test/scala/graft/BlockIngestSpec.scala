@@ -204,8 +204,10 @@ class BlockIngestSpec extends SparkSpec {
       }
     }
     assert(skipsSeen > 0, "fixtures must exercise the guard's skip branch")
-    // scales state holds each gateway's newest carried scale
+    // the scales log resolves to each gateway's newest carried scale
     val scales = spark.read.parquet(s"$sink/gateway_scales")
+      .withColumn("block", col("block").cast("long"))
+      .groupBy("actor").agg(max_by(col("scale"), col("block")).as("s"))
       .as[(String, Double)].collect().toMap
     (7L to 56L by 7L).foreach { h =>
       graft.fixtures.FixtureGen.cdcScales(h).foreach { case (g, sc) =>
@@ -214,6 +216,35 @@ class BlockIngestSpec extends SparkSpec {
         if (h == lastH) assert(scales(g) === sc, s"stored scale for $g")
       }
     }
+  }
+
+  test("dirty-set guard survives a crash-replay (scales log is watermark-gated)") {
+    // a crash AFTER writeDirtySets (scales log written) but BEFORE the
+    // watermark commit must not change the replayed batch's dirty set:
+    // the guard reads the log only up to the committed watermark
+    val sink = Files.createTempDirectory("ingest_replay").toString
+    val blocks = spark.read.schema(BlockIngest.blockSchema)
+      .json(s"$streamDir/blocks.jsonl")
+    Seq((1L, 40L), (41L, 60L)).foreach { case (lo, hi) =>
+      BlockIngest.processBatch(spark,
+        blocks.filter(col("height").between(lo, hi)), sink)
+    }
+    def batch3Dirty = spark.read.parquet(s"$sink/dirty_sets")
+      .withColumn("block", col("block").cast("long"))
+      .filter(col("block") > 40L && col("kind") === "gateway")
+      .select("block", "actor")
+      .as[(Long, String)].collect().toSet
+    val before = batch3Dirty
+    assert(before.nonEmpty)
+    // simulate the crash: rewind the watermark, replay the last batch
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$sink/_committed_height"),
+      "40".getBytes("UTF-8"))
+    BlockIngest.processBatch(spark,
+      blocks.filter(col("height").between(41L, 60L)), sink)
+    assert(BlockIngest.committedHeight(sink) === 60L)
+    assert(batch3Dirty === before,
+      "replay must reproduce the identical dirty set, not drop guarded rows")
   }
 
   test("continuous follow mode picks up newly dropped block files") {
