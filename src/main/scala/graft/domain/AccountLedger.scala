@@ -50,8 +50,7 @@ object AccountLedger {
     val parsed = txns
       .filter(col("type").isin(DeltaTypes.map(x => x: Any): _*))
       .select(col("block"), col("type"),
-        concat(lpad(col("block").cast("string"), 12, "0"), col("hash"))
-          .as("ver"),
+        Ver.key(col("block"), col("hash")).as("ver"),
         from_json(col("fields"), Actors.fieldsSchema).as("f"))
     val f = col("f")
     val typ = col("type")

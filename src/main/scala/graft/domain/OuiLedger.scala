@@ -32,8 +32,7 @@ object OuiLedger {
   def rows(txns: DataFrame): DataFrame = {
     val parsed = txns.filter(col("type").isin("oui_v1", "routing_v1"))
       .select(col("block"), col("type"),
-        concat(lpad(col("block").cast("string"), 12, "0"), col("hash"))
-          .as("ver"),
+        Ver.key(col("block"), col("hash")).as("ver"),
         from_json(col("fields"), Actors.fieldsSchema).as("f"))
     val f = col("f")
     val isOui = col("type") === "oui_v1"

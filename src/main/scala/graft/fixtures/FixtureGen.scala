@@ -319,7 +319,17 @@ object FixtureGen {
     * ledger without a block actor (ref: src/be_db_account.erl:236-247) —
     * every 7th block touches a couple of accounts/gateways/validators.
     */
+  private val cdcKeysMemo =
+    new scala.collection.concurrent.TrieMap[
+      Long, Option[(Seq[String], Seq[String], Seq[String])]]()
+
+  // memoized: cdcScales re-derives occurrence counts over all prior CDC
+  // blocks, which would make generation quadratic in block count
   def cdcKeys(h: Long): Option[(Seq[String], Seq[String], Seq[String])] =
+    cdcKeysMemo.getOrElseUpdate(h, computeCdcKeys(h))
+
+  private def computeCdcKeys(
+      h: Long): Option[(Seq[String], Seq[String], Seq[String])] =
     if (h % 7 != 0) None
     else {
       val r = new Random(h)

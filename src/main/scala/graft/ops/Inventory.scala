@@ -141,11 +141,24 @@ object Inventory {
                      (combine: (Option[DataFrame], DataFrame) => DataFrame)
       : Boolean = {
     val bucket = pmod(xxhash64(key.map(col): _*), lit(nBuckets)).cast("int")
-    val withBucket = batch.withColumn("bucket", bucket)
+    // the batch lineage can be expensive (JSON parse + explode for the
+    // ledger folds) and is consumed twice (touched-bucket discovery and
+    // the merge) — materialize it once
+    val withBucket = batch.withColumn("bucket", bucket).localCheckpoint()
     val touched = withBucket.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return false
     val hasState = Files.exists(Paths.get(stateDir))
+    // the bucket function is part of the state's on-disk layout: a
+    // drifted nBuckets would hash keys into different buckets than the
+    // stored rows, duplicating keys and resurrecting stale rows with no
+    // error — pin it at first write, validate on every merge
+    val nbPath = Paths.get(s"$stateDir/_n_buckets")
+    if (hasState && Files.exists(nbPath)) {
+      val storedN = new String(Files.readAllBytes(nbPath), "UTF-8").trim.toInt
+      require(storedN == nBuckets,
+        s"state at $stateDir was written with nBuckets=$storedN, got $nBuckets")
+    }
     // partition-pruned read: only the touched buckets are opened
     val prior =
       if (hasState)
@@ -180,6 +193,7 @@ object Inventory {
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic").partitionBy("bucket")
       .parquet(stateDir)
+    Files.write(nbPath, nBuckets.toString.getBytes("UTF-8"))
     true
   }
 

@@ -20,8 +20,7 @@ object DomainQueries4 {
   /** Shared DuckDB fragment: txns with the (block, hash) ordering key. */
   private val txSql =
     s"""tx AS (
-       |  SELECT block, hash, type, fields,
-       |    lpad(CAST(block AS VARCHAR), 12, '0') || hash AS ver
+       |  SELECT block, hash, type, fields, ${graft.domain.Ver.sql} AS ver
        |  FROM $txnsPq)""".stripMargin
 
   val defs: Seq[QDef] = Seq(

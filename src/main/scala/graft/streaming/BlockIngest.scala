@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.domain.{AccountLedger, Actors, OuiLedger}
+import graft.domain.{AccountLedger, Actors, OuiLedger, Ver}
 import graft.ops.Inventory
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -187,8 +187,7 @@ object BlockIngest {
     val rows = parsed.select(
       f("gateway").as("address"),
       // txn ordering key within the batch: (block, hash) — unique
-      concat(lpad(col("block").cast("string"), 12, "0"), col("hash"))
-        .as("ver"),
+      Ver.key(col("block"), col("hash")).as("ver"),
       col("block"),
       when(col("type").isin("add_gateway_v1", "gen_gateway_v1"), f("owner"))
         .when(col("type") === "transfer_hotspot_v1", f("buyer"))
@@ -252,8 +251,7 @@ object BlockIngest {
         lit(null).cast("long").as("heartbeat"))
     val rows = base.unionByName(xferOld).unionByName(xferNew)
       .filter(col("address").isNotNull)
-      .withColumn("ver",
-        concat(lpad(col("block").cast("string"), 12, "0"), col("hash")))
+      .withColumn("ver", Ver.key(col("block"), col("hash")))
       .drop("hash")
     val cols = Seq("block", "owner", "stake", "status", "heartbeat")
     val co = Set("owner", "stake", "status", "heartbeat")

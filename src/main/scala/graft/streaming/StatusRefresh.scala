@@ -86,7 +86,12 @@ object StatusRefresh {
     val merged = prior match {
       case None => refreshed
       case Some(st) =>
-        st.join(due, Seq("address"), "left_anti").unionByName(refreshed)
+        // rows for addresses no longer in the inventory are dropped —
+        // without the semi-join they would be carried forever (staleness
+        // is derived from gw, so they could never come due again)
+        st.join(gw.select(col("address")), Seq("address"), "left_semi")
+          .join(due, Seq("address"), "left_anti")
+          .unionByName(refreshed)
     }
     val tmp = s"$stateDir._tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
@@ -95,20 +100,25 @@ object StatusRefresh {
 
   /** The periodic shell: a rate-source stream whose only purpose is the
     * `Trigger.ProcessingTime` clock; each tick runs one [[tick]] with
-    * the adaptive budget. Wall-clock `updated_at` is the one
-    * nondeterministic surface — exactly the reference's NOW().
+    * the adaptive budget. The inputs are THUNKS re-evaluated per tick —
+    * a captured DataFrame would freeze its file listing (and a captured
+    * tip its height) at start, and the loop would re-score a stale
+    * chain forever instead of following it. Wall-clock `updated_at` is
+    * the one nondeterministic surface — exactly the reference's NOW().
     */
-  def run(spark: SparkSession, gw: DataFrame, actors: DataFrame,
-          tip: Long, window: Long, stateDir: String, checkpointDir: String,
-          intervalMs: Long, refreshMins: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
-    val n = gw.count()
-    val perTick = math.max(1,
-      (requestRate(n, refreshMins) * intervalMs / 1000.0).toInt)
+  def run(spark: SparkSession, gw: () => DataFrame, actors: () => DataFrame,
+          tip: () => Long, window: Long, stateDir: String,
+          checkpointDir: String, intervalMs: Long, refreshMins: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream.format("rate").option("rowsPerSecond", 1).load()
       .writeStream
-      .foreachBatch((_: DataFrame, _: Long) =>
-        tick(gw, actors, tip, window, stateDir, perTick,
-          System.currentTimeMillis() / 1000))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        val g = gw()
+        val perTick = math.max(1,
+          (requestRate(g.count(), refreshMins) * intervalMs / 1000.0).toInt)
+        tick(g, actors(), tip(), window, stateDir, perTick,
+          System.currentTimeMillis() / 1000)
+      }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
       .start()

@@ -51,8 +51,8 @@ class StatusRefreshSpec extends SparkSpec {
   test("streaming shell fires ProcessingTime ticks") {
     val base = Files.createTempDirectory("statusrun").toString
     val stateDir = s"$base/state"
-    val q = StatusRefresh.run(spark, gw, actors, tip = 60L, window = 20L,
-      stateDir, s"$base/ckpt", intervalMs = 200)
+    val q = StatusRefresh.run(spark, () => gw, () => actors, () => 60L,
+      window = 20L, stateDir, s"$base/ckpt", intervalMs = 200)
     val success = java.nio.file.Paths.get(s"$stateDir/_SUCCESS")
     val ticked =
       try {
