@@ -41,6 +41,14 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("geoPoint builds the (lat, lon) struct the geometry surface uses") {
+    val row = Seq((37.5, -122.25)).toDF("la", "lo")
+      .select(Geo.geoPoint(col("la"), col("lo")).as("p"))
+      .select(col("p.lat"), col("p.lon")).head()
+    assert(row.getDouble(0) === 37.5)
+    assert(row.getDouble(1) === -122.25)
+  }
+
   test("to_geo resolves cells through the geocode store") {
     val loc = spark.read.parquet("/root/repo/fixtures/locations.parquet")
     val gw = spark.read.parquet("/root/repo/fixtures/ledger_gateways.parquet")

@@ -10,6 +10,20 @@ import scala.util.Random
   * is supposed to (clustered corpora at high thresholds).
   */
 class VectorSearchSpec extends SparkSpec {
+
+  test("sampleVectors is deterministic, bounded, and seed-sensitive") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count().toInt
+    val a = VectorSearch.sampleVectors(emb, "vec_id", "embedding", 32, 42L)
+    val b = VectorSearch.sampleVectors(emb, "vec_id", "embedding", 32, 42L)
+    assert(a.length === 32)
+    assert(a.map(_.toSeq) === b.map(_.toSeq), "same seed -> same sample")
+    val c = VectorSearch.sampleVectors(emb, "vec_id", "embedding", 32, 43L)
+    assert(a.map(_.toSeq) !== c.map(_.toSeq), "different seed -> different order")
+    val all = VectorSearch.sampleVectors(emb, "vec_id", "embedding",
+      n + 100, 42L)
+    assert(all.length === n, "oversized n caps at the corpus")
+  }
   import spark.implicits._
 
   private def randUnit(rnd: Random, d: Int): Array[Double] = {
