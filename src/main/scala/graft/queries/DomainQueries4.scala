@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.domain.{AccountLedger, OuiLedger}
 import graft.fixtures.FixtureGen
-import graft.functions.Geo
+import graft.functions.{CodecColumns, Geo}
 import org.apache.spark.sql.functions._
 
 /** Fourth tranche: the last two first-class derived tables —
@@ -233,6 +233,36 @@ object DomainQueries4 {
         |  GROUP BY p.address)
         |SELECT p.address, p.nearest, round(m.dmin, 6) AS distance_km
         |FROM pick p JOIN mins m ON p.address = m.address""".stripMargin
+      }),
+
+    // §1.2/§2.8 location_hex — the hex-search backfill (ref:
+    // src/be_db_backfill.erl:244-294; migration 1616328011): every
+    // gateway's H3 cell coarsened to its res-8 parent, the column the
+    // reference's hotspot hex search indexes. Pure 64-bit bit math on
+    // both engines (set the resolution field, fill digits 9..res with
+    // the H3 "unused" digit 7) — no geo libraries involved.
+    QDef("q67_location_hex",
+      (s, _) => {
+        val gw = s.read
+          .parquet(s"${FixtureGen.FixtureDir}/ledger_gateways.parquet")
+        gw.select(col("address"), col("location"),
+          lower(hex(CodecColumns.h3ParentLong(
+            CodecColumns.h3FromHex(col("location")), 8))).as("location_hex"))
+      },
+      Some {
+        val clearMask = ~(0xFL << 52)
+        val setRes = 8L << 52
+        val fills = (9 to 15).map(r =>
+          s"(CASE WHEN ((h >> 52) & 15) >= $r THEN ${0x7L << (45 - 3 * r)}" +
+            " ELSE 0 END)").mkString(" | ")
+        s"""WITH g AS (
+        |  SELECT address, location,
+        |    CAST('0x' || location AS BIGINT) AS h
+        |  FROM read_parquet('${FixtureGen.FixtureDir}/ledger_gateways.parquet/*.parquet'))
+        |SELECT address, location,
+        |  printf('%x', ((h & $clearMask) | $setRes) | $fills)
+        |    AS location_hex
+        |FROM g""".stripMargin
       })
   )
 }
