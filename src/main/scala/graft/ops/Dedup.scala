@@ -140,14 +140,25 @@ object Dedup {
         struct(col("df"), col("tok")))), x => x("tok")).as("hsr"))
     val prefixLen = size(col("hsr")) - ceilT(size(col("hsr"))).cast("int") + 1
     val pref = ranked.select(col("doc_id"), size(col("hsr")).as("len"),
-      explode(slice(col("hsr"), lit(1), prefixLen)).as("tok"))
+      posexplode(slice(col("hsr"), lit(1), prefixLen)))
+      .withColumnRenamed("col", "tok")
     // AllPairs length filter: J(a,b) >= t forces t*|a| <= |b| (and
-    // symmetrically), so size-incompatible pairs are dropped inside the
-    // join before the candidate shuffle materializes them
+    // symmetrically). PPJoin positional filter on top: matching at
+    // 0-based positions (i, j) bounds the overlap by 1 + min(|x|-i-1,
+    // |y|-j-1), which must reach the required overlap
+    // α = ceil(t/(1+t)·(|x|+|y|)). Sound for full recall: a true
+    // pair's FIRST common element (in the global order) sits in both
+    // prefixes with all earlier elements non-common, so that row always
+    // passes the bound even if deeper matches do not.
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("x.len") + col("y.len")) - lit(1e-9))
+    val ubound = lit(1) + least(col("x.len") - col("x.pos") - 1,
+      col("y.len") - col("y.pos") - 1)
     val cand = pref.as("x").join(pref.as("y"),
         col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") &&
           col("y.len") >= ceilT(col("x.len")) &&
-          col("x.len") >= ceilT(col("y.len")))
+          col("x.len") >= ceilT(col("y.len")) &&
+          ubound >= alpha)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val a = sig.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
