@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.domain.{AccountLedger, OuiLedger}
+import graft.domain.{AccountLedger, Actors, OuiLedger}
 import graft.fixtures.FixtureGen
 import graft.functions.{CodecColumns, Geo}
 import org.apache.spark.sql.functions._
@@ -263,6 +263,50 @@ object DomainQueries4 {
         |  printf('%x', ((h & $clearMask) | $setRes) | $fills)
         |    AS location_hex
         |FROM g""".stripMargin
-      })
+      }),
+
+    // §2.3 receipts-path repair — the reversed-path backfill (ref:
+    // src/be_db_backfill.erl:62-137): the stored txn json's challengee
+    // sequence is compared against the authoritative chain block; rows
+    // whose stored path is exactly the REVERSE of the valid one are
+    // rewritten. The historical corruption is simulated
+    // deterministically (stored = reversed for block % 3 == 0) so both
+    // engines derive the same differential; the operator shape — a
+    // per-hash compare-reverse-rewrite join — is the reference's.
+    QDef("q68_receipts_path_repair",
+      (s, _) => {
+        val p = s.read
+          .parquet(s"${FixtureGen.FixtureDir}/transactions.parquet")
+          .filter(col("type") === "poc_receipts_v1")
+          .select(col("block"), col("hash"),
+            from_json(col("fields"), Actors.fieldsSchema).as("f"))
+        val valid = transform(col("f")("path"), e => e("challengee"))
+        val withPaths = p.select(col("block"), col("hash"), valid.as("valid"))
+          .withColumn("stored",
+            when(col("block") % 3 === 0, reverse(col("valid")))
+              .otherwise(col("valid")))
+        withPaths.select(col("block"), col("hash"),
+            (col("stored") === reverse(col("valid")) &&
+              !(col("stored") === col("valid"))).as("was_reversed"),
+            to_json(col("stored")).as("stored_path"),
+            to_json(col("valid")).as("repaired_path"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT block, hash,
+        |    list_transform(json_transform(fields,
+        |      '{"path":[{"challengee":"VARCHAR"}]}').path,
+        |      e -> e.challengee) AS valid
+        |  FROM $txnsPq WHERE type = 'poc_receipts_v1'),
+        |w AS (
+        |  SELECT block, hash, valid,
+        |    CASE WHEN block % 3 = 0 THEN list_reverse(valid)
+        |         ELSE valid END AS stored
+        |  FROM t)
+        |SELECT block, hash,
+        |  (stored = list_reverse(valid) AND NOT stored = valid)
+        |    AS was_reversed,
+        |  to_json(stored) AS stored_path,
+        |  to_json(valid) AS repaired_path
+        |FROM w""".stripMargin))
   )
 }
