@@ -35,6 +35,18 @@ object CodecColumns {
   /** Parse an H3 hex-string column to its long form. */
   def h3FromHex(s: Column): Column = conv(s, 16, 10).cast("long")
 
+  /** DuckDB twin of [[h3ParentLong]] over a BIGINT-typed expression
+    * `h` — ONE definition for every oracle that mirrors the parent
+    * math (q42, q67), so the bit constants cannot drift apart.
+    */
+  def h3ParentSql(h: String, parentRes: Int): String = {
+    val cleared = s"(($h & ${~(0xFL << 52)}) | ${parentRes.toLong << 52})"
+    (parentRes + 1 to 15).map(r =>
+      s"(CASE WHEN (($h >> 52) & 15) >= $r " +
+        s"THEN ${0x7L << (45 - 3 * r)} ELSE 0 END)")
+      .mkString(s"$cleared | ", " | ", "")
+  }
+
   /** Subnet base of a 48-bit `<<base:25, mask:23>>` packed value
     * (ref: src/be_db_oui.erl:100-102).
     */

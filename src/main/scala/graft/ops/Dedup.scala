@@ -134,10 +134,15 @@ object Dedup {
     // out of the join; the extra frequency pass is one cheap agg.
     val exploded = sig.select(col("doc_id"), explode(col("hs")).as("tok"))
     val freq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    // checkpointed for the same reason as `sig`: both sides of the
+    // candidate self-join reference this subtree, and without the cut
+    // the explode+agg+join ranking pipeline is re-planned and
+    // re-executed per reference
     val ranked = exploded.join(freq, "tok")
       .groupBy("doc_id")
       .agg(transform(sort_array(collect_list(
         struct(col("df"), col("tok")))), x => x("tok")).as("hsr"))
+      .localCheckpoint()
     val prefixLen = size(col("hsr")) - ceilT(size(col("hsr"))).cast("int") + 1
     val pref = ranked.select(col("doc_id"), size(col("hsr")).as("len"),
       posexplode(slice(col("hsr"), lit(1), prefixLen)))

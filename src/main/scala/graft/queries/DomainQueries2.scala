@@ -327,20 +327,14 @@ object DomainQueries2 {
         |  SELECT address, location,
         |    CAST('0x' || location AS BIGINT) AS h3,
         |    CAST('0x' || substr(md5(address), 1, 12) AS BIGINT) AS subnet
-        |  FROM $gwPq),
-        |p AS (
-        |  SELECT address, h3, subnet,
-        |    (h3 >> 52) & 15 AS res,
-        |    (h3 & ${~(0xFL << 52)}) | ${8L << 52} AS cleared
-        |  FROM g)
+        |  FROM $gwPq)
         |SELECT address,
         |  rtrim(replace(replace(base64(encode(address)), '+', '-'), '/', '_'),
         |    '=') AS address_b64,
-        |  ${(9 to 15).map(r => s"(CASE WHEN res >= $r THEN ${0x7L << (45 - 3 * r)} ELSE 0 END)")
-             .mkString("cleared | ", " | ", "")} AS location_res8,
+        |  ${CodecColumns.h3ParentSql("h3", 8)} AS location_res8,
         |  (subnet >> 23) & ${0x1FFFFFFL} AS subnet_base,
         |  subnet & ${0x7FFFFFL} AS subnet_mask
-        |FROM p""".stripMargin)),
+        |FROM g""".stripMargin)),
 
     // §2.4 jsonb_merge_agg (ref: migrations/1609356128:4-9): ordered
     // json-object concatenation per block over vars_v1 txns, via a

@@ -249,21 +249,14 @@ object DomainQueries4 {
           lower(hex(CodecColumns.h3ParentLong(
             CodecColumns.h3FromHex(col("location")), 8))).as("location_hex"))
       },
-      Some {
-        val clearMask = ~(0xFL << 52)
-        val setRes = 8L << 52
-        val fills = (9 to 15).map(r =>
-          s"(CASE WHEN ((h >> 52) & 15) >= $r THEN ${0x7L << (45 - 3 * r)}" +
-            " ELSE 0 END)").mkString(" | ")
-        s"""WITH g AS (
+      Some(s"""WITH g AS (
         |  SELECT address, location,
         |    CAST('0x' || location AS BIGINT) AS h
         |  FROM read_parquet('${FixtureGen.FixtureDir}/ledger_gateways.parquet/*.parquet'))
         |SELECT address, location,
-        |  printf('%x', ((h & $clearMask) | $setRes) | $fills)
+        |  printf('%x', ${CodecColumns.h3ParentSql("h", 8)})
         |    AS location_hex
-        |FROM g""".stripMargin
-      }),
+        |FROM g""".stripMargin)),
 
     // §2.3 receipts-path repair — the reversed-path backfill (ref:
     // src/be_db_backfill.erl:62-137): the stored txn json's challengee
