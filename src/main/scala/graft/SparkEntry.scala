@@ -9,7 +9,7 @@ object SparkEntry {
   private val allDefs: Seq[QDef] =
     Relational.defs ++ TextQueries.defs ++ VectorQueries.defs ++
       DomainQueries.defs ++ DomainQueries2.defs ++ DomainQueries3.defs ++
-      DomainQueries4.defs ++ MediaQueries.defs
+      DomainQueries4.defs ++ MediaQueries.defs ++ PipelineQueries.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 

@@ -50,6 +50,19 @@ object TextAnalysis {
     aggregate(toks, lit(0L),
       (acc, t) => (acc * 31 + tokenHash(t)) % 1000000007L)
 
+  /** Distinct int64 hashes of word n-gram shingles for arbitrary n —
+    * the decontamination primitive (train/eval overlap runs on 8-13
+    * token grams, where a shared gram is near-certain verbatim copying).
+    * Same materialized-`toks` contract as [[shingles3]].
+    */
+  def ngramHashes(toks: Column, n: Int): Column = {
+    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i =>
+      tokenHash(concat_ws(" ",
+        (0 until n).map(k => element_at(toks, i + k)): _*))))
+  }
+
   /** Distinct int64 hashes of the word 3-gram shingles: each shingle is
     * hashed exactly ONCE (one md5 per shingle, total), and all downstream
     * minhash / verification math runs on the fixed-width hashes — at

@@ -137,11 +137,20 @@ object Dedup {
     // checkpointed for the same reason as `sig`: both sides of the
     // candidate self-join reference this subtree, and without the cut
     // the explode+agg+join ranking pipeline is re-planned and
-    // re-executed per reference
+    // re-executed per reference.
+    // The rank key packs (df, tok) into ONE long — df in the high bits
+    // (capped at 2^31-1; ties among ultra-common shingles fall back to
+    // tok order, still a deterministic global order since df is a
+    // function of tok), tok (< 2^32) in the low bits. Longs sort with
+    // the primitive comparator and shuffle flat — no struct
+    // collect/sort/re-project pass — and key equality ⟺ tok equality,
+    // so the candidate join can run on the packed keys directly.
     val ranked = exploded.join(freq, "tok")
+      .select(col("doc_id"),
+        (least(col("df"), lit(2147483647L)) * lit(4294967296L) + col("tok"))
+          .as("k"))
       .groupBy("doc_id")
-      .agg(transform(sort_array(collect_list(
-        struct(col("df"), col("tok")))), x => x("tok")).as("hsr"))
+      .agg(array_sort(collect_list(col("k"))).as("hsr"))
       .localCheckpoint()
     val prefixLen = size(col("hsr")) - ceilT(size(col("hsr"))).cast("int") + 1
     val pref = ranked.select(col("doc_id"), size(col("hsr")).as("len"),

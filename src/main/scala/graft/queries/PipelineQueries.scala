@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextAnalysis._
+import graft.ops.{ConnectedComponents, Dedup}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond per-doc scoring: dedup
+  * cluster resolution (pairs → connected components → keep-one),
+  * benchmark decontamination (n-gram overlap against an eval set),
+  * deterministic stratified sampling (data mixing), sequence packing
+  * (concat-and-chunk token budgeting), and per-language length
+  * quantiles — the ops a 100 TB corpus pass runs between "score every
+  * doc" and "emit training shards".
+  */
+object PipelineQueries {
+
+  /** DuckDB twins of TextAnalysis.tokens / tokenHash (kept in lockstep
+    * with TextQueries' copies). */
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+  private def hashSql(t: String) =
+    s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
+
+  /** DuckDB n-gram-hash fragment over a `toks` column. */
+  private def ngramSql(n: Int): String = {
+    val cat = (0 until n).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+    s"""list_distinct(list_transform(
+       |  CASE WHEN len(toks) >= $n THEN
+       |    list_transform(generate_series(1, len(toks) - ${n - 1}), i -> $cat)
+       |  ELSE [] END,
+       |  g -> ${hashSql("g")}))""".stripMargin
+  }
+
+  /** Brute-force exact-Jaccard pair CTEs (the q25 oracle shape) — the
+    * ground truth the MinHash-LSH implementation provably reproduces. */
+  private def pairCtes(threshold: Double): String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, ${ngramSql(3)} AS sh FROM t),
+       |p AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db,
+       |    len(list_intersect(a.sh, b.sh)) AS inter,
+       |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0),
+       |pr AS (SELECT da, db FROM p WHERE inter::DOUBLE / uni >= $threshold)""".stripMargin
+
+  val defs: Seq[QDef] = Seq(
+
+    // Dedup cluster resolution: near-dup pairs closed into connected
+    // components, one canonical (minimum-id) doc kept per cluster.
+    // Pairs alone over- or under-delete (a~b, b~c deletes b twice or
+    // keeps a and c apart); the component closure is what every
+    // production dedup pass actually ships. Oracle: recursive CTE
+    // transitive closure over the same brute-force exact pairs.
+    QDef("q69_dedup_clusters",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text", threshold = 0.8)
+        val comp = ConnectedComponents.run(pairs, "doc_a", "doc_b")
+          .withColumnRenamed("node", "doc_id")
+        docs.select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster_id"))
+          .withColumn("keep", col("doc_id") === col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE ${pairCtes(0.8)},
+              |e AS (SELECT da AS a, db AS b FROM pr
+              |      UNION SELECT db, da FROM pr),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM e
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+              |cl AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a)
+              |SELECT d.doc_id,
+              |  least(d.doc_id, coalesce(cl.mn, d.doc_id)) AS cluster_id,
+              |  d.doc_id = least(d.doc_id, coalesce(cl.mn, d.doc_id)) AS keep
+              |FROM documents d LEFT JOIN cl USING (doc_id)""".stripMargin)),
+
+    // Benchmark decontamination: docs sharing any 8-token gram with the
+    // eval split (every 31st doc stands in for the external benchmark
+    // set) are flagged. The benchmark gram set is broadcast — eval sets
+    // are small by nature, so the 100 TB corpus side never shuffles.
+    QDef("q70_contamination",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val grams = docs
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), explode(ngramHashes(col("toks"), 8)).as("g"))
+        val bench = grams.filter(col("doc_id") % 31 === 0)
+          .select(col("g")).distinct()
+        val hits = grams.filter(col("doc_id") % 31 =!= 0)
+          .join(broadcast(bench), "g")
+          .groupBy("doc_id").agg(count_distinct(col("g")).as("n_hits"))
+        docs.filter(col("doc_id") % 31 =!= 0).select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("contaminated", col("n_hits") > 0)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |ga AS (SELECT doc_id, ${ngramSql(8)} AS gs FROM t),
+              |g AS (SELECT doc_id, unnest(gs) AS g FROM ga),
+              |b AS (SELECT DISTINCT g FROM g WHERE doc_id % 31 = 0),
+              |h AS (SELECT doc_id, count(DISTINCT g.g) AS n_hits
+              |      FROM g JOIN b USING (g) WHERE doc_id % 31 <> 0
+              |      GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+              |  coalesce(h.n_hits, 0) > 0 AS contaminated
+              |FROM documents d LEFT JOIN h USING (doc_id)
+              |WHERE d.doc_id % 31 <> 0""".stripMargin)),
+
+    // Deterministic stratified sampling — the data-mixing primitive:
+    // per-language keep rates applied via a salted content-independent
+    // hash of the key, so the sample is reproducible across runs,
+    // engines, and partitionings (no RNG, no sample()). One scan, no
+    // shuffle; the filter pushes nothing (hash of id) but selects
+    // before any downstream cost.
+    QDef("q71_stratified_sample",
+      (s, dir) => {
+        val rate = typedLit(Map(
+          "en" -> 8000L, "zh" -> 5000L, "de" -> 3000L, "fr" -> 2000L))
+        val h = tokenHash(concat(lit("smp:"), col("doc_id").cast("string")))
+        Tables.documents(s, dir)
+          .withColumn("bucket", h % 10000)
+          .filter(col("bucket") < coalesce(
+            element_at(rate, col("lang")), lit(1000L)))
+          .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, source,
+              |  ${hashSql("'smp:' || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+              |  FROM documents)
+              |SELECT doc_id, lang, source, bucket FROM d
+              |WHERE bucket < CASE lang WHEN 'en' THEN 8000 WHEN 'zh' THEN 5000
+              |  WHEN 'de' THEN 3000 WHEN 'fr' THEN 2000 ELSE 1000 END""".stripMargin)),
+
+    // Sequence packing (concat-and-chunk): per language stream, docs in
+    // id order are concatenated and cut into fixed 2048-token training
+    // sequences; each doc learns its sequence id and token offset. One
+    // window pass per language partition — the running sum is the only
+    // state, so the plan is a single shuffle+sort on (lang, doc_id),
+    // which AQE splits on skewed languages.
+    QDef("q72_pack_sequences",
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+          .withColumn("prev", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            floor(col("prev") / lit(2048)).cast("long").as("seq_id"),
+            (col("prev") % 2048).as("seq_offset"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, len($toksSql) AS n_tokens
+              |  FROM documents),
+              |c AS (SELECT doc_id, lang, n_tokens,
+              |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+              |  FROM t)
+              |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  CAST(floor(prev / 2048) AS BIGINT) AS seq_id,
+              |  CAST(prev % 2048 AS BIGINT) AS seq_offset
+              |FROM c""".stripMargin)),
+
+    // Corpus length quantiles per language — the shard-sizing /
+    // truncation-budget statistic. Exact interpolated percentiles
+    // (Spark `percentile` ≡ DuckDB `quantile_cont`); at 100 TB the
+    // approx_percentile sketch replaces it with the same plan shape.
+    QDef("q73_length_quantiles",
+      (s, dir) => {
+        def q(p: Double, n: String) =
+          round(percentile(col("n_chars"), lit(p)), 6).as(n)
+        Tables.documents(s, dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), q(0.25, "p25"), q(0.5, "p50"),
+            q(0.75, "p75"), q(0.9, "p90"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+             |  round(quantile_cont(n_chars, 0.50), 6) AS p50,
+             |  round(quantile_cont(n_chars, 0.75), 6) AS p75,
+             |  round(quantile_cont(n_chars, 0.90), 6) AS p90
+             |FROM documents GROUP BY lang""".stripMargin))
+  )
+}

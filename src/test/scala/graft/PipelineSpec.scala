@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.TextAnalysis._
+import graft.ops.ConnectedComponents
+import org.apache.spark.sql.functions._
+
+/** Connected-components correctness and the pipeline-op invariants
+  * (packing, sampling determinism, n-gram generalization).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chains, cliques, and separate clusters") {
+    // components: {1,2,3,4} (a path — worst-case diameter), {10,11},
+    // {20,21,22} (triangle)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val got = ConnectedComponents.run(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(got === want)
+  }
+
+  test("connected components: min label wins regardless of edge direction") {
+    val edges = Seq((9L, 3L), (3L, 7L), (7L, 1L)).toDF("a", "b")
+    val got = ConnectedComponents.run(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet === Set(1L))
+  }
+
+  test("ngramHashes generalizes shingleHashes (n=3 identical)") {
+    val docs = Seq("a b c d e f", "x y", "one two three").toDF("text")
+      .select(tokens(col("text")).as("toks"))
+    val both = docs.select(
+      array_sort(shingleHashes(col("toks"))).as("s3"),
+      array_sort(ngramHashes(col("toks"), 3)).as("n3"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    both.foreach { case (s3, n3) => assert(s3 === n3) }
+    // n larger than the doc → empty, not an error
+    val n8 = docs.select(size(ngramHashes(col("toks"), 8)).as("n"))
+      .as[Int].collect()
+    assert(n8.toSeq === Seq(0, 0, 0))
+  }
+
+  test("sequence packing: offsets and ids reconstruct the running sum") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q72_pack_sequences")(spark, dir)
+      .select("lang", "doc_id", "n_tokens", "seq_id", "seq_offset")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    rows.foreach { case (_, ds) =>
+      var running = 0L
+      ds.sortBy(_._2).foreach { case (_, _, n, seqId, off) =>
+        assert(seqId === running / 2048)
+        assert(off === running % 2048)
+        running += n
+      }
+    }
+  }
+
+  test("stratified sample is deterministic and respects per-lang rates") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q71_stratified_sample")
+    val a = q(spark, dir).as[(Long, String, String, Long)].collect().toSet
+    val b = q(spark, dir).as[(Long, String, String, Long)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+    val maxBucket = Map("en" -> 8000L, "zh" -> 5000L, "de" -> 3000L,
+      "fr" -> 2000L).withDefaultValue(1000L)
+    a.foreach { case (_, lang, _, bucket) =>
+      assert(bucket < maxBucket(lang), s"bucket $bucket over rate for $lang")
+    }
+  }
+
+  test("contamination: benchmark docs excluded, planted overlap found") {
+    // doc 0 (0 % 31 == 0) is benchmark; doc 1 copies 8+ of its tokens
+    // verbatim, doc 2 shares nothing
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight", "en", "s", 50L),
+      (1L, "prefix the quick brown fox jumps over the lazy dog tonight suffix", "en", "s", 60L),
+      (2L, "completely different words with no shared gram at all here", "en", "s", 55L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("contam").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q70_contamination")(spark, tmp)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(!got.contains(0L), "benchmark docs must not be graded")
+    assert(got(1L), "verbatim 8-gram overlap must flag")
+    assert(!got(2L), "disjoint doc must not flag")
+  }
+}
