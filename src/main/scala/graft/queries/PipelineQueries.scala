@@ -163,6 +163,94 @@ object PipelineQueries {
               |  CAST(prev % 2048 AS BIGINT) AS seq_offset
               |FROM c""".stripMargin)),
 
+    // C4/Gopher-style quality gate: the document-level heuristic rules
+    // a cleaning pass applies before anything expensive runs. All rules
+    // are integer/ratio arithmetic over one scan — no shuffle, and at
+    // 100 TB the `pass` filter is the very first stage so everything
+    // downstream reads the surviving fraction only. Ratios are emitted
+    // (rounded) alongside the verdict for threshold tuning.
+    QDef("q74_quality_filter",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("toks", tokens(col("text")))
+        val nTok = size(col("toks"))
+        val meanTokLen = aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+          .cast("double") / nTok.cast("double")
+        val symbolRatio = length(regexp_replace(col("text"),
+          lit("[A-Za-z0-9 ]"), lit(""))).cast("double") /
+          col("n_chars").cast("double")
+        val digitRatio = length(regexp_replace(col("text"),
+          lit("[^0-9]"), lit(""))).cast("double") /
+          col("n_chars").cast("double")
+        val ttr = size(array_distinct(col("toks"))).cast("double") /
+          nTok.cast("double")
+        docs.select(col("doc_id"),
+          nTok.cast("long").as("n_tokens"),
+          round(meanTokLen, 6).as("mean_tok_len"),
+          round(symbolRatio, 6).as("symbol_ratio"),
+          round(digitRatio, 6).as("digit_ratio"),
+          round(ttr, 6).as("ttr"),
+          (nTok >= 5 && nTok <= 100000 &&
+            meanTokLen >= 2.0 && meanTokLen <= 12.0 &&
+            symbolRatio < 0.3 && digitRatio < 0.3 && ttr > 0.2).as("pass"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, n_chars, text, $toksSql AS toks
+              |  FROM documents),
+              |m AS (SELECT doc_id,
+              |  len(toks) AS n_tokens,
+              |  list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+              |    / len(toks) AS mean_tok_len,
+              |  length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+              |    / n_chars AS symbol_ratio,
+              |  length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+              |    / n_chars AS digit_ratio,
+              |  len(list_distinct(toks))::DOUBLE / len(toks) AS ttr
+              |  FROM t)
+              |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  round(mean_tok_len, 6) AS mean_tok_len,
+              |  round(symbol_ratio, 6) AS symbol_ratio,
+              |  round(digit_ratio, 6) AS digit_ratio,
+              |  round(ttr, 6) AS ttr,
+              |  (n_tokens >= 5 AND n_tokens <= 100000
+              |    AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
+              |    AND symbol_ratio < 0.3 AND digit_ratio < 0.3
+              |    AND ttr > 0.2) AS pass
+              |FROM m""".stripMargin)),
+
+    // Deterministic global shuffle order — the "shuffle the corpus
+    // before sharding" step, WITHOUT a single-partition global sort:
+    // shard = high bits of the salted hash (monotone in the sort key),
+    // ranks are computed per shard in parallel, and shard base offsets
+    // (one row per shard) are the only serial state. Provably equal to
+    // the one-machine `row_number() OVER (ORDER BY h)` the oracle runs,
+    // because shard-major (shard, h, id) order IS (h, id) order when
+    // shard is a prefix of h.
+    QDef("q75_shuffle_order",
+      (s, dir) => {
+        val h = tokenHash(concat(lit("ord:"), col("doc_id").cast("string")))
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), h.as("h"))
+          .withColumn("shard", floor(col("h") / lit(1L << 24)).cast("long"))
+        val ranked = d.withColumn("r", row_number().over(
+          Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))))
+        // 256 shard-count rows: the running-offset window is O(#shards),
+        // not O(corpus) — the only intentionally-tiny serial step
+        val offsets = d.groupBy("shard").agg(count(lit(1)).as("c"))
+          .withColumn("off", coalesce(sum("c").over(
+            Window.orderBy("shard")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("shard"), col("off"))
+        ranked.join(broadcast(offsets), "shard")
+          .select(col("doc_id"), col("h"),
+            (col("off") + col("r") - 1).as("pos"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+              |  ${hashSql("'ord:' || CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents)
+              |SELECT doc_id, h,
+              |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+              |FROM d""".stripMargin)),
+
     // Corpus length quantiles per language — the shard-sizing /
     // truncation-budget statistic. Exact interpolated percentiles
     // (Spark `percentile` ≡ DuckDB `quantile_cont`); at 100 TB the
