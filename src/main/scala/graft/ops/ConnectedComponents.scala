@@ -45,18 +45,23 @@ object ConnectedComponents {
     var i = 0
     while (!converged && i < maxIter) {
       // neighbor labels flow along edges; a node's next label is the min
-      // of its own and everything it heard
+      // of its own and everything it heard. The node's PREVIOUS label
+      // rides through the same aggregation (only the self row carries a
+      // non-null `old`, so max(old) recovers it) — convergence detection
+      // is then a scan of the checkpointed result, not an extra shuffle
+      // join per round.
       val msgs = labels.join(sym, col("node") === col("src"))
-        .select(col("dst").as("node"), col("component"))
-      val next = labels.select(col("node"), col("component"))
+        .select(col("dst").as("node"), col("component"),
+          lit(null).cast("long").as("old"))
+      val next = labels
+        .select(col("node"), col("component"), col("component").as("old"))
         .union(msgs)
-        .groupBy("node").agg(min("component").as("component"))
+        .groupBy("node")
+        .agg(min("component").as("component"), max("old").as("old"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("p"), "node")
-        .filter(col("n.component") =!= col("p.component"))
+      val changed = next.filter(col("component") =!= col("old"))
         .limit(1).count()
-      labels = next
+      labels = next.select(col("node"), col("component"))
       converged = changed == 0
       i += 1
     }

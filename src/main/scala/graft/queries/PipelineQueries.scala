@@ -85,9 +85,15 @@ object PipelineQueries {
     QDef("q70_contamination",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // checkpointed: the (doc_id, g) stream feeds BOTH the benchmark
+        // side and the probe side — without the cut the tokenize+8-gram
+        // subtree executes once per reference (at production scale the
+        // bench grams come from a separate small eval corpus, so the
+        // dual use of one subtree is a fixture artifact)
         val grams = docs
           .select(col("doc_id"), tokens(col("text")).as("toks"))
           .select(col("doc_id"), explode(ngramHashes(col("toks"), 8)).as("g"))
+          .localCheckpoint()
         val bench = grams.filter(col("doc_id") % 31 === 0)
           .select(col("g")).distinct()
         val hits = grams.filter(col("doc_id") % 31 =!= 0)
@@ -137,17 +143,43 @@ object PipelineQueries {
 
     // Sequence packing (concat-and-chunk): per language stream, docs in
     // id order are concatenated and cut into fixed 2048-token training
-    // sequences; each doc learns its sequence id and token offset. One
-    // window pass per language partition — the running sum is the only
-    // state, so the plan is a single shuffle+sort on (lang, doc_id),
-    // which AQE splits on skewed languages.
+    // sequences; each doc learns its sequence id and token offset.
+    // Two-level prefix sum (the q75 shuffle-order pattern): a naive
+    // `Window.partitionBy(lang)` running sum puts an entire language in
+    // ONE task — at 100 TB the `en` partition is most of the corpus on
+    // a single executor, and nothing (not AQE — its skew handling covers
+    // joins/rebalance, not window partitions) can split it. Instead:
+    // shard = doc_id block (monotone in the sort key, so shard-major
+    // order IS doc_id order), per-shard running sums in parallel, and a
+    // broadcast of O(#shards) per-shard prefix offsets. Identical
+    // answer, bounded tasks. PACK_SHARD_DOCS sizes a shard; at scale
+    // pick it so #shards stays O(10^3-10^4) per language (the offsets
+    // window is the only serial step, one row per shard).
     QDef("q72_pack_sequences",
       (s, dir) => {
-        val w = Window.partitionBy("lang").orderBy("doc_id")
+        val shardDocs = 64L // small so sf0.001 already exercises multi-shard
+        // narrow (id, lang, n_tokens, shard) frame, checkpointed so the
+        // tokenize subtree runs once for both levels (PLANS.md lesson:
+        // self-referenced subtrees re-execute per reference)
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("shard", floor(col("doc_id") / lit(shardDocs)).cast("long"))
+          .localCheckpoint()
+        val inShard = Window.partitionBy("lang", "shard").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.documents(s, dir)
-          .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
-          .withColumn("prev", coalesce(sum("n_tokens").over(w), lit(0L)))
+        // one row per (lang, shard); the cumulative-offset window runs
+        // over #shards rows, not the corpus
+        val offW = Window.partitionBy("lang").orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = t.groupBy(col("lang"), col("shard"))
+          .agg(sum("n_tokens").as("c"))
+          .withColumn("off", coalesce(sum("c").over(offW), lit(0L)))
+          .select(col("lang"), col("shard"), col("off"))
+        t.withColumn("local_prev",
+            coalesce(sum("n_tokens").over(inShard), lit(0L)))
+          .join(broadcast(offsets), Seq("lang", "shard"))
+          .withColumn("prev", col("off") + col("local_prev"))
           .select(col("doc_id"), col("lang"), col("n_tokens"),
             floor(col("prev") / lit(2048)).cast("long").as("seq_id"),
             (col("prev") % 2048).as("seq_offset"))
@@ -174,7 +206,10 @@ object PipelineQueries {
         val docs = Tables.documents(s, dir)
           .withColumn("toks", tokens(col("text")))
         val nTok = size(col("toks"))
-        val meanTokLen = aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+        // sum of token lengths == chars of the concatenation: closed-form
+        // codegen'd arithmetic instead of an interpreted per-token
+        // `aggregate` lambda (~100-300 ns/element, PLANS.md lesson #1)
+        val meanTokLen = length(array_join(col("toks"), ""))
           .cast("double") / nTok.cast("double")
         val symbolRatio = length(regexp_replace(col("text"),
           lit("[A-Za-z0-9 ]"), lit(""))).cast("double") /

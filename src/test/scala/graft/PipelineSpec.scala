@@ -43,6 +43,48 @@ class PipelineSpec extends SparkSpec {
     assert(n8.toSeq === Seq(0, 0, 0))
   }
 
+  test("connected components matches union-find on a random graph") {
+    // seeded random graph: 120 nodes, 90 edges → a mix of chains,
+    // merged clusters, and untouched nodes; reference answer from a
+    // driver-side union-find
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(90)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val want = nodes.map(n => n -> find(n)).toMap
+    val got = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("sequence packing: two-level shard sum equals the naive window") {
+    // the declared q72 (shard + broadcast offsets) must be value-equal
+    // to the straightforward per-language running-sum window it replaces
+    val dir = "/root/testdata/sf0.001"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("prev", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor(col("prev") / lit(2048)).cast("long").as("seq_id"),
+        (col("prev") % 2048).as("seq_offset"))
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val sharded = SparkEntry.queries("q72_pack_sequences")(spark, dir)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(sharded === naive)
+  }
+
   test("sequence packing: offsets and ids reconstruct the running sum") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q72_pack_sequences")(spark, dir)
