@@ -300,6 +300,54 @@ object DomainQueries4 {
         |    AS was_reversed,
         |  to_json(stored) AS stored_path,
         |  to_json(valid) AS repaired_path
-        |FROM w""".stripMargin))
+        |FROM w""".stripMargin)),
+
+    // §3.2 pending-txn submit lifecycle
+    // (ref: src/be_db_pending_txn.erl:133-206): one poll round over the
+    // received backlog — decode failures dead-letter, the rest go
+    // pending with decoded fields — then the async submit results land:
+    // ok → cleared, duplicate_key → untouched, error → failed with the
+    // reason. Results are derived deterministically from pending_id so
+    // the whole replay is oracle-expressible; updated_at proves the
+    // touch-on-transition semantics (t1 = submit, t2 = result).
+    QDef("q76_pending_lifecycle",
+      (s, _) => {
+        import graft.ops.PendingTxnLifecycle._
+        val raw = s.read.parquet(s"${FixtureGen.FixtureDir}/pending_txns.parquet")
+        val (t1, t2) = (lit(1600010000L), lit(1600020000L))
+        val p1 = submitRound(init(raw), t1)
+        val results = p1.filter(col("status") === Pending)
+          .select(col("pending_id"),
+            when(col("pending_id") % 5 === 1, lit("txn_queue_full"))
+              .when(col("pending_id") % 5 === 2, lit("duplicate_key"))
+              .otherwise(lit("ok")).as("result"))
+        applyResults(p1, results, t2)
+          .select(col("pending_id"), col("status"), col("failed_reason"),
+            get_json_object(col("fields"), "$.type").as("txn_type"),
+            get_json_object(col("fields"), "$.nonce").cast("long").as("nonce"),
+            col("updated_at"))
+      },
+      Some(s"""WITH p0 AS (
+        |  SELECT pending_id, TRY_CAST(data AS VARCHAR) AS raw
+        |  FROM read_parquet('${FixtureGen.FixtureDir}/pending_txns.parquet/*.parquet')),
+        |d AS (
+        |  SELECT pending_id,
+        |    CASE WHEN raw IS NOT NULL AND position('TXNPB;' IN raw) = 1
+        |      THEN raw END AS txt
+        |  FROM p0)
+        |SELECT pending_id,
+        |  CASE WHEN txt IS NULL THEN 'failed'
+        |       WHEN pending_id % 5 = 1 THEN 'failed'
+        |       WHEN pending_id % 5 = 2 THEN 'pending'
+        |       ELSE 'cleared' END AS status,
+        |  CASE WHEN txt IS NULL THEN 'decoding_failure'
+        |       WHEN pending_id % 5 = 1 THEN 'txn_queue_full'
+        |       ELSE '' END AS failed_reason,
+        |  regexp_extract(txt, 'type=([^;]+)', 1) AS txn_type,
+        |  CAST(regexp_extract(txt, 'nonce=([0-9]+)', 1) AS BIGINT) AS nonce,
+        |  CAST(CASE WHEN txt IS NULL THEN 1600010000
+        |       WHEN pending_id % 5 = 2 THEN 1600010000
+        |       ELSE 1600020000 END AS BIGINT) AS updated_at
+        |FROM d""".stripMargin))
   )
 }
