@@ -19,21 +19,25 @@ import org.apache.spark.sql.functions._
   * driver only ever sees the single convergence COUNTER per round,
   * never row data. Each round is `localCheckpoint`ed to cut lineage —
   * without the cut, round k re-executes rounds 1..k-1 (and Catalyst
-  * re-analysis goes quadratic). For graphs with long chains at massive
-  * scale the alternating large-star/small-star algorithm (Kiveris et
-  * al., "Connected Components in MapReduce", SoCC'14) converges in
-  * O(log n) rounds; for dedup clusters plain propagation wins on
-  * constant factors.
+  * re-analysis goes quadratic). For dedup clusters plain propagation
+  * wins on constant factors; if it has NOT converged within
+  * `starFallbackAfter` rounds the component diameter is large (a chain,
+  * not a clique) and [[run]] switches to [[runStarContraction]], whose
+  * round count is O(log n) regardless of diameter.
   */
 object ConnectedComponents {
 
   /** @param edges two-column DataFrame of undirected edges
+    * @param starFallbackAfter if plain propagation has not converged in
+    *        this many rounds the graph has a long-diameter component
+    *        (not a dedup clique); switch to [[runStarContraction]],
+    *        which converges in O(log n) rounds regardless of diameter
     * @return (node, component) — component = min node id reachable;
     *         only nodes that appear in `edges` (callers left-join to
     *         recover singletons, saving a full-corpus shuffle here)
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-          maxIter: Int = 25): DataFrame = {
+          maxIter: Int = 25, starFallbackAfter: Int = 8): DataFrame = {
     val both = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val sym = both.union(both.select(col("dst").as("src"), col("src").as("dst")))
@@ -43,7 +47,8 @@ object ConnectedComponents {
       .localCheckpoint()
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    val bound = math.min(maxIter, starFallbackAfter)
+    while (!converged && i < bound) {
       // neighbor labels flow along edges; a node's next label is the min
       // of its own and everything it heard. The node's PREVIOUS label
       // rides through the same aggregation (only the self row carries a
@@ -65,6 +70,73 @@ object ConnectedComponents {
       converged = changed == 0
       i += 1
     }
-    labels
+    if (converged) labels
+    else runStarContraction(edges, srcCol, dstCol, maxIter)
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * O(log n)-round algorithm for graphs whose components have long
+    * chains, where per-round label propagation would need diameter
+    * rounds. Each star operation is one groupBy-min plus one join, both
+    * keyed on node id, and provably shrinks the graph toward a forest
+    * of stars centered at each component's minimum; at the fixpoint
+    * every edge is (node → component-min) directly.
+    */
+  def runStarContraction(edges: DataFrame, srcCol: String, dstCol: String,
+                         maxIter: Int = 30): DataFrame = {
+    // large-star: every node u computes m = min(Γ(u) ∪ {u}) and rewires
+    // its LARGER neighbors v > u to m
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      sym.join(mins, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    // small-star: edges oriented child-is-larger; every node u rewires
+    // its smaller neighborhood (and itself) to its minimum neighbor
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val mins = or.groupBy("a").agg(min("b").as("m"))
+      val rewired = or.join(mins, "a")
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+      rewired.union(mins.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    // O(1) driver state per round: (count, hash-XOR) edge-set signature
+    // (XOR, not sum: order-free over the distinct edge set and immune
+    // to ANSI-mode long-overflow)
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val nodes = edges
+      .select(col(srcCol).cast("long").as("node"))
+      .union(edges.select(col(dstCol).cast("long").as("node")))
+      .distinct().localCheckpoint()
+    var e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    var sig = signature(e)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val next = signature(e)
+      converged = next == sig
+      sig = next
+      i += 1
+    }
+    // fixpoint edges point child → component-min; minima (and isolated
+    // self-loop-only nodes) label themselves
+    nodes.join(e.select(col("a").as("node"), col("b").as("component")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 }

@@ -25,6 +25,17 @@ object Dedup {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** Array of per-band LSH keys over a minhash signature column: band
+    * k's key = xxhash64(k, mh[k·r+1 .. k·r+r]) — one long per band.
+    * Shared with the streaming variant (streaming/StreamDedup) so batch
+    * and stream bucket identically.
+    */
+  private[graft] def bandKeyArray(mh: Column, numBands: Int,
+                                  rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)), k =>
+      xxhash64((k +: (0 until rowsPerBand).map(r =>
+        element_at(mh, k * rowsPerBand + r + 1))): _*))
+
   /** Exact dedup by content hash: one row per distinct content with the
     * canonical (minimum) id and the duplicate count.
     */
@@ -74,11 +85,8 @@ object Dedup {
       .localCheckpoint()
     // Band key = xxhash64 of the band's rowsPerBand signature values —
     // a single long shuffle key per (doc, band).
-    val bands = sig.select(col("doc_id"), explode(
-      transform(sequence(lit(0), lit(numBands - 1)), k =>
-        xxhash64((k +: (0 until rowsPerBand).map(r =>
-          element_at(col("mh"), k * rowsPerBand + r + 1))): _*)))
-      .as("bk"))
+    val bands = sig.select(col("doc_id"),
+      explode(bandKeyArray(col("mh"), numBands, rowsPerBand)).as("bk"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

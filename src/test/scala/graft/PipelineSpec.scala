@@ -43,13 +43,8 @@ class PipelineSpec extends SparkSpec {
     assert(n8.toSeq === Seq(0, 0, 0))
   }
 
-  test("connected components matches union-find on a random graph") {
-    // seeded random graph: 120 nodes, 90 edges → a mix of chains,
-    // merged clusters, and untouched nodes; reference answer from a
-    // driver-side union-find
-    val rnd = new scala.util.Random(42)
-    val edges = Seq.fill(90)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
-      .filter { case (a, b) => a != b }
+  /** Driver-side union-find reference answer. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElse(x, x)
@@ -59,11 +54,45 @@ class PipelineSpec extends SparkSpec {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
-    val want = nodes.map(n => n -> find(n)).toMap
+    edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(n => n -> find(n)).toMap
+  }
+
+  test("connected components matches union-find on a random graph") {
+    // seeded random graph: 120 nodes, 90 edges → a mix of chains,
+    // merged clusters, and untouched nodes
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(90)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
     val got = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
       .as[(Long, Long)].collect().toMap
-    assert(got === want)
+    assert(got === ufComponents(edges))
+  }
+
+  test("star contraction matches union-find on chains and random graphs") {
+    // a 40-node path with shuffled ids (diameter 39 — propagation's
+    // worst case, star contraction's home turf) plus a random graph
+    val perm = new scala.util.Random(7).shuffle((1L to 40L).toList)
+    val chain = perm.sliding(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val rnd = new scala.util.Random(11)
+    val rand = Seq.fill(60)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    for (edges <- Seq(chain, rand)) {
+      val got = ConnectedComponents
+        .runStarContraction(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got === ufComponents(edges))
+    }
+  }
+
+  test("run() falls back to star contraction past the diameter bound") {
+    // diameter 39 >> starFallbackAfter=2: propagation cannot converge,
+    // the fallback must still produce the exact answer
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val got = ConnectedComponents.run(chain.toDF("a", "b"), "a", "b",
+        starFallbackAfter = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (1L to 40L).map(_ -> 1L).toMap)
   }
 
   test("sequence packing: two-level shard sum equals the naive window") {

@@ -45,4 +45,76 @@ class StreamDedupSpec extends SparkSpec {
     // attributed to id 2, not re-emitted for id 3
     assert(got === batch)
   }
+
+  test("firstSeen with a TTL behaves identically while state is live") {
+    // TTL far beyond the drain: semantics must match the no-TTL path
+    // (expiry itself is a documented recall trade, inherently
+    // wall-clock-dependent, so it is not asserted here)
+    val src = Files.createTempDirectory("sdedupttl").toString
+    Seq((1L, "alpha text"), (2L, "beta text"))
+      .toDF("doc_id", "text").write.parquet(s"$src/b1.parquet")
+    Seq((3L, "beta text"), (4L, "gamma text"))
+      .toDF("doc_id", "text").write.parquet(s"$src/b2.parquet")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*.parquet")
+    // NOT AvailableNow / processAllAvailable: a registered
+    // processing-time timeout keeps the query scheduling (no-data)
+    // batches until the 1 h timeout would fire, so neither termination
+    // nor processAllAvailable ever settles. Run a real trigger interval
+    // (as production would) and poll the sink for the 3 expected rows.
+    val q = StreamDedup
+      .firstSeen(stream.toDF(), "doc_id", "text", ttlMillis = Some(3600L * 1000))
+      .toDF("content_hash", "canonical_id")
+      .writeStream.format("memory").queryName("sdedupttl")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    val deadline = System.currentTimeMillis + 120000
+    while (spark.table("sdedupttl").count() < 3 &&
+      System.currentTimeMillis < deadline) Thread.sleep(250)
+    q.stop()
+    val got = spark.table("sdedupttl").as[(String, Long)].collect().toMap
+    assert(got.values.toSet === Set(1L, 2L, 4L))
+    assert(got.size === 3)
+  }
+
+  test("streaming near-dup bands flag cross-batch near-duplicates like batch LSH") {
+    val base = (0 until 30).map(i => f"w$i%02d").mkString(" ")
+    val near = (0 until 30).map(i => if (i == 29) "CHANGED" else f"w$i%02d")
+      .mkString(" ")
+    val other = (100 until 130).map(i => f"x$i%03d").mkString(" ")
+    val other2 = (200 until 230).map(i => f"y$i%03d").mkString(" ")
+    val src = Files.createTempDirectory("snear").toString
+    Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+      .write.parquet(s"$src/b1.parquet")
+    Seq((3L, near), (4L, other2)).toDF("doc_id", "text")
+      .write.parquet(s"$src/b2.parquet")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*.parquet")
+    val q = StreamDedup.nearDupBands(stream.toDF(), "doc_id", "text")
+      .toDF("doc_id", "matched_id", "jaccard")
+      .writeStream.format("memory").queryName("snear")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // per-doc resolution: a doc can match in several bands
+    val flagged = spark.table("snear")
+      .groupBy("doc_id").agg(min("matched_id").as("matched_id"),
+        max("jaccard").as("jaccard"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(flagged.keySet === Set(3L), s"only the near-dup flags: $flagged")
+    assert(flagged(3L)._1 === 1L)
+    assert(flagged(3L)._2 >= 0.8)
+    // cross-check: the batch LSH operator finds exactly the same pair
+    // on the union of both batches
+    val batchPairs = graft.ops.Dedup.nearDupMinhash(
+        Seq((1L, base), (2L, other), (3L, near), (4L, other2))
+          .toDF("doc_id", "text"), "doc_id", "text", threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(batchPairs === Set((1L, 3L)))
+  }
 }
