@@ -82,6 +82,68 @@ class PendingTxnLifecycleSpec extends SparkSpec {
     assert(touched(5L) === 10L, "no result yet")
   }
 
+  test("random event sequences match a driver-side interpreter") {
+    // property-style: 30 txns (some corrupt), 12 random rounds of
+    // submit / results / resubmit, checked against a straightforward
+    // in-memory interpretation of the reference's statement semantics
+    val rnd = new scala.util.Random(99)
+    val txns = (1L to 30L).map { id =>
+      val data = if (rnd.nextInt(6) == 0) Array[Byte](9, 9)
+        else wire("payment_v2", id.toInt)
+      (id, 100L + id, data)
+    }
+    val decodable = txns.filter(_._3.startsWith("TXNPB;".getBytes("US-ASCII")))
+      .map(_._1).toSet
+    // model state: id -> (status, failed_reason)
+    val model = scala.collection.mutable.Map[Long, (String, String)]()
+    txns.foreach { case (id, _, _) => model(id) = (Received, null) }
+    var df = init(txns.toDF("pending_id", "created_at", "data"))
+    for (round <- 1 to 12) {
+      val t = lit(1000L + round)
+      rnd.nextInt(3) match {
+        case 0 => // poll round
+          df = submitRound(df, t)
+          val received = model.collect { case (id, (st, _)) if st == Received => id }.toSeq
+          received.foreach { id =>
+            model(id) = if (decodable(id)) (Pending, "")
+              else (Failed, "decoding_failure")
+          }
+        case 1 => // async results for a random subset of pending rows
+          val pend = model.collect { case (id, (st, _)) if st == Pending => id }
+          val res = pend.filter(_ => rnd.nextBoolean()).toSeq.map { id =>
+            (id, rnd.nextInt(3) match {
+              case 0 => "ok"
+              case 1 => "duplicate_key"
+              case _ => "some_error"
+            })
+          }
+          if (res.nonEmpty) {
+            df = applyResults(df, res.toDF("pending_id", "result"), t)
+            res.foreach {
+              case (id, "ok") => model(id) = (Cleared, "")
+              case (id, "duplicate_key") =>
+              case (id, err) if model(id)._1 != Cleared => model(id) = (Failed, err)
+              case _ =>
+            }
+          }
+        case 2 => // user resubmits a random subset of failed rows
+          val failed = model.collect { case (id, (st, _)) if st == Failed => id }
+          val ids = failed.filter(_ => rnd.nextBoolean()).toSeq
+          if (ids.nonEmpty) {
+            df = resubmit(df, ids.map(Tuple1(_)).toDF("pending_id"), t)
+            ids.foreach(id => model(id) = (Received, null))
+          }
+      }
+      // cut lineage: 12 rounds of chained joins would otherwise make
+      // Catalyst re-analysis quadratic (PLANS.md lesson #4)
+      df = df.localCheckpoint()
+    }
+    val got = statuses(df)
+    val want = model.toMap.map { case (id, (st, fr)) =>
+      id -> (st, if (fr == null) "<null>" else fr) }
+    assert(got === want)
+  }
+
   test("init round (crash recovery) re-submits in-flight pending rows") {
     val state = Seq(
       (1L, 100L, wire("payment_v2", 1), Received, null.asInstanceOf[String],
