@@ -32,7 +32,9 @@ object TextQueries {
             round(size(array_distinct(col("toks"))).cast("double") /
               size(col("toks")).cast("double"), 6).as("ttr"),
             round(wordSetRatio(col("toks"), Seq("the", "a")), 6).as("stop_ratio"),
-            round(aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+            // closed-form: sum of token lengths == chars of the
+            // concatenation (codegen'd, vs interpreted per-token lambda)
+            round(length(array_join(col("toks"), ""))
               .cast("double") / size(col("toks")).cast("double"), 6)
               .as("avg_token_len"))
       },
