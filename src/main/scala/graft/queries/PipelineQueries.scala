@@ -286,6 +286,45 @@ object PipelineQueries {
               |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
               |FROM d""".stripMargin)),
 
+    // Repetition filter — the Gopher-style duplicate-n-gram gate, the
+    // quality rule q74's ratio heuristics do NOT cover: a doc whose
+    // 2/3-grams repeat heavily (boilerplate, keyword stuffing, looped
+    // generation) passes length/symbol checks but is near-worthless for
+    // training. dup ratio = 1 - distinct/total n-grams, 0 for docs
+    // shorter than n. One scan, all codegen'd builtins (the distinct
+    // count reuses the same md5 gram hashing as q70, so the DuckDB twin
+    // is exact); at 100 TB this composes with q74 in the same first
+    // filter stage — still zero shuffles.
+    QDef("q77_repetition_filter",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("toks", tokens(col("text")))
+        def dupRatio(n: Int): org.apache.spark.sql.Column = {
+          val total = size(col("toks")) - (n - 1)
+          when(total <= 0, lit(0.0)).otherwise(
+            lit(1.0) - size(ngramHashes(col("toks"), n)).cast("double") /
+              total.cast("double"))
+        }
+        docs.select(col("doc_id"),
+          round(dupRatio(2), 6).as("dup2_ratio"),
+          round(dupRatio(3), 6).as("dup3_ratio"),
+          (round(dupRatio(2), 6) <= 0.2 && round(dupRatio(3), 6) <= 0.18)
+            .as("pass"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |m AS (SELECT doc_id,
+              |  CASE WHEN len(toks) - 1 <= 0 THEN 0.0
+              |    ELSE 1.0 - len(${ngramSql(2)})::DOUBLE / (len(toks) - 1)
+              |  END AS d2,
+              |  CASE WHEN len(toks) - 2 <= 0 THEN 0.0
+              |    ELSE 1.0 - len(${ngramSql(3)})::DOUBLE / (len(toks) - 2)
+              |  END AS d3
+              |  FROM t)
+              |SELECT doc_id, round(d2, 6) AS dup2_ratio,
+              |  round(d3, 6) AS dup3_ratio,
+              |  (round(d2, 6) <= 0.2 AND round(d3, 6) <= 0.18) AS pass
+              |FROM m""".stripMargin)),
+
     // Corpus length quantiles per language — the shard-sizing /
     // truncation-budget statistic. Exact interpolated percentiles
     // (Spark `percentile` ≡ DuckDB `quantile_cont`); at 100 TB the

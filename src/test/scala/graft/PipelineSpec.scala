@@ -144,6 +144,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("repetition filter: looped text fails, diverse text passes") {
+    val docs = Seq(
+      (1L, Seq.fill(20)("spam").mkString(" "), "en", "s", 99L),
+      (2L, (0 until 20).map(i => s"tok$i").mkString(" "), "en", "s", 99L),
+      (3L, "ab", "en", "s", 2L)) // shorter than any n-gram → ratio 0
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("rep").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q77_repetition_filter")(spark, tmp)
+      .select("doc_id", "dup2_ratio", "pass")
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 > 0.9 && !got(1L)._2, "all-spam doc must fail")
+    assert(got(2L) === ((0.0, true)), "all-distinct doc must pass")
+    assert(got(3L) === ((0.0, true)), "sub-n-gram doc is vacuously clean")
+  }
+
   test("contamination: benchmark docs excluded, planted overlap found") {
     // doc 0 (0 % 31 == 0) is benchmark; doc 1 copies 8+ of its tokens
     // verbatim, doc 2 shares nothing
