@@ -325,6 +325,61 @@ object PipelineQueries {
               |  (round(d2, 6) <= 0.2 AND round(d3, 6) <= 0.18) AS pass
               |FROM m""".stripMargin)),
 
+    // Unigram negative-log-likelihood scoring — the LM-proxy quality
+    // signal (the cheap stand-in for perplexity filtering): score each
+    // doc by the mean -ln p(token) under the corpus's own unigram
+    // distribution; gibberish and OOV-heavy docs score high. Scale
+    // shape: one vocab aggregation (top 50k by count, deterministic
+    // tie-break) broadcast back at the token stream — the corpus side
+    // sees one broadcast join plus the per-doc aggregation, no wide
+    // vocab shuffle. Per-token costs are quantized to integer
+    // milli-nats BEFORE aggregation so the per-doc sum is an exact
+    // long sum — float summation order can never diverge between
+    // engines.
+    QDef("q78_unigram_logprob",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // checkpointed: feeds both the vocab aggregation and the probe
+        val toksDf = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .localCheckpoint()
+        val freq = toksDf.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val totalDf = freq.agg(sum("cnt").as("total"))
+        val vocab = freq.orderBy(col("cnt").desc, col("tok")).limit(50000)
+        val p = when(col("cnt").isNotNull,
+          col("total").cast("double") / col("cnt").cast("double"))
+          .otherwise(col("total").cast("double") * 2.0) // OOV: p = 1/(2N)
+        val scored = toksDf
+          .join(broadcast(vocab), Seq("tok"), "left")
+          .crossJoin(broadcast(totalDf))
+          .withColumn("mnat", floor(lit(1000.0) * log(p)).cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("mnat")).cast("double") /
+              count(lit(1)).cast("double") / 1000.0, 6).as("mean_nll"))
+        docs.select(col("doc_id"))
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+              |f AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok),
+              |tot AS (SELECT sum(cnt) AS total FROM f),
+              |v AS (SELECT tok, cnt FROM f ORDER BY cnt DESC, tok LIMIT 50000),
+              |s AS (SELECT e.doc_id, count(*) AS n_tokens,
+              |  round(sum(CAST(floor(1000.0 * ln(CASE
+              |      WHEN v.cnt IS NOT NULL THEN tot.total::DOUBLE / v.cnt
+              |      ELSE tot.total::DOUBLE * 2.0 END)) AS BIGINT))::DOUBLE
+              |    / count(*) / 1000.0, 6) AS mean_nll
+              |  FROM e LEFT JOIN v USING (tok) CROSS JOIN tot
+              |  GROUP BY e.doc_id)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+              |  coalesce(s.mean_nll, 0.0) AS mean_nll
+              |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin)),
+
     // Corpus length quantiles per language — the shard-sizing /
     // truncation-budget statistic. Exact interpolated percentiles
     // (Spark `percentile` ≡ DuckDB `quantile_cont`); at 100 TB the

@@ -161,6 +161,22 @@ class PipelineSpec extends SparkSpec {
     assert(got(3L) === ((0.0, true)), "sub-n-gram doc is vacuously clean")
   }
 
+  test("unigram NLL: rare-token docs score above common-token docs") {
+    val docs = Seq(
+      (1L, Seq.fill(20)("common").mkString(" "), "en", "s", 99L),
+      (2L, (0 until 20).map(i => s"rare$i").mkString(" "), "en", "s", 99L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("nll").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q78_unigram_logprob")(spark, tmp)
+      .select("doc_id", "mean_nll").as[(Long, Double)].collect().toMap
+    // corpus = 40 tokens: 'common' ×20 (p=.5, nll=ln 2), rare ×1 each
+    // (p=1/40, nll=ln 40)
+    assert(math.abs(got(1L) - math.log(2)) < 0.002, s"common doc: $got")
+    assert(math.abs(got(2L) - math.log(40)) < 0.002, s"rare doc: $got")
+    assert(got(2L) > got(1L))
+  }
+
   test("contamination: benchmark docs excluded, planted overlap found") {
     // doc 0 (0 % 31 == 0) is benchmark; doc 1 copies 8+ of its tokens
     // verbatim, doc 2 shares nothing
