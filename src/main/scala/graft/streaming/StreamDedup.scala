@@ -80,6 +80,12 @@ object StreamDedup {
     * A doc may match in several bands → one row per matching band;
     * downstream resolves per-doc with a groupBy min (the drain is
     * already keyed by doc). Emitted: (doc_id, matched_id, jaccard).
+    * Note the band-local attribution: a doc flagged (discarded) via
+    * band X may still sit in band Y's retained entries, so a later
+    * match can attribute to an already-discarded doc. For FILTERING
+    * that is correct — near-duplication is transitive enough at these
+    * thresholds — and canonical attribution, when needed, is the batch
+    * ConnectedComponents pass over the emitted pairs.
     */
   def nearDupBands(docs: DataFrame, idCol: String, textCol: String,
                    numBands: Int = 12, rowsPerBand: Int = 2,
