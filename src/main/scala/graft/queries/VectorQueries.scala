@@ -129,6 +129,43 @@ object VectorQueries {
               |FROM e a JOIN e b ON a.vec_id < b.vec_id
               |WHERE ${cosSql("a.v", "b.v")} >= 0.4""".stripMargin)),
 
+    // Semantic dedup clusters — q29's exact cosine near-dup pairs
+    // closed into connected components, one canonical (minimum-id)
+    // vector kept per cluster: the embedding-space twin of the text
+    // pipeline's q69. Same scale story as both parents: O(n·T) tiled
+    // pair mining, then diameter-bounded Pregel rounds (star-contraction
+    // fallback for chain-shaped clusters), singletons recovered by a
+    // left join instead of shuffling the full corpus through CC.
+    QDef("q79_embed_clusters",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val pairs = nearDupExactTiled(emb, "vec_id", "embedding", 0.4)
+        val comp = graft.ops.ConnectedComponents
+          .run(pairs, "vec_a", "vec_b")
+          .withColumnRenamed("node", "vec_id")
+        emb.select(col("vec_id"))
+          .join(comp, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("component"), col("vec_id")).as("cluster_id"))
+          .withColumn("keep", col("vec_id") === col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE e0 AS (SELECT vec_id, $vSql AS v FROM embeddings),
+              |p AS (
+              |  SELECT a.vec_id AS va, b.vec_id AS vb
+              |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+              |  WHERE ${cosSql("a.v", "b.v")} >= 0.4),
+              |e AS (SELECT va AS a, vb AS b FROM p
+              |      UNION SELECT vb, va FROM p),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM e
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+              |cl AS (SELECT a AS vec_id, min(b) AS mn FROM reach GROUP BY a)
+              |SELECT m.vec_id,
+              |  least(m.vec_id, coalesce(cl.mn, m.vec_id)) AS cluster_id,
+              |  m.vec_id = least(m.vec_id, coalesce(cl.mn, m.vec_id)) AS keep
+              |FROM embeddings m LEFT JOIN cl USING (vec_id)""".stripMargin)),
+
     // IVF probed search with real k-means centroids (deterministic
     // k-means++ over a SEEDED BOUNDED sample — a distributed TakeOrdered
     // of 512 vectors, never a full-table collect) and multiprobe 4:

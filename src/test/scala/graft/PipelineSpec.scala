@@ -161,6 +161,24 @@ class PipelineSpec extends SparkSpec {
     assert(got(3L) === ((0.0, true)), "sub-n-gram doc is vacuously clean")
   }
 
+  test("embed clusters: pair endpoints co-clustered, one keep per cluster") {
+    val dir = "/root/testdata/sf0.001"
+    val clusters = SparkEntry.queries("q79_embed_clusters")(spark, dir)
+      .select("vec_id", "cluster_id", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    val byId = clusters.map(c => c._1 -> c._2).toMap
+    val pairs = SparkEntry.queries("q29_embed_neardup")(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byId(a) === byId(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._3) === 1, s"cluster $cid keep count")
+      assert(members.map(_._1).min === cid, s"cluster $cid id not min")
+    }
+  }
+
   test("unigram NLL: rare-token docs score above common-token docs") {
     val docs = Seq(
       (1L, Seq.fill(20)("common").mkString(" "), "en", "s", 99L),
