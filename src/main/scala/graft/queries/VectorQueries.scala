@@ -132,16 +132,19 @@ object VectorQueries {
     // Semantic dedup clusters — q29's exact cosine near-dup pairs
     // closed into connected components, one canonical (minimum-id)
     // vector kept per cluster: the embedding-space twin of the text
-    // pipeline's q69. Same scale story as both parents: O(n·T) tiled
-    // pair mining, then diameter-bounded Pregel rounds (star-contraction
-    // fallback for chain-shaped clusters), singletons recovered by a
-    // left join instead of shuffling the full corpus through CC.
+    // pipeline's q69. Unlike text near-dup cliques (diameter 1-2 →
+    // label propagation), a low-threshold cosine graph is CHAIN-shaped
+    // because cosine is not transitive — measured here: diameter ~22 at
+    // sf0.1 — so this goes straight to the O(log n)-round
+    // star-contraction instead of paying propagation rounds first.
+    // Singletons recovered by a left join instead of shuffling the full
+    // corpus through CC.
     QDef("q79_embed_clusters",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val pairs = nearDupExactTiled(emb, "vec_id", "embedding", 0.4)
         val comp = graft.ops.ConnectedComponents
-          .run(pairs, "vec_a", "vec_b")
+          .runStarContraction(pairs, "vec_a", "vec_b")
           .withColumnRenamed("node", "vec_id")
         emb.select(col("vec_id"))
           .join(comp, Seq("vec_id"), "left")
