@@ -518,8 +518,52 @@ object FixtureGen {
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$FixtureDir/media.parquet")
 
+    // raw_docs — paragraph-structured web-crawl stand-in for the
+    // pipeline operators the word-soup `documents` table cannot
+    // exercise: paragraphs separated by \n\n, a boilerplate sub-pool
+    // repeated across documents (paragraph-level dedup), and
+    // deterministic planted PII (emails, phone numbers, IPv4s) and
+    // URLs (redaction + domain-blocklist filters). All content is
+    // simple ASCII so the Java-regex (Spark) and RE2 (DuckDB) engines
+    // agree on every pattern used against it.
+    val rdWords = Seq("alpha", "beta", "gamma", "delta", "metric", "signal",
+      "data", "model", "train", "token", "sample", "batch", "corpus",
+      "filter", "shard", "query", "index", "vector", "graph", "node")
+    def rdSentence(rnd: Random): String =
+      (0 until (6 + rnd.nextInt(8))).map(_ =>
+        rdWords(rnd.nextInt(rdWords.size))).mkString(" ")
+    def rdParagraph(k: Int): String = {
+      val rnd = new Random(1000 + k) // per-paragraph deterministic
+      val sents = (0 until (2 + rnd.nextInt(3))).map(_ => rdSentence(rnd))
+      val extras = mutable.Buffer[String]()
+      if (k % 4 == 0) extras += s"contact user$k@example${k % 5}.com now"
+      if (k % 5 == 1) extras += s"call +1-415-555-${1000 + k} today"
+      if (k % 6 == 2)
+        extras += s"host 10.${k % 256}.${(k * 7) % 256}.${(k * 13) % 256} up"
+      if (k % 3 == 0)
+        extras += s"see https://site${k % 17}.example.com/p$k " +
+          s"and http://blog-${k % 9}.test.org/x$k"
+      (sents ++ extras).mkString(" ")
+    }
+    val paraPool = (0 until 80).map(rdParagraph)
+    val rawDocs = (0 until 200).map { d =>
+      val rnd = new Random(5000 + d)
+      val n = 2 + rnd.nextInt(5)
+      // ~30% of picks come from the 12-paragraph boilerplate pool, so
+      // cross-document duplicate paragraphs are common (as in crawls)
+      val picks = (0 until n).map { _ =>
+        if (rnd.nextInt(10) < 3) rnd.nextInt(12) else rnd.nextInt(paraPool.size)
+      }
+      (d.toLong, Seq("web", "forum", "code", "news")(d % 4),
+        picks.map(paraPool).mkString("\n\n"))
+    }
+    rawDocs.toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$FixtureDir/raw_docs.parquet")
+
     println(s"[fixtures] blocks=${blocks.size} txns=${txns.size} " +
-      s"types=${txns.map(_.typ).distinct.size} media=${media.size}")
+      s"types=${txns.map(_.typ).distinct.size} media=${media.size} " +
+      s"raw_docs=${rawDocs.size}")
     spark.stop()
   }
 }
