@@ -9,7 +9,8 @@ object SparkEntry {
   private val allDefs: Seq[QDef] =
     Relational.defs ++ TextQueries.defs ++ VectorQueries.defs ++
       DomainQueries.defs ++ DomainQueries2.defs ++ DomainQueries3.defs ++
-      DomainQueries4.defs ++ MediaQueries.defs ++ PipelineQueries.defs
+      DomainQueries4.defs ++ MediaQueries.defs ++ PipelineQueries.defs ++
+      PipelineQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 
