@@ -1,15 +1,20 @@
 package graft.queries
 
+import graft.Tables
 import graft.fixtures.FixtureGen
 import graft.functions.TextAnalysis._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Cleaning-stage pipeline operators over the paragraph-structured
-  * `raw_docs` fixture (crawl-shaped text the word-soup `documents`
-  * table cannot express): PII redaction, paragraph-level exact dedup
-  * (the Lee-et-al-style substring dedup at paragraph granularity), and
-  * URL/domain blocklist filtering.
+/** Cleaning- and mixing-stage pipeline operators: over the
+  * paragraph-structured `raw_docs` fixture (crawl-shaped text the
+  * word-soup `documents` table cannot express) — PII redaction,
+  * paragraph-level exact dedup (the Lee-et-al-style substring dedup at
+  * paragraph granularity), URL/domain blocklist filtering; and over
+  * `documents` — temperature-based language rebalancing and per-source
+  * token-budget selection (the data-mixing steps between "clean" and
+  * "emit shards").
   *
   * All regex patterns are ASCII-simple by construction so the Java
   * regex engine (Spark) and RE2 (DuckDB) agree on every match; the
@@ -36,6 +41,11 @@ object PipelineQueries2 {
     */
   private val BlockedDomains = Seq(
     "site3.example.com", "site7.example.com", "blog-2.test.org")
+
+  /** DuckDB twin of TextAnalysis.tokens (lockstep with PipelineQueries). */
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+  private def hashSql(t: String) =
+    s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
 
   val defs: Seq[QDef] = Seq(
 
@@ -178,6 +188,94 @@ object PipelineQueries2 {
            |  len(list_filter(hosts, h -> list_contains($blockLit, h))) = 0
            |    AS pass
            |FROM t""".stripMargin
-      })
+      }),
+
+    // Temperature-based language rebalancing (the multilingual mixing
+    // rule): with alpha = 0.5, language l keeps rate_l =
+    // sqrt(n_min / n_l) — the smallest language keeps everything,
+    // dominant languages are downsampled toward the flattened
+    // distribution. Rates are derived FROM the corpus in the same job
+    // (one tiny groupBy broadcast back at the scan) and acceptance is
+    // the salted content-independent hash (q71's primitive) — no RNG,
+    // reproducible across engines and partitionings. Every arithmetic
+    // step (double divide, sqrt, floor) is IEEE-754-exact, so the
+    // per-language ppm rates are bit-identical cross-engine.
+    QDef("q83_temperature_resample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        val minN = counts.agg(min("n").as("mn"))
+        val rates = counts.crossJoin(broadcast(minN))
+          .select(col("lang"),
+            floor(sqrt(col("mn").cast("double") / col("n").cast("double"))
+              * 1000000).cast("long").as("rate_ppm"))
+        val h = tokenHash(concat(lit("tmp:"), col("doc_id").cast("string")))
+        docs.join(broadcast(rates), "lang")
+          .filter(h % 1000000 < col("rate_ppm"))
+          .select(col("doc_id"), col("lang"), col("rate_ppm"))
+      },
+      Some(s"""WITH c AS (SELECT lang, count(*) AS n FROM documents
+              |  GROUP BY lang),
+              |m AS (SELECT min(n) AS mn FROM c),
+              |r AS (SELECT lang,
+              |  CAST(floor(sqrt(mn::DOUBLE / n::DOUBLE) * 1000000) AS BIGINT)
+              |    AS rate_ppm
+              |  FROM c CROSS JOIN m)
+              |SELECT d.doc_id, d.lang, r.rate_ppm
+              |FROM documents d JOIN r USING (lang)
+              |WHERE ${hashSql("'tmp:' || CAST(doc_id AS VARCHAR)")} % 1000000
+              |  < r.rate_ppm""".stripMargin)),
+
+    // Per-source token-budget selection — "take the first B tokens of
+    // each source in deterministic shuffle order": docs are ordered
+    // within source by the salted hash (a reproducible shuffle), and
+    // the greedy prefix whose preceding token count is under the
+    // budget is kept (the boundary-crossing doc is included — the
+    // training pipeline truncates it downstream). The running sum uses
+    // the q72/q75 two-level construction — shard = high hash bits
+    // (monotone in the sort key), per-shard sums in parallel, O(#shards)
+    // broadcast offsets — because a per-source window would put an
+    // entire source (most of the corpus, for a dominant crawl) into
+    // one task at 100 TB.
+    QDef("q84_token_budget_mix",
+      (s, dir) => {
+        val budget = 400L
+        val h = tokenHash(concat(lit("mix:"), col("doc_id").cast("string")))
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"),
+            h.as("h"))
+          .withColumn("shard", floor(col("h") / lit(1L << 24)).cast("long"))
+          .localCheckpoint()
+        val inShard = Window.partitionBy("source", "shard")
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offW = Window.partitionBy("source").orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = t.groupBy(col("source"), col("shard"))
+          .agg(sum("n_tokens").as("c"))
+          .withColumn("off", coalesce(sum("c").over(offW), lit(0L)))
+          .select(col("source"), col("shard"), col("off"))
+        t.withColumn("local_prev",
+            coalesce(sum("n_tokens").over(inShard), lit(0L)))
+          .join(broadcast(offsets), Seq("source", "shard"))
+          .withColumn("prev_tokens", col("off") + col("local_prev"))
+          .filter(col("prev_tokens") < budget)
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("prev_tokens"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+              |  ${hashSql("'mix:' || CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents),
+              |c AS (SELECT doc_id, source, n_tokens,
+              |  coalesce(sum(n_tokens) OVER (PARTITION BY source
+              |    ORDER BY h, doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |    AS prev_tokens
+              |  FROM t)
+              |SELECT doc_id, source, n_tokens,
+              |  CAST(prev_tokens AS BIGINT) AS prev_tokens
+              |FROM c WHERE prev_tokens < 400""".stripMargin))
   )
 }

@@ -49,6 +49,56 @@ class Pipeline2Spec extends SparkSpec {
       .count() == 0)
   }
 
+  test("q83: smallest language keeps everything, rates fall with size") {
+    val out = PipelineQueries2.defs.find(_.name == "q83_temperature_resample")
+      .get.fn(spark, "/root/testdata/sf0.001")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = out.select("lang", "rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = counts.minBy(_._2)._1
+    assert(rates(minLang) == 1000000L) // sqrt(n_min/n_min) = 1
+    // monotone: bigger language -> lower (or equal) rate
+    val ordered = rates.toSeq.sortBy { case (l, _) => counts(l) }.map(_._2)
+    assert(ordered == ordered.sorted.reverse)
+    // kept fraction per language is within 5 ppt of its rate
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates.foreach { case (l, ppm) =>
+      val frac = kept.getOrElse(l, 0L).toDouble / counts(l)
+      assert(math.abs(frac - ppm / 1e6) < 0.15, s"$l: $frac vs ${ppm / 1e6}")
+    }
+  }
+
+  test("q84: two-level prefix sum equals the naive per-source window") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val out = PipelineQueries2.defs.find(_.name == "q84_token_budget_mix")
+      .get.fn(spark, dir)
+    val h = graft.functions.TextAnalysis.tokenHash(
+      concat(lit("mix:"), col("doc_id").cast("string")))
+    val naive = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextAnalysis.tokens(col("text")))
+          .cast("long").as("n_tokens"), h.as("h"))
+      .withColumn("prev_tokens", coalesce(sum("n_tokens").over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("prev_tokens") < 400)
+      .select("doc_id", "source", "n_tokens", "prev_tokens")
+    val a = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    val b = naive.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+    // every source's selection is a prefix: max prev < budget, and the
+    // selection is non-empty for every source present in the corpus
+    val srcs = Tables.documents(spark, dir).select("source").distinct().count()
+    assert(out.select("source").distinct().count() == srcs)
+  }
+
   test("q82: blocked counts are bounded by url counts and flag correctly") {
     val out = run("q82_domain_filter")
     assert(out.filter(col("n_blocked") > col("n_urls")).count() == 0)
