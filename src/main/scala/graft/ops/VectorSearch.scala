@@ -249,6 +249,57 @@ object VectorSearch {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Product-quantization codebook (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): the vector space is cut
+    * into `m` subspaces of dims/m dimensions and each subspace gets its
+    * own k-centroid codebook, trained by the same deterministic
+    * driver-side k-means as IVF (seeded bounded sample — O(sample),
+    * never a full collect). A 64-dim float vector (256 B) compresses to
+    * m bytes (here 8) — the memory-bound regime that makes
+    * billion-vector ANN feasible at all.
+    */
+  def pqTrain(sample: Array[Array[Double]], m: Int, k: Int, iters: Int,
+              seed: Long): Array[Array[Array[Double]]] = {
+    val dsub = sample.head.length / m
+    Array.tabulate(m) { mi =>
+      val sub = sample.map(_.slice(mi * dsub, (mi + 1) * dsub))
+      kmeansCentroids(sub, k, iters, seed + mi)
+    }
+  }
+
+  /** Per-subspace PQ codes for a double-array column: code m is the
+    * centroid minimizing ||v_m - c||², computed with the inner-product
+    * expansion |c|² - 2⟨v_m, c⟩ (|v_m|² is constant within a subspace,
+    * so it cannot change the argmin) — half the expression nodes of the
+    * squared-difference form, all plain codegen'd arithmetic against
+    * literal centroid components, with deterministic centroid-index
+    * tie-break. One column per subspace.
+    */
+  def pqEncode(v: Column, codebook: Array[Array[Array[Double]]])
+      : Seq[Column] = {
+    val dsub = codebook(0)(0).length
+    codebook.zipWithIndex.map { case (cents, mi) =>
+      val cells = cents.zipWithIndex.map { case (cvec, ci) =>
+        val dotVc = cvec.zipWithIndex.map { case (cv, di) =>
+          element_at(v, mi * dsub + di + 1) * lit(cv)
+        }.reduce(_ + _)
+        val cn2 = cvec.foldLeft(0.0)((s, x) => s + x * x)
+        struct((lit(cn2) + (lit(-2.0) * dotVc)).as("d"), lit(ci).as("c"))
+      }
+      array_min(array(cells: _*)).getField("c")
+    }
+  }
+
+  /** Reconstruction of a PQ-coded vector: concatenate each subspace's
+    * centroid, looked up from the literal codebook by the code column.
+    * No float arithmetic — pure literal-array indexing.
+    */
+  def pqRecon(codes: Seq[Column], codebook: Array[Array[Array[Double]]])
+      : Column =
+    concat(codes.zipWithIndex.map { case (code, mi) =>
+      element_at(typedLit(codebook(mi).map(_.toSeq).toSeq), code + 1)
+    }: _*)
+
   /** LSH bucket keys: `bands` bands of `bitsPerBand` sign bits each.
     * Returns (id, band, key) rows — join on equal (band, key) for
     * candidates. `dims` is the (fixed) embedding dimensionality, needed

@@ -50,6 +50,13 @@ object VectorQueries {
     @volatile var sql: Option[String] = None
   }
 
+  /** q85's late-bound oracle: DuckDB replay of PQ encode + ADC ranking
+    * with the run's trained codebooks as literals.
+    */
+  private object PqOracle {
+    @volatile var sql: Option[String] = None
+  }
+
   /** Shortest-safe double literal: 17 fractional digits of scientific
     * notation round-trips any finite double, and the exponent form makes
     * DuckDB parse it as DOUBLE (a plain decimal literal would parse as
@@ -85,6 +92,45 @@ object VectorQueries {
        |SELECT vec_id, sim,
        |  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
        |FROM s ORDER BY sim DESC, vec_id ASC LIMIT $topK""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.ops.VectorSearch.pqEncode]] + reconstruction
+    * + cosine ranking with literal codebooks. Every float operation
+    * mirrors the Spark expression tree exactly: the per-centroid score is
+    * `cn2 + (-2.0 * (v[i]*c_i + ...))` with the same association order,
+    * and the reconstruction is pure literal-list indexing, so codes and
+    * approx sims are bit-identical cross-engine.
+    */
+  private def pqOracleSql(codebook: Array[Array[Array[Double]]],
+                          topK: Int): String = {
+    val dsub = codebook(0)(0).length
+    def encSql(mi: Int): String = {
+      val cells = codebook(mi).zipWithIndex.map { case (cvec, ci) =>
+        val dotVc = cvec.zipWithIndex.map { case (cv, di) =>
+          s"v[${mi * dsub + di + 1}] * ${dbl(cv)}"
+        }.mkString("(", " + ", ")")
+        val cn2 = cvec.foldLeft(0.0)((s, x) => s + x * x)
+        s"{'d': (${dbl(cn2)} + (-2.0e0 * $dotVc)), 'c': $ci}"
+      }.mkString("[", ", ", "]")
+      s"(list_sort($cells)[1]).c"
+    }
+    val reconSql = codebook.indices.map { mi =>
+      val cents = codebook(mi)
+        .map(_.map(dbl).mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      s"($cents)[c$mi + 1]"
+    }.mkString("(", " || ", ")")
+    val codeCols = codebook.indices.map(mi => s"${encSql(mi)} AS c$mi")
+      .mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+       |enc AS (SELECT vec_id, $codeCols FROM e),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |r AS (SELECT vec_id, $reconSql AS recon
+       |      FROM enc WHERE vec_id <> 0),
+       |s AS (SELECT vec_id, round(${cosSql("recon", "qv")}, 6) AS approx_sim
+       |      FROM r, q)
+       |SELECT vec_id, approx_sim,
+       |  row_number() OVER (ORDER BY approx_sim DESC, vec_id ASC) AS rank
+       |FROM s ORDER BY approx_sim DESC, vec_id ASC LIMIT $topK""".stripMargin
   }
 
   val defs: Seq[QDef] = Seq(
@@ -207,6 +253,45 @@ object VectorQueries {
       },
       None,
       Some(() => IvfOracle.sql)),
+
+    // Product-quantization ANN (Jégou et al., TPAMI 2011) — the
+    // memory-bound scale path: each 64-dim vector compresses to 8
+    // one-byte codes (8 subspaces × 16 centroids, codebooks trained by
+    // the same seeded driver-side k-means as q30), and ranking runs
+    // against the RECONSTRUCTED vectors (asymmetric distance: exact
+    // query vs quantized corpus). At 100 TB the encoded corpus is
+    // ~32× smaller than the raw embeddings — the difference between
+    // spilling and RAM-resident search; encode is one scan of plain
+    // codegen'd arithmetic (the |c|²-2⟨v,c⟩ expansion halves the
+    // expression count), and the top-k is the same no-shuffle
+    // TakeOrdered as q28. Codebooks are plan-time constants → the
+    // DuckDB oracle replays encode+ADC bit-identically (late oracle,
+    // the q30 pattern).
+    QDef("q85_ann_pq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val sample = sampleVectors(emb, "vec_id", "embedding",
+          n = 512, seed = 42)
+        val codebook = pqTrain(sample, m = 8, k = 16, iters = 10, seed = 42)
+        PqOracle.sql = Some(pqOracleSql(codebook, topK = 10))
+        val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val codes = pqEncode(col("v"), codebook)
+        val enc = e.select(col("vec_id") +:
+          codes.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
+        val q = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("v").as("qv")))
+        val recon = pqRecon((0 until 8).map(i => col(s"c$i")), codebook)
+        enc.filter(col("vec_id") =!= 0)
+          .crossJoin(q)
+          .select(col("vec_id"),
+            round(cosine(recon, col("qv")), 6).as("approx_sim"))
+          .orderBy(col("approx_sim").desc, col("vec_id").asc)
+          .limit(10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("approx_sim").desc, col("vec_id").asc)))
+      },
+      None,
+      Some(() => PqOracle.sql)),
 
     // LSH-bucketed ANN (the scale path): 4 bands × 4 sign bits under
     // deterministic md5-derived hyperplanes; candidates share any band

@@ -88,4 +88,46 @@ class VectorSearchSpec extends SparkSpec {
     assert(assign.count() === 80L)
     assert(assign.groupBy("id").count().filter(col("count") =!= 2).count() === 0L)
   }
+
+  test("PQ encode matches a plain-Scala reimplementation; recon is exact " +
+    "centroid concatenation") {
+    val rnd = new Random(33)
+    val dims = 16; val m = 4; val k = 8; val dsub = dims / m
+    val data = (0 until 60).map(i => (i.toLong, randUnit(rnd, dims)))
+    val vecs = data.map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val sample = VectorSearch.sampleVectors(vecs, "vec_id", "embedding", 40, 7L)
+    val cb = VectorSearch.pqTrain(sample, m, k, iters = 5, seed = 7L)
+    val v = VectorSearch.toDouble(col("embedding"))
+    val codes = VectorSearch.pqEncode(v, cb)
+    val out = vecs.select(col("vec_id") +:
+        codes.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (0 until m).map(i => r.getInt(i + 1))).toMap
+    // plain-Scala twin: same |c|^2 - 2<v,c> scoring, same tie-break.
+    // The float32 round-trip (vector stored as array<float>) is applied
+    // before scoring, as toDouble does.
+    data.foreach { case (id, vec) =>
+      val vf = vec.map(x => x.toFloat.toDouble)
+      val expect = (0 until m).map { mi =>
+        val sub = vf.slice(mi * dsub, (mi + 1) * dsub)
+        cb(mi).zipWithIndex.map { case (c, ci) =>
+          val dot = (0 until dsub).map(d => sub(d) * c(d)).reduce(_ + _)
+          val cn2 = c.foldLeft(0.0)((s, x) => s + x * x)
+          (cn2 + (-2.0 * dot), ci)
+        }.min._2
+      }
+      assert(out(id) == expect, s"codes for vec $id")
+    }
+    // all codes in range, recon returns the coded centroids verbatim
+    assert(out.values.flatten.forall(c => c >= 0 && c < k))
+    val recon = vecs.select(col("vec_id"),
+        VectorSearch.pqRecon(codes, cb).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    data.foreach { case (id, _) =>
+      val expect = out(id).zipWithIndex.flatMap { case (c, mi) => cb(mi)(c) }
+      assert(recon(id) == expect)
+    }
+  }
 }
