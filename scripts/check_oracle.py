@@ -7,7 +7,8 @@ Reads each <name>/ parquet dir produced by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB against the raw testdata tables,
 and compares as sorted multisets (columns sorted by name, rows sorted).
 """
-import json, sys, math
+import json
+import os, sys, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -28,6 +29,9 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
+        # filtered Verify runs dump a subset; skip queries with no dump
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            continue
         try:
             spark_df = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
