@@ -91,9 +91,14 @@ object ConnectedComponents {
       val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       val mins = sym.groupBy("a").agg(min("b").as("mb"))
         .select(col("a"), least(col("a"), col("mb")).as("m"))
+      // no distinct here: duplicates cannot change smallStar's
+      // groupBy-min, and the round ends in smallStar's distinct anyway —
+      // dropping it saves one full exchange per round. Volume stays
+      // bounded: within the round each edge appears at most twice (the
+      // two orientations of sym).
       sym.join(mins, "a").filter(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
     }
     // small-star: edges oriented child-is-larger; every node u rewires
     // its smaller neighborhood (and itself) to its minimum neighbor
