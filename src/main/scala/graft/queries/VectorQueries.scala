@@ -57,6 +57,11 @@ object VectorQueries {
     @volatile var sql: Option[String] = None
   }
 
+  /** q89's late-bound oracle: coarse assignment + residual PQ replay. */
+  private object IvfPqOracle {
+    @volatile var sql: Option[String] = None
+  }
+
   /** Shortest-safe double literal: 17 fractional digits of scientific
     * notation round-trips any finite double, and the exponent form makes
     * DuckDB parse it as DOUBLE (a plain decimal literal would parse as
@@ -101,24 +106,36 @@ object VectorQueries {
     * and the reconstruction is pure literal-list indexing, so codes and
     * approx sims are bit-identical cross-engine.
     */
-  private def pqOracleSql(codebook: Array[Array[Array[Double]]],
-                          topK: Int): String = {
+  /** DuckDB fragment: PQ code of subspace `mi` over a double-list
+    * column `src` — the exact mirror of pqEncode's expression tree.
+    */
+  private def pqEncSql(codebook: Array[Array[Array[Double]]], mi: Int,
+                       src: String): String = {
     val dsub = codebook(0)(0).length
-    def encSql(mi: Int): String = {
-      val cells = codebook(mi).zipWithIndex.map { case (cvec, ci) =>
-        val dotVc = cvec.zipWithIndex.map { case (cv, di) =>
-          s"v[${mi * dsub + di + 1}] * ${dbl(cv)}"
-        }.mkString("(", " + ", ")")
-        val cn2 = cvec.foldLeft(0.0)((s, x) => s + x * x)
-        s"{'d': (${dbl(cn2)} + (-2.0e0 * $dotVc)), 'c': $ci}"
-      }.mkString("[", ", ", "]")
-      s"(list_sort($cells)[1]).c"
-    }
-    val reconSql = codebook.indices.map { mi =>
+    val cells = codebook(mi).zipWithIndex.map { case (cvec, ci) =>
+      val dotVc = cvec.zipWithIndex.map { case (cv, di) =>
+        s"$src[${mi * dsub + di + 1}] * ${dbl(cv)}"
+      }.mkString("(", " + ", ")")
+      val cn2 = cvec.foldLeft(0.0)((s, x) => s + x * x)
+      s"{'d': (${dbl(cn2)} + (-2.0e0 * $dotVc)), 'c': $ci}"
+    }.mkString("[", ", ", "]")
+    s"(list_sort($cells)[1]).c"
+  }
+
+  /** DuckDB fragment: concatenated-centroid reconstruction from code
+    * columns c0..c{m-1} — mirror of pqRecon.
+    */
+  private def pqReconSql(codebook: Array[Array[Array[Double]]]): String =
+    codebook.indices.map { mi =>
       val cents = codebook(mi)
         .map(_.map(dbl).mkString("[", ", ", "]")).mkString("[", ", ", "]")
       s"($cents)[c$mi + 1]"
     }.mkString("(", " || ", ")")
+
+  private def pqOracleSql(codebook: Array[Array[Array[Double]]],
+                          topK: Int): String = {
+    def encSql(mi: Int): String = pqEncSql(codebook, mi, "v")
+    val reconSql = pqReconSql(codebook)
     val codeCols = codebook.indices.map(mi => s"${encSql(mi)} AS c$mi")
       .mkString(",\n  ")
     s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
@@ -128,6 +145,47 @@ object VectorQueries {
        |      FROM enc WHERE vec_id <> 0),
        |s AS (SELECT vec_id, round(${cosSql("recon", "qv")}, 6) AS approx_sim
        |      FROM r, q)
+       |SELECT vec_id, approx_sim,
+       |  row_number() OVER (ORDER BY approx_sim DESC, vec_id ASC) AS rank
+       |FROM s ORDER BY approx_sim DESC, vec_id ASC LIMIT $topK""".stripMargin
+  }
+
+  /** DuckDB replay of IVF-PQ: coarse cosine assignment (the q30
+    * construction), residual against the coarse centroid, PQ codes over
+    * the residual, probe, and cosine ranking against coarse + residual
+    * reconstruction. Every float op mirrors the Spark tree (elementwise
+    * subtract/add carry no fold order; dots/norms use the shared
+    * sequential fold).
+    */
+  private def ivfPqOracleSql(coarse: Array[Array[Double]],
+                             codebook: Array[Array[Array[Double]]],
+                             probes: Int, topK: Int): String = {
+    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    val cellsSql = coarse.zipWithIndex.map { case (c, i) =>
+      val n = dbl(math.sqrt(c.map(x => x * x).sum))
+      s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), 'cell': $i}"
+    }.mkString("[", ",\n", "]")
+    val coarseLit = coarse.map(vlit).mkString("[", ", ", "]")
+    val encCols = codebook.indices
+      .map(mi => s"${pqEncSql(codebook, mi, "r")} AS c$mi").mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+       |a0 AS (SELECT vec_id, v, list_reverse_sort($cellsSql) AS cs FROM e),
+       |a AS (SELECT vec_id, v, (cs[1]).cell AS cell FROM a0),
+       |rc AS (SELECT vec_id, cell, ($coarseLit)[cell + 1] AS cc,
+       |  list_transform(list_zip(v, ($coarseLit)[cell + 1]),
+       |    x -> x[1] - x[2]) AS r
+       |  FROM a),
+       |enc AS (SELECT vec_id, cell, cc, $encCols FROM rc),
+       |qa AS (SELECT list_transform(list_slice(cs, 1, $probes),
+       |    x -> x.cell) AS cells FROM a0 WHERE vec_id = 0),
+       |qc AS (SELECT DISTINCT unnest(cells) AS cell FROM qa),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |ap AS (SELECT vec_id,
+       |  list_transform(list_zip(cc, ${pqReconSql(codebook)}),
+       |    x -> x[1] + x[2]) AS approx
+       |  FROM enc JOIN qc USING (cell) WHERE vec_id <> 0),
+       |s AS (SELECT vec_id, round(${cosSql("approx", "qv")}, 6)
+       |        AS approx_sim FROM ap, q)
        |SELECT vec_id, approx_sim,
        |  row_number() OVER (ORDER BY approx_sim DESC, vec_id ASC) AS rank
        |FROM s ORDER BY approx_sim DESC, vec_id ASC LIMIT $topK""".stripMargin
@@ -292,6 +350,74 @@ object VectorQueries {
       },
       None,
       Some(() => PqOracle.sql)),
+
+    // IVF-PQ — the composed billion-vector architecture (FAISS's
+    // workhorse index): a coarse quantizer routes each vector to ONE
+    // of 16 cells, PQ compresses the RESIDUAL v - c_cell (residuals
+    // are smaller and better-centered than raw vectors, so the same
+    // codebook budget quantizes finer), and the query probes its 4
+    // nearest cells, scoring only co-resident codes against
+    // c_cell + recon(residual). Search cost: probed fraction of the
+    // corpus; memory: 8 B/vector + one cell id. Both trained
+    // structures are plan-time literals (seeded driver-side k-means;
+    // codebook trained on the sample's residuals under the SAME
+    // argmax-cosine assignment the operator applies), so the oracle
+    // replays everything bit-identically. The residual/reconstruction
+    // zip_with lambdas are interpreted (~64 els/row here — fine; a
+    // Kernels expression is the 100 TB move).
+    QDef("q89_ann_ivfpq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val sample = sampleVectors(emb, "vec_id", "embedding",
+          n = 512, seed = 42)
+        val coarse = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
+        def cosD(a: Array[Double], b: Array[Double]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          d / (math.sqrt(na) * math.sqrt(nb))
+        }
+        // residual training set under the operator's own assignment
+        // rule (argmax cosine, larger index wins ties — ivfAssign's
+        // reverse-sorted struct order)
+        val resSample = sample.map { v =>
+          val ci = coarse.indices.maxBy(i => (cosD(v, coarse(i)), i))
+          Array.tabulate(v.length)(d => v(d) - coarse(ci)(d))
+        }
+        val codebook = pqTrain(resSample, m = 8, k = 16, iters = 10, seed = 43)
+        IvfPqOracle.sql = Some(ivfPqOracleSql(coarse, codebook,
+          probes = 4, topK = 10))
+        val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+        val withRes = e
+          .join(ivfAssign(emb, "vec_id", "embedding", coarse, probes = 1)
+            .withColumnRenamed("id", "vec_id"), "vec_id")
+          .withColumn("cc", element_at(coarseLit, col("cell") + 1))
+          .select(col("vec_id"), col("cell"), col("cc"),
+            zip_with(col("v"), col("cc"), (x, c) => x - c).as("r"))
+        val codes = pqEncode(col("r"), codebook)
+        val enc = withRes.select(Seq(col("vec_id"), col("cell"), col("cc")) ++
+          codes.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
+        val qCells = broadcast(
+          ivfAssign(emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+            coarse, probes = 4).select(col("cell")).distinct())
+        val q = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("v").as("qv")))
+        val recon = pqRecon((0 until 8).map(i => col(s"c$i")), codebook)
+        enc.filter(col("vec_id") =!= 0)
+          .join(qCells, "cell")
+          .withColumn("approx", zip_with(col("cc"), recon, (a, b) => a + b))
+          .crossJoin(q)
+          .select(col("vec_id"),
+            round(cosine(col("approx"), col("qv")), 6).as("approx_sim"))
+          .orderBy(col("approx_sim").desc, col("vec_id").asc)
+          .limit(10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("approx_sim").desc, col("vec_id").asc)))
+      },
+      None,
+      Some(() => IvfPqOracle.sql)),
 
     // LSH-bucketed ANN (the scale path): 4 bands × 4 sign bits under
     // deterministic md5-derived hyperplanes; candidates share any band

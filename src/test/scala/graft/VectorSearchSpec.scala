@@ -120,6 +120,26 @@ class VectorSearchSpec extends SparkSpec {
       }
       assert(out(id) == expect, s"codes for vec $id")
     }
+    // PQ reconstruction must beat coarse-only quantization: residual
+    // codes add information, so mean cosine(v, recon) rises
+    val coarse = VectorSearch.kmeansCentroids(sample, 4, iters = 5, seed = 9L)
+    def cosD(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val meanPq = data.map { case (id, vec) =>
+      val vf = vec.map(_.toFloat.toDouble).toSeq
+      val r = out(id).zipWithIndex.flatMap { case (c, mi) => cb(mi)(c) }
+      cosD(vf, r)
+    }.sum / data.size
+    val meanCoarse = data.map { case (_, vec) =>
+      val vf = vec.map(_.toFloat.toDouble)
+      val ci = coarse.indices.maxBy(i => (cosD(vf.toSeq, coarse(i).toSeq), i))
+      cosD(vf.toSeq, coarse(ci).toSeq)
+    }.sum / data.size
+    assert(meanPq > meanCoarse,
+      s"PQ recon ($meanPq) should beat coarse-only ($meanCoarse)")
+
     // all codes in range, recon returns the coded centroids verbatim
     assert(out.values.flatten.forall(c => c >= 0 && c < k))
     val recon = vecs.select(col("vec_id"),
