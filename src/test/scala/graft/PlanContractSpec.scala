@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan contracts: the physical-plan properties the 100 TB design
+  * depends on, pinned as tests so a refactor that silently loses a
+  * pushdown, a broadcast, or a bounded top-k fails CI instead of a
+  * benchmark. String-level assertions on the formatted plan are
+  * deliberately coarse — they express "this shape must exist", not the
+  * whole plan.
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q2: range predicates reach the parquet scan as pushed filters") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("LessThan(l_quantity") ||
+      p.contains("GreaterThan(l_discount"), s"q2 lost its pushed range: $p")
+  }
+
+  test("q2: scan reads only the projected columns, not the full schema") {
+    val p = plan("q2_filter_project")
+    // ReadSchema must not include the wide comment column
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.nonEmpty)
+    assert(!read.contains("l_comment"), s"l_comment not pruned: $read")
+  }
+
+  test("small dimension sides broadcast (q3 join_agg, q83 rates)") {
+    assert(plan("q3_join_agg").contains("BroadcastHashJoin"))
+    assert(plan("q83_temperature_resample").contains("BroadcastHashJoin"))
+  }
+
+  test("bounded top-k stays TakeOrdered, never a global sort (q28/q85/q89)") {
+    Seq("q28_ann_bruteforce", "q85_ann_pq", "q89_ann_ivfpq").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q lost TakeOrdered")
+    }
+  }
+
+  test("two-level prefix sums never window an unbounded partition " +
+    "(q72/q75/q84)") {
+    // every Window in these plans must partition by a sharded key —
+    // the scale contract that replaced the per-language/global windows
+    Seq("q72_pack_sequences", "q75_shuffle_order", "q84_token_budget_mix")
+      .foreach { q =>
+        val p = plan(q)
+        val windows = p.linesIterator
+          .filter(_.contains("Arguments")).mkString("\n")
+        // the in-shard window and the offsets window both carry the
+        // shard column in their partition spec
+        assert(p.contains("Window"), s"$q has no window?")
+        assert(windows.contains("shard"), s"$q window lost its shard key")
+      }
+  }
+
+  test("scan-only cleaning ops stay single-stage (q80/q82/q86)") {
+    Seq("q80_pii_redact", "q82_domain_filter", "q86_quality_classifier")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("Exchange"), s"$q grew a shuffle:\n$p")
+      }
+  }
+
+  test("q70 decontamination broadcasts the benchmark gram set") {
+    val p = plan("q70_contamination")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q81 paragraph dedup aggregates before joining (no window over " +
+    "the paragraph hash)") {
+    val p = plan("q81_para_dedup")
+    assert(p.contains("HashAggregate"))
+    // the first-occurrence resolution must NOT be a window over ph —
+    // that would put a mega-duplicated paragraph into one task
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.isEmpty, s"q81 grew a window: $windowLines")
+  }
+}
