@@ -124,6 +124,13 @@ object GraftFunctions {
       unwrap(TextAnalysis.fingerprint(wrap(args.head)))
     },
 
+    fn("graft_pii_redact", "text",
+      "scrub emails/URLs/IPv4s/phones, each replaced by a typed tag") {
+      args =>
+        arity("graft_pii_redact", args, 1)
+        unwrap(TextAnalysis.redactPii(wrap(args.head)))
+    },
+
     fn("graft_base64url", "str", "base64url without padding") { args =>
       arity("graft_base64url", args, 1)
       unwrap(CodecColumns.base64Url(wrap(args.head)))

@@ -136,6 +136,28 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** PII / URL patterns — ASCII-simple so Java regex (Spark) and RE2
+    * (DuckDB oracles) agree on every match. Category pairs are mutually
+    * non-overlapping (emails contain '@', URLs '://', IPs dotted quads,
+    * phones exclude dots), so sequential redaction cannot double-apply.
+    */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPat = "https?://[A-Za-z0-9./_?=&-]+"
+  val IpPat = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhonePat = "\\+?[0-9][0-9-]{7,}[0-9]"
+
+  /** Scrub emails, URLs, IPv4s, and phone numbers from a text column
+    * (applied in that order), replacing each with a typed tag.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, lit(EmailPat), lit("<EMAIL>")),
+          lit(UrlPat), lit("<URL>")),
+        lit(IpPat), lit("<IP>")),
+      lit(PhonePat), lit("<PHONE>"))
+
   /** Common-English marker words for the n-gram/stopword language-ID
     * heuristic (SURVEY: trigram search without indexes → scan-time
     * scoring).

@@ -29,11 +29,11 @@ object PipelineQueries2 {
   private def rawDocs(s: SparkSession): DataFrame =
     s.read.parquet(s"${FixtureGen.FixtureDir}/raw_docs.parquet")
 
-  // -- PII / URL patterns (Java-regex == RE2 on this charset) --
-  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val UrlPat = "https?://[A-Za-z0-9./_?=&-]+"
-  private val IpPat = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-  private val PhonePat = "\\+?[0-9][0-9-]{7,}[0-9]"
+  // PII / URL patterns shared with the SQL surface (graft_pii_redact)
+  private val EmailPat = graft.functions.TextAnalysis.EmailPat
+  private val UrlPat = graft.functions.TextAnalysis.UrlPat
+  private val IpPat = graft.functions.TextAnalysis.IpPat
+  private val PhonePat = graft.functions.TextAnalysis.PhonePat
 
   /** Domain blocklist (spam/SEO-farm stand-in). Plan-time constant: at
     * scale a real list is a broadcast lookup, but membership against a
@@ -60,14 +60,7 @@ object PipelineQueries2 {
     // phones exclude dots), so the sequence cannot double-redact.
     QDef("q80_pii_redact",
       (s, _) => {
-        val redacted =
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(col("text"), lit(EmailPat), lit("<EMAIL>")),
-                lit(UrlPat), lit("<URL>")),
-              lit(IpPat), lit("<IP>")),
-            lit(PhonePat), lit("<PHONE>"))
+        val redacted = redactPii(col("text"))
         rawDocs(s).select(col("doc_id"),
           regexp_count(col("text"), lit(EmailPat)).cast("long").as("n_emails"),
           regexp_count(col("text"), lit(PhonePat)).cast("long").as("n_phones"),

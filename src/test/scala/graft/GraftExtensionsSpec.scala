@@ -70,6 +70,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Double]("paris_london") == 344.0) // known city pair
   }
 
+  test("SQL graft_pii_redact scrubs every category") {
+    val s = registered
+    val r = s.sql(
+      """SELECT graft_pii_redact(
+        |  'mail a@b.com or http://x.org/z or 10.1.2.3 or +1-415-555-0000 end')
+        |  AS t""".stripMargin).head().getString(0)
+    assert(r == "mail <EMAIL> or <URL> or <IP> or <PHONE> end")
+  }
+
   test("graft_minhash rejects a non-literal family size") {
     val s = registered
     val err = intercept[Exception] {
