@@ -152,6 +152,66 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Elementwise add/subtract of two double arrays — the residual
+  * (v - centroid) and reconstruction (centroid + residual) steps of
+  * IVF-PQ as one tight loop instead of an interpreted zip_with
+  * (~100ns+/element). Per-element IEEE add/sub carries no fold order,
+  * so values are bit-identical to the HOF form and to DuckDB's
+  * `list_transform(list_zip(a,b), ...)`. Operates over the shorter
+  * length; a null element nulls that output element (zip_with
+  * semantics on equal-length arrays).
+  */
+case class VecElemwiseDbl(left: Expression, right: Expression,
+                          subtract: Boolean) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_elemwise needs two array<double>, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = if (subtract) "vec_sub" else "vec_add"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]
+    val y = r.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        out(i) = if (subtract) x.getDouble(i) - y.getDouble(i)
+          else x.getDouble(i) + y.getDouble(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("veN")
+    val out = ctx.freshName("veOut")
+    val i = ctx.freshName("i")
+    val op = if (subtract) "-" else "+"
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |    $out[$i] = $x.getDouble($i) $op $y.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecElemwiseDbl =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Sequential-fold dot product of two double arrays — identical IEEE
   * operation order to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (one
   * ascending multiply-add chain), so results are bit-identical to the

@@ -30,6 +30,19 @@ object VectorSearch {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Elementwise a - b / a + b as codegen'd kernels (residual and
+    * reconstruction steps of IVF-PQ; same values as the zip_with form).
+    */
+  def vecSub(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExpr.column(graft.expressions.VecElemwiseDbl(
+      org.apache.spark.sql.GraftExpr.expression(a),
+      org.apache.spark.sql.GraftExpr.expression(b), subtract = true))
+
+  def vecAdd(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExpr.column(graft.expressions.VecElemwiseDbl(
+      org.apache.spark.sql.GraftExpr.expression(a),
+      org.apache.spark.sql.GraftExpr.expression(b), subtract = false))
+
   /** Cast an array<float> column to array<double> (done before any
     * arithmetic so both engines multiply exactly-converted doubles).
     */

@@ -99,15 +99,11 @@ object VectorQueries {
        |FROM s ORDER BY sim DESC, vec_id ASC LIMIT $topK""".stripMargin
   }
 
-  /** DuckDB replay of [[graft.ops.VectorSearch.pqEncode]] + reconstruction
-    * + cosine ranking with literal codebooks. Every float operation
-    * mirrors the Spark expression tree exactly: the per-centroid score is
-    * `cn2 + (-2.0 * (v[i]*c_i + ...))` with the same association order,
-    * and the reconstruction is pure literal-list indexing, so codes and
-    * approx sims are bit-identical cross-engine.
-    */
   /** DuckDB fragment: PQ code of subspace `mi` over a double-list
-    * column `src` — the exact mirror of pqEncode's expression tree.
+    * column `src` — the exact mirror of pqEncode's expression tree:
+    * per-centroid score `cn2 + (-2.0 * (src[i]*c_i + ...))` with the
+    * same association order, deterministic index tie-break, so codes
+    * are bit-identical cross-engine.
     */
   private def pqEncSql(codebook: Array[Array[Array[Double]]], mi: Int,
                        src: String): String = {
@@ -362,9 +358,10 @@ object VectorQueries {
     // structures are plan-time literals (seeded driver-side k-means;
     // codebook trained on the sample's residuals under the SAME
     // argmax-cosine assignment the operator applies), so the oracle
-    // replays everything bit-identically. The residual/reconstruction
-    // zip_with lambdas are interpreted (~64 els/row here — fine; a
-    // Kernels expression is the 100 TB move).
+    // replays everything bit-identically. Residual and reconstruction
+    // run as the codegen'd VecElemwiseDbl kernel (per-element IEEE
+    // add/sub carries no fold order — identical values to the
+    // zip_with form without its per-element interpreter tax).
     QDef("q89_ann_ivfpq",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -395,7 +392,7 @@ object VectorQueries {
             .withColumnRenamed("id", "vec_id"), "vec_id")
           .withColumn("cc", element_at(coarseLit, col("cell") + 1))
           .select(col("vec_id"), col("cell"), col("cc"),
-            zip_with(col("v"), col("cc"), (x, c) => x - c).as("r"))
+            vecSub(col("v"), col("cc")).as("r"))
         val codes = pqEncode(col("r"), codebook)
         val enc = withRes.select(Seq(col("vec_id"), col("cell"), col("cc")) ++
           codes.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
@@ -407,7 +404,7 @@ object VectorQueries {
         val recon = pqRecon((0 until 8).map(i => col(s"c$i")), codebook)
         enc.filter(col("vec_id") =!= 0)
           .join(qCells, "cell")
-          .withColumn("approx", zip_with(col("cc"), recon, (a, b) => a + b))
+          .withColumn("approx", vecAdd(col("cc"), recon))
           .crossJoin(q)
           .select(col("vec_id"),
             round(cosine(col("approx"), col("qv")), 6).as("approx_sim"))

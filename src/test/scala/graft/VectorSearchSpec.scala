@@ -89,6 +89,22 @@ class VectorSearchSpec extends SparkSpec {
     assert(assign.groupBy("id").count().filter(col("count") =!= 2).count() === 0L)
   }
 
+  test("vecSub/vecAdd kernels == zip_with elementwise forms") {
+    val rnd = new Random(37)
+    val df = (0 until 50).map(i => (i.toLong,
+        Seq.fill(16)(rnd.nextGaussian()), Seq.fill(16)(rnd.nextGaussian())))
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        VectorSearch.vecSub(col("a"), col("b")).as("s"),
+        VectorSearch.vecAdd(col("a"), col("b")).as("p"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getSeq[Double](2)))
+    val want = df.select(col("id"),
+        zip_with(col("a"), col("b"), (x, y) => x - y).as("s"),
+        zip_with(col("a"), col("b"), (x, y) => x + y).as("p"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getSeq[Double](2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("PQ encode matches a plain-Scala reimplementation; recon is exact " +
     "centroid concatenation") {
     val rnd = new Random(33)
