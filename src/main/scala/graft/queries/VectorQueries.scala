@@ -140,11 +140,18 @@ object VectorQueries {
        |r AS (SELECT vec_id, $reconSql AS recon
        |      FROM enc WHERE vec_id <> 0),
        |s AS (SELECT vec_id, round(${cosSql("recon", "qv")}, 6) AS approx_sim
-       |      FROM r, q)
-       |SELECT vec_id, approx_sim,
-       |  row_number() OVER (ORDER BY approx_sim DESC, vec_id ASC) AS rank
-       |FROM s ORDER BY approx_sim DESC, vec_id ASC LIMIT $topK""".stripMargin
+       |      FROM r, q),
+       |short AS (SELECT vec_id FROM s
+       |          ORDER BY approx_sim DESC, vec_id ASC LIMIT $PqShortlist),
+       |x AS (SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+       |      FROM e JOIN short USING (vec_id), q)
+       |SELECT vec_id, sim,
+       |  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+       |FROM x ORDER BY sim DESC, vec_id ASC LIMIT $topK""".stripMargin
   }
+
+  /** ADC shortlist size for the exact re-rank stage of q85/q89. */
+  private val PqShortlist = 50
 
   /** DuckDB replay of IVF-PQ: coarse cosine assignment (the q30
     * construction), residual against the coarse centroid, PQ codes over
@@ -181,10 +188,14 @@ object VectorQueries {
        |    x -> x[1] + x[2]) AS approx
        |  FROM enc JOIN qc USING (cell) WHERE vec_id <> 0),
        |s AS (SELECT vec_id, round(${cosSql("approx", "qv")}, 6)
-       |        AS approx_sim FROM ap, q)
-       |SELECT vec_id, approx_sim,
-       |  row_number() OVER (ORDER BY approx_sim DESC, vec_id ASC) AS rank
-       |FROM s ORDER BY approx_sim DESC, vec_id ASC LIMIT $topK""".stripMargin
+       |        AS approx_sim FROM ap, q),
+       |short AS (SELECT vec_id FROM s
+       |          ORDER BY approx_sim DESC, vec_id ASC LIMIT $PqShortlist),
+       |x AS (SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+       |      FROM e JOIN short USING (vec_id), q)
+       |SELECT vec_id, sim,
+       |  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+       |FROM x ORDER BY sim DESC, vec_id ASC LIMIT $topK""".stripMargin
   }
 
   val defs: Seq[QDef] = Seq(
@@ -311,16 +322,19 @@ object VectorQueries {
     // Product-quantization ANN (Jégou et al., TPAMI 2011) — the
     // memory-bound scale path: each 64-dim vector compresses to 8
     // one-byte codes (8 subspaces × 16 centroids, codebooks trained by
-    // the same seeded driver-side k-means as q30), and ranking runs
+    // the same seeded driver-side k-means as q30); the ADC pass ranks
     // against the RECONSTRUCTED vectors (asymmetric distance: exact
-    // query vs quantized corpus). At 100 TB the encoded corpus is
-    // ~32× smaller than the raw embeddings — the difference between
-    // spilling and RAM-resident search; encode is one scan of plain
-    // codegen'd arithmetic (the |c|²-2⟨v,c⟩ expansion halves the
-    // expression count), and the top-k is the same no-shuffle
-    // TakeOrdered as q28. Codebooks are plan-time constants → the
-    // DuckDB oracle replays encode+ADC bit-identically (late oracle,
-    // the q30 pattern).
+    // query vs quantized corpus) to a 50-candidate shortlist, and an
+    // EXACT cosine re-rank of the shortlist emits the final top-k —
+    // the standard two-stage shape (quantized scan over everything,
+    // raw-vector point-lookups for only the shortlist). At 100 TB the
+    // scanned corpus is ~32× smaller than the raw embeddings — the
+    // difference between spilling and RAM-resident search; encode is
+    // one scan of plain codegen'd arithmetic (the |c|²-2⟨v,c⟩
+    // expansion halves the expression count), and both ranking stages
+    // are no-shuffle TakeOrdered. Codebooks are plan-time constants →
+    // the DuckDB oracle replays encode+ADC+re-rank bit-identically
+    // (late oracle, the q30 pattern).
     QDef("q85_ann_pq",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -329,20 +343,28 @@ object VectorQueries {
         val codebook = pqTrain(sample, m = 8, k = 16, iters = 10, seed = 42)
         PqOracle.sql = Some(pqOracleSql(codebook, topK = 10))
         val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+          .localCheckpoint()
         val codes = pqEncode(col("v"), codebook)
         val enc = e.select(col("vec_id") +:
           codes.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
         val q = broadcast(e.filter(col("vec_id") === 0)
           .select(col("v").as("qv")))
         val recon = pqRecon((0 until 8).map(i => col(s"c$i")), codebook)
-        enc.filter(col("vec_id") =!= 0)
+        val short = enc.filter(col("vec_id") =!= 0)
           .crossJoin(q)
           .select(col("vec_id"),
             round(cosine(recon, col("qv")), 6).as("approx_sim"))
           .orderBy(col("approx_sim").desc, col("vec_id").asc)
+          .limit(50)
+          .select(col("vec_id"))
+        short.join(e, "vec_id")
+          .crossJoin(q)
+          .select(col("vec_id"),
+            round(cosine(col("v"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
           .limit(10)
           .withColumn("rank", row_number().over(
-            Window.orderBy(col("approx_sim").desc, col("vec_id").asc)))
+            Window.orderBy(col("sim").desc, col("vec_id").asc)))
       },
       None,
       Some(() => PqOracle.sql)),
@@ -351,10 +373,16 @@ object VectorQueries {
     // workhorse index): a coarse quantizer routes each vector to ONE
     // of 16 cells, PQ compresses the RESIDUAL v - c_cell (residuals
     // are smaller and better-centered than raw vectors, so the same
-    // codebook budget quantizes finer), and the query probes its 4
-    // nearest cells, scoring only co-resident codes against
-    // c_cell + recon(residual). Search cost: probed fraction of the
-    // corpus; memory: 8 B/vector + one cell id. Both trained
+    // codebook budget quantizes finer), and the query probes its 8
+    // nearest cells (half of a 16-cell toy quantizer ~ probing 1% of
+    // a production 16k-cell one; nprobe is the recall/cost dial),
+    // scoring only co-resident codes against c_cell + recon(residual),
+    // then exact-re-ranks the 50-candidate ADC shortlist (raw-vector
+    // point-lookups, the q85 two-stage shape). Search cost: probed
+    // fraction of the corpus in codes + 50 raw lookups; memory:
+    // 8 B/vector + one cell id. Measured recall@10 vs exact (sf0.001):
+    // 8/10 for full-scan PQ+re-rank (q85), 5/10 here — the gap is
+    // probe coverage, the inherent IVF trade on near-uniform data. Both trained
     // structures are plan-time literals (seeded driver-side k-means;
     // codebook trained on the sample's residuals under the SAME
     // argmax-cosine assignment the operator applies), so the oracle
@@ -384,7 +412,7 @@ object VectorQueries {
         }
         val codebook = pqTrain(resSample, m = 8, k = 16, iters = 10, seed = 43)
         IvfPqOracle.sql = Some(ivfPqOracleSql(coarse, codebook,
-          probes = 4, topK = 10))
+          probes = 8, topK = 10))
         val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
         val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
         val withRes = e
@@ -398,20 +426,27 @@ object VectorQueries {
           codes.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
         val qCells = broadcast(
           ivfAssign(emb.filter(col("vec_id") === 0), "vec_id", "embedding",
-            coarse, probes = 4).select(col("cell")).distinct())
+            coarse, probes = 8).select(col("cell")).distinct())
         val q = broadcast(e.filter(col("vec_id") === 0)
           .select(col("v").as("qv")))
         val recon = pqRecon((0 until 8).map(i => col(s"c$i")), codebook)
-        enc.filter(col("vec_id") =!= 0)
+        val short = enc.filter(col("vec_id") =!= 0)
           .join(qCells, "cell")
           .withColumn("approx", vecAdd(col("cc"), recon))
           .crossJoin(q)
           .select(col("vec_id"),
             round(cosine(col("approx"), col("qv")), 6).as("approx_sim"))
           .orderBy(col("approx_sim").desc, col("vec_id").asc)
+          .limit(50)
+          .select(col("vec_id"))
+        short.join(e, "vec_id")
+          .crossJoin(q)
+          .select(col("vec_id"),
+            round(cosine(col("v"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
           .limit(10)
           .withColumn("rank", row_number().over(
-            Window.orderBy(col("approx_sim").desc, col("vec_id").asc)))
+            Window.orderBy(col("sim").desc, col("vec_id").asc)))
       },
       None,
       Some(() => IvfPqOracle.sql)),
