@@ -1,0 +1,33 @@
+package graft
+
+/** Recall contracts for the ANN family, measured against the exact
+  * brute-force top-k (q28) on the sf0.001 fixture. These pin the
+  * quality ladder — IVF exact-within-probed-cells at the top, then
+  * full-scan PQ with exact re-rank, then IVF-PQ (probe coverage is the
+  * inherent trade on near-uniform data) — so a parameter change that
+  * silently degrades recall fails CI instead of shipping. Floors sit
+  * one below the measured values to absorb benign re-trains.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def ids(name: String): Set[Long] =
+    SparkEntry.queries(name)(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+  test("ANN recall ladder vs exact top-10 holds") {
+    val exact = ids("q28_ann_bruteforce")
+    assert(exact.size == 10)
+    val ivf = (exact & ids("q30_ann_ivf")).size
+    val lsh = (exact & ids("q31_ann_lsh")).size
+    val pq = (exact & ids("q85_ann_pq")).size
+    val ivfpq = (exact & ids("q89_ann_ivfpq")).size
+    assert(ivf >= 9, s"q30 IVF recall@10 degraded: $ivf")
+    assert(lsh >= 4, s"q31 LSH top-5-in-exact-10 degraded: $lsh")
+    assert(pq >= 7, s"q85 PQ+re-rank recall@10 degraded: $pq")
+    assert(ivfpq >= 4, s"q89 IVF-PQ recall@10 degraded: $ivfpq")
+    // the ladder itself: exact-search variants beat quantized ones
+    assert(ivf >= pq && pq >= ivfpq)
+  }
+}
