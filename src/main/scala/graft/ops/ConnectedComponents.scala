@@ -132,6 +132,12 @@ object ConnectedComponents {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // one materialization per round, NOT batched: each star op
+      // references its input twice (the self-union), so an
+      // unmaterialized second round re-executes the first 2-4× —
+      // measured 6.5 s vs 4.2 s at sf0.1 (the PLANS.md self-join
+      // re-execution trap). The checkpoint per round is the cheaper
+      // side of that trade.
       e = smallStar(largeStar(e)).localCheckpoint()
       val next = signature(e)
       converged = next == sig
