@@ -100,7 +100,8 @@ object PipelineQueries2 {
     // the same hash (co-partitioned with the agg); rebuild is one
     // groupBy over surviving rows. Order encodes as one long
     // (doc_id * 1e6 + pos) so min() needs no struct comparator and the
-    // DuckDB twin is a plain min.
+    // DuckDB twin is a plain min — assumes < 1e6 paragraphs per doc
+    // (far beyond any real document; widen the factor if violated).
     QDef("q81_para_dedup",
       (s, _) => {
         val paras = rawDocs(s)
