@@ -38,12 +38,24 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the last ~2000 chars of output; with 89
+    // queries a full-name map overflows that window and the JSON line is
+    // truncated mid-line (BENCH_r01..r06 all show "parsed": null). Emit
+    // short keys (the qNN prefix, unique by construction) rounded to ms
+    // so the ONE parseable line always fits; the full-name map goes to a
+    // local file for humans.
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("target/bench_full.json")
+      try w.println(s"""{"total":$total,"queries":$fullQs,"sf":"$sfDir"}""") finally w.close()
+    } catch { case _: Throwable => () }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

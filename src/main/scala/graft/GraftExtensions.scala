@@ -169,6 +169,27 @@ object GraftFunctions {
     fn("graft_geo_point", "lat, lon", "typed (lat, lon) struct") { args =>
       arity("graft_geo_point", args, 2)
       unwrap(Geo.geoPoint(wrap(args(0)), wrap(args(1))))
+    },
+
+    fn("graft_gram_hashes", "tokens, n",
+      "positional int64 hashes of word n-grams (duplicates kept)") { args =>
+      arity("graft_gram_hashes", args, 2)
+      unwrap(TextAnalysis.gramHashesPositional(wrap(args.head),
+        intArg("graft_gram_hashes", args, 1)))
+    },
+
+    fn("graft_winnow", "gram_hashes, w",
+      "winnowing fingerprint selection (window-min, SIGMOD 2003)") { args =>
+      arity("graft_winnow", args, 2)
+      unwrap(TextAnalysis.winnowFingerprints(wrap(args.head),
+        intArg("graft_winnow", args, 1)))
+    },
+
+    fn("graft_sq8_approx", "vec, mins, maxs",
+      "SQ8 encode+midpoint-dequantize round trip (codegen'd kernel)") {
+      args =>
+        arity("graft_sq8_approx", args, 3)
+        graft.expressions.Sq8ApproxDbl(args(0), args(1), args(2))
     }
   )
 

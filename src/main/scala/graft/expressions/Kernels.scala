@@ -212,6 +212,91 @@ case class VecElemwiseDbl(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused SQ8 scalar-quantization round trip: per dimension d, encode
+  * v[d] against the corpus [mn[d], mx[d]] range as an 8-bit code
+  * `min(floor(((v-mn)*255.0)/(mx-mn)), 255.0)` and immediately emit the
+  * midpoint reconstruction `mn + ((code+0.5)*((mx-mn)/255.0))`
+  * (degenerate dimensions mx==mn reconstruct as mn). This is the
+  * ranking arithmetic of an int8-quantized ANN scan — at scale the
+  * codes (1 B/dim) are what's stored and scanned, 4× smaller than
+  * float32; the fused form here reproduces exactly what ranking against
+  * those stored codes computes. Per-element IEEE ops carry no fold
+  * order, so values are bit-identical to the HOF/DuckDB
+  * `list_transform(list_zip(v,mn,mx), ...)` spelling of the same
+  * parenthesization. Operates over the shortest length; a null element
+  * nulls that output element.
+  */
+case class Sq8ApproxDbl(first: Expression, second: Expression,
+                        third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _),
+            ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"sq8_approx needs three array<double>, got ${a.sql}, ${b.sql}, ${c.sql}")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "sq8_approx"
+
+  override def nullSafeEval(v: Any, mn: Any, mx: Any): Any = {
+    val xv = v.asInstanceOf[ArrayData]
+    val xn = mn.asInstanceOf[ArrayData]
+    val xx = mx.asInstanceOf[ArrayData]
+    val n = math.min(xv.numElements(),
+      math.min(xn.numElements(), xx.numElements()))
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!xv.isNullAt(i) && !xn.isNullAt(i) && !xx.isNullAt(i)) {
+        val lo = xn.getDouble(i); val hi = xx.getDouble(i)
+        out(i) = if (hi == lo) lo else {
+          val code = math.min(
+            math.floor(((xv.getDouble(i) - lo) * 255.0) / (hi - lo)), 255.0)
+          lo + ((code + 0.5) * ((hi - lo) / 255.0))
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("sqN")
+    val out = ctx.freshName("sqOut")
+    val i = ctx.freshName("i")
+    val lo = ctx.freshName("lo")
+    val hi = ctx.freshName("hi")
+    val code = ctx.freshName("code")
+    nullSafeCodeGen(ctx, ev, (v, mn, mx) => {
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(),
+         |  java.lang.Math.min($mn.numElements(), $mx.numElements()));
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$v.isNullAt($i) && !$mn.isNullAt($i) && !$mx.isNullAt($i)) {
+         |    double $lo = $mn.getDouble($i);
+         |    double $hi = $mx.getDouble($i);
+         |    if ($hi == $lo) {
+         |      $out[$i] = $lo;
+         |    } else {
+         |      double $code = java.lang.Math.min(
+         |        java.lang.Math.floor((($v.getDouble($i) - $lo) * 255.0) / ($hi - $lo)),
+         |        255.0);
+         |      $out[$i] = $lo + (($code + 0.5) * (($hi - $lo) / 255.0));
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Sq8ApproxDbl =
+    copy(first = f, second = s, third = t)
+}
+
 /** Sequential-fold dot product of two double arrays — identical IEEE
   * operation order to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (one
   * ascending multiply-add chain), so results are bit-identical to the

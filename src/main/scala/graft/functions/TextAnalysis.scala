@@ -63,6 +63,44 @@ object TextAnalysis {
         (0 until n).map(k => element_at(toks, i + k)): _*))))
   }
 
+  /** POSITIONAL int64 hashes of word n-grams — one hash per gram
+    * position, duplicates kept (unlike [[ngramHashes]]): the winnowing
+    * input, where the sliding window is over gram POSITIONS. Same
+    * materialized-`toks` contract as [[shingles3]].
+    */
+  def gramHashesPositional(toks: Column, n: Int): Column = {
+    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i =>
+      tokenHash(concat_ws(" ",
+        (0 until n).map(k => element_at(toks, i + k)): _*)))
+  }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003): slide a window of `w` consecutive gram hashes and
+    * select each window's MINIMUM value; the distinct selected values
+    * are the document's fingerprints. Guarantee (the paper's theorem,
+    * which holds for value-set selection): any verbatim run of at least
+    * w + k - 1 tokens shared by two documents yields at least one
+    * shared fingerprint — both documents contain the identical window,
+    * and each selects that window's minimum. Expected density is
+    * 2/(w+1) of gram positions, so the index is ~(w+1)/2× smaller than
+    * indexing every k-gram (q70's shape) at the same detection
+    * granularity. Docs shorter than one window contribute the min of
+    * all their grams. Runs as interpreted HOFs (slice+array_min per
+    * window — ~w nodes/window); a codegen kernel is the upgrade if
+    * fingerprinting ever dominates a profile, but at 100 TB the
+    * adjacent tokenize+md5 already costs more per row.
+    */
+  def winnowFingerprints(gramHashes: Column, w: Int): Column = {
+    val nWin = when(size(gramHashes) >= 1,
+      sequence(lit(1), greatest(size(gramHashes) - (w - 1), lit(1))))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(nWin, j =>
+      array_min(slice(gramHashes, j, lit(w)))))
+  }
+
   /** Distinct int64 hashes of the word 3-gram shingles: each shingle is
     * hashed exactly ONCE (one md5 per shingle, total), and all downstream
     * minhash / verification math runs on the fixed-width hashes — at

@@ -43,6 +43,17 @@ object VectorSearch {
       org.apache.spark.sql.GraftExpr.expression(a),
       org.apache.spark.sql.GraftExpr.expression(b), subtract = false))
 
+  /** Fused SQ8 scalar-quantization round trip (encode against the
+    * per-dimension [mn, mx] corpus range, midpoint-dequantize) as a
+    * codegen'd kernel — the ranking arithmetic of an int8-quantized
+    * ANN scan (see [[graft.expressions.Sq8ApproxDbl]]).
+    */
+  def sq8Approx(v: Column, mn: Column, mx: Column): Column =
+    org.apache.spark.sql.GraftExpr.column(graft.expressions.Sq8ApproxDbl(
+      org.apache.spark.sql.GraftExpr.expression(v),
+      org.apache.spark.sql.GraftExpr.expression(mn),
+      org.apache.spark.sql.GraftExpr.expression(mx)))
+
   /** Cast an array<float> column to array<double> (done before any
     * arithmetic so both engines multiply exactly-converted doubles).
     */

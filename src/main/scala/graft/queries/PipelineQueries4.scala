@@ -1,0 +1,424 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextAnalysis._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fourth pipeline group: ranked retrieval and keyword extraction
+  * (BM25, TF-IDF — the index/selection side of corpus curation),
+  * winnowing document fingerprints and substring-level decontamination
+  * (Schleimer et al., SIGMOD 2003 — the (w+1)/2× cheaper index with
+  * the same detection guarantee as q70's every-8-gram set), UniMax
+  * epoch-capped language mixing (Chung et al. 2023), and CCNet-style
+  * perplexity bucketing (Wenzek et al. 2020).
+  *
+  * Float determinism across engines follows the repo's standing rules:
+  * log-derived quantities are quantized to integer milli-nat units
+  * BEFORE any aggregation (the q78 pattern — long sums can never
+  * depend on partition order), all remaining arithmetic is
+  * single-expression IEEE ops with the parenthesization mirrored
+  * verbatim in the oracle SQL, and inexact constants are embedded via
+  * shortest-safe scientific notation.
+  */
+object PipelineQueries4 {
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+  private def hashSql(t: String) =
+    s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
+
+  /** Shortest-safe double literal (the VectorQueries.dbl contract). */
+  private def dbl(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+
+  /** DuckDB fragment: positional k-gram hashes over a `toks` column
+    * (duplicates kept — the winnowing input; lockstep with
+    * [[graft.functions.TextAnalysis.gramHashesPositional]]).
+    */
+  private def gramHashSql(k: Int): String = {
+    val cat = (0 until k).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(toks) >= $k THEN
+       |  list_transform(generate_series(1, len(toks) - ${k - 1}),
+       |    i -> ${hashSql(s"($cat)")})
+       |ELSE [] END""".stripMargin
+  }
+
+  /** DuckDB fragment: winnowing fingerprint selection over a `gh`
+    * column (lockstep with TextAnalysis.winnowFingerprints).
+    */
+  private def winnowSql(w: Int): String =
+    s"""list_distinct(list_transform(
+       |  CASE WHEN len(gh) >= 1
+       |    THEN generate_series(1, greatest(len(gh) - ${w - 1}, 1))
+       |    ELSE [] END,
+       |  j -> list_min(list_slice(gh, j, j + ${w - 1}))))""".stripMargin
+
+  // BM25 parameters (Robertson/Spärck Jones defaults) and the literal
+  // query. Inexact double constants are computed HERE and embedded in
+  // the SQL via %.17e so both engines parse the identical double
+  // (DuckDB would otherwise read `2.2` as DECIMAL, and `1.2 + 1.0`
+  // is a round-to-even tie that must not be re-derived in SQL).
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25K1p1 = Bm25K1 + 1.0
+  private val Bm25OneMinusB = 1.0 - Bm25B
+  private val QueryTerms = Seq("spark", "join", "window", "sort")
+
+  val defs: Seq[QDef] = Seq(
+
+    // BM25 ranked retrieval — the lexical-search side of corpus
+    // tooling (and of RAG indexing): score the corpus against a
+    // literal term query with the Okapi BM25 weighting. Scale shape:
+    // the term filter hits the exploded token stream BEFORE any
+    // aggregation, so only query-term postings (a vanishing corpus
+    // fraction) ever shuffle; df is |terms| rows broadcast back; the
+    // final ranking is a no-shuffle TakeOrdered. Determinism: idf is
+    // quantized to integer milli-nats and each term's partial score to
+    // integer micro-units, so the per-doc sum is an exact long sum —
+    // float summation order can never diverge between engines.
+    QDef("q90_bm25_search",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // checkpointed: doc lengths feed the corpus stats AND the join
+        val lens = docs
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("dl"))
+          .localCheckpoint()
+        val stats = lens.agg(count(lit(1)).as("nn"), sum("dl").as("sum_dl"))
+        val tf = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .filter(col("tok").isInCollection(QueryTerms))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val tfd = col("tf").cast("double")
+        val avgdl = col("sum_dl").cast("double") / col("nn").cast("double")
+        val idfM = floor(lit(1000.0) * log(
+          (((col("nn") - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) + lit(1.0))).cast("long")
+        val denom = tfd + lit(Bm25K1) * (lit(Bm25OneMinusB) +
+          lit(Bm25B) * (col("dl").cast("double") / avgdl))
+        val tsU = floor((col("idf_m").cast("double") *
+          ((tfd * lit(Bm25K1p1)) / denom)) * lit(1000.0)).cast("long")
+        val scored = tf
+          .join(broadcast(df), "tok")
+          .join(lens, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf_m", idfM)
+          .withColumn("ts_u", tsU)
+          .groupBy("doc_id")
+          .agg(sum("ts_u").as("score_u"), count(lit(1)).as("n_terms"))
+        scored
+          .select(col("doc_id"),
+            round(col("score_u").cast("double") / 1000000.0, 6).as("score"),
+            col("n_terms"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc)))
+      },
+      Some {
+        val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+           |st AS (SELECT count(*) AS nn, sum(dl) AS sum_dl FROM l),
+           |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM e
+           |       WHERE tok IN ($terms) GROUP BY doc_id, tok),
+           |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+           |sc AS (SELECT tf.doc_id,
+           |  CAST(floor((CAST(floor(1000.0 * ln(
+           |      (((st.nn - df.df)::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5))
+           |      + 1.0)) AS BIGINT)::DOUBLE *
+           |    ((tf.tf::DOUBLE * ${dbl(Bm25K1p1)}) /
+           |     (tf.tf::DOUBLE + ${dbl(Bm25K1)} * (${dbl(Bm25OneMinusB)} +
+           |      ${dbl(Bm25B)} * (l.dl::DOUBLE /
+           |        (st.sum_dl::DOUBLE / st.nn::DOUBLE))))))
+           |    * 1000.0) AS BIGINT) AS ts_u
+           |  FROM tf JOIN df USING (tok)
+           |  JOIN l ON tf.doc_id = l.doc_id CROSS JOIN st),
+           |g AS (SELECT doc_id, sum(ts_u) AS score_u, count(*) AS n_terms
+           |      FROM sc GROUP BY doc_id),
+           |o AS (SELECT doc_id,
+           |        round(score_u::DOUBLE / 1000000.0, 6) AS score,
+           |        CAST(n_terms AS BIGINT) AS n_terms FROM g)
+           |SELECT doc_id, score, n_terms,
+           |  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+           |FROM o ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+      }),
+
+    // TF-IDF keyword extraction — top-3 characteristic terms per doc.
+    // Scale shape: tf is one (doc, term) aggregation with map-side
+    // partials absorbing within-doc repetition; df aggregates the tf
+    // table (already one row per (doc, term)); the df table is
+    // vocabulary-sized, broadcast here because this corpus's vocab is
+    // bounded — at open-vocab scale the same join runs as a shuffle
+    // join on term with identical semantics. The per-doc top-3 window
+    // partitions on doc_id: bounded by a single document's distinct
+    // terms, never by corpus size (the q72 lesson does not apply).
+    // idf is milli-nat-quantized; scores are exact long products.
+    QDef("q91_tfidf_keywords",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // checkpointed: feeds df AND the scoring join
+        val tf = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nn = docs.agg(count(lit(1)).as("nn"))
+        val idfM = floor(lit(1000.0) * log(
+          col("nn").cast("double") / col("df").cast("double"))).cast("long")
+        val scored = tf.join(broadcast(df), "term")
+          .crossJoin(broadcast(nn))
+          .withColumn("score_m", col("tf") * idfM)
+        scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("score_m").desc, col("term").asc)))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("term"), col("rank"),
+            round(col("score_m").cast("double") / 1000.0, 6).as("score"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM e
+              |       GROUP BY doc_id, term),
+              |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              |n AS (SELECT count(*) AS nn FROM documents),
+              |sc AS (SELECT tf.doc_id, tf.term,
+              |  tf.tf * CAST(floor(1000.0 * ln(n.nn::DOUBLE / df.df::DOUBLE))
+              |    AS BIGINT) AS score_m
+              |  FROM tf JOIN df USING (term) CROSS JOIN n),
+              |r AS (SELECT doc_id, term, score_m,
+              |  row_number() OVER (PARTITION BY doc_id
+              |    ORDER BY score_m DESC, term ASC) AS rank
+              |  FROM sc)
+              |SELECT doc_id, term, rank,
+              |  round(score_m::DOUBLE / 1000.0, 6) AS score
+              |FROM r WHERE rank <= 3""".stripMargin)),
+
+    // Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    // SIGMOD 2003, the MOSS algorithm): positional 5-gram hashes, a
+    // 4-wide sliding window, each window's minimum selected. Any
+    // verbatim run of >= w+k-1 = 8 tokens shared by two documents
+    // yields a shared fingerprint (the paper's guarantee), at an
+    // expected 2/(w+1) = 40% of the index size of storing every gram.
+    // One scan + explode; fingerprints are already distinct per doc.
+    QDef("q92_winnow_fingerprints",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            gramHashesPositional(col("toks"), 5).as("gh"))
+          .select(col("doc_id"),
+            explode(winnowFingerprints(col("gh"), 4)).as("fp"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |g AS (SELECT doc_id, ${gramHashSql(5)} AS gh FROM t),
+              |f AS (SELECT doc_id, unnest(${winnowSql(4)}) AS fp FROM g)
+              |SELECT doc_id, fp FROM f""".stripMargin)),
+
+    // Substring-level decontamination via winnowing — q70's semantics
+    // (flag corpus docs sharing a verbatim >= 8-token run with the
+    // eval split, every 31st doc standing in for the benchmark) served
+    // from the fingerprint index instead of the full 8-gram set: the
+    // bench side broadcasts ~40% as many keys for the same detection
+    // guarantee, and the corpus side still never shuffles. n_shared
+    // counts shared fingerprint VALUES (winnowing fps are distinct per
+    // doc by construction, so a plain count after the join is exact).
+    QDef("q93_winnow_contamination",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // checkpointed: the fingerprint stream feeds BOTH the bench
+        // and probe sides (the q70 dual-use-of-one-subtree shape)
+        val fps = docs
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            gramHashesPositional(col("toks"), 5).as("gh"))
+          .select(col("doc_id"),
+            explode(winnowFingerprints(col("gh"), 4)).as("fp"))
+          .localCheckpoint()
+        val bench = fps.filter(col("doc_id") % 31 === 0)
+          .select("fp").distinct()
+        val hits = fps.filter(col("doc_id") % 31 =!= 0)
+          .join(broadcast(bench), "fp")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        docs.filter(col("doc_id") % 31 =!= 0).select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+          .withColumn("contaminated", col("n_shared") > 0)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |g AS (SELECT doc_id, ${gramHashSql(5)} AS gh FROM t),
+              |f AS (SELECT doc_id, unnest(${winnowSql(4)}) AS fp FROM g),
+              |b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 31 = 0),
+              |h AS (SELECT doc_id, count(*) AS n_shared
+              |      FROM f JOIN b USING (fp) WHERE doc_id % 31 <> 0
+              |      GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+              |  coalesce(h.n_shared, 0) > 0 AS contaminated
+              |FROM documents d LEFT JOIN h USING (doc_id)
+              |WHERE d.doc_id % 31 <> 0""".stripMargin)),
+
+    // UniMax language mixing (Chung et al., "UniMax: Fairer and More
+    // Effective Language Sampling for Large-Scale Multilingual
+    // Pretraining", 2023): languages processed ASCENDING by size; each
+    // gets min(its total tokens × epoch cap, remaining budget / number
+    // of languages left) — small languages keep everything up to the
+    // epoch cap, the head language absorbs the leftover. Budget here
+    // is 90% of corpus tokens with a 1-epoch cap (data-derived, so the
+    // allocation is non-trivial at every scale factor); all allocation
+    // arithmetic is integer (exact cross-engine). The waterfall runs
+    // on ONE ROW PER LANGUAGE — a bounded driver collect, like the
+    // ingest's stats row — and the per-language quota selection reuses
+    // q84's two-level prefix sum (shard on high hash bits, per-shard
+    // sums in parallel, broadcast offsets): no per-language window
+    // ever sees an unbounded partition.
+    QDef("q95_unimax_mix",
+      (s, dir) => {
+        val h = tokenHash(concat(lit("umx:"), col("doc_id").cast("string")))
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"), h.as("h"))
+          .withColumn("shard", floor(col("h") / lit(1L << 24)).cast("long"))
+          .localCheckpoint()
+        // bounded collect: one row per language
+        val counts = t.groupBy("lang").agg(sum("n_tokens").as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .sortBy { case (l, n) => (n, l) }
+        val total = counts.map(_._2).sum
+        var rem = total * 9 / 10
+        val quotas = counts.zipWithIndex.map { case ((l, n), i) =>
+          val fair = rem / (counts.length - i)
+          val quota = math.min(n, fair) // 1-epoch cap; general: min(n*E, fair)
+          rem -= quota
+          (l, quota)
+        }.toMap
+        val inShard = Window.partitionBy("lang", "shard")
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offW = Window.partitionBy("lang").orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = t.groupBy(col("lang"), col("shard"))
+          .agg(sum("n_tokens").as("c"))
+          .withColumn("off", coalesce(sum("c").over(offW), lit(0L)))
+          .select(col("lang"), col("shard"), col("off"))
+        t.withColumn("local_prev",
+            coalesce(sum("n_tokens").over(inShard), lit(0L)))
+          .join(broadcast(offsets), Seq("lang", "shard"))
+          .withColumn("prev_tokens", col("off") + col("local_prev"))
+          .withColumn("quota",
+            element_at(typedLit(quotas), col("lang")))
+          .filter(col("prev_tokens") < col("quota"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("prev_tokens"), col("quota"))
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, lang,
+              |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+              |  ${hashSql("'umx:' || CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents),
+              |c AS (SELECT lang, sum(n_tokens) AS n FROM t GROUP BY lang),
+              |o AS (SELECT lang, n,
+              |  row_number() OVER (ORDER BY n, lang) AS rn,
+              |  (SELECT count(*) FROM c) AS nl,
+              |  (SELECT sum(n) FROM c) AS total FROM c),
+              |alloc(rn, lang, quota, rem) AS (
+              |  SELECT o.rn, o.lang,
+              |    least(o.n, ((o.total * 9) // 10) // o.nl),
+              |    ((o.total * 9) // 10)
+              |      - least(o.n, ((o.total * 9) // 10) // o.nl)
+              |  FROM o WHERE o.rn = 1
+              |  UNION ALL
+              |  SELECT o.rn, o.lang, least(o.n, a.rem // (o.nl - a.rn)),
+              |    a.rem - least(o.n, a.rem // (o.nl - a.rn))
+              |  FROM alloc a JOIN o ON o.rn = a.rn + 1),
+              |sel AS (SELECT doc_id, lang, n_tokens,
+              |  coalesce(sum(n_tokens) OVER (PARTITION BY lang
+              |    ORDER BY h, doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |    AS prev_tokens
+              |  FROM t)
+              |SELECT sel.doc_id, sel.lang, sel.n_tokens,
+              |  CAST(sel.prev_tokens AS BIGINT) AS prev_tokens,
+              |  CAST(a.quota AS BIGINT) AS quota
+              |FROM sel JOIN alloc a ON sel.lang = a.lang
+              |WHERE sel.prev_tokens < a.quota""".stripMargin)),
+
+    // CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    // Extracting High Quality Monolingual Datasets from Web Crawl
+    // Data", 2020): score every doc with the q78 unigram NLL proxy,
+    // then split each LANGUAGE into head/middle/tail at its own
+    // tercile thresholds — the per-language split is what makes the
+    // filter fair across high- and low-resource languages. Thresholds
+    // are #langs rows broadcast back; the tercile percentile runs on
+    // the per-language score distribution (exact interpolated
+    // percentile, the q73 contract — approx_percentile swaps in at
+    // 100 TB with the same plan shape). Scores are rounded to 6
+    // decimals BEFORE the percentile/comparison on both engines, so
+    // the bucket boundaries are decided on identical doubles.
+    QDef("q96_perplexity_buckets",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toksDf = docs
+          .select(col("doc_id"), col("lang"),
+            explode(tokens(col("text"))).as("tok"))
+          .localCheckpoint()
+        val freq = toksDf.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val totalDf = freq.agg(sum("cnt").as("total"))
+        val vocab = freq.orderBy(col("cnt").desc, col("tok")).limit(50000)
+        val p = when(col("cnt").isNotNull,
+          col("total").cast("double") / col("cnt").cast("double"))
+          .otherwise(col("total").cast("double") * 2.0)
+        val perDoc = toksDf
+          .join(broadcast(vocab), Seq("tok"), "left")
+          .crossJoin(broadcast(totalDf))
+          .withColumn("mnat", floor(lit(1000.0) * log(p)).cast("long"))
+          .groupBy("doc_id", "lang")
+          .agg(round(sum(col("mnat")).cast("double") /
+            count(lit(1)).cast("double") / 1000.0, 6).as("mean_nll"))
+        // checkpointed: the scored table feeds the threshold agg AND
+        // the bucket join
+        val scored = docs.select(col("doc_id"), col("lang"))
+          .join(perDoc, Seq("doc_id", "lang"), "left")
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
+          .localCheckpoint()
+        val th = scored.groupBy("lang").agg(
+          round(percentile(col("mean_nll"), lit(1.0 / 3)), 6).as("p33"),
+          round(percentile(col("mean_nll"), lit(2.0 / 3)), 6).as("p66"))
+        scored.join(broadcast(th), "lang")
+          .select(col("doc_id"), col("lang"), col("mean_nll"),
+            when(col("mean_nll") <= col("p33"), lit("head"))
+              .when(col("mean_nll") <= col("p66"), lit("middle"))
+              .otherwise(lit("tail")).as("bucket"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks
+              |  FROM documents),
+              |e AS (SELECT doc_id, lang, unnest(toks) AS tok FROM t),
+              |f AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok),
+              |tot AS (SELECT sum(cnt) AS total FROM f),
+              |v AS (SELECT tok, cnt FROM f ORDER BY cnt DESC, tok
+              |      LIMIT 50000),
+              |pd AS (SELECT e.doc_id, e.lang,
+              |  round(sum(CAST(floor(1000.0 * ln(CASE
+              |      WHEN v.cnt IS NOT NULL THEN tot.total::DOUBLE / v.cnt
+              |      ELSE tot.total::DOUBLE * 2.0 END)) AS BIGINT))::DOUBLE
+              |    / count(*) / 1000.0, 6) AS mean_nll
+              |  FROM e LEFT JOIN v USING (tok) CROSS JOIN tot
+              |  GROUP BY e.doc_id, e.lang),
+              |sc AS (SELECT d.doc_id, d.lang,
+              |  coalesce(pd.mean_nll, 0.0) AS mean_nll
+              |  FROM documents d LEFT JOIN pd USING (doc_id, lang)),
+              |th AS (SELECT lang,
+              |  round(quantile_cont(mean_nll, ${dbl(1.0 / 3)}), 6) AS p33,
+              |  round(quantile_cont(mean_nll, ${dbl(2.0 / 3)}), 6) AS p66
+              |  FROM sc GROUP BY lang)
+              |SELECT sc.doc_id, sc.lang, sc.mean_nll,
+              |  CASE WHEN sc.mean_nll <= th.p33 THEN 'head'
+              |       WHEN sc.mean_nll <= th.p66 THEN 'middle'
+              |       ELSE 'tail' END AS bucket
+              |FROM sc JOIN th USING (lang)""".stripMargin))
+  )
+}

@@ -21,13 +21,16 @@ class AnnRecallSpec extends SparkSpec {
     assert(exact.size == 10)
     val ivf = (exact & ids("q30_ann_ivf")).size
     val lsh = (exact & ids("q31_ann_lsh")).size
+    val sq8 = (exact & ids("q94_ann_sq8")).size
     val pq = (exact & ids("q85_ann_pq")).size
     val ivfpq = (exact & ids("q89_ann_ivfpq")).size
     assert(ivf >= 9, s"q30 IVF recall@10 degraded: $ivf")
     assert(lsh >= 4, s"q31 LSH top-5-in-exact-10 degraded: $lsh")
+    assert(sq8 >= 9, s"q94 SQ8+re-rank recall@10 degraded: $sq8")
     assert(pq >= 7, s"q85 PQ+re-rank recall@10 degraded: $pq")
     assert(ivfpq >= 4, s"q89 IVF-PQ recall@10 degraded: $ivfpq")
-    // the ladder itself: exact-search variants beat quantized ones
-    assert(ivf >= pq && pq >= ivfpq)
+    // the ladder itself: exact-search variants beat quantized ones,
+    // and finer quantization (SQ8, 1 B/dim) beats coarser (PQ, 1 B/subspace)
+    assert(ivf >= pq && pq >= ivfpq && sq8 >= pq)
   }
 }
