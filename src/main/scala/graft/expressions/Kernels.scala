@@ -212,6 +212,98 @@ case class VecElemwiseDbl(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization encode over all subspaces as one tight loop:
+  * code mi is the centroid index minimizing the inner-product expansion
+  * `cn2 + (-2.0 * ⟨v_mi, c⟩)` (|v_mi|² is constant within a subspace and
+  * cannot change the argmin), with strict-less comparison so ties keep
+  * the smaller centroid index — the exact arithmetic and tie-break of
+  * the expression form [[graft.ops.VectorSearch.pqEncode]] and its
+  * DuckDB oracle mirror. The expression form inlines m×k×(dsub+3)
+  * nodes, which blows Janino's 64 KB method limit at m=8,k=16 —
+  * whole-stage codegen is then DISABLED for the stage and the tree
+  * runs interpreted (~1300 nodes/row); this kernel keeps the stage
+  * inside codegen with one argmin loop. cn2 (per-centroid squared
+  * norms) is precomputed at plan time.
+  */
+case class PqEncodeDbl(child: Expression,
+                       codebook: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  private val m = codebook.length
+  private val dsub = codebook(0)(0).length
+  private val k = codebook(0).length
+  // per-subspace, per-centroid squared norms, ascending-fold (the
+  // plan-time constant the expression form also embeds)
+  private val cn2: Array[Array[Double]] =
+    codebook.map(_.map(_.foldLeft(0.0)((s, x) => s + x * x)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode needs array<double>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var best = Double.PositiveInfinity; var bestC = 0; var ci = 0
+      while (ci < k) {
+        val cvec = codebook(mi)(ci)
+        var dot = 0.0; var di = 0
+        while (di < dsub) {
+          dot += v.getDouble(mi * dsub + di) * cvec(di); di += 1
+        }
+        val score = cn2(mi)(ci) + (-2.0 * dot)
+        if (score < best) { best = score; bestC = ci }
+        ci += 1
+      }
+      out(mi) = bestC
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", codebook, "double[][][]")
+    val cn2Ref = ctx.addReferenceObj("pqCn2", cn2, "double[][]")
+    val out = ctx.freshName("pqOut")
+    val mi = ctx.freshName("mi")
+    val ci = ctx.freshName("ci")
+    val di = ctx.freshName("di")
+    val dot = ctx.freshName("dot")
+    val score = ctx.freshName("score")
+    val best = ctx.freshName("best")
+    val bestC = ctx.freshName("bestC")
+    val cvec = ctx.freshName("cvec")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |int[] $out = new int[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  int $bestC = 0;
+         |  for (int $ci = 0; $ci < $k; $ci++) {
+         |    double[] $cvec = $cbRef[$mi][$ci];
+         |    double $dot = 0.0;
+         |    for (int $di = 0; $di < $dsub; $di++) {
+         |      $dot += $v.getDouble($mi * $dsub + $di) * $cvec[$di];
+         |    }
+         |    double $score = $cn2Ref[$mi][$ci] + (-2.0 * $dot);
+         |    if ($score < $best) { $best = $score; $bestC = $ci; }
+         |  }
+         |  $out[$mi] = $bestC;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeDbl =
+    copy(child = newChild)
+}
+
 /** Fused SQ8 scalar-quantization round trip: per dimension d, encode
   * v[d] against the corpus [mn[d], mx[d]] range as an 8-bit code
   * `min(floor(((v-mn)*255.0)/(mx-mn)), 255.0)` and immediately emit the

@@ -291,13 +291,28 @@ object VectorSearch {
     }
   }
 
+  /** All-subspace PQ codes as ONE array column, computed by the
+    * codegen'd kernel ([[graft.expressions.PqEncodeDbl]]). The
+    * expression form ([[pqEncode]]) inlines m×k×(dsub+3) Catalyst
+    * nodes — at m=8,k=16 that blows Janino's 64 KB method limit,
+    * whole-stage codegen is disabled for the stage, and the tree runs
+    * interpreted; the kernel is the same arithmetic (inner-product
+    * expansion, strict-less tie-break) as one tight loop that keeps
+    * the stage inside codegen. Bit-identical codes (same IEEE order).
+    */
+  def pqEncodeKernel(v: Column, codebook: Array[Array[Array[Double]]])
+      : Column =
+    org.apache.spark.sql.GraftExpr.column(graft.expressions.PqEncodeDbl(
+      org.apache.spark.sql.GraftExpr.expression(v), codebook))
+
   /** Per-subspace PQ codes for a double-array column: code m is the
     * centroid minimizing ||v_m - c||², computed with the inner-product
     * expansion |c|² - 2⟨v_m, c⟩ (|v_m|² is constant within a subspace,
     * so it cannot change the argmin) — half the expression nodes of the
     * squared-difference form, all plain codegen'd arithmetic against
     * literal centroid components, with deterministic centroid-index
-    * tie-break. One column per subspace.
+    * tie-break. One column per subspace. Prefer [[pqEncodeKernel]] in
+    * query plans (this form is the spec's cross-check reference).
     */
   def pqEncode(v: Column, codebook: Array[Array[Array[Double]]])
       : Seq[Column] = {

@@ -344,9 +344,12 @@ object VectorQueries {
         PqOracle.sql = Some(pqOracleSql(codebook, topK = 10))
         val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
           .localCheckpoint()
-        val codes = pqEncode(col("v"), codebook)
-        val enc = e.select(col("vec_id") +:
-          codes.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
+        // all 8 codes from the codegen'd kernel (the expression form
+        // would blow the 64 KB codegen limit and run interpreted)
+        val enc = e.select(col("vec_id"),
+          pqEncodeKernel(col("v"), codebook).as("codes"))
+          .select(col("vec_id") +: (0 until 8)
+            .map(i => element_at(col("codes"), i + 1).as(s"c$i")): _*)
         val q = broadcast(e.filter(col("vec_id") === 0)
           .select(col("v").as("qv")))
         val recon = pqRecon((0 until 8).map(i => col(s"c$i")), codebook)
@@ -421,9 +424,10 @@ object VectorQueries {
           .withColumn("cc", element_at(coarseLit, col("cell") + 1))
           .select(col("vec_id"), col("cell"), col("cc"),
             vecSub(col("v"), col("cc")).as("r"))
-        val codes = pqEncode(col("r"), codebook)
-        val enc = withRes.select(Seq(col("vec_id"), col("cell"), col("cc")) ++
-          codes.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
+        val enc = withRes.select(col("vec_id"), col("cell"), col("cc"),
+          pqEncodeKernel(col("r"), codebook).as("codes"))
+          .select(Seq(col("vec_id"), col("cell"), col("cc")) ++ (0 until 8)
+            .map(i => element_at(col("codes"), i + 1).as(s"c$i")): _*)
         val qCells = broadcast(
           ivfAssign(emb.filter(col("vec_id") === 0), "vec_id", "embedding",
             coarse, probes = 8).select(col("cell")).distinct())

@@ -121,6 +121,13 @@ class VectorSearchSpec extends SparkSpec {
         codes.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
       .collect().map(r => r.getLong(0) ->
         (0 until m).map(i => r.getInt(i + 1))).toMap
+    // the codegen'd kernel must produce the identical codes (it is
+    // what query plans use; the expression form is this reference)
+    val outKernel = vecs.select(col("vec_id"),
+        VectorSearch.pqEncodeKernel(v, cb).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toIndexedSeq).toMap
+    assert(out.keySet == outKernel.keySet)
+    out.foreach { case (id, cs) => assert(outKernel(id) == cs, s"kernel vec $id") }
     // plain-Scala twin: same |c|^2 - 2<v,c> scoring, same tie-break.
     // The float32 round-trip (vector stored as array<float>) is applied
     // before scoring, as toDouble does.
