@@ -36,7 +36,15 @@ object Bench {
       catch { case e: Throwable =>
         errors ::= name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // free the query's leftover localCheckpoint RDDs (outside the
+      // timed section): without this, ~100 queries of checkpoints
+      // accumulate storage memory and the iterative tail queries pay
+      // the pressure (measured: q79 4 s isolated vs 14 s late in the
+      // run)
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     // The driver captures only the last ~2000 chars of output; with 89
     // queries a full-name map overflows that window and the JSON line is

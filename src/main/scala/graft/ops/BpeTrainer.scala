@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative BPE merge training (Sennrich et al., "Neural Machine
+  * Translation of Rare Words with Subword Units", ACL 2016) at the
+  * token level: each round counts every ADJACENT pair across the
+  * corpus (one distributed aggregation — q88's single decision, run k
+  * times), picks the most frequent pair deterministically, and applies
+  * the merge corpus-wide before the next count.
+  *
+  * Driver state per round is exactly ONE row (the winning pair) via a
+  * bounded TakeOrdered collect — the q30/q95 bounded-collect pattern;
+  * the corpus-side work is k scan+aggregate rounds, each
+  * `localCheckpoint`ed so round i never re-executes rounds 1..i-1.
+  *
+  * Merge application uses an engine-portable PADDED-STRING form
+  * instead of a per-token array fold: tokens join with TWO spaces and
+  * the whole string wraps in single spaces, so every token owns its
+  * delimiters and a single literal `replace(" a  b ", " a_b ")` merges
+  * ALL occurrences — including back-to-back repeats — with the same
+  * greedy left-to-right non-overlapping semantics in Spark and DuckDB
+  * (which is also standard BPE apply order). Merged tokens join with
+  * '_' (impossible in the [a-z] corpus alphabet, so later rounds stay
+  * unambiguous).
+  */
+object BpeTrainer {
+
+  /** One selected merge: round number, the winning pair ("a b"), its
+    * corpus frequency at decision time, and the merged token ("a_b").
+    */
+  final case class Merge(iter: Int, pair: String, cnt: Long, merged: String)
+
+  /** " tok1  tok2  tok3 " — each token wrapped in its own delimiters. */
+  def padded(toks: Column): Column =
+    concat(lit(" "), array_join(toks, "  "), lit(" "))
+
+  /** Inverse of [[padded]] after any number of merges (tokens are then
+    * separated by one or two spaces).
+    */
+  def unpad(p: Column): Column = filter(split(p, " "), t => t =!= lit(""))
+
+  /** Adjacent-pair labels ("a b") of a token array column. */
+  def adjacentPairs(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Train the first `k` merges over `textCol` of `docs`. Stops early
+    * if the corpus runs out of adjacent pairs.
+    */
+  def train(docs: DataFrame, textCol: String, k: Int): Seq[Merge] = {
+    val toks0 = filter(split(col(textCol), " "), t => t =!= lit(""))
+    var p = docs.select(padded(toks0).as("p")).localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var i = 1
+    var exhausted = false
+    while (i <= k && !exhausted) {
+      val top = p.select(explode(adjacentPairs(unpad(col("p")))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val merged = pair.replace(" ", "_")
+        merges += Merge(i, pair, cnt, merged)
+        val search = " " + pair.replace(" ", "  ") + " "
+        p = p.select(replace(col("p"), lit(search), lit(s" $merged "))
+          .as("p")).localCheckpoint()
+      }
+      i += 1
+    }
+    merges.result()
+  }
+
+  /** Tokenize a padded-string column under an already-trained merge
+    * list (BPE apply = replay the merges in training order).
+    */
+  def applyMerges(toks: Column, merges: Seq[Merge]): Column = {
+    val p = merges.foldLeft(padded(toks)) { (acc, m) =>
+      replace(acc, lit(" " + m.pair.replace(" ", "  ") + " "),
+        lit(s" ${m.merged} "))
+    }
+    unpad(p)
+  }
+}

@@ -53,6 +53,37 @@ object PipelineQueries4 {
        |    ELSE [] END,
        |  j -> list_min(list_slice(gh, j, j + ${w - 1}))))""".stripMargin
 
+  /** Unrolled k-stage DuckDB replay of [[graft.ops.BpeTrainer.train]]:
+    * stage i counts adjacent pairs of the stage-(i-1) corpus, picks the
+    * top pair (cnt DESC, pair ASC), and applies it with the identical
+    * padded-string replace. No recursion needed — k is a plan-time
+    * constant, so the loop unrolls into CTE stages.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val toksFrag = "list_filter(string_split(p, ' '), x -> x != '')"
+    val pairsFrag = "CASE WHEN len(toks) >= 2 THEN " +
+      "list_transform(generate_series(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i+1]) ELSE [] END"
+    val stages = (1 to k).map { i =>
+      s"""c$i AS (SELECT pair, count(*) AS cnt FROM (
+         |  SELECT unnest($pairsFrag) AS pair FROM (
+         |    SELECT $toksFrag AS toks FROM t${i - 1}) x) y GROUP BY pair),
+         |m$i AS (SELECT $i AS iter, pair, cnt FROM c$i
+         |        ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |t$i AS (SELECT replace(p,
+         |    ' ' || (SELECT replace(pair, ' ', '  ') FROM m$i) || ' ',
+         |    ' ' || (SELECT replace(pair, ' ', '_') FROM m$i) || ' ') AS p
+         |  FROM t${i - 1})""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to k).map(i =>
+      s"SELECT iter, pair, cnt, replace(pair, ' ', '_') AS merged FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH t0 AS (SELECT ' ' || array_to_string($toksSql, '  ') || ' '
+       |  AS p FROM documents),
+       |$stages
+       |$unions""".stripMargin
+  }
+
   // BM25 parameters (Robertson/Spärck Jones defaults) and the literal
   // query. Inexact double constants are computed HERE and embedded in
   // the SQL via %.17e so both engines parse the identical double
@@ -262,6 +293,43 @@ object PipelineQueries4 {
               |FROM documents d LEFT JOIN h USING (doc_id)
               |WHERE d.doc_id % 31 <> 0""".stripMargin)),
 
+    // Contaminated-span LOCATION — the excision step after q93's
+    // flagging: for every non-bench doc, the gram POSITIONS whose hash
+    // is a bench-selected fingerprint (the downstream cut is tokens
+    // [pos, pos+k-1]). Detection carries q92's guarantee — a shared
+    // >= w+k-1-token run contains the bench doc's selected minimum, so
+    // at least one position inside the run is reported. Same plan
+    // shape as q93 (bench fingerprint set broadcast, corpus side never
+    // shuffles) but the probe keeps gram positions instead of
+    // aggregating counts.
+    QDef("q98_contaminated_spans",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val grams = docs
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            gramHashesPositional(col("toks"), 5).as("gh"))
+          .localCheckpoint() // feeds the bench winnow AND the probe
+        val bench = grams.filter(col("doc_id") % 31 === 0)
+          .select(explode(winnowFingerprints(col("gh"), 4)).as("fp"))
+          .distinct()
+        grams.filter(col("doc_id") % 31 =!= 0)
+          .select(col("doc_id"),
+            posexplode(col("gh")).as(Seq("pos", "ghv")))
+          .join(broadcast(bench), col("ghv") === col("fp"))
+          .select(col("doc_id"), col("pos"), col("ghv").as("fp"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |g AS (SELECT doc_id, ${gramHashSql(5)} AS gh FROM t),
+              |b AS (SELECT DISTINCT unnest(${winnowSql(4)}) AS fp
+              |      FROM g WHERE doc_id % 31 = 0),
+              |p AS (SELECT doc_id,
+              |        unnest(generate_series(1, len(gh))) AS i,
+              |        unnest(gh) AS ghv
+              |      FROM g WHERE doc_id % 31 <> 0)
+              |SELECT p.doc_id, p.i - 1 AS pos, p.ghv AS fp
+              |FROM p JOIN b ON p.ghv = b.fp""".stripMargin)),
+
     // UniMax language mixing (Chung et al., "UniMax: Fairer and More
     // Effective Language Sampling for Large-Scale Multilingual
     // Pretraining", 2023): languages processed ASCENDING by size; each
@@ -345,6 +413,78 @@ object PipelineQueries4 {
               |  CAST(a.quota AS BIGINT) AS quota
               |FROM sel JOIN alloc a ON sel.lang = a.lang
               |WHERE sel.prev_tokens < a.quota""".stripMargin)),
+
+    // Training-shard assignment — the pipeline's terminal step: place
+    // every doc into a token-balanced output shard, in the
+    // deterministic global shuffle order (the q75 order), WITHOUT a
+    // global sort. Two-level construction: bucket = high hash bits
+    // (monotone in the sort key), per-bucket token sums in parallel,
+    // O(#buckets) serial offsets broadcast back, then
+    // shard_id = global_prev_tokens div shard_size. Shard size is
+    // data-derived (total/64, integer arithmetic — exact cross-engine)
+    // so the assignment is non-degenerate at every scale factor; at
+    // 100 TB the same plan emits ~token-equal shards with one extra
+    // scan over what the shuffle-order pass already does.
+    QDef("q97_shard_assign",
+      (s, dir) => {
+        val h = tokenHash(concat(lit("shard:"), col("doc_id").cast("string")))
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"), h.as("h"))
+          .withColumn("bucket", floor(col("h") / lit(1L << 24)).cast("long"))
+          .localCheckpoint()
+        val total = t.agg(sum("n_tokens").as("total"))
+        val inB = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offW = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = t.groupBy("bucket").agg(sum("n_tokens").as("c"))
+          .withColumn("off", coalesce(sum("c").over(offW), lit(0L)))
+          .select(col("bucket"), col("off"))
+        t.withColumn("local_prev",
+            coalesce(sum("n_tokens").over(inB), lit(0L)))
+          .join(broadcast(offsets), "bucket")
+          .crossJoin(broadcast(total))
+          .withColumn("prev_tokens", col("off") + col("local_prev"))
+          .withColumn("shard_id",
+            expr("prev_tokens div greatest(total div 64, 1)"))
+          .select(col("doc_id"), col("n_tokens"), col("prev_tokens"),
+            col("shard_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+              |  ${hashSql("'shard:' || CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents),
+              |tot AS (SELECT sum(n_tokens) AS total FROM t),
+              |c AS (SELECT doc_id, n_tokens,
+              |  coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |    AS prev_tokens
+              |  FROM t)
+              |SELECT doc_id, n_tokens,
+              |  CAST(prev_tokens AS BIGINT) AS prev_tokens,
+              |  CAST(prev_tokens // greatest(tot.total // 64, 1) AS BIGINT)
+              |    AS shard_id
+              |FROM c CROSS JOIN tot""".stripMargin)),
+
+    // Iterative BPE merge training (Sennrich et al., ACL 2016) — the
+    // full tokenizer-training loop q88 takes one step of: k rounds of
+    // (distributed adjacent-pair count → deterministic top pair →
+    // corpus-wide merge apply). Driver state is ONE row per round
+    // (bounded TakeOrdered collect); each round's corpus is
+    // checkpointed so round i never re-executes rounds 1..i-1. At
+    // 100 TB the standard practice is to train on a stratified sample
+    // (q71's operator) with the identical plan — the loop shape is
+    // unchanged. Oracle: the k-stage loop unrolled into CTEs (k is a
+    // plan-time constant), replaying count/pick/apply bit-identically.
+    QDef("q99_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.BpeTrainer.train(Tables.documents(s, dir), "text", k = 5)
+          .map(m => (m.iter, m.pair, m.cnt, m.merged))
+          .toDF("iter", "pair", "cnt", "merged")
+      },
+      Some(bpeOracleSql(5))),
 
     // CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
     // Extracting High Quality Monolingual Datasets from Web Crawl

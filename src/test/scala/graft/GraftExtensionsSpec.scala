@@ -51,6 +51,35 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.toSeq == viaCol.toSeq)
   }
 
+  test("SQL winnowing and SQ8 functions match the Column/kernel APIs") {
+    val s = registered
+    import s.implicits._
+    val df = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn"),
+      (2L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("id", "text")
+    df.createOrReplaceTempView("ext_docs2")
+    val viaSql = s.sql(
+      """SELECT id,
+        |  graft_winnow(graft_gram_hashes(graft_tokens(text), 5), 4) AS fps
+        |FROM ext_docs2""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    val viaCol = df
+      .select(col("id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("id"), TextAnalysis.winnowFingerprints(
+        TextAnalysis.gramHashesPositional(col("toks"), 5), 4).as("fps"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    assert(viaSql.toSeq == viaCol.toSeq)
+    val sq = s.sql(
+      """SELECT graft_sq8_approx(array(0.0D, 0.5D, 1.0D),
+        |  array(0.0D, 0.0D, 0.0D), array(1.0D, 1.0D, 1.0D)) AS a""".stripMargin)
+      .head().getSeq[Double](0)
+    // codes 0, 127, 255 -> midpoints (c+0.5)*((hi-lo)/255), the
+    // kernel's exact parenthesization
+    val step = 1.0 / 255.0
+    assert(sq == Seq(0.5 * step, 127.5 * step, 255.5 * step))
+  }
+
   test("SQL h3/codec/geo functions evaluate correctly") {
     val s = registered
     val r = s.sql(

@@ -75,6 +75,43 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q90 BM25 broadcasts df/stats and keeps the ranking TakeOrdered") {
+    val p = plan("q90_bm25_search")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), s"q90 lost its broadcasts")
+    assert(p.contains("TakeOrderedAndProject"), s"q90 lost TakeOrdered")
+  }
+
+  test("q93 winnow decontamination broadcasts the bench fingerprint set") {
+    val p = plan("q93_winnow_contamination")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q94 SQ8 ANN: stats broadcast, both ranking stages TakeOrdered") {
+    val p = plan("q94_ann_sq8")
+    assert(p.contains("TakeOrderedAndProject"), s"q94 lost TakeOrdered")
+    assert(!p.contains("SortMergeJoin"), s"q94 grew a sort-merge join:\n$p")
+  }
+
+  test("q95 UniMax selection windows only sharded partitions") {
+    val p = plan("q95_unimax_mix")
+    val windows = p.linesIterator
+      .filter(_.contains("Arguments")).mkString("\n")
+    assert(p.contains("Window"), "q95 has no window?")
+    assert(windows.contains("shard"), s"q95 window lost its shard key")
+  }
+
+  test("q97 shard assignment windows only bucketed partitions plus an " +
+    "O(#buckets) offset pass") {
+    val p = plan("q97_shard_assign")
+    val windows = p.linesIterator
+      .filter(_.contains("Arguments")).mkString("\n")
+    assert(p.contains("Window"), "q97 has no window?")
+    assert(windows.contains("bucket"), s"q97 window lost its bucket key")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), "q97 lost its broadcasts")
+  }
+
   test("q81 paragraph dedup aggregates before joining (no window over " +
     "the paragraph hash)") {
     val p = plan("q81_para_dedup")
