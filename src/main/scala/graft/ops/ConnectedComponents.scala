@@ -37,9 +37,22 @@ object ConnectedComponents {
     *         recover singletons, saving a full-corpus shuffle here)
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-          maxIter: Int = 25, starFallbackAfter: Int = 8): DataFrame = {
+          maxIter: Int = 25, starFallbackAfter: Int = 8,
+          localThreshold: Long = 200000): DataFrame = {
     val both = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint()
+    // Adaptive: a Spark job carries ~100 ms of fixed overhead, and each
+    // propagation/star round is several jobs — for the small edge sets
+    // LSH mining typically leaves (dedup cliques collapse most mass),
+    // a bounded driver-side union-find beats 10+ rounds of shuffles.
+    // The gate is an exact count with an explicit cap; past it, the
+    // distributed paths below run unchanged (they are the 100 TB
+    // design — at scale the pair set exceeds any driver). Labels are
+    // min-reachable-id in both paths, so results are identical
+    // (spec-pinned).
+    val nEdges = both.count()
+    if (nEdges <= localThreshold) return runLocal(both)
     val sym = both.union(both.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
@@ -74,6 +87,36 @@ object ConnectedComponents {
     else runStarContraction(edges, srcCol, dstCol, maxIter)
   }
 
+  /** Driver-side union-find for edge sets under the adaptive gate:
+    * path-halving + union-by-min so every root is its component's
+    * minimum id — the same labeling the distributed paths converge to.
+    */
+  private def runLocal(both: DataFrame): DataFrame = {
+    val spark = both.sparkSession
+    import spark.implicits._
+    val es = both.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { // union by MIN id: min stays the root
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keysIterator
+      .map(n => (n, find(n))).toSeq
+      .toDF("node", "component")
+  }
+
   /** Alternating large-star/small-star contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14) — the
     * O(log n)-round algorithm for graphs whose components have long
@@ -84,7 +127,14 @@ object ConnectedComponents {
     * every edge is (node → component-min) directly.
     */
   def runStarContraction(edges: DataFrame, srcCol: String, dstCol: String,
-                         maxIter: Int = 30): DataFrame = {
+                         maxIter: Int = 30,
+                         localThreshold: Long = 200000): DataFrame = {
+    // same adaptive gate as run(): star rounds are ~4 jobs each, and a
+    // chain-shaped graph needs O(log n) of them — under the cap a
+    // driver union-find is strictly faster with identical labels
+    val gate = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint()
+    if (gate.count() <= localThreshold) return runLocal(gate)
     // large-star: every node u computes m = min(Γ(u) ∪ {u}) and rewires
     // its LARGER neighbors v > u to m
     def largeStar(e: DataFrame): DataFrame = {

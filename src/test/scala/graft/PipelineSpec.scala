@@ -15,18 +15,24 @@ class PipelineSpec extends SparkSpec {
     // {20,21,22} (triangle)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
-    val got = ConnectedComponents.run(edges, "a", "b")
-      .as[(Long, Long)].collect().toMap
     val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
-    assert(got === want)
+    // both the adaptive local path (default gate) and the distributed
+    // propagation path (gate forced off) must produce the same labels
+    for (lt <- Seq(200000L, 0L)) {
+      val got = ConnectedComponents.run(edges, "a", "b", localThreshold = lt)
+        .as[(Long, Long)].collect().toMap
+      assert(got === want, s"localThreshold=$lt")
+    }
   }
 
   test("connected components: min label wins regardless of edge direction") {
     val edges = Seq((9L, 3L), (3L, 7L), (7L, 1L)).toDF("a", "b")
-    val got = ConnectedComponents.run(edges, "a", "b")
-      .as[(Long, Long)].collect().toMap
-    assert(got.values.toSet === Set(1L))
+    for (lt <- Seq(200000L, 0L)) {
+      val got = ConnectedComponents.run(edges, "a", "b", localThreshold = lt)
+        .as[(Long, Long)].collect().toMap
+      assert(got.values.toSet === Set(1L), s"localThreshold=$lt")
+    }
   }
 
   test("ngramHashes generalizes shingleHashes (n=3 identical)") {
@@ -64,9 +70,12 @@ class PipelineSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(90)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
       .filter { case (a, b) => a != b }
-    val got = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
-      .as[(Long, Long)].collect().toMap
-    assert(got === ufComponents(edges))
+    for (lt <- Seq(200000L, 0L)) {
+      val got = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b",
+          localThreshold = lt)
+        .as[(Long, Long)].collect().toMap
+      assert(got === ufComponents(edges), s"localThreshold=$lt")
+    }
   }
 
   test("star contraction matches union-find on chains and random graphs") {
@@ -78,10 +87,13 @@ class PipelineSpec extends SparkSpec {
     val rand = Seq.fill(60)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
       .filter { case (a, b) => a != b }
     for (edges <- Seq(chain, rand)) {
-      val got = ConnectedComponents
-        .runStarContraction(edges.toDF("a", "b"), "a", "b")
-        .as[(Long, Long)].collect().toMap
-      assert(got === ufComponents(edges))
+      for (lt <- Seq(200000L, 0L)) {
+        val got = ConnectedComponents
+          .runStarContraction(edges.toDF("a", "b"), "a", "b",
+            localThreshold = lt)
+          .as[(Long, Long)].collect().toMap
+        assert(got === ufComponents(edges), s"localThreshold=$lt")
+      }
     }
   }
 
@@ -90,7 +102,7 @@ class PipelineSpec extends SparkSpec {
     // the fallback must still produce the exact answer
     val chain = (1L until 40L).map(i => (i, i + 1))
     val got = ConnectedComponents.run(chain.toDF("a", "b"), "a", "b",
-        starFallbackAfter = 2)
+        starFallbackAfter = 2, localThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert(got === (1L to 40L).map(_ -> 1L).toMap)
   }
