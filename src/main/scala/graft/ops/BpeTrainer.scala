@@ -58,7 +58,12 @@ object BpeTrainer {
     var i = 1
     var exhausted = false
     while (i <= k && !exhausted) {
-      val top = p.select(explode(adjacentPairs(unpad(col("p")))).as("pair"))
+      // `toks` MUST be its own projection: adjacentPairs indexes into it
+      // per element, and a non-attribute subtree inside the lambda would
+      // re-split the padded string once per pair (the PLANS.md
+      // re-evaluation trap — measured 28 s vs 3 s for 5 rounds at sf0.1)
+      val top = p.select(unpad(col("p")).as("toks"))
+        .select(explode(adjacentPairs(col("toks"))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
         .limit(1).collect()

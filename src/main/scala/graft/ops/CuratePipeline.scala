@@ -81,8 +81,9 @@ object CuratePipeline {
     // 5: decontamination against the benchmark fingerprint set
     val nearDocs = exactDocs.join(nearKeep.select(id), Seq(idCol))
     val fps = nearDocs
-      .select(id, explode(winnowFingerprints(
-        gramHashesPositional(col("toks"), cfg.winnowK), cfg.winnowW))
+      .select(id,
+        gramHashesPositional(col("toks"), cfg.winnowK).as("gh"))
+      .select(id, explode(winnowFingerprints(col("gh"), cfg.winnowW))
         .as("fp"))
     val contaminated = fps
       .join(broadcast(benchFps.select(col("fp")).distinct()), "fp")

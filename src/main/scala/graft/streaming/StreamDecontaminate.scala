@@ -26,10 +26,14 @@ object StreamDecontaminate {
     */
   def flag(docs: DataFrame, idCol: String, textCol: String,
            benchFps: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    // gram hashes materialized as their own projection: the winnowing
+    // window lambda indexes into them per element (PLANS.md
+    // re-evaluation trap)
     val fps = docs
       .select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), explode(winnowFingerprints(
-        gramHashesPositional(col("toks"), k), w)).as("fp"))
+      .select(col(idCol), gramHashesPositional(col("toks"), k).as("gh"))
+      .select(col(idCol),
+        explode(winnowFingerprints(col("gh"), w)).as("fp"))
     val hits = fps.join(broadcast(benchFps.select(col("fp")).distinct()), "fp")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
     docs.select(col(idCol))

@@ -17,8 +17,8 @@ class CuratePipelineSpec extends SparkSpec {
     val docs = Tables.documents(spark, dir)
     docs.filter(col("doc_id") % 31 === 0)
       .select(tokens(col("text")).as("toks"))
-      .select(explode(winnowFingerprints(
-        gramHashesPositional(col("toks"), 5), 4)).as("fp"))
+      .select(gramHashesPositional(col("toks"), 5).as("gh"))
+      .select(explode(winnowFingerprints(col("gh"), 4)).as("fp"))
       .distinct()
   }
 
@@ -55,8 +55,9 @@ class CuratePipelineSpec extends SparkSpec {
     val audit = run()
     val keptFps = audit.filter(col("kept"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(winnowFingerprints(
-        gramHashesPositional(col("toks"), 5), 4)).as("fp"))
+      .select(col("doc_id"), gramHashesPositional(col("toks"), 5).as("gh"))
+      .select(col("doc_id"),
+        explode(winnowFingerprints(col("gh"), 4)).as("fp"))
     assert(keptFps.join(benchFps, "fp").count() == 0)
   }
 

@@ -20,8 +20,8 @@ class StreamDecontaminateSpec extends SparkSpec {
     val docs = Tables.documents(spark, dir)
     val bench = docs.filter(col("doc_id") % 31 === 0)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(explode(winnowFingerprints(
-        gramHashesPositional(col("toks"), 5), 4)).as("fp"))
+      .select(gramHashesPositional(col("toks"), 5).as("gh"))
+      .select(explode(winnowFingerprints(col("gh"), 4)).as("fp"))
       .distinct().localCheckpoint()
     val probeDocs = docs.filter(col("doc_id") % 31 =!= 0)
       .select(col("doc_id"), col("text"))
