@@ -52,18 +52,23 @@ object Bench {
     // short keys (the qNN prefix, unique by construction) rounded to ms
     // so the ONE parseable line always fits; the full-name map goes to a
     // local file for humans.
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + f"\":$v%.3f" }
+    // Locale.ROOT, not the f-interpolator: a comma-decimal default
+    // locale (de_DE, fr_FR) would print 1,234 and corrupt the JSON
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("target/bench_full.json")
-      try w.println(s"""{"total":$total,"queries":$fullQs,"sf":"$sfDir"}""") finally w.close()
+      try w.println(s"""{"total":${ms(total)},"queries":$fullQs,"sf":"$sfDir"}""") finally w.close()
     } catch { case _: Throwable => () }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -306,7 +306,10 @@ case class PqEncodeDbl(child: Expression,
 
 /** Fused SQ8 scalar-quantization round trip: per dimension d, encode
   * v[d] against the corpus [mn[d], mx[d]] range as an 8-bit code
-  * `min(floor(((v-mn)*255.0)/(mx-mn)), 255.0)` and immediately emit the
+  * `min(max(floor(((v-mn)*255.0)/(mx-mn)), 0.0), 255.0)` (clamped at
+  * BOTH ends — a stored int8 code is 0..255, so inputs outside a
+  * sample-trained range saturate instead of fabricating impossible
+  * codes) and immediately emit the
   * midpoint reconstruction `mn + ((code+0.5)*((mx-mn)/255.0))`
   * (degenerate dimensions mx==mn reconstruct as mn). This is the
   * ranking arithmetic of an int8-quantized ANN scan — at scale the
@@ -343,8 +346,11 @@ case class Sq8ApproxDbl(first: Expression, second: Expression,
       if (!xv.isNullAt(i) && !xn.isNullAt(i) && !xx.isNullAt(i)) {
         val lo = xn.getDouble(i); val hi = xx.getDouble(i)
         out(i) = if (hi == lo) lo else {
-          val code = math.min(
-            math.floor(((xv.getDouble(i) - lo) * 255.0) / (hi - lo)), 255.0)
+          // clamp BOTH ends: an input below the trained range must code
+          // to 0 (a stored int8 is 0..255), not a negative pseudo-code
+          val code = math.min(math.max(
+            math.floor(((xv.getDouble(i) - lo) * 255.0) / (hi - lo)), 0.0),
+            255.0)
           lo + ((code + 0.5) * ((hi - lo) / 255.0))
         }
       }
@@ -372,9 +378,9 @@ case class Sq8ApproxDbl(first: Expression, second: Expression,
          |    if ($hi == $lo) {
          |      $out[$i] = $lo;
          |    } else {
-         |      double $code = java.lang.Math.min(
+         |      double $code = java.lang.Math.min(java.lang.Math.max(
          |        java.lang.Math.floor((($v.getDouble($i) - $lo) * 255.0) / ($hi - $lo)),
-         |        255.0);
+         |        0.0), 255.0);
          |      $out[$i] = $lo + (($code + 0.5) * (($hi - $lo) / 255.0));
          |    }
          |  }

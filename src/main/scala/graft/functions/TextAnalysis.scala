@@ -55,13 +55,8 @@ object TextAnalysis {
     * token grams, where a shared gram is near-certain verbatim copying).
     * Same materialized-`toks` contract as [[shingles3]].
     */
-  def ngramHashes(toks: Column, n: Int): Column = {
-    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    array_distinct(transform(idx, i =>
-      tokenHash(concat_ws(" ",
-        (0 until n).map(k => element_at(toks, i + k)): _*))))
-  }
+  def ngramHashes(toks: Column, n: Int): Column =
+    array_distinct(gramHashesPositional(toks, n))
 
   /** POSITIONAL int64 hashes of word n-grams — one hash per gram
     * position, duplicates kept (unlike [[ngramHashes]]): the winnowing

@@ -41,18 +41,17 @@ object ConnectedComponents {
           localThreshold: Long = 200000): DataFrame = {
     val both = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .localCheckpoint()
     // Adaptive: a Spark job carries ~100 ms of fixed overhead, and each
     // propagation/star round is several jobs — for the small edge sets
     // LSH mining typically leaves (dedup cliques collapse most mass),
     // a bounded driver-side union-find beats 10+ rounds of shuffles.
-    // The gate is an exact count with an explicit cap; past it, the
-    // distributed paths below run unchanged (they are the 100 TB
-    // design — at scale the pair set exceeds any driver). Labels are
-    // min-reachable-id in both paths, so results are identical
-    // (spec-pinned).
-    val nEdges = both.count()
-    if (nEdges <= localThreshold) return runLocal(both)
+    // The gate is an exact count (one aggregate, NO materialization —
+    // the large path must not pay a full edge-set checkpoint just to
+    // be counted); past it, the distributed paths below run unchanged
+    // (they are the 100 TB design — at scale the pair set exceeds any
+    // driver). Labels are min-reachable-id in both paths, so results
+    // are identical (spec-pinned).
+    if (both.count() <= localThreshold) return runLocal(both)
     val sym = both.union(both.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
@@ -84,7 +83,9 @@ object ConnectedComponents {
       i += 1
     }
     if (converged) labels
-    else runStarContraction(edges, srcCol, dstCol, maxIter)
+    // already counted past the gate above — go straight to the
+    // distributed star contraction, no second count/checkpoint
+    else starContract(both, maxIter)
   }
 
   /** Driver-side union-find for edge sets under the adaptive gate:
@@ -131,10 +132,22 @@ object ConnectedComponents {
                          localThreshold: Long = 200000): DataFrame = {
     // same adaptive gate as run(): star rounds are ~4 jobs each, and a
     // chain-shaped graph needs O(log n) of them — under the cap a
-    // driver union-find is strictly faster with identical labels
-    val gate = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint()
-    if (gate.count() <= localThreshold) return runLocal(gate)
+    // driver union-find is strictly faster with identical labels. The
+    // gate is one count, NO materialization (the large path re-derives
+    // from the cheap projection; a checkpoint here would store every
+    // edge once more for the loop's whole lifetime).
+    val both = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    if (both.count() <= localThreshold) return runLocal(both)
+    starContract(both, maxIter)
+  }
+
+  /** Distributed star contraction over ("src","dst")-named edges —
+    * shared by [[runStarContraction]] and [[run]]'s fallback (which has
+    * already counted the edge set past the gate and must not count or
+    * checkpoint it again).
+    */
+  private def starContract(both: DataFrame, maxIter: Int): DataFrame = {
     // large-star: every node u computes m = min(Γ(u) ∪ {u}) and rewires
     // its LARGER neighbors v > u to m
     def largeStar(e: DataFrame): DataFrame = {
@@ -170,12 +183,12 @@ object ConnectedComponents {
         coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    val nodes = edges
-      .select(col(srcCol).cast("long").as("node"))
-      .union(edges.select(col(dstCol).cast("long").as("node")))
+    val nodes = both
+      .select(col("src").as("node"))
+      .union(both.select(col("dst").as("node")))
       .distinct().localCheckpoint()
-    var e = edges
-      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+    var e = both
+      .select(col("src").as("a"), col("dst").as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint()
     var sig = signature(e)

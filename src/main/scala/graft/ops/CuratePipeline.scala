@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.functions.TextAnalysis._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composition the individual
@@ -78,19 +78,13 @@ object CuratePipeline {
       .filter(coalesce(col("component"), id) === id)
       .select(id, lit(true).as("pass_neardup"))
 
-    // 5: decontamination against the benchmark fingerprint set
+    // 5: decontamination — THE shared probe (ops.Decontaminate, also
+    // behind q93 and the streaming filter)
     val nearDocs = exactDocs.join(nearKeep.select(id), Seq(idCol))
-    val fps = nearDocs
-      .select(id,
-        gramHashesPositional(col("toks"), cfg.winnowK).as("gh"))
-      .select(id, explode(winnowFingerprints(col("gh"), cfg.winnowW))
-        .as("fp"))
-    val contaminated = fps
-      .join(broadcast(benchFps.select(col("fp")).distinct()), "fp")
-      .select(id).distinct()
-    val cleanKeep = nearDocs.select(id)
-      .join(contaminated.withColumn("dirty", lit(true)), Seq(idCol), "left")
-      .filter(col("dirty").isNull)
+    val cleanKeep = Decontaminate.flag(
+        nearDocs.select(id, col("text")), idCol, "text", benchFps,
+        cfg.winnowK, cfg.winnowW)
+      .filter(!col("contaminated"))
       .select(id, lit(true).as("pass_decon"))
 
     // 6: temperature rebalance over the clean survivors (rates derived
@@ -115,18 +109,9 @@ object CuratePipeline {
       .withColumn("bucket", floor(col("h") / lit(1L << 24)).cast("long"))
       .localCheckpoint()
     val total = finalDocs.agg(sum("n_tokens").as("total"))
-    val inB = Window.partitionBy("bucket").orderBy(col("h"), id)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offW = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = finalDocs.groupBy("bucket").agg(sum("n_tokens").as("c"))
-      .withColumn("off", coalesce(sum("c").over(offW), lit(0L)))
-      .select(col("bucket"), col("off"))
-    val sharded = finalDocs
-      .withColumn("local_prev", coalesce(sum("n_tokens").over(inB), lit(0L)))
-      .join(broadcast(offsets), Seq("bucket"))
+    val sharded = PrefixSum
+      .twoLevelPrev(finalDocs, Seq(), "bucket", idCol, "n_tokens", "h")
       .crossJoin(broadcast(total))
-      .withColumn("prev_tokens", col("off") + col("local_prev"))
       .withColumn("shard_id", expr(
         s"prev_tokens div greatest(total div ${cfg.shards}, 1)"))
       .select(id, col("shard_id"))

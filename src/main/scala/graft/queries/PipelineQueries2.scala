@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import graft.fixtures.FixtureGen
 import graft.functions.TextAnalysis._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -241,19 +240,8 @@ object PipelineQueries2 {
             h.as("h"))
           .withColumn("shard", floor(col("h") / lit(1L << 24)).cast("long"))
           .localCheckpoint()
-        val inShard = Window.partitionBy("source", "shard")
-          .orderBy(col("h"), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offW = Window.partitionBy("source").orderBy("shard")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = t.groupBy(col("source"), col("shard"))
-          .agg(sum("n_tokens").as("c"))
-          .withColumn("off", coalesce(sum("c").over(offW), lit(0L)))
-          .select(col("source"), col("shard"), col("off"))
-        t.withColumn("local_prev",
-            coalesce(sum("n_tokens").over(inShard), lit(0L)))
-          .join(broadcast(offsets), Seq("source", "shard"))
-          .withColumn("prev_tokens", col("off") + col("local_prev"))
+        graft.ops.PrefixSum
+          .twoLevelPrev(t, Seq("source"), "shard", "doc_id", "n_tokens", "h")
           .filter(col("prev_tokens") < budget)
           .select(col("doc_id"), col("source"), col("n_tokens"),
             col("prev_tokens"))

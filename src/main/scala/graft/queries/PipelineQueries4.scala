@@ -259,26 +259,16 @@ object PipelineQueries4 {
     // doc by construction, so a plain count after the join is exact).
     QDef("q93_winnow_contamination",
       (s, dir) => {
+        // THE shared probe (ops.Decontaminate) — the same
+        // implementation CuratePipeline and the streaming filter run,
+        // so there is no second flagging semantics to drift
         val docs = Tables.documents(s, dir)
-        // checkpointed: the fingerprint stream feeds BOTH the bench
-        // and probe sides (the q70 dual-use-of-one-subtree shape)
-        val fps = docs
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"),
-            gramHashesPositional(col("toks"), 5).as("gh"))
-          .select(col("doc_id"),
-            explode(winnowFingerprints(col("gh"), 4)).as("fp"))
-          .localCheckpoint()
-        val bench = fps.filter(col("doc_id") % 31 === 0)
-          .select("fp").distinct()
-        val hits = fps.filter(col("doc_id") % 31 =!= 0)
-          .join(broadcast(bench), "fp")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-        docs.filter(col("doc_id") % 31 =!= 0).select(col("doc_id"))
-          .join(hits, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_shared"), lit(0L)).as("n_shared"))
-          .withColumn("contaminated", col("n_shared") > 0)
+        val bench = graft.ops.Decontaminate.fingerprintSet(
+          docs.filter(col("doc_id") % 31 === 0), "text")
+        graft.ops.Decontaminate.flag(
+          docs.filter(col("doc_id") % 31 =!= 0)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", bench)
       },
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
               |g AS (SELECT doc_id, ${gramHashSql(5)} AS gh FROM t),
@@ -364,19 +354,8 @@ object PipelineQueries4 {
           rem -= quota
           (l, quota)
         }.toMap
-        val inShard = Window.partitionBy("lang", "shard")
-          .orderBy(col("h"), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offW = Window.partitionBy("lang").orderBy("shard")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = t.groupBy(col("lang"), col("shard"))
-          .agg(sum("n_tokens").as("c"))
-          .withColumn("off", coalesce(sum("c").over(offW), lit(0L)))
-          .select(col("lang"), col("shard"), col("off"))
-        t.withColumn("local_prev",
-            coalesce(sum("n_tokens").over(inShard), lit(0L)))
-          .join(broadcast(offsets), Seq("lang", "shard"))
-          .withColumn("prev_tokens", col("off") + col("local_prev"))
+        graft.ops.PrefixSum
+          .twoLevelPrev(t, Seq("lang"), "shard", "doc_id", "n_tokens", "h")
           .withColumn("quota",
             element_at(typedLit(quotas), col("lang")))
           .filter(col("prev_tokens") < col("quota"))
@@ -434,18 +413,9 @@ object PipelineQueries4 {
           .withColumn("bucket", floor(col("h") / lit(1L << 24)).cast("long"))
           .localCheckpoint()
         val total = t.agg(sum("n_tokens").as("total"))
-        val inB = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offW = Window.orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = t.groupBy("bucket").agg(sum("n_tokens").as("c"))
-          .withColumn("off", coalesce(sum("c").over(offW), lit(0L)))
-          .select(col("bucket"), col("off"))
-        t.withColumn("local_prev",
-            coalesce(sum("n_tokens").over(inB), lit(0L)))
-          .join(broadcast(offsets), "bucket")
+        graft.ops.PrefixSum
+          .twoLevelPrev(t, Seq(), "bucket", "doc_id", "n_tokens", "h")
           .crossJoin(broadcast(total))
-          .withColumn("prev_tokens", col("off") + col("local_prev"))
           .withColumn("shard_id",
             expr("prev_tokens div greatest(total div 64, 1)"))
           .select(col("doc_id"), col("n_tokens"), col("prev_tokens"),

@@ -79,8 +79,9 @@ object VectorQueries2 {
         // x[1]=v, x[2]=mn, x[3]=mx — the kernel's parenthesization
         val approx = "list_transform(list_zip(v, st.mn, st.mx), x -> " +
           "CASE WHEN x[3] = x[2] THEN x[2] ELSE " +
-          "x[2] + ((least(floor(((x[1] - x[2]) * 255.0) / (x[3] - x[2])), " +
-          "255.0) + 0.5) * ((x[3] - x[2]) / 255.0)) END)"
+          "x[2] + ((least(greatest(floor(((x[1] - x[2]) * 255.0) / " +
+          "(x[3] - x[2])), 0.0), 255.0) + 0.5) * " +
+          "((x[3] - x[2]) / 255.0)) END)"
         s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
            |st AS (SELECT $mnList AS mn, $mxList AS mx FROM e),
            |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),

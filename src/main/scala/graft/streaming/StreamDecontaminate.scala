@@ -21,26 +21,13 @@ import org.apache.spark.sql.Row
   */
 object StreamDecontaminate {
 
-  /** Batch probe, shared verbatim by q93-shaped batch use and each
-    * micro-batch: (idCol, n_shared, contaminated) for every input doc.
+  /** Batch probe — [[graft.ops.Decontaminate.flag]], the single
+    * implementation shared with q93 and CuratePipeline; kept as an
+    * alias here so streaming callers need only this object.
     */
   def flag(docs: DataFrame, idCol: String, textCol: String,
-           benchFps: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
-    // gram hashes materialized as their own projection: the winnowing
-    // window lambda indexes into them per element (PLANS.md
-    // re-evaluation trap)
-    val fps = docs
-      .select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), gramHashesPositional(col("toks"), k).as("gh"))
-      .select(col(idCol),
-        explode(winnowFingerprints(col("gh"), w)).as("fp"))
-    val hits = fps.join(broadcast(benchFps.select(col("fp")).distinct()), "fp")
-      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
-    docs.select(col(idCol))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
-      .withColumn("contaminated", col("n_shared") > 0)
-  }
+           benchFps: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    graft.ops.Decontaminate.flag(docs, idCol, textCol, benchFps, k, w)
 
   /** Wire a doc stream through the flagging probe; `sink` receives each
     * micro-batch's flagged frame (write, drop, or quarantine as the

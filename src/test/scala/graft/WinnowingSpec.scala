@@ -86,7 +86,8 @@ class WinnowingSpec extends SparkSpec {
       (0 until dims).foreach { d =>
         val lo = mn(d); val hi = mx(d)
         val want = if (hi == lo) lo else {
-          val code = math.min(math.floor(((v(d) - lo) * 255.0) / (hi - lo)), 255.0)
+          val code = math.min(math.max(
+            math.floor(((v(d) - lo) * 255.0) / (hi - lo)), 0.0), 255.0)
           lo + ((code + 0.5) * ((hi - lo) / 255.0))
         }
         assert(approx(d) == want, s"vec $i dim $d")
@@ -94,5 +95,13 @@ class WinnowingSpec extends SparkSpec {
         assert(math.abs(approx(d) - v(d)) <= (hi - lo) / 255.0 + 1e-12)
       }
     }
+    // inputs outside the trained range saturate to codes 0 / 255 —
+    // what ranking against actually-stored int8 codes would compute
+    val step = 1.0 / 255.0
+    val sat = Seq((1L, Seq(-5.0, 5.0))).toDF("id", "v")
+      .select(VectorSearch.sq8Approx(col("v"),
+        typedLit(Seq(0.0, 0.0)), typedLit(Seq(1.0, 1.0))).as("a"))
+      .head().getSeq[Double](0)
+    assert(sat == Seq(0.5 * step, 255.5 * step))
   }
 }
