@@ -499,6 +499,7 @@ object FixtureGen {
     // operators (see ops/Multimodal.scala): ASCII header + base64-ASCII
     // payload so both engines can parse the same bytes
     val mRnd = new Random(13)
+    val basePayloads = scala.collection.mutable.Map.empty[Int, String]
     val media = (0 until 120).map { i =>
       val kind = Seq("image", "audio", "video")(i % 3)
       val (w, h, dur) = kind match {
@@ -508,8 +509,21 @@ object FixtureGen {
           2000L + mRnd.nextInt(28) * 1000L)
       }
       val payloadLen = 100 + mRnd.nextInt(300)
-      val payload = java.util.Base64.getEncoder.encodeToString(
+      val fresh = java.util.Base64.getEncoder.encodeToString(
         Array.fill[Byte](payloadLen)(mRnd.nextInt().toByte))
+      // media 90-119 are NEAR-DUPLICATES of media 0-29 (same kind —
+      // 90 ≡ 0 mod 3): they reuse a long prefix of the earlier payload
+      // (a re-encoded/trimmed copy of the same clip) with a fresh
+      // tail, so segment-hash dedup has planted positives
+      val payload =
+        if (i >= 90) {
+          val base = basePayloads(i - 90)
+          val keep = (base.length * 3) / 4
+          base.substring(0, keep) + fresh.substring(0, fresh.length / 4)
+        } else {
+          basePayloads(i) = fresh
+          fresh
+        }
       val header = s"FAKEMEDIA;kind=$kind;w=$w;h=$h;dur=$dur;codec=fake-$kind;|"
       (i.toLong, (i % 40).toLong, kind,
         (header + payload).getBytes("US-ASCII"))

@@ -121,6 +121,27 @@ object Multimodal {
           col("offset_ms").cast("string"))).as("frame_hash"))
   }
 
+  /** Fixed-width content-segment hashes of the payload — the
+    * content-derived signature for cross-media near-duplicate
+    * detection ([[sampleFrames]]'s frame_hash is a position id,
+    * deliberately content-independent). FIXED width, not equal
+    * division: two different-length payloads sharing a prefix (a
+    * re-encoded/trimmed copy of the same clip) then produce aligned,
+    * equal segments, which equal-division boundaries would destroy.
+    */
+  def segmentHashes(media: Dataset[MediaRow], segWidth: Int = 32): DataFrame =
+    media.toDF()
+      .withColumn("s", col("bytes").cast("string"))
+      .select(col("media_id"), col("kind"),
+        expr("substring(s, instr(s, '|') + 1)").as("payload"))
+      .withColumn("len", length(col("payload")))
+      .filter(col("len") > 0)
+      .withColumn("seg", explode(sequence(lit(1),
+        expr(s"(len + ${segWidth - 1}) div $segWidth"))))
+      .select(col("media_id"), col("kind"), col("seg"),
+        md5(expr(s"substring(payload, (seg - 1) * $segWidth + 1, $segWidth)"))
+          .as("seg_hash"))
+
   def readMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     spark.read.parquet(dir).as[MediaRow]

@@ -64,6 +64,48 @@ object MediaQueries {
         |    unnest(range(0, duration_ms, 5000)) AS off
         |  FROM p WHERE duration_ms > 0)""".stripMargin)),
 
+    // Cross-media near-duplicate detection: media sharing >= 2 aligned
+    // 32-char content segments (a re-encoded/trimmed copy of the same
+    // clip keeps a long payload prefix — the fixture plants 30 such
+    // pairs). The frame/segment signature JOIN is the video-dedup
+    // shape at scale: shuffle keyed on (kind, seg, hash) — candidate
+    // volume is only hash-equal segments, never an all-pairs media
+    // comparison; the per-pair count is one aggregation. With a real
+    // codec the segment hash becomes a perceptual frame hash, same
+    // plan.
+    QDef("q100_media_neardup",
+      (s, _) => {
+        val media = Multimodal.readMedia(s,
+          s"${FixtureGen.FixtureDir}/media.parquet")
+        // checkpointed: the signature table feeds both sides of the
+        // self-join (the PLANS.md self-join re-execution trap)
+        val segs = Multimodal.segmentHashes(media).localCheckpoint()
+        segs.as("x").join(segs.as("y"),
+            col("x.kind") === col("y.kind") &&
+              col("x.seg") === col("y.seg") &&
+              col("x.seg_hash") === col("y.seg_hash") &&
+              col("x.media_id") < col("y.media_id"))
+          .select(col("x.media_id").as("media_a"),
+            col("y.media_id").as("media_b"))
+          .groupBy("media_a", "media_b")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+      },
+      Some(s"""WITH $mCte,
+        |segs AS (
+        |  SELECT media_id, kind, seg,
+        |    md5(substr(payload, (seg - 1) * 32 + 1, 32)) AS seg_hash
+        |  FROM (
+        |    SELECT media_id, kind, payload,
+        |      unnest(generate_series(1,
+        |        (CAST(length(payload) AS INT) + 31) // 32)) AS seg
+        |    FROM p WHERE length(payload) > 0) t)
+        |SELECT x.media_id AS media_a, y.media_id AS media_b,
+        |  count(*) AS n_shared
+        |FROM segs x JOIN segs y ON x.kind = y.kind AND x.seg = y.seg
+        |  AND x.seg_hash = y.seg_hash AND x.media_id < y.media_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
+
     // Feature extraction: payload -> deterministic 8-dim embedding (the
     // stub encoder), exploded to (media_id, dim, feat) so the check is
     // engine-portable; the float embedding itself feeds VectorSearch in

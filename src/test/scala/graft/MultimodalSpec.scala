@@ -41,6 +41,28 @@ class MultimodalSpec extends SparkSpec {
       again.map(_.getAs[String]("frame_hash")).toSeq)
   }
 
+  test("segment hashes align shared prefixes of different-length payloads") {
+    val base = "A" * 40 + "B" * 40 + "C" * 40 // 120 chars
+    val rows = Seq(
+      fake(1, "video", 320, 240, 9000, base),
+      // trimmed re-encode: keeps a 96-char prefix, fresh tail
+      fake(2, "video", 320, 240, 7000, base.substring(0, 96) + "Z" * 20),
+      fake(3, "video", 320, 240, 9000, "Q" * 120)).toDS()
+    val segs = Multimodal.segmentHashes(rows, segWidth = 32)
+    val shared = segs.as("x").join(segs.as("y"),
+        col("x.seg") === col("y.seg") &&
+          col("x.seg_hash") === col("y.seg_hash") &&
+          col("x.media_id") < col("y.media_id"))
+      .groupBy(col("x.media_id"), col("y.media_id")).count()
+      .as[(Long, Long, Long)].collect().toSet
+    // fixed-width segments: 1-2 share segments 1-3 (96 chars = 3 full
+    // segments); media 3 shares nothing. Equal-DIVISION boundaries
+    // would have misaligned the different-length payloads.
+    assert(shared === Set((1L, 2L, 3L)))
+    // per-media segment count = ceil(len / 32)
+    assert(segs.filter(col("media_id") === 1).count() === 4)
+  }
+
   test("extracted features feed the vector-search operators end-to-end") {
     // two identical payloads + distinct ones: the near-dup pair must be
     // exactly the duplicate payload pair at threshold ~1.0
