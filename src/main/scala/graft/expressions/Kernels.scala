@@ -246,6 +246,13 @@ case class PqEncodeDbl(child: Expression,
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    // a short vector would read past the array on UnsafeArrayData —
+    // garbage codes or a JVM fault instead of an error; fail clearly
+    if (v.numElements() < m * dsub) {
+      throw new IllegalArgumentException(
+        s"pq_encode: input vector has ${v.numElements()} elements, " +
+          s"codebook needs at least ${m * dsub}")
+    }
     val out = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -280,6 +287,11 @@ case class PqEncodeDbl(child: Expression,
     val cvec = ctx.freshName("cvec")
     nullSafeCodeGen(ctx, ev, v => {
       s"""
+         |if ($v.numElements() < ${m * dsub}) {
+         |  throw new IllegalArgumentException(
+         |    "pq_encode: input vector has " + $v.numElements() +
+         |    " elements, codebook needs at least ${m * dsub}");
+         |}
          |int[] $out = new int[$m];
          |for (int $mi = 0; $mi < $m; $mi++) {
          |  double $best = Double.POSITIVE_INFINITY;

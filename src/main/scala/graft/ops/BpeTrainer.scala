@@ -22,10 +22,21 @@ import org.apache.spark.sql.functions._
   * ALL occurrences — including back-to-back repeats — with the same
   * greedy left-to-right non-overlapping semantics in Spark and DuckDB
   * (which is also standard BPE apply order). Merged tokens join with
-  * '_' (impossible in the [a-z] corpus alphabet, so later rounds stay
-  * unambiguous).
+  * U+001F (unit separator): on a general corpus a printable joiner
+  * like '_' collides with pre-existing tokens ("a_b" would be
+  * indistinguishable from a merged pair, silently corrupting later
+  * rounds in a way no oracle can catch because both engines agree),
+  * and a C0 control char never survives text extraction. [[train]]
+  * still ASSERTS the input is separator-free rather than trusting
+  * that argument.
   */
 object BpeTrainer {
+
+  /** Joiner between the halves of a merged token — U+001F, outside any
+    * plausible token alphabet; training fails fast if the input
+    * contains it.
+    */
+  val Sep = "\u001f"
 
   /** One selected merge: round number, the winning pair ("a b"), its
     * corpus frequency at decision time, and the merged token ("a_b").
@@ -53,7 +64,15 @@ object BpeTrainer {
     */
   def train(docs: DataFrame, textCol: String, k: Int): Seq[Merge] = {
     val toks0 = filter(split(col(textCol), " "), t => t =!= lit(""))
-    var p = docs.select(padded(toks0).as("p")).localCheckpoint()
+    // separator-freedom assert rides the initial padding scan (no
+    // extra pass): any row containing U+001F fails the job with a
+    // clear message instead of silently corrupting later merge rounds
+    var p = docs.select(
+        when(contains(padded(toks0), lit(Sep)),
+          raise_error(lit("BpeTrainer: input text contains the merge " +
+            "separator U+001F; pre-strip it before training")))
+          .otherwise(padded(toks0)).as("p"))
+      .localCheckpoint()
     val merges = Seq.newBuilder[Merge]
     var i = 1
     var exhausted = false
@@ -71,7 +90,7 @@ object BpeTrainer {
       else {
         val pair = top(0).getString(0)
         val cnt = top(0).getLong(1)
-        val merged = pair.replace(" ", "_")
+        val merged = pair.replace(" ", Sep)
         merges += Merge(i, pair, cnt, merged)
         val search = " " + pair.replace(" ", "  ") + " "
         p = p.select(replace(col("p"), lit(search), lit(s" $merged "))

@@ -45,13 +45,19 @@ object ConnectedComponents {
     // propagation/star round is several jobs — for the small edge sets
     // LSH mining typically leaves (dedup cliques collapse most mass),
     // a bounded driver-side union-find beats 10+ rounds of shuffles.
-    // The gate is an exact count (one aggregate, NO materialization —
-    // the large path must not pay a full edge-set checkpoint just to
-    // be counted); past it, the distributed paths below run unchanged
-    // (they are the 100 TB design — at scale the pair set exceeds any
-    // driver). Labels are min-reachable-id in both paths, so results
-    // are identical (spec-pinned).
-    if (both.count() <= localThreshold) return runLocal(both)
+    // The gate is a bounded limit-collect of cap+1 rows, NOT a count:
+    // a count followed by runLocal's collect would execute the edge
+    // lineage (e.g. full LSH pair mining) twice on the very path the
+    // gate exists to speed up. Under the cap the collected array IS
+    // the input to union-find; over it, the limit short-circuits and
+    // the distributed paths below run unchanged (they are the 100 TB
+    // design — at scale the pair set exceeds any driver). Labels are
+    // min-reachable-id in both paths, so results are identical
+    // (spec-pinned).
+    collectIfSmall(both, localThreshold) match {
+      case Some(es) => return unionFind(es, both)
+      case None =>
+    }
     val sym = both.union(both.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
@@ -88,14 +94,29 @@ object ConnectedComponents {
     else starContract(both, maxIter)
   }
 
+  /** One bounded collect of at most cap+1 edges: Some(edges) when the
+    * set fits under the cap (the array then feeds union-find directly —
+    * no second execution of the edge lineage), None when the limit
+    * overflows (the large path re-derives from the cheap projection;
+    * CollectLimit short-circuits, so an over-cap probe is at most one
+    * pass and usually far less).
+    */
+  private def collectIfSmall(both: DataFrame,
+                             cap: Long): Option[Array[(Long, Long)]] = {
+    val spark = both.sparkSession
+    import spark.implicits._
+    val n = math.min(cap, Int.MaxValue - 2L).toInt
+    val head = both.limit(n + 1).as[(Long, Long)].collect()
+    if (head.length <= n) Some(head) else None
+  }
+
   /** Driver-side union-find for edge sets under the adaptive gate:
     * path-halving + union-by-min so every root is its component's
     * minimum id — the same labeling the distributed paths converge to.
     */
-  private def runLocal(both: DataFrame): DataFrame = {
-    val spark = both.sparkSession
+  private def unionFind(es: Array[(Long, Long)], ref: DataFrame): DataFrame = {
+    val spark = ref.sparkSession
     import spark.implicits._
-    val es = both.as[(Long, Long)].collect()
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
@@ -133,13 +154,15 @@ object ConnectedComponents {
     // same adaptive gate as run(): star rounds are ~4 jobs each, and a
     // chain-shaped graph needs O(log n) of them — under the cap a
     // driver union-find is strictly faster with identical labels. The
-    // gate is one count, NO materialization (the large path re-derives
-    // from the cheap projection; a checkpoint here would store every
+    // gate collects once (never count-then-collect) and never
+    // materializes the large path (a checkpoint here would store every
     // edge once more for the loop's whole lifetime).
     val both = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    if (both.count() <= localThreshold) return runLocal(both)
-    starContract(both, maxIter)
+    collectIfSmall(both, localThreshold) match {
+      case Some(es) => unionFind(es, both)
+      case None => starContract(both, maxIter)
+    }
   }
 
   /** Distributed star contraction over ("src","dst")-named edges —

@@ -67,8 +67,13 @@ object CuratePipeline {
       .groupBy(md5(col("text")).as("h")).agg(min(id).as(idCol))
       .select(id, lit(true).as("pass_exact"))
 
-    // 4: near-dup clusters over exact survivors, keep cluster minimum
+    // 4: near-dup clusters over exact survivors, keep cluster minimum.
+    // exactDocs/nearDocs/cleanDocs are each read 2-3 times downstream
+    // (next stage + audit join) — materialized like `cleaned`, or the
+    // audit frame re-executes every earlier join per stage (the
+    // PLANS.md self-join re-execution trap).
     val exactDocs = gated.join(exactKeep.select(id), Seq(idCol))
+      .localCheckpoint()
     val pairs = Dedup.nearDupMinhash(exactDocs, idCol, "text",
       cfg.nearDupBands, cfg.nearDupRows, cfg.nearDupThreshold)
     val comp = ConnectedComponents.run(pairs, "doc_a", "doc_b")
@@ -81,6 +86,7 @@ object CuratePipeline {
     // 5: decontamination — THE shared probe (ops.Decontaminate, also
     // behind q93 and the streaming filter)
     val nearDocs = exactDocs.join(nearKeep.select(id), Seq(idCol))
+      .localCheckpoint()
     val cleanKeep = Decontaminate.flag(
         nearDocs.select(id, col("text")), idCol, "text", benchFps,
         cfg.winnowK, cfg.winnowW)
@@ -90,6 +96,7 @@ object CuratePipeline {
     // 6: temperature rebalance over the clean survivors (rates derived
     // from THIS corpus, q83's arithmetic)
     val cleanDocs = nearDocs.join(cleanKeep.select(id), Seq(idCol))
+      .localCheckpoint()
     val counts = cleanDocs.groupBy("lang").agg(count(lit(1)).as("n"))
     val minN = counts.agg(min("n").as("mn"))
     val rates = counts.crossJoin(broadcast(minN))

@@ -72,11 +72,11 @@ object PipelineQueries4 {
          |        ORDER BY cnt DESC, pair ASC LIMIT 1),
          |t$i AS (SELECT replace(p,
          |    ' ' || (SELECT replace(pair, ' ', '  ') FROM m$i) || ' ',
-         |    ' ' || (SELECT replace(pair, ' ', '_') FROM m$i) || ' ') AS p
+         |    ' ' || (SELECT replace(pair, ' ', chr(31)) FROM m$i) || ' ') AS p
          |  FROM t${i - 1})""".stripMargin
     }.mkString(",\n")
     val unions = (1 to k).map(i =>
-      s"SELECT iter, pair, cnt, replace(pair, ' ', '_') AS merged FROM m$i")
+      s"SELECT iter, pair, cnt, replace(pair, ' ', chr(31)) AS merged FROM m$i")
       .mkString("\nUNION ALL\n")
     s"""WITH t0 AS (SELECT ' ' || array_to_string($toksSql, '  ') || ' '
        |  AS p FROM documents),
