@@ -26,13 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object DupSpans {
 
-  /** Positional k-gram hash stream: (id, pos, ghv), pos 0-based. */
+  /** Positional k-gram hash stream: (id, pos, ghv), pos 0-based.
+    *
+    * The explode is the OUTER variant with a null-filter on the
+    * GENERATED column, not a plain posexplode: for a non-outer
+    * generate, `InferFiltersFromGenerate` adds `size(gh) > 0 AND
+    * isnotnull(gh)` above the generate's child and `PushDownPredicates`
+    * then pushes it through the projections, inlining the whole
+    * gram-hash pipeline into a pre-projection filter with `text`
+    * re-split per element — the PLANS.md expensive-filter-pushdown
+    * trap, measured 7-9 s vs 0.6 s at sf0.1. The outer generate infers
+    * no filter, and the isnotnull guard on `ghv` references a generated
+    * attribute, so it cannot be pushed below the generate.
+    */
   def gramPositions(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    Dedup.spread(docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("__text")))
+      .select(col("doc_id"), tokens(col("__text")).as("toks"))
       .select(col("doc_id"), gramHashesPositional(col("toks"), k).as("gh"))
-      .select(col("doc_id"), posexplode(col("gh")).as(Seq("pos", "ghv")))
+      .select(col("doc_id"), posexplode_outer(col("gh")).as(Seq("pos", "ghv")))
+      .filter(col("ghv").isNotNull)
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("ghv"))
 
   /** Start positions whose k-gram occurs >= 2 times corpus-wide

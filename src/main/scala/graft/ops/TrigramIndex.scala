@@ -38,10 +38,17 @@ object TrigramIndex {
     */
   def build(df: DataFrame, nameCol: String, keyCols: String*): DataFrame = {
     val keys = keyCols.map(col)
+    // outer explode + null-filter on the GENERATED column: a non-outer
+    // explode of the `g` attribute makes InferFiltersFromGenerate add
+    // `size(g) > 0` which PushDownPredicates inlines through both
+    // projections — the full trigram transform then re-runs inside a
+    // pre-projection filter with `padded` re-evaluated per element
+    // (the DupSpans.gramPositions finding; plan-verified on q49)
     df.select(keys :+ padded(col(nameCol)).as("p"): _*)
       .select(keys :+ trigramsOfPadded(col("p")).as("g"): _*)
       .select(keys ++ Seq(size(col("g")).as("n_grams"),
-        explode(col("g")).as("gram")): _*)
+        explode_outer(col("g")).as("gram")): _*)
+      .filter(col("gram").isNotNull)
   }
 
   /** Probe the posting table: keys sharing >= 1 gram with the probe,

@@ -112,7 +112,11 @@ object PipelineQueries5 {
             docs, "doc_id", "text", SpanK)), SpanK)
         val tokPos = docs
           .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+          .select(col("doc_id"),
+            posexplode_outer(col("toks")).as(Seq("pos", "tok")))
+          .filter(col("tok").isNotNull) // outer + generated-col guard:
+          // keeps InferFiltersFromGenerate from inlining the tokenizer
+          // into a pushed-down filter (see DupSpans.gramPositions)
           .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
         val kept = tokPos.join(covered,
           tokPos("doc_id") === covered("doc_id") && col("pos") === col("cp"),
