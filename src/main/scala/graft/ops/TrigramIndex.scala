@@ -44,9 +44,14 @@ object TrigramIndex {
     // projections — the full trigram transform then re-runs inside a
     // pre-projection filter with `padded` re-evaluated per element
     // (the DupSpans.gramPositions finding; plan-verified on q49)
+    // n_grams wears a coalesce so the column is NON-NULLABLE: the
+    // search-time Jaccard comparison otherwise null-rejects it, and the
+    // inferred isnotnull(n_grams) pushes down as one more full
+    // transform evaluation per row. Value-identical — every row
+    // surviving the gram null-filter has a non-null g.
     df.select(keys :+ padded(col(nameCol)).as("p"): _*)
       .select(keys :+ trigramsOfPadded(col("p")).as("g"): _*)
-      .select(keys ++ Seq(size(col("g")).as("n_grams"),
+      .select(keys ++ Seq(coalesce(size(col("g")), lit(0)).as("n_grams"),
         explode_outer(col("g")).as("gram")): _*)
       .filter(col("gram").isNotNull)
   }

@@ -121,4 +121,31 @@ class PlanContractSpec extends SparkSpec {
     val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
     assert(windowLines.isEmpty, s"q81 grew a window: $windowLines")
   }
+
+  test("no hash pipeline ever re-runs inside a Filter below a Generate " +
+    "(q101/q105/q49 — PLANS lesson 7)") {
+    // InferFiltersFromGenerate + pushdown can inline the generator
+    // child's whole array pipeline into a pre-projection filter
+    // (measured 10x on q101); the outer-explode pattern must keep
+    // every Filter condition md5-free in these plans
+    Seq("q101_dup_spans", "q105_span_excise", "q49_trigram_search")
+      .foreach { q =>
+        val bad = plan(q).linesIterator
+          .filter(_.startsWith("Condition"))
+          .filter(l => l.contains("md5") || l.contains("transform("))
+          .toSeq
+        assert(bad.isEmpty, s"$q re-runs a hash pipeline in a filter: $bad")
+      }
+  }
+
+  test("q102 weighted sampling stays a TakeOrdered over one scan") {
+    val p = plan("q102_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), "q102 lost TakeOrdered")
+    assert(!p.contains("Exchange"), s"q102 grew a shuffle")
+  }
+
+  test("q103 DSIR broadcasts the bucket feature table") {
+    assert(plan("q103_dsir_weights").contains("BroadcastHashJoin"),
+      "q103 lost its feature broadcast")
+  }
 }
