@@ -11,7 +11,8 @@ object SparkEntry {
       DomainQueries.defs ++ DomainQueries2.defs ++ DomainQueries3.defs ++
       DomainQueries4.defs ++ MediaQueries.defs ++ PipelineQueries.defs ++
       PipelineQueries2.defs ++ PipelineQueries3.defs ++
-      PipelineQueries4.defs ++ PipelineQueries5.defs ++ VectorQueries2.defs
+      PipelineQueries4.defs ++ PipelineQueries5.defs ++
+      PipelineQueries6.defs ++ VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 

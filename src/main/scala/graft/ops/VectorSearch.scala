@@ -222,6 +222,59 @@ object VectorSearch {
     centroids.toArray
   }
 
+  /** Single-cell cosine assignment against literal centroids: the cell
+    * (and its sim) of the best centroid, ties resolved exactly as
+    * [[ivfAssign]] resolves them (descending (sim, cell) struct order,
+    * mirrored by the oracle's list_reverse_sort).
+    */
+  def assignBest(v: Column, centroids: Array[Array[Double]]): Column = {
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(v, typedLit(c.toSeq)).as("sim"), lit(i).as("cell"))
+    }
+    element_at(reverse(array_sort(array(cells: _*))), 1)
+  }
+
+  /** Distributed Lloyd iterations — the k-means scale path the seeded
+    * driver-side trainer ([[kmeansCentroids]]) is the bounded-sample
+    * approximation of. Each round assigns EVERY vector to its nearest
+    * current centroid (a scan against plan-time literals, no join) and
+    * re-estimates centroids from per-(cell, dim) aggregates. The float
+    * determinism problem of a distributed mean — partition order
+    * changes the IEEE sum — is solved the q78 way: components quantize
+    * to integer micro-units BEFORE the sum, so the aggregate is an
+    * exact long sum (associative, partition-order-free) and the new
+    * centroid component is the one fixed-order double division
+    * (sum/10^6)/count. Driver state per round is k·dims longs + k
+    * counts — bounded regardless of corpus size; empty cells keep
+    * their previous centroid. The result is bit-reproducible across
+    * any partitioning, which is what lets the DuckDB oracle replay the
+    * final assignment from centroid literals.
+    */
+  def lloydRoundsDistributed(emb: DataFrame, idCol: String, vecCol: String,
+                             init: Array[Array[Double]], rounds: Int)
+      : Array[Array[Double]] = {
+    val dims = init.head.length
+    val k = init.length
+    val e = emb.select(toDouble(col(vecCol)).as("v")).localCheckpoint()
+    var cents = init
+    (0 until rounds).foreach { _ =>
+      val rows = e
+        .select(assignBest(col("v"), cents).getField("cell").as("cell"),
+          posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(sum(round(col("x") * lit(1000000.0)).cast("long")).as("sm"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        val (cell, d) = (r.getInt(0), r.getInt(1))
+        next(cell)(d) = (r.getLong(2).toDouble / 1000000.0) / r.getLong(3)
+      }
+      cents = next
+    }
+    cents
+  }
+
   /** Assign each vector to its `probes` nearest centroids (by cosine):
     * (id, cell) rows. The centroid matrix rides along as a broadcast
     * literal; each assignment is `k` codegen'd dot products.
