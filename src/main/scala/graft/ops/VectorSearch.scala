@@ -254,21 +254,28 @@ object VectorSearch {
                              init: Array[Array[Double]], rounds: Int)
       : Array[Array[Double]] = {
     val dims = init.head.length
-    val k = init.length
     val e = emb.select(toDouble(col(vecCol)).as("v")).localCheckpoint()
+    // one micro-unit sum column per dimension: the aggregation input
+    // stays one row per vector (never the ×dims explode — at corpus
+    // scale that multiplication IS the shuffle), map-side partials
+    // reduce each task to at most k rows of dims+1 longs
+    val sumCols = (0 until dims).map(d =>
+      sum(round(element_at(col("v"), d + 1) * lit(1000000.0)).cast("long"))
+        .as(s"s$d"))
     var cents = init
     (0 until rounds).foreach { _ =>
       val rows = e
         .select(assignBest(col("v"), cents).getField("cell").as("cell"),
-          posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("cell", "d")
-        .agg(sum(round(col("x") * lit(1000000.0)).cast("long")).as("sm"),
-          count(lit(1)).as("cnt"))
+          col("v"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("cnt"), sumCols: _*)
         .collect()
       val next = cents.map(_.clone())
       rows.foreach { r =>
-        val (cell, d) = (r.getInt(0), r.getInt(1))
-        next(cell)(d) = (r.getLong(2).toDouble / 1000000.0) / r.getLong(3)
+        val cell = r.getInt(0)
+        val cnt = r.getLong(1)
+        (0 until dims).foreach(d =>
+          next(cell)(d) = (r.getLong(2 + d).toDouble / 1000000.0) / cnt)
       }
       cents = next
     }
