@@ -176,6 +176,33 @@ object Sketches {
     when(w === 0L, lit(53L)).otherwise(lit(53L) - length(bin(w)))
   }
 
+  /** Plan-time Scala twin of [[hllEstimateMilli]] over a dense
+    * register file (index = bucket, 0 = never seen): same fold order
+    * (present registers in ascending bucket order, then one unit per
+    * missing bucket), same constants, same branches — bit-identical
+    * estimates (spec-pinned). The streaming register maintainer
+    * ([[graft.streaming.StreamSketch]]) emits through this.
+    */
+  def hllEstimateMilliScala(regs: Array[Int]): Long = {
+    val m = HllM
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val pow2neg = Array.tabulate(54)(j => math.pow(2.0, -j))
+    var s = 0.0
+    var seen = 0
+    var b = 0
+    while (b < m) {
+      if (regs(b) > 0) { s += pow2neg(regs(b)); seen += 1 }
+      b += 1
+    }
+    s += (m - seen).toDouble
+    val vZero = (m - seen).toDouble
+    val raw = (alpha * m * m) / s
+    val est =
+      if (raw <= 2.5 * m && vZero > 0.0) m.toDouble * math.log(m.toDouble / vZero)
+      else raw
+    math.floor(1000.0 * est).toLong
+  }
+
   /** Registers per group → the HLL estimate, from a SORTED array of
     * (bucket, rho-max) structs (missing buckets are zero registers).
     * The harmonic sum folds the present registers in ascending bucket

@@ -395,7 +395,7 @@ object PipelineQueries6 {
           .agg(count_distinct(col("g")).as("exact_distinct"))
         regs.select(col("lang"),
             Sketches.hllEstimateMilli(col("regs")).as("est_milli"))
-          .join(exact, Seq("lang"))
+          .join(broadcast(exact), Seq("lang")) // one row per language
       },
       Some {
         val m = Sketches.HllM

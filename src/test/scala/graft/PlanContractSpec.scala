@@ -148,4 +148,34 @@ class PlanContractSpec extends SparkSpec {
     assert(plan("q103_dsir_weights").contains("BroadcastHashJoin"),
       "q103 lost its feature broadcast")
   }
+
+  test("q106 k-means assignment is a pure scan: no join, no shuffle") {
+    // training collects happen before the output plan; the assignment
+    // itself must stay centroid-literals-against-a-scan
+    val p = plan("q106_kmeans_assign")
+    assert(!p.contains("Join"), s"q106 assignment grew a join:\n$p")
+    assert(!p.contains("Exchange"), s"q106 assignment grew a shuffle:\n$p")
+  }
+
+  test("q107 SemDeDup pair mining never goes cartesian") {
+    // the whole point of clustering first: the pair join keys on the
+    // cell id — a nested-loop/cartesian here is the n-squared trap
+    val p = plan("q107_semdedup")
+    assert(!p.contains("Cartesian"), s"q107 went cartesian:\n$p")
+    assert(!p.contains("NestedLoop"), s"q107 went nested-loop:\n$p")
+  }
+
+  test("q110 heavy hitters: the CMS gate filters BEFORE the count " +
+    "aggregation and the plan has no join at all") {
+    val p = plan("q110_cms_heavy_hitters")
+    assert(!p.contains("Join"), s"q110 grew a join:\n$p")
+    // the literal-matrix min() probe sits in a Filter condition
+    val conds = p.linesIterator.filter(_.startsWith("Condition")).mkString
+    assert(conds.contains("least("), s"q110 lost its sketch gate: $conds")
+  }
+
+  test("q111 HLL joins the per-lang exact count as a broadcast") {
+    assert(plan("q111_hll_distinct").contains("BroadcastHashJoin"),
+      "q111 lost the tiny-side broadcast")
+  }
 }
