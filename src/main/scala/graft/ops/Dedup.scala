@@ -55,6 +55,56 @@ object Dedup {
     * oracle stays robust to new fixtures. Candidates below threshold are
     * filtered exactly.
     */
+  /** The checkpointed (doc_id, shingle-hash array, minhash signature)
+    * table both minhash flavors run on — one md5 per shingle total,
+    * everything downstream on long arrays (see [[nearDupMinhash]] for
+    * the inlining/caching rationale the shape encodes).
+    */
+  private def sigTable(docs: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int): DataFrame =
+    spread(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingleHashes(col("toks")).as("hs"))
+      .withColumn("mh", minhashAffine(col("hs"), numHashes))
+      .localCheckpoint()
+
+  /** Cross-corpus MinHash-LSH: which NEW documents near-duplicate a
+    * PRIOR corpus — the incremental-crawl dedup shape. Same geometry
+    * as [[nearDupMinhash]] (identical shingles, signatures, band
+    * keys), but the band join is new×prior instead of a self-join, so
+    * candidate volume scales with the new batch, not the full corpus.
+    * At production scale the prior side's signature/band table is
+    * persisted state written once and joined by every arriving batch
+    * (the batch twin of [[graft.streaming.StreamDedup.nearDupBands]]'
+    * state store); here it derives inline from the prior partition.
+    */
+  def nearDupMinhashCross(newDocs: DataFrame, priorDocs: DataFrame,
+                          idCol: String, textCol: String,
+                          numBands: Int = 12, rowsPerBand: Int = 2,
+                          threshold: Double = 0.8): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val sigN = sigTable(newDocs, idCol, textCol, numHashes)
+    val sigP = sigTable(priorDocs, idCol, textCol, numHashes)
+    def bands(sig: DataFrame) = sig.select(col("doc_id"),
+      explode(bandKeyArray(col("mh"), numBands, rowsPerBand)).as("bk"))
+    val cand = bands(sigN).as("x").join(bands(sigP).as("y"), "bk")
+      .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_prior"))
+      .distinct()
+    cand
+      .join(sigN.select(col("doc_id").as("doc_new"), col("hs").as("hs_n")),
+        "doc_new")
+      .join(sigP.select(col("doc_id").as("doc_prior"), col("hs").as("hs_p")),
+        "doc_prior")
+      .withColumn("inter", size(array_intersect(col("hs_n"), col("hs_p"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("hs_n")) + size(col("hs_p")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_new"), col("doc_prior"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   def nearDupMinhash(docs: DataFrame, idCol: String, textCol: String,
                      numBands: Int = 12, rowsPerBand: Int = 2,
                      threshold: Double = 0.8): DataFrame = {
@@ -77,12 +127,7 @@ object Dedup {
     // the whole O(n²) shingle pipeline single-threaded. size(toks) >= 3
     // inlines to one cheap split per row and is equivalent (≥3 tokens ⇔
     // ≥1 shingle).
-    val sig = spread(docs.select(col(idCol).as("doc_id"), col(textCol)))
-      .select(col("doc_id"), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), shingleHashes(col("toks")).as("hs"))
-      .withColumn("mh", minhashAffine(col("hs"), numHashes))
-      .localCheckpoint()
+    val sig = sigTable(docs, idCol, textCol, numHashes)
     // Band key = xxhash64 of the band's rowsPerBand signature values —
     // a single long shuffle key per (doc, band).
     val bands = sig.select(col("doc_id"),

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextAnalysis._
-import graft.ops.Sketches
+import graft.ops.{Dedup, Sketches}
 import graft.ops.VectorSearch._
 import org.apache.spark.sql.functions._
 
@@ -439,6 +439,91 @@ object PipelineQueries6 {
            |  CAST(floor(1000.0 * ee.est) AS BIGINT) AS est_milli,
            |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
            |FROM ee JOIN ex USING (lang)""".stripMargin
-      })
+      }),
+
+    // Cross-corpus near-dup: which NEW documents (odd ids) near-
+    // duplicate the PRIOR corpus (even ids) — the incremental-crawl
+    // dedup every production pipeline runs on arrival, as opposed to
+    // the q25 within-corpus self-join. Same LSH geometry as q25
+    // (b=12, r=2: miss ≈5e-6 at the 0.8 threshold), but the band join
+    // is new×prior so candidate volume scales with the BATCH; the
+    // prior signature table is write-once state at scale. Oracle =
+    // exhaustive exact-Jaccard across the split.
+    QDef("q112_crossdup_minhash",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.nearDupMinhashCross(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", numBands = 12, rowsPerBand = 2, threshold = 0.8)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |sh AS (SELECT doc_id, ${ngramSql(3)} AS hs FROM t),
+              |p AS (SELECT a.doc_id AS doc_new, b.doc_id AS doc_prior,
+              |        len(list_intersect(a.hs, b.hs)) AS inter,
+              |        len(a.hs) + len(b.hs)
+              |          - len(list_intersect(a.hs, b.hs)) AS uni
+              |      FROM sh a JOIN sh b
+              |        ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+              |      WHERE len(a.hs) > 0 AND len(b.hs) > 0)
+              |SELECT doc_new, doc_prior,
+              |  round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6)
+              |    AS jaccard
+              |FROM p
+              |WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.8"""
+        .stripMargin)),
+
+    // Per-source distribution drift: KL(P_source || P_corpus) over the
+    // token unigram distribution — the corpus-health monitor that
+    // catches a crawl source going off-distribution (spam floods,
+    // boilerplate, encoding breakage) before it trains. Each
+    // (source, token) term quantizes to integer micro-nats BEFORE the
+    // per-source sum (the q78 rule: one ln per term, exact long
+    // aggregation, partition-order-free). Scale shape: one checkpointed
+    // token stream feeds the (source,tok) counts, the global tok
+    // counts, and the per-source totals; the per-term join keys on the
+    // token (map-side-combined counts on both sides), totals broadcast.
+    QDef("q113_source_drift",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = docs
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .localCheckpoint() // feeds st-counts, g-counts, and totals
+        val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("cst"))
+        val gc = toks.groupBy("tok").agg(count(lit(1)).as("ct"))
+        val stot = toks.groupBy("source").agg(count(lit(1)).as("ns"))
+        val gtot = toks.agg(count(lit(1)).as("n"))
+        val ps = col("cst").cast("double") / col("ns").cast("double")
+        val p = col("ct").cast("double") / col("n").cast("double")
+        st.join(gc, "tok")
+          .join(broadcast(stot), "source")
+          .crossJoin(broadcast(gtot))
+          .withColumn("term_micro",
+            floor(lit(1000000.0) * (ps * log(ps / p))).cast("long"))
+          .groupBy("source")
+          .agg(max(col("ns")).as("n_tokens"),
+            sum(col("term_micro")).as("kl_micro"))
+          .select(col("source"), col("n_tokens"), col("kl_micro"))
+      },
+      Some(s"""WITH e AS (SELECT source, unnest($toksSql) AS tok
+              |          FROM documents),
+              |st AS (SELECT source, tok, count(*) AS cst FROM e
+              |       GROUP BY source, tok),
+              |gc AS (SELECT tok, count(*) AS ct FROM e GROUP BY tok),
+              |stot AS (SELECT source, count(*) AS ns FROM e GROUP BY source),
+              |gtot AS (SELECT count(*) AS n FROM e),
+              |terms AS (SELECT st.source,
+              |    CAST(floor(1000000.0 *
+              |      ((CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE)) *
+              |       ln((CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE)) /
+              |          (CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)))))
+              |      AS BIGINT) AS term_micro,
+              |    ns
+              |  FROM st JOIN gc USING (tok) JOIN stot USING (source)
+              |  CROSS JOIN gtot)
+              |SELECT source,
+              |  CAST(max(ns) AS BIGINT) AS n_tokens,
+              |  CAST(sum(term_micro) AS BIGINT) AS kl_micro
+              |FROM terms GROUP BY source""".stripMargin))
   )
 }
