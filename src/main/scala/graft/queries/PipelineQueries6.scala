@@ -524,6 +524,60 @@ object PipelineQueries6 {
               |SELECT source,
               |  CAST(max(ns) AS BIGINT) AS n_tokens,
               |  CAST(sum(term_micro) AS BIGINT) AS kl_micro
-              |FROM terms GROUP BY source""".stripMargin))
+              |FROM terms GROUP BY source""".stripMargin)),
+
+    // Histogram-sketch quantiles: per-language token-length p10/p50/p90
+    // from a 256-bin fixed-width histogram — the MERGEABLE quantile
+    // path q73's exact percentile documents as its scale swap.
+    // approx_percentile's GK sketch is arrival-order-dependent (not
+    // oracle-checkable); a fixed-bin histogram is pure integer counts:
+    // merge = vector add (Spark's partial agg), state O(langs·256), and
+    // the quantile read-off is a cumulative scan of ≤256 rows per lang.
+    // Estimates are bin midpoints (width 8, capped at bin 255) — error
+    // bounded by the bin width; every step is integer arithmetic, so
+    // the oracle replays it exactly.
+    QDef("q114_histogram_quantiles",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val hist = docs
+          .select(col("lang"), tokens(col("text")).as("toks"))
+          .select(col("lang"),
+            least(floor(size(col("toks")).cast("long") / lit(8L)),
+              lit(255L)).cast("long").as("bin"))
+          .groupBy("lang", "bin").agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("bin") // ≤256 rows per lang
+        val cum = hist
+          .withColumn("cum", sum("cnt").over(w))
+          .withColumn("total",
+            sum("cnt").over(org.apache.spark.sql.expressions.Window
+              .partitionBy("lang")))
+        def pick(thresholdExpr: String, name: String) =
+          min(when(col("cum") >= expr(thresholdExpr),
+            col("bin") * 8 + 4)).as(name)
+        cum.groupBy("lang")
+          .agg(max("total").as("n_docs"),
+            pick("(total + 9) div 10", "p10_est"),
+            pick("(total + 1) div 2", "p50_est"),
+            pick("(9 * total + 9) div 10", "p90_est"))
+      },
+      Some(s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
+              |b AS (SELECT lang,
+              |        least(len(toks) // 8, 255) AS bin FROM t),
+              |h AS (SELECT lang, bin, count(*) AS cnt FROM b
+              |      GROUP BY lang, bin),
+              |c AS (SELECT lang, bin, cnt,
+              |        sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+              |        sum(cnt) OVER (PARTITION BY lang) AS total
+              |      FROM h)
+              |SELECT lang,
+              |  CAST(max(total) AS BIGINT) AS n_docs,
+              |  CAST(min(CASE WHEN cum >= (total + 9) // 10
+              |    THEN bin * 8 + 4 END) AS BIGINT) AS p10_est,
+              |  CAST(min(CASE WHEN cum >= (total + 1) // 2
+              |    THEN bin * 8 + 4 END) AS BIGINT) AS p50_est,
+              |  CAST(min(CASE WHEN cum >= (9 * total + 9) // 10
+              |    THEN bin * 8 + 4 END) AS BIGINT) AS p90_est
+              |FROM c GROUP BY lang""".stripMargin))
   )
 }
