@@ -190,6 +190,24 @@ object GraftFunctions {
       args =>
         arity("graft_sq8_approx", args, 3)
         graft.expressions.Sq8ApproxDbl(args(0), args(1), args(2))
+    },
+
+    fn("graft_hash60", "str",
+      "portable 60-bit md5-derived hash (HLL input) as BIGINT") { args =>
+      arity("graft_hash60", args, 1)
+      unwrap(graft.ops.Sketches.hash60(wrap(args.head)))
+    },
+
+    fn("graft_hll_bucket", "hash60", "HLL register bucket (low 8 bits)") {
+      args =>
+        arity("graft_hll_bucket", args, 1)
+        unwrap(graft.ops.Sketches.hllBucket(wrap(args.head)))
+    },
+
+    fn("graft_hll_rho", "hash60",
+      "HLL rho: leftmost-1 run position of the 52-bit window") { args =>
+      arity("graft_hll_rho", args, 1)
+      unwrap(graft.ops.Sketches.hllRho(wrap(args.head)))
     }
   )
 

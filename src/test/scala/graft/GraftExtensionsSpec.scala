@@ -136,4 +136,20 @@ class GraftExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("SQL HLL scalars match the Column API") {
+    val s = registered
+    import s.implicits._
+    val got = s.sql(
+      """SELECT graft_hll_bucket(graft_hash60('abc')) AS b,
+        |  graft_hll_rho(graft_hash60('abc')) AS r""".stripMargin)
+      .head()
+    val exp = Seq("abc").toDF("t")
+      .select(graft.ops.Sketches.hash60(col("t")).as("h"))
+      .select(graft.ops.Sketches.hllBucket(col("h")),
+        graft.ops.Sketches.hllRho(col("h")))
+      .head()
+    assert(got.getLong(0) == exp.getLong(0))
+    assert(got.getLong(1) == exp.getLong(1))
+  }
 }
