@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   *    complete.
   *  - q111: HyperLogLog per-language distinct-shingle cardinality
   *    (p=8) — partial-max register aggregation IS the sketch merge.
+  *  - q112: cross-corpus MinHash near-dup (new batch × prior corpus) —
+  *    the incremental-crawl dedup; candidates scale with the batch.
+  *  - q113: per-source KL(P_src ‖ P_corpus) token-distribution drift —
+  *    the corpus-health monitor, micro-nat-quantized terms.
+  *  - q114: histogram-sketch quantiles — the mergeable bounded-state
+  *    approximate-percentile path (integer arithmetic end to end).
   *
   * Float rules as established (PipelineQueries5 header): log-derived
   * quantities quantize to integer micro/milli units, IEEE fold order
