@@ -584,6 +584,52 @@ object PipelineQueries6 {
               |    THEN bin * 8 + 4 END) AS BIGINT) AS p50_est,
               |  CAST(min(CASE WHEN cum >= (9 * total + 9) // 10
               |    THEN bin * 8 + 4 END) AS BIGINT) AS p90_est
-              |FROM c GROUP BY lang""".stripMargin))
+              |FROM c GROUP BY lang""".stripMargin)),
+
+    // Context-window chunking with overlap (size 64, stride 48): the
+    // retrieval/eval-prep splitter — distinct from q72's packing
+    // (which concatenates SHORT docs; this splits LONG ones, keeping a
+    // 16-token overlap so no boundary-straddling span is lost). Chunk
+    // count is 1 + ceil(max(n-size,0)/stride) — integer-exact via
+    // floor((g+stride-1)/stride.0) — and each chunk is a slice of the
+    // materialized token array: one scan, no shuffle at any scale.
+    // The outer-explode + generated-column guard keeps the chunk-index
+    // pipeline out of inferred filters (PLANS lesson 7).
+    QDef("q115_chunk_overlap",
+      (s, dir) => {
+        val sz = 64
+        val stride = 48
+        val docs = Tables.documents(s, dir)
+        val withIdx = docs
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            when(size(col("toks")) > 0, sequence(lit(0),
+              floor((greatest(size(col("toks")) - lit(sz), lit(0)) +
+                lit(stride - 1)) / lit(stride.toDouble)).cast("int")))
+              .otherwise(array().cast("array<int>")).as("idx"))
+        withIdx
+          .select(col("doc_id"), col("toks"),
+            posexplode_outer(col("idx")).as(Seq("chunk_idx", "ci")))
+          .filter(col("ci").isNotNull) // outer + generated-col guard
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            slice(col("toks"), col("ci") * stride + 1, lit(sz)).as("ctoks"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("ctoks")).cast("long").as("n_tokens_chunk"),
+            array_join(col("ctoks"), " ").as("chunk_text"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+              |c AS (SELECT doc_id, toks,
+              |        unnest(generate_series(0, CAST(floor(
+              |          (greatest(n - 64, 0) + 47) / 48.0) AS INT))) AS ci
+              |      FROM n WHERE n > 0),
+              |ch AS (SELECT doc_id, ci,
+              |         list_slice(toks, ci*48 + 1, ci*48 + 64) AS ctoks
+              |       FROM c)
+              |SELECT doc_id,
+              |  CAST(ci AS BIGINT) AS chunk_idx,
+              |  CAST(len(ctoks) AS BIGINT) AS n_tokens_chunk,
+              |  array_to_string(ctoks, ' ') AS chunk_text
+              |FROM ch""".stripMargin))
   )
 }
