@@ -239,6 +239,78 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** One-sided containment pairs: C(a→b) = |S(a) ∩ S(b)| / |S(a)| over
+    * the distinct 3-shingle hash sets — the asymmetric near-dup
+    * detector (quotations, excerpts, copies-with-additions) that the
+    * Jaccard operators structurally miss: when container b is much
+    * larger than contained a, J = |∩|/|∪| collapses toward |a|/|b|
+    * while C(a→b) stays at 1. Emits ordered pairs with C >= t.
+    *
+    * Scale design — the AllPairs/PPJoin prefix-filter family (q66),
+    * adapted to the one-sided threshold. Required overlap
+    * α(a) = ceil(t·|a|). Under ANY global element order, a container
+    * must share one of a's first |a| − α + 1 elements (pigeonhole:
+    * missing all of them caps the overlap at α − 1), so the PROBE side
+    * emits only that prefix (~(1−t) of each doc's shingles); the INDEX
+    * side must post every element — containment puts no lower bound on
+    * how deep in b the shared elements sit, which is exactly why the
+    * symmetric PPJoin length filter does not apply here. Candidate
+    * volume is O(n·(1−t)·posting), never n². The global order is
+    * ascending document frequency (packed (df, hash) longs — the q66
+    * ranking), so probe prefixes hold each doc's RAREST shingles and
+    * hot buckets stay out of the join. Positional filter: a first
+    * common element at 0-based (i, j) bounds the overlap by
+    * min(|a|−i, |b|−j) ≥ α — sound for full recall because a true
+    * pair's first common element always passes it. Verification is
+    * exact set intersection on the hash arrays, candidates only.
+    */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.9): DataFrame = {
+    val sig = spread(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_sort(shingleHashes(col("toks"))).as("hs"))
+      .localCheckpoint() // feeds ranking, both join sides, and verify
+    // same epsilon as nearDupPrefix: ceil over double arithmetic must
+    // not overshoot at exact multiples (0.9 * 20 = 18.000000000000004)
+    def ceilT(n: Column): Column = ceil(lit(threshold) * n - lit(1e-9))
+    val exploded = sig.select(col("doc_id"), explode(col("hs")).as("tok"))
+    val freq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = exploded.join(freq, "tok")
+      .select(col("doc_id"),
+        (least(col("df"), lit(2147483647L)) * lit(4294967296L) + col("tok"))
+          .as("k"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("k"))).as("hsr"))
+      .localCheckpoint() // probe and index sides share this subtree
+    val len = size(col("hsr"))
+    val prefixLen = len - ceilT(len).cast("int") + 1
+    val probe = ranked.select(col("doc_id"), len.as("len"),
+        posexplode(slice(col("hsr"), lit(1), prefixLen)))
+      .withColumnRenamed("col", "tok")
+    val post = ranked.select(col("doc_id"), len.as("len"),
+        posexplode(col("hsr")))
+      .withColumnRenamed("col", "tok")
+    // b-side positional filter: overlap from the first common element
+    // onward is at most |b| − j; a-side is enforced by the prefix cut
+    val alpha = ceilT(col("a.len"))
+    val cand = probe.as("a").join(post.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          (col("b.len") - col("b.pos")) >= alpha)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val a = sig.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("containment",
+        col("inter").cast("double") / size(col("hs_a")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** SimHash near-dup pairs: hamming distance <= maxDist over the 32-bit
     * simhash. Blocked on the four 8-bit bytes: by pigeonhole, two hashes
     * within hamming distance 3 agree exactly on at least one byte, so the

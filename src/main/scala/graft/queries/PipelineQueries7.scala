@@ -1,0 +1,332 @@
+package graft.queries
+
+import graft.Tables
+import graft.fixtures.FixtureGen
+import graft.functions.TextAnalysis._
+import graft.ops.{BpeTrainer, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seventh pipeline group — the corpus-analysis / asymmetric-dedup
+  * layer:
+  *
+  *  - q116: PMI bigram collocations — phrase-vocabulary mining for
+  *    tokenizer construction and n-gram feature selection.
+  *  - q117: cross-document boilerplate removal — paragraphs repeated
+  *    across >= 5% of documents are navigation/footer boilerplate and
+  *    are stripped from EVERY document (distinct from q81, which keeps
+  *    the first occurrence: boilerplate has no canonical owner).
+  *  - q118: containment join — one-sided near-dup C(a→b) =
+  *    |S(a)∩S(b)|/|S(a)|, the quotation/excerpt detector that Jaccard
+  *    structurally misses when the container is much larger than the
+  *    contained document (prefix-filter candidate generation, full
+  *    recall — ops/Dedup.containmentJoin).
+  *  - q119: BPE tokenizer APPLY at corpus scale — train k merges (the
+  *    q99 loop), then tokenize every document with the padded-string
+  *    replace chain: one scan, k codegen'd literal replaces, no
+  *    shuffle. The oracle replays train AND apply end to end.
+  *
+  * Float rules as established: PMI terms quantize to integer
+  * micro-nats before any aggregation/compare; division trees mirror
+  * the oracle SQL shape token for token.
+  */
+object PipelineQueries7 {
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+  private val tokenHashSql =
+    "cast('0x' || substr(md5(__T__), 1, 8) as bigint)"
+
+  private val rawPq =
+    s"read_parquet('${FixtureGen.FixtureDir}/raw_docs.parquet/*.parquet')"
+
+  private def rawDocs(s: SparkSession): DataFrame =
+    s.read.parquet(s"${FixtureGen.FixtureDir}/raw_docs.parquet")
+
+  /** Count floor for collocation candidates (applied BEFORE the
+    * unigram joins, so light bigrams never join).
+    */
+  private val PmiMinCount = 20L
+
+  /** Boilerplate document-frequency threshold: a paragraph seen in
+    * >= ceil(5% of docs) distinct documents. Integer ceil — no float
+    * compare anywhere in the gate.
+    */
+  private val BoilerPct20 = 20L // threshold = (n_docs + 19) div 20
+
+  val defs: Seq[QDef] = Seq(
+
+    // PMI bigram collocations: pmi = ln( (c12/N2) / ((c1/N1)(c2/N1)) )
+    // over adjacent token pairs, count floor >= 20. The floor prunes
+    // the bigram table BEFORE the two unigram joins (map-side-combined
+    // counts on both sides; totals broadcast), so at 100 TB the join
+    // only sees bigrams that can matter. One checkpointed token-array
+    // scan feeds both count streams. Each PMI quantizes to integer
+    // micro-nats with the division tree mirrored in the oracle — one
+    // ln per surviving bigram, no float aggregation anywhere.
+    QDef("q116_pmi_collocations",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toksDf = docs.select(tokens(col("text")).as("toks"))
+          .localCheckpoint() // feeds the unigram AND bigram streams
+        val uni = toksDf.select(explode(col("toks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+          .localCheckpoint() // feeds N1, the w1 join, and the w2 join
+        val n1 = uni.agg(sum(col("c1")).as("n1"))
+        val bc = toksDf.filter(size(col("toks")) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2")))).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+          .localCheckpoint() // feeds N2 and the floored candidate set
+        val n2 = bc.agg(sum(col("c12")).as("n2"))
+        bc.filter(col("c12") >= lit(PmiMinCount))
+          .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), "w1")
+          .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
+          .crossJoin(broadcast(n1))
+          .crossJoin(broadcast(n2))
+          .withColumn("pmi_micro", floor(lit(1000000.0) * log(
+            (col("c12").cast("double") / col("n2").cast("double")) /
+              ((col("c1a").cast("double") / col("n1").cast("double")) *
+                (col("c1b").cast("double") / col("n1").cast("double")))))
+            .cast("long"))
+          .select(col("w1"), col("w2"), col("c12").as("cnt"),
+            col("pmi_micro"))
+      },
+      Some(s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+              |b AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+              |      FROM t, unnest(generate_series(1, len(toks) - 1)) g(i)
+              |      WHERE len(toks) >= 2),
+              |bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+              |n2 AS (SELECT sum(c12) AS n2 FROM bc),
+              |u AS (SELECT unnest(toks) AS w FROM t),
+              |uc AS (SELECT w, count(*) AS c1 FROM u GROUP BY w),
+              |n1 AS (SELECT sum(c1) AS n1 FROM uc)
+              |SELECT bc.w1, bc.w2, CAST(bc.c12 AS BIGINT) AS cnt,
+              |  CAST(floor(1000000.0 * ln(
+              |    (CAST(bc.c12 AS DOUBLE) / CAST(n2.n2 AS DOUBLE)) /
+              |    ((CAST(u1.c1 AS DOUBLE) / CAST(n1.n1 AS DOUBLE)) *
+              |     (CAST(u2.c1 AS DOUBLE) / CAST(n1.n1 AS DOUBLE)))))
+              |    AS BIGINT) AS pmi_micro
+              |FROM bc
+              |JOIN uc u1 ON bc.w1 = u1.w
+              |JOIN uc u2 ON bc.w2 = u2.w
+              |CROSS JOIN n1 CROSS JOIN n2
+              |WHERE bc.c12 >= $PmiMinCount""".stripMargin)),
+
+    // Cross-document boilerplate removal: a paragraph appearing in
+    // >= 5% of DISTINCT documents is boilerplate (headers, footers,
+    // cookie banners) and is stripped everywhere — unlike q81's
+    // first-occurrence dedup, boilerplate has no canonical owner to
+    // keep. Scale shape: one paragraph-hash distinct-doc aggregation;
+    // the boilerplate set is tiny by construction (df >= 5% of corpus
+    // caps it at 20 hashes per percent of mass) so the mark-join
+    // broadcasts; doc reassembly is the q81 pos-ordered rebuild.
+    QDef("q117_boilerplate_strip",
+      (s, _) => {
+        val raw = rawDocs(s)
+        val paras = raw.select(col("doc_id"),
+            posexplode(split(col("text"), lit("\n\n")))
+              .as(Seq("pos", "para")))
+          .withColumn("ph", md5(col("para")))
+          .localCheckpoint() // feeds the df agg AND the rebuild
+        val nd = raw.agg(count(lit(1)).as("nd"))
+        val boiler = paras.groupBy("ph")
+          .agg(count_distinct(col("doc_id")).as("df"))
+          .crossJoin(broadcast(nd))
+          .filter(col("df") >=
+            expr(s"(nd + ${BoilerPct20 - 1}) div $BoilerPct20"))
+          .select(col("ph")).withColumn("b", lit(true))
+        paras.join(broadcast(boiler), Seq("ph"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_paras"),
+            sum(when(col("b"), 1L).otherwise(0L)).as("n_removed"),
+            // collect_list skips nulls: only non-boiler paras collect
+            concat_ws("\n\n", transform(
+              array_sort(collect_list(when(col("b").isNull,
+                struct(col("pos"), col("para"))))),
+              p => p.getField("para"))).as("text_kept"))
+          .select(col("doc_id"), col("n_paras"), col("n_removed"),
+            col("text_kept"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+              |  FROM $rawPq),
+              |p AS (SELECT doc_id, unnest(ps) AS para,
+              |        unnest(generate_series(0, len(ps) - 1)) AS pos
+              |      FROM d),
+              |h AS (SELECT doc_id, pos, para, md5(para) AS ph FROM p),
+              |nd AS (SELECT count(*) AS nd FROM d),
+              |bl AS (SELECT ph FROM
+              |        (SELECT ph, count(DISTINCT doc_id) AS df FROM h
+              |         GROUP BY ph) f
+              |       CROSS JOIN nd
+              |       WHERE df >= (nd + ${BoilerPct20 - 1}) // $BoilerPct20),
+              |m AS (SELECT h.*, bl.ph IS NOT NULL AS b
+              |      FROM h LEFT JOIN bl ON h.ph = bl.ph)
+              |SELECT doc_id,
+              |  CAST(count(*) AS BIGINT) AS n_paras,
+              |  CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_removed,
+              |  coalesce(string_agg(CASE WHEN NOT b THEN para END,
+              |    chr(10) || chr(10) ORDER BY pos), '') AS text_kept
+              |FROM m GROUP BY doc_id""".stripMargin)),
+
+    // Containment join: ordered pairs where >= 90% of doc_a's distinct
+    // 3-shingles appear in doc_b — quotations, excerpts, and
+    // copy-with-additions that symmetric Jaccard (q25/q66) misses by
+    // construction. Full recall via the one-sided prefix filter
+    // (Dedup.containmentJoin scaladoc has the pigeonhole argument);
+    // oracle = exhaustive exact containment over all ordered pairs.
+    QDef("q118_containment",
+      (s, dir) => Dedup.containmentJoin(
+        Tables.documents(s, dir), "doc_id", "text", threshold = 0.9),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |s AS (
+              |  SELECT doc_id, list_distinct(list_transform(
+              |    CASE WHEN len(toks) >= 3 THEN
+              |      list_transform(generate_series(1, len(toks) - 2),
+              |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              |      ELSE [] END,
+              |    g -> ${tokenHashSql.replace("__T__", "g")})) AS sh
+              |  FROM t),
+              |p AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    len(list_intersect(a.sh, b.sh)) AS inter,
+              |    len(a.sh) AS la
+              |  FROM s a JOIN s b ON a.doc_id != b.doc_id
+              |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+              |SELECT doc_a, doc_b,
+              |  round(inter::DOUBLE / la, 6) AS containment
+              |FROM p WHERE inter::DOUBLE / la >= 0.9""".stripMargin)),
+
+    // BPE tokenizer APPLY at corpus scale: train 5 merges (the q99
+    // bounded-collect loop — one driver row per round), then tokenize
+    // EVERY document by replaying the merges on the padded-string
+    // form: k literal `replace`s in one scan, codegen'd, no shuffle —
+    // the plan a 100 TB tokenization pass needs (the trained merge
+    // list is a plan-time constant there too, typically 32k merges
+    // applied via a trie kernel; the replace chain is the k<=dozens
+    // regime). Oracle: the q99 unrolled train chain extended per-doc —
+    // it replays train AND apply end to end, so this checks the full
+    // tokenize path, not just the merge list.
+    QDef("q119_bpe_apply",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = BpeTrainer.train(docs, "text", k = 5)
+        docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens_raw"),
+            BpeTrainer.applyMerges(col("toks"), merges).as("bt"))
+          .select(col("doc_id"), col("n_tokens_raw"),
+            size(col("bt")).cast("long").as("n_tokens_bpe"),
+            array_join(col("bt"), " ").as("bpe_text"))
+      },
+      Some(bpeApplyOracleSql(5))),
+
+    // Quality-aware canonical selection: q69 keeps the MINIMUM id per
+    // dedup cluster — fine as an identity rule, but production passes
+    // keep the BEST representative (here: most tokens, ties by id) so
+    // dedup never trades a full document for its truncated mirror.
+    // Same cluster machinery (LSH pairs → connected components), then
+    // a per-cluster integer argmax: max(struct(n_tokens, -doc_id)) is
+    // one map-side-combined aggregation — no window over mega-clusters
+    // at scale, and the tie key is integer so no float compare decides
+    // retention. Oracle: recursive-CTE closure over brute-force exact
+    // pairs + the same (n_tokens desc, doc_id asc) selection.
+    QDef("q120_canonical_select",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text",
+          threshold = 0.8)
+        val comp = graft.ops.ConnectedComponents.run(pairs, "doc_a", "doc_b")
+          .withColumnRenamed("node", "doc_id")
+        val base = docs
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"))
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("component"), col("doc_id")).as("cluster_id"))
+          .localCheckpoint() // feeds the argmax AND the output join
+        val best = base.groupBy("cluster_id")
+          .agg(max(struct(col("n_tokens"), (-col("doc_id")).as("nid")))
+            .as("m"))
+          .select(col("cluster_id"), (-col("m.nid")).as("keep_id"))
+        base.join(best, "cluster_id")
+          .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
+            (col("doc_id") === col("keep_id")).as("keep"))
+      },
+      Some(s"""WITH RECURSIVE t AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |s AS (SELECT doc_id, list_distinct(list_transform(
+              |    CASE WHEN len(toks) >= 3 THEN
+              |      list_transform(generate_series(1, len(toks) - 2),
+              |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              |      ELSE [] END,
+              |    g -> ${tokenHashSql.replace("__T__", "g")})) AS sh
+              |  FROM t),
+              |p AS (
+              |  SELECT a.doc_id AS da, b.doc_id AS db
+              |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+              |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+              |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+              |      (len(a.sh) + len(b.sh)
+              |        - len(list_intersect(a.sh, b.sh))) >= 0.8),
+              |e AS (SELECT da AS a, db AS b FROM p
+              |      UNION SELECT db, da FROM p),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM e
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+              |cl AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a),
+              |base AS (
+              |  SELECT t.doc_id, len(t.toks) AS n_tokens,
+              |    least(t.doc_id, coalesce(cl.mn, t.doc_id)) AS cluster_id
+              |  FROM t LEFT JOIN cl USING (doc_id)),
+              |rk AS (
+              |  SELECT doc_id, cluster_id, n_tokens,
+              |    row_number() OVER (PARTITION BY cluster_id
+              |      ORDER BY n_tokens DESC, doc_id ASC) AS rn
+              |  FROM base)
+              |SELECT b.doc_id, b.cluster_id,
+              |  CAST(b.n_tokens AS BIGINT) AS n_tokens,
+              |  b.doc_id = k.doc_id AS keep
+              |FROM base b JOIN (SELECT cluster_id, doc_id FROM rk
+              |                  WHERE rn = 1) k USING (cluster_id)"""
+        .stripMargin))
+  )
+
+  /** The q99 unrolled train chain, carrying doc_id through so the
+    * FINAL corpus state (not the merge list) is the output: per-doc
+    * raw/BPE token counts and the tokenized text. Kept in lockstep
+    * with PipelineQueries4.bpeOracleSql.
+    */
+  private def bpeApplyOracleSql(k: Int): String = {
+    val toksFrag = "list_filter(string_split(p, ' '), x -> x != '')"
+    val pairsFrag = "CASE WHEN len(toks) >= 2 THEN " +
+      "list_transform(generate_series(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i+1]) ELSE [] END"
+    val stages = (1 to k).map { i =>
+      s"""c$i AS (SELECT pair, count(*) AS cnt FROM (
+         |  SELECT unnest($pairsFrag) AS pair FROM (
+         |    SELECT $toksFrag AS toks FROM t${i - 1}) x) y GROUP BY pair),
+         |m$i AS (SELECT pair FROM c$i
+         |        ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |t$i AS (SELECT doc_id, n_raw, replace(p,
+         |    ' ' || (SELECT replace(pair, ' ', '  ') FROM m$i) || ' ',
+         |    ' ' || (SELECT replace(pair, ' ', chr(31)) FROM m$i) || ' ')
+         |    AS p
+         |  FROM t${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t0 AS (SELECT doc_id, len($toksSql) AS n_raw,
+       |  ' ' || array_to_string($toksSql, '  ') || ' ' AS p
+       |  FROM documents),
+       |$stages
+       |SELECT doc_id, CAST(n_raw AS BIGINT) AS n_tokens_raw,
+       |  CAST(len($toksFrag) AS BIGINT) AS n_tokens_bpe,
+       |  array_to_string($toksFrag, ' ') AS bpe_text
+       |FROM t$k""".stripMargin
+  }
+}

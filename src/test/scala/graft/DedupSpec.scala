@@ -89,6 +89,61 @@ class DedupSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("containment join finds EVERY ordered pair at the threshold") {
+    // corpora with planted excerpts: short docs whose shingles mostly
+    // sit inside longer ones, plus random noise docs — the one-sided
+    // prefix filter must reproduce brute-force containment EXACTLY
+    val rnd = new Random(31)
+    val vocab = (1 to 80).map(i => s"w$i")
+    def doc(n: Int) = List.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val longs = (0 until 15).map(i => (i.toLong, doc(60)))
+    // excerpts: contiguous slices of a long doc, some with 0-2 edits
+    val excerpts = longs.take(10).zipWithIndex.map { case ((i, t), x) =>
+      val toks = t.split(" ").toVector
+      val start = rnd.nextInt(20)
+      val len = 12 + rnd.nextInt(20)
+      val sliced = toks.slice(start, start + len)
+      val edited = (0 until rnd.nextInt(3)).foldLeft(sliced)((v, _) =>
+        v.updated(rnd.nextInt(v.size), s"e${rnd.nextInt(9)}"))
+      (100L + x, edited.mkString(" "))
+    }
+    val noise = (0 until 10).map(i => (200L + i, doc(25)))
+    val docs = (longs ++ excerpts ++ noise).toDF("doc_id", "text")
+    val t = 0.8
+    val got = Dedup.containmentJoin(docs, "doc_id", "text", threshold = t)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val hs = docs.select(col("doc_id"),
+        graft.functions.TextAnalysis.shingleHashes(
+          graft.functions.TextAnalysis.tokens(col("text"))).as("h"))
+      .as[(Long, Seq[Long])].collect()
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia != ib && ha.nonEmpty && hb.nonEmpty
+      c = ha.toSet.intersect(hb.toSet).size.toDouble / ha.toSet.size
+      if c >= t
+    } yield (ia, ib)).toSet
+    assert(brute.nonEmpty, "test data must contain qualifying pairs")
+    assert(got === brute)
+  }
+
+  test("containment catches the excerpt Jaccard misses") {
+    // a 12-token excerpt inside a 80-token container: C(a->b) = 1.0
+    // while J is far below any usable near-dup threshold — the case
+    // this operator exists for
+    val container = (1 to 80).map(i => s"c$i").mkString(" ")
+    val excerpt = (20 to 31).map(i => s"c$i").mkString(" ")
+    val docs = Seq((1L, excerpt), (2L, container), (3L, (1 to 20)
+      .map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.containmentJoin(docs, "doc_id", "text", 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 === 1.0)
+    // the symmetric operator at ANY workable threshold misses it
+    val j = Dedup.nearDupPrefix(docs, "doc_id", "text", threshold = 0.5)
+      .collect()
+    assert(j.isEmpty)
+  }
+
   test("exact dedup groups by content with canonical min id") {
     val docs = Seq((1L, "same text"), (5L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")
