@@ -178,4 +178,29 @@ class PlanContractSpec extends SparkSpec {
     assert(plan("q111_hll_distinct").contains("BroadcastHashJoin"),
       "q111 lost the tiny-side broadcast")
   }
+
+  test("q116 PMI broadcasts both corpus totals; q117 broadcasts the " +
+    "boilerplate mark set") {
+    val p116 = plan("q116_pmi_collocations")
+    assert(p116.contains("BroadcastExchange"),
+      s"q116 lost its broadcast totals:\n$p116")
+    assert(plan("q117_boilerplate_strip").contains("BroadcastHashJoin"),
+      "q117 boilerplate mark-join must broadcast — the boiler set is " +
+        "tiny by construction")
+  }
+
+  test("q119 BPE apply is scan-only after training: no join, no shuffle") {
+    // the merge list is a plan-time constant; tokenization must stay a
+    // single codegen'd scan at any corpus size
+    val p = plan("q119_bpe_apply")
+    assert(!p.contains("Join"), s"q119 apply grew a join:\n$p")
+    assert(!p.contains("Exchange"), s"q119 apply grew a shuffle:\n$p")
+  }
+
+  test("q120 canonical selection aggregates per cluster, never windows") {
+    // a row_number window over cluster_id would put a whole mega-dup
+    // cluster in one task — the argmax struct agg is the contract
+    assert(!plan("q120_canonical_select").contains("Window"),
+      "q120 must not window over clusters")
+  }
 }
