@@ -3,8 +3,9 @@ package graft.queries
 import graft.Tables
 import graft.fixtures.FixtureGen
 import graft.functions.TextAnalysis._
-import graft.ops.{BpeTrainer, Dedup}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{BpeTrainer, Dedup, Sketches}
+import graft.ops.VectorSearch._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Seventh pipeline group — the corpus-analysis / asymmetric-dedup
@@ -52,6 +53,32 @@ object PipelineQueries7 {
     * compare anywhere in the gate.
     */
   private val BoilerPct20 = 20L // threshold = (n_docs + 19) div 20
+
+  // ---- vector fragments (lockstep with PipelineQueries6's copies) ----
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+  private val vSql = "list_transform(embedding, x -> x::DOUBLE)"
+
+  private def dbl(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+
+  /** DuckDB replay of [[graft.ops.VectorSearch.assignBest]] (the q106
+    * pattern): descending (sim, cell) struct sort vs literal centroids.
+    */
+  private def cellsSql(centroids: Array[Array[Double]]): String = {
+    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    centroids.zipWithIndex.map { case (c, i) =>
+      val n = dbl(math.sqrt(c.map(x => x * x).sum))
+      s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), 'cell': $i}"
+    }.mkString("[", ",\n", "]")
+  }
+
+  /** q121's late-bound oracle: trained-centroid literals. */
+  private object LabelOracle { @volatile var sql: Option[String] = None }
 
   val defs: Seq[QDef] = Seq(
 
@@ -295,7 +322,130 @@ object PipelineQueries7 {
               |  b.doc_id = k.doc_id AS keep
               |FROM base b JOIN (SELECT cluster_id, doc_id FROM rk
               |                  WHERE rn = 1) k USING (cluster_id)"""
-        .stripMargin))
+        .stripMargin)),
+
+    // kNN label propagation within k-means cells — the
+    // classifier-propagation step of FineWeb-Edu-style curation: a
+    // small SEED set carries labels (here vec_id % 4 == 0 with label
+    // vec_id % 3 as the deterministic stand-in for human/LLM grades),
+    // and every unlabeled vector takes the majority label of its 3
+    // nearest labeled neighbors WITHIN ITS CLUSTER. The cell join is
+    // the SemDeDup shape: candidate volume is Σ cell·|labeled ∩ cell|,
+    // never n·|labeled|; cross-cell neighbors are the accepted misses
+    // and k dials recall. Per-vector top-3 is a bounded
+    // collect_list/sort/slice inside the cell (no global window);
+    // majority-with-smallest-label tiebreak is an integer struct sort.
+    // Oracle: full replay from centroid literals (the q106/q107
+    // late-oracle pattern).
+    QDef("q121_knn_label_prop",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val init = kmeansCentroids(
+          sampleVectors(emb, "vec_id", "embedding", n = 256, seed = 99),
+          k = 8, iters = 0, seed = 99)
+        val cents = lloydRoundsDistributed(emb, "vec_id", "embedding",
+          init, rounds = 2)
+        LabelOracle.sql = Some(
+          s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+             |a AS (SELECT vec_id, v,
+             |        list_reverse_sort(${cellsSql(cents)})[1].cell AS cell
+             |      FROM e),
+             |lab AS (SELECT vec_id AS nb, v AS vb, cell,
+             |          vec_id % 3 AS label
+             |        FROM a WHERE vec_id % 4 = 0),
+             |unl AS (SELECT vec_id, v, cell FROM a WHERE vec_id % 4 <> 0),
+             |c AS (SELECT u.vec_id, l.nb, l.label,
+             |        ${cosSql("u.v", "l.vb")} AS sim
+             |      FROM unl u JOIN lab l USING (cell)),
+             |g AS (SELECT vec_id, count(*) AS n_cands,
+             |        list_sort(list({'ns': -sim, 'nb': nb,
+             |          'label': label})) AS srt
+             |      FROM c GROUP BY vec_id),
+             |m AS (SELECT vec_id, n_cands,
+             |        list_transform(srt[1:3], t -> t.label) AS labs
+             |      FROM g),
+             |p AS (SELECT vec_id, n_cands,
+             |        list_sort(list_transform(list_distinct(labs),
+             |          l -> {'nc': -len(list_filter(labs, x -> x = l)),
+             |                'l': l}))[1].l AS pred
+             |      FROM m)
+             |SELECT u.vec_id, u.cell,
+             |  CAST(coalesce(p.n_cands, 0) AS BIGINT) AS n_cands,
+             |  CAST(coalesce(p.pred, -1) AS BIGINT) AS pred_label
+             |FROM unl u LEFT JOIN p USING (vec_id)""".stripMargin)
+        val e = emb.select(col("vec_id").as("id"),
+            toDouble(col("embedding")).as("v"))
+          .withColumn("nrm", norm(col("v")))
+          .withColumn("cell", assignBest(col("v"), cents).getField("cell"))
+          .localCheckpoint() // feeds labeled side, probe side, output
+        val lab = e.filter(col("id") % 4 === 0)
+          .select(col("cell"), col("id").as("nb"), col("v").as("vb"),
+            col("nrm").as("nb_nrm"), (col("id") % 3).as("label"))
+        val unl = e.filter(col("id") % 4 =!= 0)
+        val top = unl.join(lab, Seq("cell"))
+          .withColumn("sim",
+            dot(col("v"), col("vb")) / (col("nrm") * col("nb_nrm")))
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_cands"),
+            slice(array_sort(collect_list(struct((-col("sim")).as("ns"),
+              col("nb"), col("label")))), 1, 3).as("top3"))
+          .withColumn("labs",
+            transform(col("top3"), t => t.getField("label")))
+          .withColumn("pred", element_at(array_sort(
+            transform(array_distinct(col("labs")), l =>
+              struct((-size(filter(col("labs"), x => x === l))).as("nc"),
+                l.as("l")))), 1).getField("l"))
+        unl.select(col("id"), col("cell"))
+          .join(top.select(col("id"), col("n_cands"), col("pred")),
+            Seq("id"), "left")
+          .select(col("id").as("vec_id"), col("cell"),
+            coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+            coalesce(col("pred"), lit(-1L)).as("pred_label"))
+      },
+      None,
+      Some(() => LabelOracle.sql)),
+
+    // Shard manifest emission: the reproducibility artifact a 100 TB
+    // shard-writing job must produce — per shard: doc count, token
+    // count, and an ORDER-FREE content checksum (bit_xor of per-doc
+    // 60-bit content hashes: commutative, overflow-free, identical
+    // under any partitioning / arrival order, unlike a sum which
+    // wraps differently across engines). Reuses q97's token-balanced
+    // assignment (same code path), so the manifest provably describes
+    // the shards q97 emits; one map-side-combined aggregation on top.
+    QDef("q122_shard_manifest",
+      (s, dir) => {
+        val assigned = PipelineQueries4.shardAssignDf(s, dir)
+        val withHash = assigned
+          .join(Tables.documents(s, dir).select(col("doc_id"),
+            Sketches.hash60(col("text")).as("h60")), "doc_id")
+        withHash.groupBy("shard_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            expr("bit_xor(h60)").as("checksum"))
+          .select(col("shard_id"), col("n_docs"), col("n_tokens"),
+            col("checksum"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+              |  cast('0x' || substr(md5('shard:' ||
+              |    CAST(doc_id AS VARCHAR)), 1, 8) as bigint) AS h,
+              |  cast('0x' || substr(md5(text), 1, 15) as bigint) AS h60
+              |  FROM documents),
+              |tot AS (SELECT sum(n_tokens) AS total FROM t),
+              |c AS (SELECT doc_id, n_tokens, h60,
+              |  coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |    AS prev_tokens
+              |  FROM t),
+              |a AS (SELECT doc_id, n_tokens, h60,
+              |  prev_tokens // greatest(tot.total // 64, 1) AS shard_id
+              |  FROM c CROSS JOIN tot)
+              |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+              |  CAST(bit_xor(h60) AS BIGINT) AS checksum
+              |FROM a GROUP BY shard_id""".stripMargin))
   )
 
   /** The q99 unrolled train chain, carrying doc_id through so the

@@ -203,4 +203,18 @@ class PlanContractSpec extends SparkSpec {
     assert(!plan("q120_canonical_select").contains("Window"),
       "q120 must not window over clusters")
   }
+
+  test("q121 label propagation joins on the cell id, never cartesian") {
+    val p = plan("q121_knn_label_prop")
+    assert(!p.contains("Cartesian"), s"q121 went cartesian:\n$p")
+    assert(!p.contains("NestedLoop"), s"q121 went nested-loop:\n$p")
+  }
+
+  test("q122 manifest inherits q97's sharded windows (no global sort)") {
+    val p = plan("q122_shard_manifest")
+    val windows = p.linesIterator
+      .filter(_.contains("Arguments")).mkString("\n")
+    assert(p.contains("Window") && windows.contains("bucket"),
+      s"q122 lost the bucketed two-level prefix sum:\n$windows")
+  }
 }
