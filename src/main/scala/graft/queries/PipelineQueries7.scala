@@ -445,7 +445,98 @@ object PipelineQueries7 {
               |  CAST(count(*) AS BIGINT) AS n_docs,
               |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
               |  CAST(bit_xor(h60) AS BIGINT) AS checksum
-              |FROM a GROUP BY shard_id""".stripMargin))
+              |FROM a GROUP BY shard_id""".stripMargin)),
+
+    // Stable contiguous vocabulary ids ordered by (count desc, token)
+    // — the id table every token-id shard emission needs. The naive
+    // row_number window is a single-task global sort; the q75
+    // two-level rank generalizes, but frequency order is
+    // Zipf-HOSTILE: half the vocabulary ties at count=1, so bucketing
+    // by count alone recreates the one-giant-partition problem. The
+    // bucket is therefore the composite struct(-count, token prefix) —
+    // still monotone in the (-count, token) sort order, so the
+    // in-bucket rank + broadcast bucket offsets decomposition holds,
+    // and no bucket outgrows (one count value × one prefix).
+    QDef("q123_vocab_ids",
+      (s, dir) => {
+        val counts = Tables.documents(s, dir)
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .withColumn("nc", -col("cnt"))
+          .withColumn("bucket",
+            struct(col("nc"), substring(col("tok"), 1, 1).as("pfx")))
+          .withColumn("one", lit(1L))
+          .localCheckpoint() // window pass + offsets agg share this
+        graft.ops.PrefixSum
+          .twoLevelPrev(counts, Seq(), "bucket", "tok", "one", "nc",
+            outCol = "vocab_id")
+          .select(col("tok"), col("cnt"), col("vocab_id"))
+      },
+      Some(s"""WITH e AS (SELECT unnest($toksSql) AS tok FROM documents),
+              |c AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok)
+              |SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+              |  CAST(row_number() OVER (ORDER BY cnt DESC, tok) - 1
+              |    AS BIGINT) AS vocab_id
+              |FROM c""".stripMargin)),
+
+    // Corpus token-id encoding: every document rewritten as its q123
+    // vocabulary ids — the final gather before binary shard emission.
+    // Scale shape: one positional explode, one equi-join on the token
+    // (broadcast when the vocab fits, sort-merge otherwise — Catalyst
+    // decides from stats), and a bounded per-doc ordered re-assembly
+    // (collect bounded by doc length, never a window across docs).
+    // Ids are emitted as a joined string so the hash compare is
+    // byte-exact across engines.
+    QDef("q124_token_ids",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val counts = docs
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .withColumn("nc", -col("cnt"))
+          .withColumn("bucket",
+            struct(col("nc"), substring(col("tok"), 1, 1).as("pfx")))
+          .withColumn("one", lit(1L))
+          .localCheckpoint()
+        val vocab = graft.ops.PrefixSum
+          .twoLevelPrev(counts, Seq(), "bucket", "tok", "one", "nc",
+            outCol = "vocab_id")
+          .select(col("tok"), col("vocab_id"))
+        val pos = docs
+          .select(col("doc_id"), posexplode_outer(tokens(col("text")))
+            .as(Seq("pos", "tok")))
+          .filter(col("tok").isNotNull) // outer + generated-col guard
+        pos.join(vocab, "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("vocab_id")))),
+              p => p.getField("vocab_id").cast("string")), " ")
+              .as("ids"))
+          .unionByName(
+            docs.filter(size(tokens(col("text"))) === 0)
+              .select(col("doc_id"), lit(0L).as("n_tokens"),
+                lit("").as("ids")))
+      },
+      Some(s"""WITH e AS (SELECT unnest($toksSql) AS tok FROM documents),
+              |c AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok),
+              |v AS (SELECT tok,
+              |        row_number() OVER (ORDER BY cnt DESC, tok) - 1
+              |          AS vocab_id
+              |      FROM c),
+              |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |p AS (SELECT doc_id, unnest(toks) AS tok,
+              |        unnest(generate_series(0, len(toks) - 1)) AS pos
+              |      FROM t WHERE len(toks) > 0),
+              |j AS (SELECT p.doc_id, p.pos, v.vocab_id
+              |      FROM p JOIN v USING (tok))
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              |  string_agg(CAST(vocab_id AS VARCHAR), ' ' ORDER BY pos)
+              |    AS ids
+              |FROM j GROUP BY doc_id
+              |UNION ALL
+              |SELECT doc_id, 0 AS n_tokens, '' AS ids
+              |FROM t WHERE len(toks) = 0""".stripMargin))
   )
 
   /** The q99 unrolled train chain, carrying doc_id through so the

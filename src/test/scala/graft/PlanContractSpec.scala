@@ -217,4 +217,18 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("Window") && windows.contains("bucket"),
       s"q122 lost the bucketed two-level prefix sum:\n$windows")
   }
+
+  test("q123/q124 vocab ranks window only composite buckets, offsets " +
+    "broadcast") {
+    // the Zipf-hostile case: a global row_number (or a count-only
+    // bucket) would put the count=1 half of the vocabulary in one task
+    Seq("q123_vocab_ids", "q124_token_ids").foreach { q =>
+      val p = plan(q)
+      val windows = p.linesIterator
+        .filter(_.contains("Arguments")).mkString("\n")
+      assert(windows.contains("bucket"), s"$q lost the bucketed rank")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q lost the offsets broadcast")
+    }
+  }
 }
