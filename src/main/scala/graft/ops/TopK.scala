@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed bounded top-k per group.
+  *
+  * The textbook formulation — `row_number() OVER (PARTITION BY group
+  * ORDER BY …) <= k` — puts an entire group in one task (q9 keeps that
+  * shape as the small-data baseline); a per-group `collect_list` +
+  * sort caps nothing either. This operator is the partition-bounded
+  * construction: a per-(group, input-partition) partial top-k (state
+  * per aggregation group never exceeds the rows of one partition, and
+  * the emitted partial never exceeds k), then a final top-k over at
+  * most #partitions · k rows per group. Correct under ANY
+  * partitioning: the global top-k of a union is always contained in
+  * the union of per-part top-ks, so the two-phase result is exactly
+  * the one-phase answer — the same partial/final-aggregate shape
+  * Spark's own `TakeOrdered` uses globally, applied per group.
+  */
+object TopK {
+
+  /** Top-k rows per `groupCol`, ranked by the ASCENDING sort order of
+    * `keyStruct` (pass e.g. `struct(-score, id)` for score-descending
+    * with id tiebreak — the caller owns making the key total, i.e.
+    * collision-free). Returns (groupCol, rank 0-based, key) where
+    * `key` is the selected struct.
+    */
+  def perGroup(df: DataFrame, groupCol: String, keyStruct: Column,
+               k: Int): DataFrame = {
+    val partial = df
+      .groupBy(col(groupCol), spark_partition_id().as("_pid"))
+      .agg(slice(array_sort(collect_list(keyStruct)), 1, k).as("tk"))
+    partial
+      .select(col(groupCol), explode(col("tk")).as("s"))
+      .groupBy(col(groupCol))
+      .agg(slice(array_sort(collect_list(col("s"))), 1, k).as("tk"))
+      .select(col(groupCol), posexplode(col("tk")).as(Seq("rank", "key")))
+      .withColumn("rank", col("rank").cast("long"))
+  }
+}

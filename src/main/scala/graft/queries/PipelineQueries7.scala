@@ -536,7 +536,83 @@ object PipelineQueries7 {
               |FROM j GROUP BY doc_id
               |UNION ALL
               |SELECT doc_id, 0 AS n_tokens, '' AS ids
-              |FROM t WHERE len(toks) = 0""".stripMargin))
+              |FROM t WHERE len(toks) = 0""".stripMargin)),
+
+    // Bounded top-k per group — the longest 10 documents per language
+    // (the curriculum/audit head-sampling shape). q9 keeps the
+    // textbook row_number window as the small-data baseline; at scale
+    // that window puts ALL of `en` in one task. This is the
+    // partition-bounded two-phase construction (ops/TopK): per-(group,
+    // partition) partial top-k then a final top-k over ≤ #partitions·k
+    // rows per group — exact under any partitioning, no window
+    // anywhere in the plan (contract-pinned), per-task state bounded
+    // by one partition. Ranking key struct(-n_tokens, doc_id) is
+    // integer and total, so rank order is engine-independent.
+    QDef("q125_topk_per_group",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"))
+        graft.ops.TopK.perGroup(docs, "lang",
+            struct((-col("n_tokens")).as("nn"), col("doc_id")), k = 10)
+          .select(col("lang"), col("rank"),
+            col("key.doc_id").as("doc_id"),
+            (-col("key.nn")).as("n_tokens"))
+      },
+      Some(s"""WITH t AS (SELECT lang, doc_id,
+              |  CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+              |r AS (SELECT lang, doc_id, n_tokens,
+              |  row_number() OVER (PARTITION BY lang
+              |    ORDER BY n_tokens DESC, doc_id) - 1 AS rank
+              |  FROM t)
+              |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_tokens
+              |FROM r WHERE rank < 10""".stripMargin)),
+
+    // Deterministic multi-source interleave: the training-order mixer
+    // — round-robin across sources in a reproducible hash order, so a
+    // resumed/re-run job reads the identical sequence and no source
+    // floods any window of the stream. Per-source ranks come from the
+    // grouped two-level prefix sum (PrefixSum with a group column —
+    // sharded windows, offsets broadcast, no per-source global sort);
+    // global position = rank · #sources + source-index is pure
+    // integer arithmetic. Positions are sparse after the shortest
+    // source exhausts — consumers sort by pos, which stays total.
+    QDef("q126_source_interleave",
+      (s, dir) => {
+        val h = tokenHash(concat(lit("ilv:"), col("doc_id").cast("string")))
+        val t = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), h.as("h"))
+          .withColumn("bucket", floor(col("h") / lit(1L << 24)).cast("long"))
+          .withColumn("one", lit(1L))
+          .localCheckpoint() // rank pass + offsets agg share this
+        val srcIdx = t.select(col("source")).distinct()
+          .groupBy().agg(sort_array(collect_list(col("source"))).as("ss"))
+          .select(size(col("ss")).cast("long").as("ns"),
+            posexplode(col("ss")).as(Seq("sidx", "source")))
+        graft.ops.PrefixSum
+          .twoLevelPrev(t, Seq("source"), "bucket", "doc_id", "one", "h",
+            outCol = "src_rank")
+          .join(broadcast(srcIdx), "source")
+          .select(col("source"), col("doc_id"), col("src_rank"),
+            (col("src_rank") * col("ns") + col("sidx")).as("pos"))
+      },
+      Some(s"""WITH t AS (SELECT source, doc_id,
+              |  cast('0x' || substr(md5('ilv:' ||
+              |    CAST(doc_id AS VARCHAR)), 1, 8) as bigint) AS h
+              |  FROM documents),
+              |r AS (SELECT source, doc_id,
+              |  row_number() OVER (PARTITION BY source
+              |    ORDER BY h, doc_id) - 1 AS src_rank
+              |  FROM t),
+              |si AS (SELECT source,
+              |  dense_rank() OVER (ORDER BY source) - 1 AS sidx
+              |  FROM (SELECT DISTINCT source FROM t)),
+              |ns AS (SELECT count(*) AS ns FROM si)
+              |SELECT r.source, r.doc_id,
+              |  CAST(r.src_rank AS BIGINT) AS src_rank,
+              |  CAST(r.src_rank * ns.ns + si.sidx AS BIGINT) AS pos
+              |FROM r JOIN si USING (source) CROSS JOIN ns"""
+        .stripMargin))
   )
 
   /** The q99 unrolled train chain, carrying doc_id through so the

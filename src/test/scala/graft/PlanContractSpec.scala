@@ -218,6 +218,19 @@ class PlanContractSpec extends SparkSpec {
       s"q122 lost the bucketed two-level prefix sum:\n$windows")
   }
 
+  test("q125 per-group top-k has NO window — the q9 baseline's scale fix") {
+    val p = plan("q125_topk_per_group")
+    assert(!p.contains("Window"), s"q125 regressed to a window:\n$p")
+  }
+
+  test("q126 interleave windows only sharded buckets; index broadcast") {
+    val p = plan("q126_source_interleave")
+    val windows = p.linesIterator
+      .filter(_.contains("Arguments")).mkString("\n")
+    assert(windows.contains("bucket"), "q126 lost the bucketed rank")
+    assert(p.contains("BroadcastHashJoin"), "q126 lost the index broadcast")
+  }
+
   test("q123/q124 vocab ranks window only composite buckets, offsets " +
     "broadcast") {
     // the Zipf-hostile case: a global row_number (or a count-only

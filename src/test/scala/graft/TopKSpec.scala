@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.TopK
+import org.apache.spark.sql.functions._
+
+/** The two-phase bounded top-k must be EXACT under any partitioning —
+  * the property that lets it replace the per-group window at scale.
+  */
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDf(seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until 500).map { i =>
+      (s"g${i % 7}", i.toLong, rnd.nextInt(100).toLong)
+    }.toDF("grp", "id", "score")
+  }
+
+  private def expected(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.as[(String, Long, Long)].collect()
+      .groupBy(_._1).toSeq
+      .flatMap { case (g, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+          .map { case ((_, id, sc), r) => (g, r.toLong, id, sc) }
+      }.toSet
+
+  test("two-phase top-k equals the window answer on every partitioning") {
+    val df = mkDf(7)
+    val want = expected(df, 5)
+    Seq(df, df.repartition(1), df.repartition(32, col("id")),
+      df.repartition(3, col("grp"))).foreach { d =>
+      val got = TopK.perGroup(d, "grp",
+          struct((-col("score")).as("ns"), col("id")), k = 5)
+        .select(col("grp"), col("rank"), col("key.id"),
+          (-col("key.ns")).as("score"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got === want)
+    }
+  }
+
+  test("k larger than the group returns the whole group, ranked") {
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 30L), ("b", 3L, 5L))
+      .toDF("grp", "id", "score")
+    val got = TopK.perGroup(df, "grp",
+        struct((-col("score")).as("ns"), col("id")), k = 10)
+      .select(col("grp"), col("rank"), col("key.id"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("a", 0L, 2L), ("a", 1L, 1L), ("b", 0L, 3L)))
+  }
+}
