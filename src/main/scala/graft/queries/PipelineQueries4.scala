@@ -95,29 +95,6 @@ object PipelineQueries4 {
   private val Bm25OneMinusB = 1.0 - Bm25B
   private val QueryTerms = Seq("spark", "join", "window", "sort")
 
-  /** Token-balanced shard assignment (q97's operator), shared with the
-    * q122 manifest emitter: deterministic hash order, two-level prefix
-    * sum, integer shard division — no global sort at any scale.
-    */
-  private[queries] def shardAssignDf(
-      s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val h = tokenHash(concat(lit("shard:"), col("doc_id").cast("string")))
-    val t = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"), h.as("h"))
-      .withColumn("bucket", floor(col("h") / lit(1L << 24)).cast("long"))
-      .localCheckpoint()
-    val total = t.agg(sum("n_tokens").as("total"))
-    graft.ops.PrefixSum
-      .twoLevelPrev(t, Seq(), "bucket", "doc_id", "n_tokens", "h")
-      .crossJoin(broadcast(total))
-      .withColumn("shard_id",
-        expr("prev_tokens div greatest(total div 64, 1)"))
-      .select(col("doc_id"), col("n_tokens"), col("prev_tokens"),
-        col("shard_id"))
-  }
-
   val defs: Seq[QDef] = Seq(
 
     // BM25 ranked retrieval — the lexical-search side of corpus
@@ -428,7 +405,8 @@ object PipelineQueries4 {
     // 100 TB the same plan emits ~token-equal shards with one extra
     // scan over what the shuffle-order pass already does.
     QDef("q97_shard_assign",
-      (s, dir) => PipelineQueries4.shardAssignDf(s, dir),
+      (s, dir) => graft.ops.ShardAssign
+        .tokenBalanced(Tables.documents(s, dir), nShards = 64),
       Some(s"""WITH t AS (SELECT doc_id,
               |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
               |  ${hashSql("'shard:' || CAST(doc_id AS VARCHAR)")} AS h

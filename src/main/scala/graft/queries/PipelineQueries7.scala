@@ -80,6 +80,26 @@ object PipelineQueries7 {
   /** q121's late-bound oracle: trained-centroid literals. */
   private object LabelOracle { @volatile var sql: Option[String] = None }
 
+  /** The q123 vocab-id table (tok, cnt, vocab_id), shared with q124's
+    * encoder so the two can never desynchronize: contiguous ids in
+    * (count desc, token) order via the composite-bucket two-level rank
+    * (see the q123 QDef comment for the Zipf argument).
+    */
+  private def vocabIdsDf(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("nc", -col("cnt"))
+      .withColumn("bucket",
+        struct(col("nc"), substring(col("tok"), 1, 1).as("pfx")))
+      .withColumn("one", lit(1L))
+      .localCheckpoint() // window pass + offsets agg share this
+    graft.ops.PrefixSum
+      .twoLevelPrev(counts, Seq(), "bucket", "tok", "one", "nc",
+        outCol = "vocab_id")
+      .select(col("tok"), col("cnt"), col("vocab_id"))
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // PMI bigram collocations: pmi = ln( (c12/N2) / ((c1/N1)(c2/N1)) )
@@ -415,11 +435,12 @@ object PipelineQueries7 {
     // the shards q97 emits; one map-side-combined aggregation on top.
     QDef("q122_shard_manifest",
       (s, dir) => {
-        val assigned = PipelineQueries4.shardAssignDf(s, dir)
-        val withHash = assigned
-          .join(Tables.documents(s, dir).select(col("doc_id"),
-            Sketches.hash60(col("text")).as("h60")), "doc_id")
-        withHash.groupBy("shard_id")
+        // the manifest hash rides the assignment's own scan (extra
+        // column pass-through) — no second corpus pass, no join back
+        graft.ops.ShardAssign
+          .tokenBalanced(Tables.documents(s, dir), nShards = 64,
+            extra = Seq("h60" -> Sketches.hash60(col("text"))))
+          .groupBy("shard_id")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("n_tokens"),
             expr("bit_xor(h60)").as("checksum"))
@@ -458,20 +479,7 @@ object PipelineQueries7 {
     // in-bucket rank + broadcast bucket offsets decomposition holds,
     // and no bucket outgrows (one count value × one prefix).
     QDef("q123_vocab_ids",
-      (s, dir) => {
-        val counts = Tables.documents(s, dir)
-          .select(explode(tokens(col("text"))).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("cnt"))
-          .withColumn("nc", -col("cnt"))
-          .withColumn("bucket",
-            struct(col("nc"), substring(col("tok"), 1, 1).as("pfx")))
-          .withColumn("one", lit(1L))
-          .localCheckpoint() // window pass + offsets agg share this
-        graft.ops.PrefixSum
-          .twoLevelPrev(counts, Seq(), "bucket", "tok", "one", "nc",
-            outCol = "vocab_id")
-          .select(col("tok"), col("cnt"), col("vocab_id"))
-      },
+      (s, dir) => vocabIdsDf(s, dir),
       Some(s"""WITH e AS (SELECT unnest($toksSql) AS tok FROM documents),
               |c AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok)
               |SELECT tok, CAST(cnt AS BIGINT) AS cnt,
@@ -490,18 +498,7 @@ object PipelineQueries7 {
     QDef("q124_token_ids",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val counts = docs
-          .select(explode(tokens(col("text"))).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("cnt"))
-          .withColumn("nc", -col("cnt"))
-          .withColumn("bucket",
-            struct(col("nc"), substring(col("tok"), 1, 1).as("pfx")))
-          .withColumn("one", lit(1L))
-          .localCheckpoint()
-        val vocab = graft.ops.PrefixSum
-          .twoLevelPrev(counts, Seq(), "bucket", "tok", "one", "nc",
-            outCol = "vocab_id")
-          .select(col("tok"), col("vocab_id"))
+        val vocab = vocabIdsDf(s, dir).select(col("tok"), col("vocab_id"))
         val pos = docs
           .select(col("doc_id"), posexplode_outer(tokens(col("text")))
             .as(Seq("pos", "tok")))
