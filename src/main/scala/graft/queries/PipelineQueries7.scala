@@ -609,7 +609,85 @@ object PipelineQueries7 {
               |  CAST(r.src_rank AS BIGINT) AS src_rank,
               |  CAST(r.src_rank * ns.ns + si.sidx AS BIGINT) AS pos
               |FROM r JOIN si USING (source) CROSS JOIN ns"""
-        .stripMargin))
+        .stripMargin)),
+
+    // Length-bucketed batching: order documents by (length, id), cut
+    // into fixed-size batches of 32, and report each batch's padding
+    // waste (32·max_len − Σlen — what a training loop pads to the
+    // batch max). Length-sorted batching is the standard dynamic-
+    // batching trick; the rank is the SAME composite-bucket two-level
+    // construction as q123 (length ties mass exactly like Zipf counts:
+    // thousands of docs share the common lengths, so the bucket is
+    // struct(len, id-range), monotone in the (len, id) order with no
+    // bucket outgrowing one length × one id range). Waste is integer
+    // end to end.
+    QDef("q127_length_batches",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("len"))
+          .withColumn("bucket",
+            struct(col("len"), floor(col("doc_id") / lit(1024L)).as("idr")))
+          .withColumn("one", lit(1L))
+          .localCheckpoint() // window pass + offsets agg share this
+        graft.ops.PrefixSum
+          .twoLevelPrev(t, Seq(), "bucket", "doc_id", "one", "len",
+            outCol = "rank")
+          .withColumn("batch_id", expr("rank div 32"))
+          .groupBy("batch_id")
+          .agg(count(lit(1)).as("n_docs"), max(col("len")).as("max_len"),
+            sum(col("len")).as("sum_len"))
+          .withColumn("pad_waste",
+            col("n_docs") * col("max_len") - col("sum_len"))
+          .select(col("batch_id"), col("n_docs"), col("max_len"),
+            col("sum_len"), col("pad_waste"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |  CAST(len($toksSql) AS BIGINT) AS len FROM documents),
+              |r AS (SELECT doc_id, len,
+              |  row_number() OVER (ORDER BY len, doc_id) - 1 AS rank
+              |  FROM t),
+              |b AS (SELECT rank // 32 AS batch_id, len FROM r)
+              |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(max(len) AS BIGINT) AS max_len,
+              |  CAST(sum(len) AS BIGINT) AS sum_len,
+              |  CAST(count(*) * max(len) - sum(len) AS BIGINT) AS pad_waste
+              |FROM b GROUP BY batch_id""".stripMargin)),
+
+    // Per-domain corpus rollup over the crawl-shaped raw_docs: extract
+    // every URL's domain, and per domain count occurrences, distinct
+    // documents, and the documents' mean quality proxy (token count,
+    // integer-summed) — the aggregation a domain-level filter decision
+    // (q82's blocklist, FineWeb-style domain pruning) is made FROM.
+    // One scan + one explode + one agg; the regex is ASCII-simple so
+    // Java regex and RE2 agree (the q80/q82 convention).
+    QDef("q128_domain_rollup",
+      (s, _) => {
+        val raw = rawDocs(s)
+        val urls = raw
+          .select(col("doc_id"),
+            size(split(col("text"), lit(" "))).cast("long").as("n_toks"),
+            explode_outer(regexp_extract_all(col("text"),
+              lit("https?://([a-z0-9.-]+)/"), lit(1))).as("domain"))
+          .filter(col("domain").isNotNull) // outer + generated-col guard
+        urls.groupBy("domain")
+          .agg(count(lit(1)).as("n_urls"),
+            count_distinct(col("doc_id")).as("n_docs"),
+            sum(col("n_toks")).as("sum_doc_toks"))
+          .select(col("domain"), col("n_urls"), col("n_docs"),
+            col("sum_doc_toks"))
+      },
+      Some(s"""WITH u AS (SELECT doc_id,
+              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+              |  unnest(regexp_extract_all(text,
+              |    'https?://([a-z0-9.-]+)/', 1)) AS domain
+              |  FROM $rawPq)
+              |SELECT domain,
+              |  CAST(count(*) AS BIGINT) AS n_urls,
+              |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_toks) AS BIGINT) AS sum_doc_toks
+              |FROM u GROUP BY domain""".stripMargin))
   )
 
   /** The q99 unrolled train chain, carrying doc_id through so the

@@ -231,6 +231,15 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "q126 lost the index broadcast")
   }
 
+  test("q127 length batching windows only composite buckets; q128 " +
+    "rollup is explode+agg with no join") {
+    val w127 = plan("q127_length_batches").linesIterator
+      .filter(_.contains("Arguments")).mkString("\n")
+    assert(w127.contains("bucket"), "q127 lost the bucketed rank")
+    val p128 = plan("q128_domain_rollup")
+    assert(!p128.contains("Join"), s"q128 grew a join:\n$p128")
+  }
+
   test("q123/q124 vocab ranks window only composite buckets, offsets " +
     "broadcast") {
     // the Zipf-hostile case: a global row_number (or a count-only
