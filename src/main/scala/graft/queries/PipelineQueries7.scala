@@ -536,15 +536,16 @@ object PipelineQueries7 {
               |FROM t WHERE len(toks) = 0""".stripMargin)),
 
     // Bounded top-k per group — the longest 10 documents per language
-    // (the curriculum/audit head-sampling shape). q9 keeps the
-    // textbook row_number window as the small-data baseline; at scale
-    // that window puts ALL of `en` in one task. This is the
-    // partition-bounded two-phase construction (ops/TopK): per-(group,
-    // partition) partial top-k then a final top-k over ≤ #partitions·k
-    // rows per group — exact under any partitioning, no window
-    // anywhere in the plan (contract-pinned), per-task state bounded
-    // by one partition. Ranking key struct(-n_tokens, doc_id) is
-    // integer and total, so rank order is engine-independent.
+    // (the curriculum/audit head-sampling shape). Honest baseline
+    // note: for the `row_number <= k` FILTER idiom (q9), Catalyst
+    // since 3.5 already inserts map-side + final WindowGroupLimit
+    // (verified in q9's plan), so that window is NOT the naive
+    // one-task-per-group trap. ops/TopK is the same two-phase bound as
+    // an explicit composable operator: heap-shaped array top-k instead
+    // of a per-group sort, no Window/rank-filter idiom required at the
+    // call site, and exact under any partitioning (spec-pinned).
+    // Ranking key struct(-n_tokens, doc_id) is integer and total, so
+    // rank order is engine-independent.
     QDef("q125_topk_per_group",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
