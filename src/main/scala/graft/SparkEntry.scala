@@ -12,7 +12,8 @@ object SparkEntry {
       DomainQueries4.defs ++ MediaQueries.defs ++ PipelineQueries.defs ++
       PipelineQueries2.defs ++ PipelineQueries3.defs ++
       PipelineQueries4.defs ++ PipelineQueries5.defs ++
-      PipelineQueries6.defs ++ PipelineQueries7.defs ++ VectorQueries2.defs
+      PipelineQueries6.defs ++ PipelineQueries7.defs ++
+      PipelineQueries8.defs ++ VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 

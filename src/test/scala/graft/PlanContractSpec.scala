@@ -253,4 +253,32 @@ class PlanContractSpec extends SparkSpec {
         s"$q lost the offsets broadcast")
     }
   }
+
+  test("q129 power iterations broadcast the O(#domains) rank vector") {
+    // the corpus-scale frame is checkpointed away; every join that
+    // remains (rank, degree, accumulator) is domain-cardinality and
+    // must broadcast — a shuffle join here would re-shuffle the edge
+    // table once per iteration
+    val p = plan("q129_domain_pagerank")
+    assert(p.contains("BroadcastHashJoin"), s"q129 lost broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q129 shuffle-joins ranks:\n$p")
+  }
+
+  test("q130 broadcasts the vocabulary at the token probe") {
+    val p = plan("q130_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), s"q130 lost the broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q130 shuffle-joins vocab:\n$p")
+  }
+
+  test("q131 split assignment is join-free (hash mod only)") {
+    val p = plan("q131_split_manifest")
+    assert(!p.contains("Join"), s"q131 grew a join:\n$p")
+  }
+
+  test("q132 joins the per-source epoch factors broadcast") {
+    val p = plan("q132_epoch_schedule")
+    assert(p.contains("BroadcastHashJoin"), s"q132 lost the broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q132 shuffle-joins the factor table:\n$p")
+  }
 }
