@@ -281,4 +281,36 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"q132 shuffle-joins the factor table:\n$p")
   }
+
+  test("q133 tagging is scan-only; q134 funnel folds in one agg, " +
+    "join-free") {
+    val p133 = plan("q133_policy_tags")
+    assert(!p133.contains("Exchange"), s"q133 grew a shuffle:\n$p133")
+    val p134 = plan("q134_filter_funnel")
+    assert(!p134.contains("Join"), s"q134 grew a join:\n$p134")
+  }
+
+  test("q135 postings group on the composite (tok, doc) key — no " +
+    "window, no join") {
+    val p = plan("q135_positional_index")
+    assert(!p.contains("Window"), s"q135 uses a window:\n$p")
+    assert(!p.contains("Join"), s"q135 grew a join:\n$p")
+  }
+
+  test("q136 BPE apply chain is join-free literal replaces") {
+    val p = plan("q136_bpe_fertility")
+    assert(!p.contains("Join"), s"q136 grew a join:\n$p")
+  }
+
+  test("q137 signatures fold map-side; the pairwise compare never " +
+    "shuffle-joins") {
+    val p = plan("q137_source_overlap")
+    assert(p.contains("HashAggregate"), s"q137 lost the min-agg:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q137 shuffle-joins sigs:\n$p")
+  }
+
+  test("q138 per-vector argmax is an aggregate, not a per-cell window") {
+    val p = plan("q138_hard_negatives")
+    assert(!p.contains("Window"), s"q138 uses a window:\n$p")
+  }
 }
