@@ -6,6 +6,7 @@ import graft.functions.TextAnalysis._
 import graft.ops.BpeTrainer
 import graft.ops.VectorSearch._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Eighth pipeline group — corpus governance: the operators that turn
@@ -647,6 +648,132 @@ object PipelineQueries8 {
             coalesce(col("neg_label"), lit(-1L)).as("neg_label"),
             coalesce(col("sim_r"), lit(-2.0)).as("sim_r"))
       },
-      None, Some(() => HardNegOracle.sql))
+      None, Some(() => HardNegOracle.sql)),
+
+    // Vocabulary-growth (Heaps'-law) audit: cumulative tokens, docs
+    // and distinct-type counts at fixed corpus checkpoints — the curve
+    // that sizes a tokenizer vocabulary and flags synthetic/templated
+    // data (sub-Heaps growth). The sequential-looking "cumulative
+    // distinct" decomposes embarrassingly: a type's first occurrence
+    // is one groupBy-min, per-checkpoint news are one count, and the
+    // only running sum is over the O(#checkpoints) bucket table —
+    // bounded by config (bucket width scales with the corpus), never
+    // by corpus size.
+    QDef("q139_vocab_growth",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .localCheckpoint() // bucket agg + first-occurrence both read it
+        val tb = t.select(expr("doc_id div 50").as("bucket"),
+            size(col("toks")).cast("long").as("n"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("nd"), sum(col("n")).as("nt"))
+        val nv = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(min(col("doc_id")).as("fd"))
+          .select(expr("fd div 50").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("v"))
+        val w = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tb.join(nv, Seq("bucket"), "left")
+          .select(col("bucket"), col("nd"), col("nt"),
+            coalesce(col("v"), lit(0L)).as("v"))
+          .select(col("bucket"),
+            sum("nd").over(w).as("n_docs_cum"),
+            sum("nt").over(w).as("n_tokens_cum"),
+            sum("v").over(w).as("vocab_cum"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |tb AS (SELECT doc_id // 50 AS bucket,
+              |        CAST(count(*) AS BIGINT) AS nd,
+              |        CAST(sum(len(toks)) AS BIGINT) AS nt
+              |      FROM t GROUP BY 1),
+              |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+              |fo AS (SELECT tok, min(doc_id) AS fd FROM e GROUP BY tok),
+              |nv AS (SELECT fd // 50 AS bucket,
+              |        CAST(count(*) AS BIGINT) AS v FROM fo GROUP BY 1),
+              |j AS (SELECT tb.bucket, tb.nd, tb.nt, coalesce(nv.v, 0) AS v
+              |      FROM tb LEFT JOIN nv USING (bucket))
+              |SELECT bucket,
+              |  CAST(sum(nd) OVER w AS BIGINT) AS n_docs_cum,
+              |  CAST(sum(nt) OVER w AS BIGINT) AS n_tokens_cum,
+              |  CAST(sum(v) OVER w AS BIGINT) AS vocab_cum
+              |FROM j
+              |WINDOW w AS (ORDER BY bucket
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+        .stripMargin)),
+
+    // MinHash estimator calibration: for every pair the q25 LSH
+    // geometry surfaces at threshold 0.8, the signed error between the
+    // 24-component signature estimate and exact Jaccard, histogrammed
+    // in 25-milli buckets — the audit that justifies (or indicts) a
+    // chosen signature width before a corpus-wide dedup run. One sig
+    // table (checkpointed) feeds the band join and both verify sides;
+    // err+1000 keeps the bucket division on non-negative ground
+    // (DuckDB // floors, Spark div truncates — they only agree ≥ 0).
+    QDef("q140_minhash_calibration",
+      (s, dir) => {
+        val sig = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), shingleHashes(col("toks")).as("hs"))
+          .withColumn("mh", minhashAffine(col("hs"), 24))
+          .localCheckpoint() // band join + both verify sides read it
+        val bands = sig.select(col("doc_id"),
+          explode(graft.ops.Dedup.bandKeyArray(col("mh"), 12, 2)).as("bk"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val a = sig.select(col("doc_id").as("doc_a"),
+          col("hs").as("hs_a"), col("mh").as("mh_a"))
+        val b = sig.select(col("doc_id").as("doc_b"),
+          col("hs").as("hs_b"), col("mh").as("mh_b"))
+        cand.join(a, "doc_a").join(b, "doc_b")
+          .withColumn("inter",
+            size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+          .withColumn("uni", size(col("hs_a")).cast("long") +
+            size(col("hs_b")).cast("long") - col("inter"))
+          .filter(col("inter").cast("double") / col("uni").cast("double")
+            >= 0.8)
+          .withColumn("exact_milli", expr("(1000 * inter) div uni"))
+          .withColumn("est_milli", expr("(1000 * size(filter(" +
+            "zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v))) div 24"))
+          .withColumn("err_bucket",
+            expr("(est_milli - exact_milli + 1000) div 25"))
+          .groupBy("err_bucket")
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some {
+        val mins = (0 until 24).map { j =>
+          val (a, b) = affineParam(j)
+          s"list_min(list_transform(sh, h -> (h * $a + $b) % " +
+            s"${MinhashPrime}))"
+        }.mkString("[", ",\n  ", "]")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |s AS (SELECT doc_id, list_distinct(list_transform(
+           |    CASE WHEN len(toks) >= 3 THEN
+           |      list_transform(generate_series(1, len(toks) - 2),
+           |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |      ELSE [] END,
+           |    g -> cast('0x' || substr(md5(g), 1, 8) as bigint))) AS sh
+           |  FROM t WHERE len(toks) >= 3),
+           |m AS (SELECT doc_id, sh, $mins AS sig FROM s),
+           |p AS (SELECT len(list_intersect(a.sh, b.sh)) AS inter,
+           |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+           |      AS uni,
+           |    a.sig AS sa, b.sig AS sb
+           |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+           |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+           |    >= 0.8),
+           |c AS (SELECT (1000 * inter) // uni AS exact_milli,
+           |    (1000 * len(list_filter(list_zip(sa, sb),
+           |      z -> z[1] = z[2]))) // 24 AS est_milli
+           |  FROM p)
+           |SELECT CAST((est_milli - exact_milli + 1000) // 25 AS BIGINT)
+           |    AS err_bucket,
+           |  CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM c GROUP BY 1""".stripMargin
+      })
   )
 }

@@ -313,4 +313,18 @@ class PlanContractSpec extends SparkSpec {
     val p = plan("q138_hard_negatives")
     assert(!p.contains("Window"), s"q138 uses a window:\n$p")
   }
+
+  test("q139 running sums window only the O(#checkpoints) bucket " +
+    "table; q140 histograms without a window") {
+    // q139's corpus-scale work (token sums, first occurrences) must
+    // stay in aggregates; the single-partition window may only see the
+    // post-agg bucket rows (both window inputs are HashAggregate
+    // outputs, joined broadcast)
+    val p139 = plan("q139_vocab_growth")
+    assert(p139.contains("Window"), s"q139 lost its running sum:\n$p139")
+    assert(p139.contains("BroadcastHashJoin"),
+      s"q139 shuffle-joins the bucket tables:\n$p139")
+    val p140 = plan("q140_minhash_calibration")
+    assert(!p140.contains("Window"), s"q140 uses a window:\n$p140")
+  }
 }
