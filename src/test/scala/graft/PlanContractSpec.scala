@@ -327,4 +327,24 @@ class PlanContractSpec extends SparkSpec {
     val p140 = plan("q140_minhash_calibration")
     assert(!p140.contains("Window"), s"q140 uses a window:\n$p140")
   }
+
+  test("q141 range join is an equi join on the bucket key — never a " +
+    "nested-loop/cartesian theta join") {
+    val p = plan("q141_session_overlap_rangejoin")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q141 fell back to a nested-loop theta join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q141 goes cartesian:\n$p")
+  }
+
+  test("q143 per-source top-100 is the bounded two-phase TopK, not a " +
+    "window over a corpus-scale partition") {
+    val p = plan("q143_zipf_slope")
+    assert(!p.contains("Window"), s"q143 uses a window:\n$p")
+  }
+
+  test("q144 centroids broadcast back to the probe side") {
+    val p = plan("q144_embedding_dispersion")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q144 shuffle-joins the tiny centroid table:\n$p")
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.RangeJoin
+import org.apache.spark.sql.functions._
+
+/** The bucketized range join must equal the naive theta join
+  * row-for-row — full recall (an interval covers every bucket a
+  * contained point can land in) and no duplicates (a point belongs to
+  * exactly one bucket) — for bucket widths far smaller and far larger
+  * than the interval spans.
+  */
+class RangeJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // deterministic pseudo-random fixtures: intervals of wildly mixed
+  // span (0 to ~40 units) over a 1000-unit domain, incl. empty-overlap
+  // and point (lo == hi) intervals
+  private lazy val intervals = spark.range(0, 120)
+    .select(col("id").as("iid"),
+      (pmod(hash(col("id") * 7 + 1), lit(1000))).cast("long").as("lo"))
+    .withColumn("hi",
+      col("lo") + pmod(hash(col("iid") * 13 + 5), lit(41)).cast("long"))
+  private lazy val points = spark.range(0, 400)
+    .select(col("id").as("pid"),
+      pmod(hash(col("id") * 3 + 2), lit(1000)).cast("long").as("pt"))
+
+  private def naive: Set[(Long, Long)] =
+    points.crossJoin(intervals)
+      .filter(col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+
+  private def bucketized(w: Long): Set[(Long, Long)] = {
+    val out = RangeJoin.pointInInterval(points, "pt", intervals,
+      "lo", "hi", w)
+    // no duplicates: each containment surfaces exactly once
+    assert(out.groupBy("pid", "iid").count().filter(col("count") > 1)
+      .isEmpty, s"duplicate pairs at width $w")
+    out.select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+  }
+
+  test("bucketized == naive theta join at width << span, ~span, >> span") {
+    val expect = naive
+    assert(expect.nonEmpty)
+    for (w <- Seq(3L, 40L, 5000L))
+      assert(bucketized(w) == expect, s"mismatch at bucket width $w")
+  }
+
+  test("negative keys are rejected, not silently mis-bucketed") {
+    val badPts = Seq((1L, -5L)).toDF("pid", "pt")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(badPts, "pt", intervals, "lo", "hi", 10L)
+        .count()
+    }
+    assert(ex.getMessage != null)
+  }
+}
