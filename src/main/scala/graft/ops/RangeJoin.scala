@@ -60,6 +60,32 @@ object RangeJoin {
       .drop("_rj_bkt")
   }
 
+  /** Join two interval sets on OVERLAP: every (left, right) pair with
+    * `[lLo,lHi] ∩ [rLo,rHi] ≠ ∅` (closed ends). Same bucketization as
+    * [[pointInInterval]], but since an overlapping pair can share many
+    * buckets, each pair is ANCHORED to the single bucket containing
+    * `max(lLo, rLo)` — which lies inside both intervals whenever they
+    * overlap (max of lows ≤ min of highs), so every overlapping pair
+    * surfaces exactly once and no dedup shuffle is needed.
+    */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+                      right: DataFrame, rLo: String, rHi: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def spread(df: DataFrame, lo: String, hi: String) = df
+      .withColumn("_rj_bkt",
+        explode(sequence(
+          longDiv(assertNonNeg(col(lo)), bucketWidth),
+          longDiv(col(hi), bucketWidth))))
+    val l = spread(left, lLo, lHi)
+    val r = spread(right, rLo, rHi)
+    l.join(r,
+        l("_rj_bkt") === r("_rj_bkt") &&
+          col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+          l("_rj_bkt") === longDiv(greatest(col(lLo), col(rLo)), bucketWidth))
+      .drop("_rj_bkt")
+  }
+
   /** Exact non-negative long division as a long column (`Column./` is
     * IEEE double division; `(c - c%w)/w` is exactly divisible, so the
     * double it passes through is integral and lossless below 2^53).

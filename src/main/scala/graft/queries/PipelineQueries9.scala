@@ -44,6 +44,37 @@ object PipelineQueries9 {
   private def fdivSql(s: String, n: String): String =
     s"(($s) - ((($s) % ($n)) + ($n)) % ($n)) // ($n)"
 
+  /** Per-user 30-min-gap session intervals in epoch micros (the q18
+    * semantics: `session_window` == the gaps-and-islands oracle).
+    */
+  private def sessionIntervals(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id").as("iu"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(unix_micros(min(col("ts"))).as("lo"),
+        unix_micros(max(col("ts"))).as("hi"))
+      .select(col("iu"), col("lo"), col("hi"))
+
+  /** DuckDB twin of [[sessionIntervals]]: CTEs ending in
+    * `iv(iu, lo, hi)`.
+    */
+  private val sessionIvSql =
+    """flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |           > INTERVAL 30 MINUTE OR
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged),
+      |iv AS (SELECT user_id AS iu, epoch_us(min(ts)) AS lo,
+      |         epoch_us(max(ts)) AS hi
+      |       FROM sessions GROUP BY user_id, session_id)""".stripMargin
+
   def defs: Seq[QDef] = Seq(
 
     // Point-in-interval range join: per-user 30-minute-gap session
@@ -57,16 +88,9 @@ object PipelineQueries9 {
     // max observed session span, so intervals replicate ≤ 2×.
     QDef("q141_session_overlap_rangejoin",
       (s, dir) => {
-        val evts = Tables.events(s, dir).select(col("user_id"), col("ts"))
-          .localCheckpoint() // feeds points, intervals
-        val pts = evts.select(col("user_id").as("pu"),
+        val pts = Tables.events(s, dir).select(col("user_id").as("pu"),
           unix_micros(col("ts")).as("pt"))
-        val iv = evts
-          .groupBy(col("user_id").as("iu"),
-            session_window(col("ts"), "30 minutes").as("w"))
-          .agg(unix_micros(min(col("ts"))).as("lo"),
-            unix_micros(max(col("ts"))).as("hi"))
-          .select(col("iu"), col("lo"), col("hi"))
+        val iv = sessionIntervals(s, dir)
           .localCheckpoint() // probed by the range join + session count
         val ov = RangeJoin.pointInInterval(pts, "pt", iv, "lo", "hi",
             bucketWidth = 3600L * 1000000L)
@@ -77,21 +101,7 @@ object PipelineQueries9 {
           .select(col("iu").as("user_id"), col("n_sessions"),
             coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
       },
-      Some("""WITH flagged AS (
-             |  SELECT user_id, ts,
-             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-             |           > INTERVAL 30 MINUTE OR
-             |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-             |    THEN 1 ELSE 0 END AS new_session
-             |  FROM events),
-             |sessions AS (
-             |  SELECT user_id, ts,
-             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-             |      ROWS UNBOUNDED PRECEDING) AS session_id
-             |  FROM flagged),
-             |iv AS (SELECT user_id AS iu, epoch_us(min(ts)) AS lo,
-             |         epoch_us(max(ts)) AS hi
-             |       FROM sessions GROUP BY user_id, session_id),
+      Some(s"""WITH $sessionIvSql,
              |ov AS (SELECT iv.iu, count(*) AS n_overlap
              |       FROM iv JOIN events e
              |         ON epoch_us(e.ts) >= iv.lo AND epoch_us(e.ts) <= iv.hi
@@ -311,6 +321,92 @@ object PipelineQueries9 {
               |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
               |  CAST(${fdivSql("sum(cm)", "count(*)")} AS BIGINT)
               |    AS mean_cos_micro
-              |FROM crow GROUP BY label""".stripMargin))
+              |FROM crow GROUP BY label""".stripMargin)),
+
+    // Interval-OVERLAP self join: the co-presence graph — for every
+    // user pair, how many of their session intervals overlap in time.
+    // The anchored-bucket construction (RangeJoin.intervalOverlap)
+    // keeps this a plain equi join on hour buckets: an overlapping
+    // pair surfaces only in the bucket of max(lo_a, lo_b), so there is
+    // no post-join dedup shuffle, and per-bucket work is |I_b|² within
+    // a time slice — never sessions² across the corpus. The naive
+    // `a.lo <= b.hi AND b.lo <= a.hi` form is a BNLJ theta join
+    // (plan-contract-pinned away, like q141).
+    QDef("q145_session_copresence",
+      (s, dir) => {
+        val iv = sessionIntervals(s, dir).localCheckpoint() // self-join
+        val a = iv.select(col("iu").as("iu_a"), col("lo").as("lo_a"),
+          col("hi").as("hi_a"))
+        val b = iv.select(col("iu").as("iu_b"), col("lo").as("lo_b"),
+          col("hi").as("hi_b"))
+        RangeJoin.intervalOverlap(a, "lo_a", "hi_a", b, "lo_b", "hi_b",
+            bucketWidth = 3600L * 1000000L)
+          .filter(col("iu_a") < col("iu_b"))
+          .groupBy("iu_a", "iu_b")
+          .agg(count(lit(1)).as("n_overlapping_sessions"))
+      },
+      Some(s"""WITH $sessionIvSql
+             |SELECT a.iu AS iu_a, b.iu AS iu_b,
+             |  count(*) AS n_overlapping_sessions
+             |FROM iv a JOIN iv b
+             |  ON a.lo <= b.hi AND b.lo <= a.hi AND a.iu < b.iu
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // Lag-k autocorrelation of the hourly event-count series (k =
+    // 1..24): the rhythm audit that separates organic traffic from
+    // replayed/synthetic firehoses (flat or period-24-spiked ACF).
+    // The corpus-scale work is ONE groupBy down to O(#hours) rows;
+    // the 24 lag alignments and Pearson fits run on that tiny series
+    // (broadcast self-join on shifted hour), with every sum an exact
+    // integer and one mirrored float sqrt at the end.
+    QDef("q146_hourly_autocorrelation",
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .select(((unix_micros(col("ts")) -
+            (unix_micros(col("ts")) % lit(3600000000L))) /
+            lit(3600000000L)).cast("long").as("h"))
+          .groupBy("h").agg(count(lit(1)).as("n"))
+          .localCheckpoint() // both sides of 24 lag alignments
+        val lags = s.range(1, 25).select(col("id").as("lag"))
+        val pairs = hourly.select(col("h"), col("n").as("x"))
+          .crossJoin(broadcast(lags))
+          .join(broadcast(hourly.select(col("h").as("h2"),
+            col("n").as("y"))), col("h2") === col("h") + col("lag"))
+        val f = pairs.groupBy("lag").agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        val d1 = col("n_pairs") * col("sxx") - col("sx") * col("sx")
+        val d2 = col("n_pairs") * col("syy") - col("sy") * col("sy")
+        val num = col("n_pairs") * col("sxy") - col("sx") * col("sy")
+        f.filter(d1 > 0 && d2 > 0)
+          .select(col("lag"), col("n_pairs"),
+            floor((lit(1000.0) * num) /
+              (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))))
+              .cast("long").as("r_milli"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS n
+             |  FROM events GROUP BY 1),
+             |pairs AS (
+             |  SELECT l.lag, a.n AS x, b.n AS y
+             |  FROM (SELECT unnest(generate_series(1, 24)) AS lag) l
+             |    CROSS JOIN hourly a JOIN hourly b ON b.h = a.h + l.lag),
+             |f AS (SELECT lag, count(*) AS n_pairs,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x*y) AS BIGINT) AS sxy,
+             |    CAST(sum(x*x) AS BIGINT) AS sxx,
+             |    CAST(sum(y*y) AS BIGINT) AS syy
+             |  FROM pairs GROUP BY lag)
+             |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+             |  CAST(floor((1000.0 * (n_pairs*sxy - sx*sy)) /
+             |    (sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE)) *
+             |     sqrt(CAST(n_pairs*syy - sy*sy AS DOUBLE)))) AS BIGINT)
+             |    AS r_milli
+             |FROM f
+             |WHERE n_pairs*sxx - sx*sx > 0 AND n_pairs*syy - sy*sy > 0"""
+        .stripMargin))
   )
 }

@@ -336,6 +336,18 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q141 goes cartesian:\n$p")
   }
 
+  test("q145 interval-overlap self join stays an anchored equi join; " +
+    "q146's only corpus-scale op is the hourly aggregate") {
+    val p = plan("q145_session_copresence")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q145 fell back to a nested-loop theta join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q145 goes cartesian:\n$p")
+    val p146 = plan("q146_hourly_autocorrelation")
+    assert(p146.contains("BroadcastHashJoin"),
+      s"q146 shuffle-joins the tiny hourly series:\n$p146")
+    assert(!p146.contains("Window"), s"q146 uses a window:\n$p146")
+  }
+
   test("q143 per-source top-100 is the bounded two-phase TopK, not a " +
     "window over a corpus-scale partition") {
     val p = plan("q143_zipf_slope")

@@ -46,6 +46,25 @@ class RangeJoinSpec extends SparkSpec {
       assert(bucketized(w) == expect, s"mismatch at bucket width $w")
   }
 
+  test("intervalOverlap == naive theta join, duplicate-free, at " +
+    "width << span, ~span, >> span") {
+    val l = intervals.select(col("iid").as("lid"), col("lo").as("llo"),
+      col("hi").as("lhi"))
+    val r = intervals.select(col("iid").as("rid"),
+      (col("lo") + 7L).as("rlo"), (col("hi") + 7L).as("rhi"))
+    val expect = l.crossJoin(r)
+      .filter(col("llo") <= col("rhi") && col("rlo") <= col("lhi"))
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSet
+    assert(expect.nonEmpty)
+    for (w <- Seq(3L, 40L, 5000L)) {
+      val out = RangeJoin.intervalOverlap(l, "llo", "lhi", r, "rlo", "rhi", w)
+      assert(out.groupBy("lid", "rid").count().filter(col("count") > 1)
+        .isEmpty, s"duplicate pairs at width $w")
+      assert(out.select(col("lid"), col("rid")).as[(Long, Long)]
+        .collect().toSet == expect, s"mismatch at bucket width $w")
+    }
+  }
+
   test("negative keys are rejected, not silently mis-bucketed") {
     val badPts = Seq((1L, -5L)).toDF("pid", "pt")
     val ex = intercept[Exception] {
