@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.TextAnalysis._
 import graft.ops.{RangeJoin, TopK}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ninth pipeline group — the interval dimension and statistical
@@ -32,6 +33,21 @@ import org.apache.spark.sql.functions._
 object PipelineQueries9 {
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+
+  /** DuckDB twin of TextAnalysis.tokenHash (md5 first 8 hex digits). */
+  private def hashSql(t: String) =
+    s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
+
+  /** DuckDB twin of TextAnalysis.gramHashesPositional over `toks`
+    * (lockstep with the PipelineQueries4/5 twins).
+    */
+  private def gramHashSql(k: Int): String = {
+    val cat = (0 until k).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(toks) >= $k THEN
+       |  list_transform(generate_series(1, len(toks) - ${k - 1}),
+       |    i -> ${hashSql(s"($cat)")})
+       |ELSE [] END""".stripMargin
+  }
 
   /** Exact floor division for possibly-negative S (integer columns):
     * subtract the canonical non-negative remainder, then the division
@@ -407,6 +423,72 @@ object PipelineQueries9 {
              |    AS r_milli
              |FROM f
              |WHERE n_pairs*sxx - sx*sx > 0 AND n_pairs*syy - sy*sy > 0"""
+        .stripMargin)),
+
+    // 8-gram novelty / saturation curve under the TRAINING order (the
+    // q75 deterministic 'shard:' hash order, not ingest order): per
+    // hash-range checkpoint, how many gram instances arrive and how
+    // many distinct 8-grams are NEW — the diminishing-returns curve
+    // that prices further data acquisition (a saturated tail means new
+    // data re-treads old n-grams). Same decomposition as q139: first
+    // occurrence is a groupBy-min over the order key (bucket is a pure
+    // function of the min hash), per-checkpoint news are one count,
+    // and the only running sum is over the O(#checkpoints ≤ 32) bucket
+    // table.
+    QDef("q147_gram_novelty_curve",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(
+            tokenHash(concat(lit("shard:"), col("doc_id").cast("string")))
+              .as("h"),
+            gramHashesPositional(col("toks"), 8).as("gh"))
+          .localCheckpoint() // per-bucket totals + first occurrences
+        val tb = t
+          .select(expr("h div 134217728").as("bucket"),
+            size(col("gh")).cast("long").as("ng"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum(col("ng")).as("gi"))
+        val nv = t
+          .select(col("h"), explode(array_distinct(col("gh"))).as("g"))
+          .groupBy("g").agg(min(col("h")).as("fh"))
+          .select(expr("fh div 134217728").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("novel"))
+        val w = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tb.join(nv, Seq("bucket"), "left")
+          .select(col("bucket"), col("n_docs"), col("gi"),
+            coalesce(col("novel"), lit(0L)).as("novel"))
+          .select(col("bucket"),
+            sum("n_docs").over(w).as("docs_cum"),
+            sum("gi").over(w).as("instances_cum"),
+            sum("novel").over(w).as("novel_cum"),
+            when(col("gi") > 0,
+              expr("(1000 * novel) div gi")).otherwise(lit(0L))
+              .as("novelty_milli"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |g AS (SELECT
+              |    ${hashSql("'shard:' || CAST(doc_id AS VARCHAR)")} AS h,
+              |    ${gramHashSql(8)} AS gh FROM t),
+              |tb AS (SELECT h // 134217728 AS bucket, count(*) AS n_docs,
+              |    CAST(sum(len(gh)) AS BIGINT) AS gi FROM g GROUP BY 1),
+              |e AS (SELECT h, unnest(list_distinct(gh)) AS gv FROM g),
+              |fo AS (SELECT gv, min(h) AS fh FROM e GROUP BY gv),
+              |nv AS (SELECT fh // 134217728 AS bucket, count(*) AS novel
+              |    FROM fo GROUP BY 1),
+              |j AS (SELECT tb.bucket, tb.n_docs, tb.gi,
+              |    coalesce(nv.novel, 0) AS novel
+              |  FROM tb LEFT JOIN nv USING (bucket))
+              |SELECT bucket,
+              |  CAST(sum(n_docs) OVER w AS BIGINT) AS docs_cum,
+              |  CAST(sum(gi) OVER w AS BIGINT) AS instances_cum,
+              |  CAST(sum(novel) OVER w AS BIGINT) AS novel_cum,
+              |  CAST(CASE WHEN gi > 0 THEN (1000 * novel) // gi
+              |    ELSE 0 END AS BIGINT) AS novelty_milli
+              |FROM j
+              |WINDOW w AS (ORDER BY bucket
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
         .stripMargin))
   )
 }

@@ -348,6 +348,14 @@ class PlanContractSpec extends SparkSpec {
     assert(!p146.contains("Window"), s"q146 uses a window:\n$p146")
   }
 
+  test("q147 novelty curve windows only the O(#checkpoints) bucket " +
+    "table (both window inputs are aggregate outputs, joined broadcast)") {
+    val p = plan("q147_gram_novelty_curve")
+    assert(p.contains("Window"), s"q147 lost its running sum:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q147 shuffle-joins the bucket tables:\n$p")
+  }
+
   test("q143 per-source top-100 is the bounded two-phase TopK, not a " +
     "window over a corpus-scale partition") {
     val p = plan("q143_zipf_slope")

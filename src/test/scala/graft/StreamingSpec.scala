@@ -43,6 +43,31 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0L)
   }
 
+  test("watermarked session window over a drained stream == batch q18") {
+    val batchEvents = Tables.events(spark, dir)
+    val src = Files.createTempDirectory("stream_src_sess").toString
+    batchEvents.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(src)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("start"), col("n_events"))
+    val q = stream.writeStream.format("memory").queryName("sessioned")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sessioned")
+    val batch = batchEvents
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("start"), col("n_events"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0L)
+    assert(batch.except(streamed).count() === 0L)
+  }
+
   test("mapGroupsWithState running per-user stats == batch aggregate") {
     val batchEvents = Tables.events(spark, dir)
     val src = Files.createTempDirectory("stream_src2").toString
