@@ -51,7 +51,7 @@ object RangeJoin {
       .withColumn("_rj_bkt",
         explode(sequence(
           longDiv(assertNonNeg(col(loCol)), bucketWidth),
-          longDiv(col(hiCol), bucketWidth))))
+          longDiv(assertOrdered(col(loCol), col(hiCol)), bucketWidth))))
     val pts = points
       .withColumn("_rj_bkt", longDiv(assertNonNeg(col(ptCol)), bucketWidth))
     pts.join(iv,
@@ -76,7 +76,7 @@ object RangeJoin {
       .withColumn("_rj_bkt",
         explode(sequence(
           longDiv(assertNonNeg(col(lo)), bucketWidth),
-          longDiv(col(hi), bucketWidth))))
+          longDiv(assertOrdered(col(lo), col(hi)), bucketWidth))))
     val l = spread(left, lLo, lHi)
     val r = spread(right, rLo, rHi)
     l.join(r,
@@ -96,5 +96,18 @@ object RangeJoin {
   private def assertNonNeg(c: Column): Column =
     when(c < 0, raise_error(lit(
       "RangeJoin: negative keys unsupported (would mis-bucket under " +
-        "truncating div); shift the domain first"))).otherwise(c)
+        "truncating div); shift the domain first")))
+      .when(c > (1L << 53), raise_error(lit(
+        "RangeJoin: keys above 2^53 unsupported (longDiv's double " +
+          "pass-through would round); rescale the unit (e.g. nanos -> " +
+          "micros) first")))
+      .otherwise(c)
+
+  /** `sequence(a, b)` with b < a silently steps DOWNWARD in Spark —
+    * a malformed interval would replicate to wrong buckets instead of
+    * matching nothing. Fail loudly.
+    */
+  private def assertOrdered(lo: Column, hi: Column): Column =
+    when(hi < lo, raise_error(lit(
+      "RangeJoin: interval with hi < lo"))).otherwise(hi)
 }

@@ -29,7 +29,19 @@ object ShardWriter {
     * `outDir/manifest/`. Returns the manifest frame (shard_id,
     * n_docs, n_tokens, checksum).
     */
+  /** Column names the assignment computes internally — a payload
+    * column with one of these names would be silently clobbered
+    * (`bucket`) or throw ambiguous-reference errors deep inside the
+    * prefix sum; rejected loudly at the boundary instead.
+    */
+  private val Reserved =
+    Set("n_tokens", "h", "bucket", "prev_tokens", "shard_id")
+
   def write(docs: DataFrame, nShards: Int, outDir: String): DataFrame = {
+    val clash = docs.columns.toSet.intersect(Reserved)
+    require(clash.isEmpty,
+      s"ShardWriter: payload columns collide with assignment " +
+        s"internals: ${clash.mkString(", ")} — rename before writing")
     val payload = docs.columns.filterNot(_ == "doc_id").toSeq
       .map(c => c -> col(c))
     val assigned = ShardAssign.tokenBalanced(docs, nShards, payload)

@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   * aggregation, cross-row sums are integer sums (order-free, so
   * bit-deterministic under any partitioning), remaining float ops are
   * single expressions with parenthesization mirrored verbatim in the
-  * oracle, and floor-division on possibly-negative ground uses the
-  * shared non-negative-remainder form (Spark `div` truncates, DuckDB
-  * `//` floors — they agree only after the remainder is pinned ≥ 0).
+  * oracle, and signed quantization uses the shared [[fdiv]] floor
+  * form. (Measured, correcting earlier repo lore: Spark `div` and
+  * DuckDB `//` BOTH truncate toward zero — −7÷2 = −3 in each — so
+  * they agree at every sign; fdiv is used where FLOOR semantics are
+  * wanted for negative values, not to reconcile the engines.)
   */
 object PipelineQueries9 {
 
@@ -49,9 +51,11 @@ object PipelineQueries9 {
        |ELSE [] END""".stripMargin
   }
 
-  /** Exact floor division for possibly-negative S (integer columns):
+  /** Exact FLOOR division for possibly-negative S (integer columns):
     * subtract the canonical non-negative remainder, then the division
-    * is exact and truncation == floor in both engines.
+    * is exact — and on an exactly-divisible numerator the engines'
+    * shared truncation IS floor. (`Column./` passes through an IEEE
+    * double, which is lossless here for the same reason.)
     */
   private def fdiv(s: Column, n: Column): Column =
     ((s - ((s % n) + n) % n) / n).cast("long")
@@ -137,10 +141,14 @@ object PipelineQueries9 {
     // algebraically reduced to single rationals —
     //   D_1 = N1/(N1+2N2),  D_2 = 2 − 3·N1·N3/((N1+2N2)·N2),
     //   D_3+ = 3 − 4·N1·N4/((N1+2N2)·N3)
-    // — so each needs exactly one floor-division (offset +10000 keeps
-    // it on non-negative ground). The histogram is two groupBys off
-    // one token scan: corpus-size-independent output (≤ 20 rows), all
-    // integer arithmetic, map-side partials all the way down.
+    // — so each needs exactly one floor-division (fdiv; possibly
+    // negative numerators). The triple products overflow int64 once
+    // N_r counts pass ~5·10⁷ — reachable at the 100 TB target — so
+    // the N_r scalars compute in DECIMAL(38,0) on the Spark side and
+    // DuckDB's native HUGEINT sums on the oracle side: exact to 10³⁸
+    // in both engines. The histogram is two groupBys off one token
+    // scan: corpus-size-independent output (≤ 20 rows), map-side
+    // partials all the way down.
     QDef("q142_good_turing",
       (s, dir) => {
         // `toks` MUST be its own projection before the lambda indexes
@@ -156,14 +164,18 @@ object PipelineQueries9 {
           .groupBy("tok").agg(count(lit(1)).as("c"))
           .groupBy(col("c").as("r")).agg(count(lit(1)).as("n_types"))
           .localCheckpoint() // feeds the N1..N4 pivot + the output rows
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
         val n = cc.agg(
-          sum(when(col("r") === 1, col("n_types")).otherwise(0L)).as("n1"),
-          sum(when(col("r") === 2, col("n_types")).otherwise(0L)).as("n2"),
-          sum(when(col("r") === 3, col("n_types")).otherwise(0L)).as("n3"),
-          sum(when(col("r") === 4, col("n_types")).otherwise(0L)).as("n4"))
+          sum(when(col("r") === 1, col("n_types")).otherwise(0L))
+            .cast(d38).as("n1"),
+          sum(when(col("r") === 2, col("n_types")).otherwise(0L))
+            .cast(d38).as("n2"),
+          sum(when(col("r") === 3, col("n_types")).otherwise(0L))
+            .cast(d38).as("n3"),
+          sum(when(col("r") === 4, col("n_types")).otherwise(0L))
+            .cast(d38).as("n4"))
         def dm(num: Column, den: Column): Column =
-          when(den > 0,
-            fdiv(num + lit(10000L) * den, den) - lit(10000L))
+          when(den > 0, fdiv(num, den))
         val y = col("n1") + lit(2L) * col("n2")
         val d = n.select(explode(array(
             struct(lit(1L).as("r"),
@@ -197,17 +209,17 @@ object PipelineQueries9 {
               |  FROM cc),
               |d AS (
               |  SELECT 1 AS r, CASE WHEN n1+2*n2 > 0 THEN
-              |    (1000*n1 + 10000*(n1+2*n2)) // (n1+2*n2) - 10000 END
+              |    ${fdivSql("1000*n1", "n1+2*n2")} END
               |    AS d_milli FROM n
               |  UNION ALL
               |  SELECT 2, CASE WHEN (n1+2*n2)*n2 > 0 THEN
-              |    (2000*(n1+2*n2)*n2 - 3000*n1*n3
-              |      + 10000*(n1+2*n2)*n2) // ((n1+2*n2)*n2) - 10000 END
+              |    ${fdivSql("2000*(n1+2*n2)*n2 - 3000*n1*n3",
+                             "(n1+2*n2)*n2")} END
               |    FROM n
               |  UNION ALL
               |  SELECT 3, CASE WHEN (n1+2*n2)*n3 > 0 THEN
-              |    (3000*(n1+2*n2)*n3 - 4000*n1*n4
-              |      + 10000*(n1+2*n2)*n3) // ((n1+2*n2)*n3) - 10000 END
+              |    ${fdivSql("3000*(n1+2*n2)*n3 - 4000*n1*n4",
+                             "(n1+2*n2)*n3")} END
               |    FROM n)
               |SELECT cc.r, cc.n_types,
               |  CAST(coalesce(d.d_milli, -999999) AS BIGINT) AS d_milli

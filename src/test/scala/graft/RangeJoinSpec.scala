@@ -73,4 +73,14 @@ class RangeJoinSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("hi < lo intervals are rejected (descending sequence would " +
+    "replicate to wrong buckets)") {
+    val bad = Seq((1L, 50L, 20L)).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "pt", bad, "lo", "hi", 10L)
+        .count()
+    }
+    assert(ex.getMessage != null)
+  }
 }

@@ -50,4 +50,15 @@ class ShardWriterSpec extends SparkSpec {
     val maxShard = manifest.agg(max("n_tokens")).head.getLong(0)
     assert(maxShard <= 2 * (total / 8 + 1), s"skewed shard: $maxShard")
   }
+
+  test("payload columns colliding with assignment internals are " +
+    "rejected at the boundary, not silently clobbered") {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("bucket", lit("curation-bucket-7"))
+    val out = Files.createTempDirectory("shardwriter_bad").toString
+    val ex = intercept[IllegalArgumentException] {
+      ShardWriter.write(docs, nShards = 4, out)
+    }
+    assert(ex.getMessage.contains("bucket"))
+  }
 }
