@@ -139,11 +139,13 @@ object PipelineQueries8 {
     // Scale shape: ONE corpus-scale pass builds (doc, domain); the
     // per-doc pair expansion is bounded by citations-per-doc squared;
     // everything after — nodes, degrees, rank vector, 3 power
-    // iterations — is O(#domains + #edges), broadcast-joined, and
-    // never reads a document again. Ranks are integer micro-units
-    // (r0 = 1e6, teleport 0.15, damping 0.85) with `div` trees
-    // mirrored in the oracle, so 3 iterations are bit-identical
-    // across engines.
+    // iterations — is O(#domains + #edges) and never reads a document
+    // again. The iteration plan is cardinality-gated in ops/PageRank:
+    // broadcast rank joins under the gate, a once-partitioned
+    // edge-resident shuffle shape above it (the 10⁷⁺-domain regime).
+    // Ranks are integer micro-units (r0 = 1e6, teleport 0.15, damping
+    // 0.85) with `div` trees mirrored in the oracle, so 3 iterations
+    // are bit-identical across engines on either path.
     QDef("q129_domain_pagerank",
       (s, _) => {
         val raw = rawDocs(s)
@@ -160,26 +162,7 @@ object PipelineQueries8 {
           .select(col("src"), explode(col("ds")).as("dst"))
           .filter(col("src") =!= col("dst"))
           .distinct()
-          .localCheckpoint() // deg + every iteration read it
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-          .localCheckpoint()
-        var ranks = nodes.withColumn("r", lit(1000000L))
-        for (_ <- 1 to PrIters) {
-          val acc = edges
-            .join(broadcast(ranks.withColumnRenamed("domain", "src")), "src")
-            .join(broadcast(deg), "src")
-            .select(col("dst").as("domain"), expr("r div deg").as("c"))
-            .groupBy("domain").agg(sum(col("c")).as("acc"))
-          ranks = nodes.join(broadcast(acc), Seq("domain"), "left")
-            .select(col("domain"),
-              (lit(150000L) +
-                expr("(85 * coalesce(acc, 0L)) div 100")).as("r"))
-        }
-        ranks
-          .join(broadcast(deg.withColumnRenamed("src", "domain")),
-            Seq("domain"), "left")
-          .select(col("domain"), coalesce(col("deg"), lit(0L)).as("deg"),
-            col("r").as("r_micro"))
+        graft.ops.PageRank.domainRanks(nodes, edges, PrIters)
       },
       Some {
         val iters = (1 to PrIters).map { i =>

@@ -254,14 +254,50 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
-  test("q129 power iterations broadcast the O(#domains) rank vector") {
-    // the corpus-scale frame is checkpointed away; every join that
-    // remains (rank, degree, accumulator) is domain-cardinality and
-    // must broadcast — a shuffle join here would re-shuffle the edge
-    // table once per iteration
+  test("q129 under the gate: power iterations broadcast the rank vector") {
+    // small-domain-count shape: the corpus-scale frame is checkpointed
+    // away; every join that remains (rank, degree, accumulator) is
+    // domain-cardinality and broadcasts — nothing shuffles the edges
     val p = plan("q129_domain_pagerank")
     assert(p.contains("BroadcastHashJoin"), s"q129 lost broadcasts:\n$p")
     assert(!p.contains("SortMergeJoin"), s"q129 shuffle-joins ranks:\n$p")
+  }
+
+  test("q129 over the gate: ranks shuffle-join WITHOUT re-shuffling " +
+    "the edge table per iteration") {
+    // web-scale shape (10⁷⁺ domains): a broadcast of the rank vector
+    // would be multi-GB per iteration — above the gate the edge table
+    // is repartition(src)-ed and checkpointed ONCE, and only the
+    // O(#domains) side exchanges each round. Contract: no Exchange
+    // re-partitions the checkpointed (src, dst) scan by src.
+    import org.apache.spark.sql.execution.RDDScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val conf = spark.conf
+    conf.set(graft.ops.PageRank.GateConf, "0")
+    conf.set("spark.sql.adaptive.enabled", "false") // plain executedPlan
+    try {
+      val df = SparkEntry.queries("q129_domain_pagerank")(spark, dir)
+      val exec = df.queryExecution.executedPlan
+      assert(exec.collect { case j: ShuffledHashJoinExec => j }.nonEmpty,
+        s"over-gate q129 lost the shuffle-hash rank join:\n$exec")
+      val edgeReshuffles = exec.collect {
+        case e: ShuffleExchangeExec if (e.outputPartitioning match {
+          case h: HashPartitioning =>
+            h.references.exists(_.name == "src")
+          case _ => false
+        }) && e.child.collectFirst {
+          case r: RDDScanExec
+            if r.output.map(_.name).toSet == Set("src", "dst") => r
+        }.nonEmpty => e
+      }
+      assert(edgeReshuffles.isEmpty,
+        s"edge table re-shuffled by src per iteration:\n$exec")
+    } finally {
+      conf.unset(graft.ops.PageRank.GateConf)
+      conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("q130 broadcasts the vocabulary at the token probe") {
