@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd compute kernels for the hot array paths.
   *
@@ -458,4 +459,145 @@ case class DotProductDbl(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductDbl =
     copy(left = newLeft, right = newRight)
+}
+
+/** BPE merge table for the one-pass apply kernel: ranks in training
+  * order, halves resolved by a two-level hash (left → right → rank) so
+  * the per-pair probe allocates nothing. Built once on the driver,
+  * serialized to every task; the UTF8String views materialize lazily
+  * per executor.
+  *
+  * Precondition (holds for every [[graft.ops.BpeTrainer.train]]
+  * output, and for any replayable BPE merge list): each pair's halves
+  * exist before its rank — a token created at rank r only ever
+  * participates in pairs of rank > r. Under it, ascending-rank sweeps
+  * are EXACTLY the k-sequential-replace semantics: a sweep at rank r
+  * can only create pairs of higher rank (every new adjacency involves
+  * the token it just minted), so no lower rank ever becomes applicable
+  * again — the same argument that makes min-heap BPE apply correct.
+  */
+final class BpeMergeTable(left: Array[String], right: Array[String],
+                          merged: Array[String]) extends Serializable {
+  require(left.length == right.length && left.length == merged.length)
+
+  @transient private lazy val mergedU: Array[UTF8String] =
+    merged.map(UTF8String.fromString)
+
+  @transient private lazy val rank
+  : java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Integer]] = {
+    val m = new java.util.HashMap[UTF8String,
+      java.util.HashMap[UTF8String, Integer]]()
+    var r = 0
+    while (r < left.length) {
+      val inner = m.computeIfAbsent(UTF8String.fromString(left(r)),
+        _ => new java.util.HashMap[UTF8String, Integer]())
+      // trained lists cannot repeat a pair (a sweep consumes every
+      // occurrence and merges never recreate old-token adjacency);
+      // keep the lowest rank if a handcrafted list does
+      inner.putIfAbsent(UTF8String.fromString(right(r)), Integer.valueOf(r))
+      r += 1
+    }
+    m
+  }
+
+  def size: Int = merged.length
+
+  private def rankOf(a: UTF8String, b: UTF8String): Int = {
+    val inner = rank.get(a)
+    if (inner == null) Int.MaxValue
+    else {
+      val r = inner.get(b)
+      if (r == null) Int.MaxValue else r.intValue()
+    }
+  }
+
+  /** One in-memory pass over a token array: repeatedly find the lowest
+    * present rank (scan), merge all its occurrences left-to-right
+    * non-overlapping (sweep, in place), until no table pair remains.
+    * Matches the padded-string replace chain token for token: null
+    * elements vanish up front (array_join semantics), empty-string
+    * tokens act as merge barriers and drop at the end (unpad
+    * semantics).
+    */
+  def apply(arr: ArrayData): ArrayData = {
+    val n0 = arr.numElements()
+    val toks = new Array[UTF8String](n0)
+    var len = 0
+    var i = 0
+    while (i < n0) {
+      if (!arr.isNullAt(i)) { toks(len) = arr.getUTF8String(i); len += 1 }
+      i += 1
+    }
+    var minR = 0
+    while (minR != Int.MaxValue) {
+      minR = Int.MaxValue
+      i = 0
+      while (i < len - 1) {
+        val r = rankOf(toks(i), toks(i + 1))
+        if (r < minR) minR = r
+        i += 1
+      }
+      if (minR != Int.MaxValue) {
+        val m = mergedU(minR)
+        var w = 0
+        i = 0
+        while (i < len) {
+          if (i < len - 1 && rankOf(toks(i), toks(i + 1)) == minR) {
+            toks(w) = m
+            i += 2
+          } else {
+            toks(w) = toks(i)
+            i += 1
+          }
+          w += 1
+        }
+        len = w
+      }
+    }
+    var kept = 0
+    i = 0
+    while (i < len) { if (toks(i).numBytes() > 0) kept += 1; i += 1 }
+    val out = new Array[AnyRef](kept)
+    var w = 0
+    i = 0
+    while (i < len) {
+      if (toks(i).numBytes() > 0) { out(w) = toks(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** BPE apply as ONE kernel pass: the k-literal-replace chain is the
+  * right plan at demo vocabularies, but at a real 32k-merge table it
+  * is 32k codegen'd passes over every document (and a 32k-deep
+  * expression tree the analyzer chokes on long before that). This
+  * expression walks each token array once per applicable rank with the
+  * whole merge table resolved by hash — O(doc · ranks-fired) instead
+  * of O(doc · k). Values are pinned equal to the replace chain by
+  * BpeTrainerSpec.
+  */
+case class BpeApplyMerges(child: Expression, table: BpeMergeTable)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_apply needs array<string>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_apply"
+
+  override def nullSafeEval(input: Any): Any =
+    table.apply(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeMergeTable].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"${ev.value} = $ref.apply($arr);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApplyMerges =
+    copy(child = newChild)
 }

@@ -101,14 +101,51 @@ object BpeTrainer {
     merges.result()
   }
 
-  /** Tokenize a padded-string column under an already-trained merge
-    * list (BPE apply = replay the merges in training order).
+  /** Above this merge count, [[applyMerges]] switches from the literal
+    * replace chain to the one-pass kernel: a real 32k-merge vocabulary
+    * as a 32k-deep replace tree is 32k scans per document and an
+    * analyzer-hostile plan, while at demo k the chain is the leaner
+    * (join-free, engine-portable) shape.
     */
-  def applyMerges(toks: Column, merges: Seq[Merge]): Column = {
+  val ReplaceChainMaxMerges = 64
+
+  /** Tokenize a padded-string column under an already-trained merge
+    * list (BPE apply = replay the merges in training order). Dispatches
+    * on merge count — both shapes produce identical token arrays
+    * (BpeTrainerSpec pins chain == kernel).
+    */
+  def applyMerges(toks: Column, merges: Seq[Merge]): Column =
+    if (merges.length > ReplaceChainMaxMerges) applyMergesKernel(toks, merges)
+    else applyMergesChain(toks, merges)
+
+  /** k sequential padded-string literal replaces — scan-only, mirrors
+    * the oracle SQL token for token.
+    */
+  def applyMergesChain(toks: Column, merges: Seq[Merge]): Column = {
     val p = merges.foldLeft(padded(toks)) { (acc, m) =>
       replace(acc, lit(" " + m.pair.replace(" ", "  ") + " "),
         lit(s" ${m.merged} "))
     }
     unpad(p)
+  }
+
+  /** One codegen'd pass with the whole merge table hash-resolved
+    * ([[graft.expressions.BpeApplyMerges]]) — the real-vocabulary
+    * shape.
+    */
+  def applyMergesKernel(toks: Column, merges: Seq[Merge]): Column = {
+    val lefts = new Array[String](merges.length)
+    val rights = new Array[String](merges.length)
+    val mergedArr = new Array[String](merges.length)
+    merges.zipWithIndex.foreach { case (m, i) =>
+      val sp = m.pair.indexOf(' ') // halves are space-free tokens
+      lefts(i) = m.pair.substring(0, sp)
+      rights(i) = m.pair.substring(sp + 1)
+      mergedArr(i) = m.merged
+    }
+    org.apache.spark.sql.GraftExpr.column(
+      graft.expressions.BpeApplyMerges(
+        org.apache.spark.sql.GraftExpr.expression(toks),
+        new graft.expressions.BpeMergeTable(lefts, rights, mergedArr)))
   }
 }
