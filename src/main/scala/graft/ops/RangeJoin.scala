@@ -108,6 +108,6 @@ object RangeJoin {
     * matching nothing. Fail loudly.
     */
   private def assertOrdered(lo: Column, hi: Column): Column =
-    when(hi < lo, raise_error(lit(
-      "RangeJoin: interval with hi < lo"))).otherwise(hi)
+    assertNonNeg(when(hi < lo, raise_error(lit(
+      "RangeJoin: interval with hi < lo"))).otherwise(hi))
 }

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * ORDER BY …) <= k` — puts an entire group in one task (q9 keeps that
   * shape as the small-data baseline); a per-group `collect_list` +
   * sort caps nothing either. This operator is the partition-bounded
-  * construction: a per-(group, input-partition) partial top-k (state
-  * per aggregation group never exceeds the rows of one partition, and
-  * the emitted partial never exceeds k), then a final top-k over at
+  * construction: a per-(group, input-partition) partial top-k (per-
+  * TASK aggregation state never exceeds one partition's rows, and the
+  * slice bounds stage 2's INPUT to k rows per (group, partition) —
+  * the first groupBy still exchanges all rows; it is memory/skew, not
+  * shuffle volume, that this shape fixes), then a final top-k over at
   * most #partitions · k rows per group. Correct under ANY
   * partitioning: the global top-k of a union is always contained in
   * the union of per-part top-ks, so the two-phase result is exactly

@@ -693,6 +693,11 @@ object PipelineQueries8 {
     // table (checkpointed) feeds the band join and both verify sides;
     // err+1000 keeps the bucket division on non-negative ground
     // (DuckDB // floors, Spark div truncates — they only agree ≥ 0).
+    // The oracle replays the 12x2 band-candidate filter (component
+    // equality over the signature arrays), NOT all-pairs exact
+    // Jaccard: both engines define the pair set identically, so the
+    // hash gate is deterministic rather than resting on the banding's
+    // (near-1 but probabilistic) recall at the threshold.
     QDef("q140_minhash_calibration",
       (s, dir) => {
         val sig = Tables.documents(s, dir)
@@ -746,7 +751,10 @@ object PipelineQueries8 {
            |      AS uni,
            |    a.sig AS sa, b.sig AS sb
            |  FROM m a JOIN m b ON a.doc_id < b.doc_id
-           |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+           |  WHERE len(list_filter(generate_series(1, 12), k ->
+           |      a.sig[2*k-1] = b.sig[2*k-1] AND a.sig[2*k] = b.sig[2*k]))
+           |    > 0
+           |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
            |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
            |    >= 0.8),
            |c AS (SELECT (1000 * inter) // uni AS exact_milli,

@@ -12,15 +12,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * hashes: commutative and order-free, but NOT idempotent — an
   * at-least-once replay of the same document would toggle the bit
   * pattern and silently corrupt the manifest. The streaming form
-  * therefore fuses a first-seen CONTENT gate into the shard state
-  * (content hash = document identity, the dedup-first convention used
-  * across the engine): a replayed or duplicated document is a no-op,
-  * so counts and checksum are exactly-once under any delivery.
+  * therefore fuses a first-seen gate into the shard state, keyed on
+  * the (doc_id, content) pair actually replayed: a redelivered
+  * document is a no-op, while a genuinely distinct document whose
+  * text happens to duplicate an earlier one still counts — exactly
+  * the batch q122 semantics (every doc counted; equal texts cancel
+  * in the xor), now exactly-once under any delivery.
   *
-  * State per shard: (n_docs, n_tokens, checksum, seen-hash set). The
+  * State per shard: (n_docs, n_tokens, checksum, seen-key set). The
   * seen set IS the price of replay-proof exact counting — the same
-  * O(distinct contents) footprint streaming exact dedup already holds,
-  * here partitioned by shard so each task owns its shard's slice.
+  * O(docs) footprint streaming exact dedup already holds, here
+  * partitioned by shard so each task owns its shard's slice.
   *
   * Shard rule: hash-bucketed (`hash(doc_id) mod nShards`) rather than
   * the batch operator's token-balanced prefix sum — a stream cannot
@@ -45,18 +47,22 @@ object StreamManifest {
         pmod(tokenHash(concat(lit("shard:"), col(idCol).cast("string"))),
           lit(nShards.toLong)).cast("long").as("shard"),
         Sketches.hash60(col(textCol)).as("h60"),
+        // replay-identity key: the delivered (doc_id, content) pair,
+        // NUL-separated so distinct pairs can't concatenate equal
+        Sketches.hash60(concat(col(idCol).cast("string"), lit("\u0000"),
+          col(textCol))).as("gate"),
         size(tokens(col(textCol))).cast("long").as("n"))
-      .as[(Long, Long, Long)]
+      .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
-        (shard: Long, rows: Iterator[(Long, Long, Long)],
+        (shard: Long, rows: Iterator[(Long, Long, Long, Long)],
          state: GroupState[(Long, Long, Long, Set[Long])]) =>
           var (nd, nt, cs, seen) =
             state.getOption.getOrElse((0L, 0L, 0L, Set.empty[Long]))
-          rows.foreach { case (_, h60, n) =>
-            if (!seen.contains(h60)) {
-              seen += h60
+          rows.foreach { case (_, h60, gate, n) =>
+            if (!seen.contains(gate)) {
+              seen += gate
               nd += 1
               nt += n
               cs ^= h60

@@ -18,7 +18,6 @@ class StreamManifestSpec extends SparkSpec {
 
   private def batchManifest(rows: Seq[(Long, String)], nShards: Int) =
     rows.toDF("doc_id", "text")
-      .dropDuplicates("text")
       .select(
         pmod(graft.functions.TextAnalysis.tokenHash(
           concat(lit("shard:"), col("doc_id").cast("string"))),
@@ -64,5 +63,20 @@ class StreamManifestSpec extends SparkSpec {
     (docs.slice(5, 15) ++ docs.drop(25))
       .toDF("doc_id", "text").write.parquet(s"$src/b2.parquet")
     assert(drainFinal(src) === batchManifest(docs, 16))
+  }
+
+  test("distinct docs with duplicate texts all count (batch q122 " +
+    "semantics); replay of one of them is still a no-op") {
+    // 12 doc_ids share only 3 texts -> duplicates land in the same
+    // AND different shards; the gate must key on (doc_id, content),
+    // not content alone
+    val dup = (100 until 112).map(i => (i.toLong, s"same text ${i % 3}"))
+    val all = docs.take(10) ++ dup
+    val src = Files.createTempDirectory("smanifest3").toString
+    all.take(16).toDF("doc_id", "text").write.parquet(s"$src/b1.parquet")
+    // batch 2: the rest, plus verbatim replays of 4 duplicate-text docs
+    (all.drop(16) ++ dup.take(4))
+      .toDF("doc_id", "text").write.parquet(s"$src/b2.parquet")
+    assert(drainFinal(src) === batchManifest(all, 16))
   }
 }
