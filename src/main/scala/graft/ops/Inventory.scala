@@ -134,6 +134,15 @@ object Inventory {
     * batchBehind)` supplies the merge semantics (latest-per-key,
     * additive balances, subnet accumulation, …) and must emit the key
     * columns unchanged so the bucket re-derives identically.
+    *
+    * On-disk layout is MVCC: `bucket=B/merged_height=H/…` — a merge
+    * writes each rewritten bucket as a NEW version partition and never
+    * deletes the version a committed snapshot references. A commit
+    * manifest (graft.streaming.BlockIngest) can therefore list a
+    * bucket's files and stay valid even while the next batch is
+    * half-written; superseded versions are reclaimed by
+    * [[vacuumBucketedState]] AFTER the commit point, never during the
+    * write.
     */
   def mergeBucketedBy(spark: SparkSession, stateDir: String,
                       batch: DataFrame, key: Seq[String], nBuckets: Int,
@@ -159,16 +168,11 @@ object Inventory {
       require(storedN == nBuckets,
         s"state at $stateDir was written with nBuckets=$storedN, got $nBuckets")
     }
-    // partition-pruned read: only the touched buckets are opened
-    val prior =
-      if (hasState)
-        Some(spark.read.parquet(stateDir)
-          .filter(col("bucket").isin(touched.map(x => x: Any): _*)))
-      else None
-    val bucketHeights: Map[Int, Long] = prior
-      .map(_.groupBy("bucket").agg(max(col("merged_height")))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
-      .getOrElse(Map.empty)
+    // current version per bucket from the partition layout (driver-side
+    // listing — no data read)
+    val versions = if (hasState) bucketVersions(stateDir) else Map.empty[Int, Seq[Long]]
+    val bucketHeights: Map[Int, Long] =
+      versions.collect { case (bk, vs) if vs.nonEmpty => bk -> vs.max }
     val behind =
       if (mergedHeight == 0L) touched
       else touched.filter(bk => bucketHeights.getOrElse(bk, 0L) < mergedHeight)
@@ -176,8 +180,16 @@ object Inventory {
     val bBehind = withBucket
       .filter(col("bucket").isin(behind.map(x => x: Any): _*))
       .drop("bucket")
-    val priorBehind = prior
-      .map(_.filter(col("bucket").isin(behind.map(x => x: Any): _*))
+    // partition-pruned prior read: only the behind buckets' CURRENT
+    // versions are opened (older versions awaiting vacuum are skipped)
+    val priorPairs = behind.toSeq
+      .flatMap(bk => bucketHeights.get(bk).map(bk -> _))
+    val priorBehind =
+      if (priorPairs.isEmpty) None
+      else Some(spark.read.parquet(stateDir)
+        .filter(priorPairs.map { case (bk, v) =>
+          col("bucket") === bk && col("merged_height") === v
+        }.reduce(_ || _))
         .drop("bucket", "merged_height"))
     // state and batch agree on the hash, so the merge re-derives the
     // bucket from the key — no cross-bucket movement possible
@@ -185,19 +197,82 @@ object Inventory {
     // localCheckpoint materializes the merged buckets (bounded: only
     // the touched slice of state) and cuts the lineage back to
     // stateDir, so the write below is not "overwriting a path being
-    // read" — the bucketed replacement for the tmp-dir double write.
-    // Dynamic overwrite then rewrites ONLY the behind buckets'
-    // partitions; untouched buckets stay byte-identical on disk.
+    // read". Dynamic overwrite targets the (bucket, NEW version)
+    // partitions — existing version partitions, including the ones the
+    // last commit references, are never touched; untouched buckets stay
+    // byte-identical on disk.
     merged.withColumn("merged_height", lit(mergedHeight))
       .localCheckpoint()
       .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic").partitionBy("bucket")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket", "merged_height")
       .parquet(stateDir)
     Files.write(nbPath, nBuckets.toString.getBytes("UTF-8"))
     true
   }
 
-  /** Read bucketed state back without the physical columns. */
+  /** Per-bucket version list from the partition directory layout.
+    * Driver-side listing (java.nio — the local-FS stand-in for the
+    * Hadoop FileSystem listing a cluster deployment would use).
+    */
+  def bucketVersions(stateDir: String): Map[Int, Seq[Long]] = {
+    val root = Paths.get(stateDir)
+    if (!Files.exists(root)) return Map.empty
+    import scala.jdk.CollectionConverters._
+    Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("bucket="))
+      .map { p =>
+        val bk = p.getFileName.toString.stripPrefix("bucket=").toInt
+        val vs = Files.list(p).iterator().asScala
+          .filter(q => Files.isDirectory(q) &&
+            q.getFileName.toString.startsWith("merged_height="))
+          .map(_.getFileName.toString.stripPrefix("merged_height=").toLong)
+          .toSeq
+        bk -> vs
+      }.toMap
+  }
+
+  /** Reclaim superseded bucket versions: for each bucket, keep the
+    * newest version at or below `committed` (the one the current commit
+    * manifest references) plus any versions ABOVE it (a half-written
+    * next batch — its replay will reuse them); delete the rest. Call
+    * only AFTER the commit point that stops referencing them.
+    */
+  def vacuumBucketedState(stateDir: String, committed: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    bucketVersions(stateDir).foreach { case (bk, vs) =>
+      val keepFloor = vs.filter(_ <= committed).sorted.lastOption
+      keepFloor.foreach { floor =>
+        vs.filter(_ < floor).foreach { v =>
+          val dir = Paths.get(s"$stateDir/bucket=$bk/merged_height=$v")
+          Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+        }
+      }
+    }
+  }
+
+  /** Read bucketed state back without the physical columns: each
+    * bucket's CURRENT (max-version) partition only — superseded
+    * versions awaiting vacuum are pruned out at the partition level.
+    */
   def readBucketedState(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(stateDir).drop("bucket", "merged_height")
+    readBucketedStateAt(spark, stateDir, Long.MaxValue)
+
+  /** Snapshot read: each bucket's newest version at or below
+    * `committed` (the file set a commit manifest at that height pins).
+    */
+  def readBucketedStateAt(spark: SparkSession, stateDir: String,
+                          committed: Long): DataFrame = {
+    val pairs = bucketVersions(stateDir).toSeq.flatMap { case (bk, vs) =>
+      vs.filter(_ <= committed).sorted.lastOption.map(bk -> _)
+    }
+    require(pairs.nonEmpty, s"no committed state at $stateDir")
+    spark.read.parquet(stateDir)
+      .filter(pairs.map { case (bk, v) =>
+        col("bucket") === bk && col("merged_height") === v
+      }.reduce(_ || _))
+      .drop("bucket", "merged_height")
+  }
 }

@@ -27,10 +27,17 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *  - the inventory (latest-per-key MERGE state) records the height it
   *    has merged through; a replayed batch is skipped rather than
   *    double-merged (the trigger-upsert is not idempotent per row);
-  *  - the committed-height watermark is written LAST; every reader
-  *    filters `height <= committed`, so partially-written batches are
-  *    invisible (the per-block multi-table transaction of the reference,
-  *    SURVEY §7.5 risk #1);
+  *  - the COMMIT POINT is one atomically-renamed manifest per batch
+  *    (`_commits/<height>.json`) listing every table's live files at
+  *    that height — the per-block multi-table transaction of the
+  *    reference (src/be_db_follower.erl:87-105 runs one Postgres txn
+  *    across 12 tables) realized Delta-style on plain parquet. Every
+  *    table write lands in files no earlier manifest references (new
+  *    height partitions for facts, new MVCC bucket versions for
+  *    inventories, a new whole-table version for stats), so until the
+  *    rename the previous snapshot is fully intact; a reader resolving
+  *    through [[readCommitted]] can never see a torn batch, gating or
+  *    not. Superseded files are vacuumed only after the rename.
   *  - driver state is recovered by reading the sinks at start — no Spark
   *    state store, matching the reference's init-from-DB pattern.
   */
@@ -61,24 +68,48 @@ object BlockIngest {
       StructField("hash", StringType), StructField("type", StringType),
       StructField("fields", StringType)))))))
 
-  def committedHeight(sinkDir: String): Long = {
-    val p = Paths.get(s"$sinkDir/_committed_height")
-    if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong
-    else 0L
-  }
+  /** Tables a commit manifest covers, with how their files version:
+    * fact tables are height-partitioned (files for heights ≤ the
+    * commit are immutable), inventories are MVCC bucket versions
+    * (Inventory.mergeBucketedBy), stats are whole-table versions.
+    */
+  private val factTables = Seq("blocks" -> "height",
+    "transactions" -> "block", "transaction_actors" -> "block",
+    "rewards" -> "block", "packets" -> "block", "dc_burns" -> "block",
+    "oracle_prices" -> "block", "dirty_sets" -> "block",
+    "gateway_scales" -> "block")
+  private val inventoryTables = Seq("actor_inventory", "gateway_inventory",
+    "validator_inventory", "account_inventory", "oui_inventory")
 
-  private def writeCommittedHeight(sinkDir: String, h: Long): Unit = {
-    Files.createDirectories(Paths.get(sinkDir))
-    Files.write(Paths.get(s"$sinkDir/_committed_height"),
-      h.toString.getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
-      StandardOpenOption.WRITE)
+  /** The commit point is the newest manifest in `_commits/` — one
+    * atomically-renamed JSON file per batch, named by its committed
+    * height. No manifest = height 0 (empty sink).
+    */
+  def committedHeight(sinkDir: String): Long = {
+    val d = Paths.get(s"$sinkDir/_commits")
+    if (!Files.exists(d)) return 0L
+    import scala.jdk.CollectionConverters._
+    Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong)
+      .foldLeft(0L)(math.max)
   }
 
   /** Process one micro-batch of whole blocks. Pure batch function —
     * callable without a stream (every transform testable standalone).
+    *
+    * `crashAt` is the spec's kill switch: `Some("after-facts")` /
+    * `Some("before-commit")` aborts at that point, simulating a crash
+    * mid-multi-table-write — the ACID contract under test is that a
+    * reader resolving through [[readCommitted]] never sees the torn
+    * batch.
     */
-  def processBatch(spark: SparkSession, batch: DataFrame, sinkDir: String): Unit = {
+  def processBatch(spark: SparkSession, batch: DataFrame, sinkDir: String,
+                   crashAt: Option[String] = None): Unit = {
+    def crash(point: String): Unit =
+      if (crashAt.contains(point))
+        throw new IllegalStateException(s"injected crash at $point")
     import spark.implicits._
     val committed = committedHeight(sinkDir)
     // replay filter: already-committed heights are dropped (idempotence)
@@ -119,6 +150,7 @@ object BlockIngest {
         .parquet(s"$sinkDir/transaction_actors")
 
       writeDerivedFacts(sinkDir, txns)
+      crash("after-facts")
       writeDirtySets(spark, sinkDir, fresh, committed)
       writeSnapshotManifest(spark, sinkDir, fresh)
 
@@ -132,10 +164,20 @@ object BlockIngest {
       mergeAccountInventory(spark, sinkDir, newCommitted, txns)
       mergeOuiInventory(spark, sinkDir, newCommitted, txns)
       mergeStats(spark, sinkDir, newCommitted, fresh, txns)
+      crash("before-commit")
 
-      // watermark last — readers gate on it, so the multi-table commit
-      // becomes visible atomically
-      writeCommittedHeight(sinkDir, newCommitted)
+      // THE commit point: one atomically-renamed manifest listing every
+      // table's live files as of this height. Every write above landed
+      // in files no earlier manifest references (new height partitions,
+      // new bucket versions, a new stats version), so until this rename
+      // the previous snapshot is fully intact and a manifest-resolving
+      // reader cannot observe the torn batch.
+      writeCommitManifest(sinkDir, newCommitted)
+      // reclaim versions no manifest references anymore — strictly
+      // after the commit point
+      inventoryTables.foreach(t =>
+        Inventory.vacuumBucketedState(s"$sinkDir/$t", newCommitted))
+      vacuumStats(sinkDir, newCommitted)
     } finally fresh.unpersist()
   }
 
@@ -475,10 +517,14 @@ object BlockIngest {
     snaps.headOption.foreach { r =>
       val json = s"""{"height": ${r.getLong(0)}, "snapshot_hash": "${r.getString(1)}"}"""
       Files.createDirectories(Paths.get(sinkDir))
-      Files.write(Paths.get(s"$sinkDir/latest-snap.json"),
-        json.getBytes("UTF-8"),
+      // atomic replace: a reader never sees a half-written manifest
+      val tmp = Paths.get(s"$sinkDir/.latest-snap.json.tmp")
+      Files.write(tmp, json.getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
         StandardOpenOption.WRITE)
+      Files.move(tmp, Paths.get(s"$sinkDir/latest-snap.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
@@ -493,11 +539,15 @@ object BlockIngest {
                          newCommitted: Long, freshBlocks: DataFrame,
                          txns: DataFrame): Unit = {
     val statsDir = s"$sinkDir/stats_inventory"
-    val prior: Map[String, Long] =
-      if (Files.exists(Paths.get(statsDir)))
-        spark.read.parquet(statsDir).collect()
+    // MVCC: each batch writes a NEW whole-table version dir h=<height>;
+    // the prior fold reads the newest existing version, the replay
+    // guard skips when it is already at (or past) this batch, and
+    // superseded versions are vacuumed after the commit point
+    val prior: Map[String, Long] = statsVersions(statsDir).sorted.lastOption
+      .map { v =>
+        spark.read.parquet(s"$statsDir/h=$v").collect()
           .map(r => r.getAs[String]("name") -> r.getAs[Long]("value")).toMap
-      else Map.empty
+      }.getOrElse(Map.empty)
     if (prior.getOrElse("_merged_height", 0L) >= newCommitted) return
     // one aggregation pass over the batch txns for all txn-derived
     // counters (count_if is a conditional map-side count — no extra
@@ -513,10 +563,132 @@ object BlockIngest {
     val updated = deltas.map { case (k, d) => k -> (prior.getOrElse(k, 0L) + d) } +
       ("_merged_height" -> newCommitted)
     import spark.implicits._
-    val tmp = s"$statsDir._tmp"
     updated.toSeq.toDF("name", "value")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(statsDir)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$statsDir/h=$newCommitted")
+  }
+
+  private def statsVersions(statsDir: String): Seq[Long] = {
+    val root = Paths.get(statsDir)
+    if (!Files.exists(root)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("h="))
+      .map(_.getFileName.toString.stripPrefix("h=").toLong)
+      .toSeq
+  }
+
+  private def vacuumStats(sinkDir: String, committed: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val statsDir = s"$sinkDir/stats_inventory"
+    val vs = statsVersions(statsDir)
+    vs.filter(_ <= committed).sorted.lastOption.foreach { keep =>
+      vs.filter(_ < keep).foreach { v =>
+        val dir = Paths.get(s"$statsDir/h=$v")
+        Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  /** List a table's live data files as of `height`, relative to
+    * `sinkDir` (driver-side java.nio walk — the local stand-in for the
+    * Hadoop FileSystem listing a cluster deployment would use).
+    */
+  private def liveFiles(sinkDir: String, height: Long): Map[String, Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    def filesUnder(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+      if (!Files.exists(p)) Seq.empty
+      else Files.walk(p).iterator().asScala
+        .filter(f => Files.isRegularFile(f) && {
+          val n = f.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        }).toSeq
+    def rel(f: java.nio.file.Path): String =
+      Paths.get(sinkDir).relativize(f).toString
+    val facts = factTables.map { case (table, partCol) =>
+      val fs = filesUnder(Paths.get(s"$sinkDir/$table")).filter { f =>
+        // keep only partitions at or below the commit height (a torn
+        // later batch can only have added HIGHER partitions)
+        val part = Paths.get(s"$sinkDir/$table").relativize(f)
+          .iterator().asScala.map(_.toString)
+          .find(_.startsWith(s"$partCol="))
+        part.forall(_.stripPrefix(s"$partCol=").toLong <= height)
+      }
+      table -> fs.map(rel)
+    }
+    val invs = inventoryTables.map { table =>
+      val stateDir = s"$sinkDir/$table"
+      val live = Inventory.bucketVersions(stateDir).toSeq
+        .flatMap { case (bk, vs) =>
+          vs.filter(_ <= height).sorted.lastOption.map(v =>
+            s"bucket=$bk/merged_height=$v")
+        }.toSet
+      val fs = filesUnder(Paths.get(stateDir)).filter { f =>
+        val segs = Paths.get(stateDir).relativize(f)
+          .iterator().asScala.map(_.toString).toSeq
+        segs.length >= 3 && live.contains(s"${segs(0)}/${segs(1)}")
+      }
+      table -> fs.map(rel)
+    }
+    val stats = {
+      val statsDir = s"$sinkDir/stats_inventory"
+      val keep = statsVersions(statsDir).filter(_ <= height).sorted.lastOption
+      "stats_inventory" -> keep.toSeq.flatMap(v =>
+        filesUnder(Paths.get(s"$statsDir/h=$v")).map(rel))
+    }
+    (facts ++ invs :+ stats).toMap
+  }
+
+  /** Write `_commits/<height>.json` — the atomic commit point: built in
+    * a temp file, published with one ATOMIC_MOVE rename. Lists every
+    * table's live files at this height.
+    */
+  private def writeCommitManifest(sinkDir: String, height: Long): Unit = {
+    val tables = liveFiles(sinkDir, height)
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    val body = tables.toSeq.sortBy(_._1).map { case (t, fs) =>
+      fs.sorted.map(f => "\"" + esc(f) + "\"")
+        .mkString("\"" + esc(t) + "\": [", ", ", "]")
+    }.mkString(s"""{"height": $height, "tables": {""", ", ", "}}")
+    val commitsDir = Paths.get(s"$sinkDir/_commits")
+    Files.createDirectories(commitsDir)
+    val tmp = commitsDir.resolve(s".tmp-$height.json")
+    Files.write(tmp, body.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+    Files.move(tmp, commitsDir.resolve(s"$height.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Reader view over the committed snapshot: resolve `table`'s file
+    * list through the NEWEST commit manifest and read exactly those
+    * files — never the live directory. This is what makes the
+    * multi-table commit atomic for readers that don't replicate the
+    * height-gating protocol: a batch killed after any subset of its
+    * table writes has published no manifest, so every reader still
+    * resolves the previous snapshot's files (all of which the writers
+    * above leave untouched until post-commit vacuum).
+    */
+  def readCommitted(spark: SparkSession, sinkDir: String,
+                    table: String): DataFrame = {
+    val h = committedHeight(sinkDir)
+    require(h > 0L, s"no committed snapshot at $sinkDir")
+    val manifest = new String(Files.readAllBytes(
+      Paths.get(s"$sinkDir/_commits/$h.json")), "UTF-8")
+    val schema = StructType(Seq(
+      StructField("height", LongType),
+      StructField("tables", MapType(StringType, ArrayType(StringType)))))
+    import spark.implicits._
+    val parsed = spark.read.schema(schema).json(Seq(manifest).toDS()).head()
+    val files = parsed.getAs[Map[String, scala.collection.Seq[String]]]("tables")
+      .getOrElse(table,
+        sys.error(s"table $table not in commit manifest $h")).toSeq
+    require(files.nonEmpty, s"table $table is empty in commit manifest $h")
+    spark.read.option("basePath", s"$sinkDir/$table")
+      .parquet(files.map(f => s"$sinkDir/$f"): _*)
   }
 
   /** Structured-Streaming wrapper: one ordered `processBatch` per

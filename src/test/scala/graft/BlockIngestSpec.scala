@@ -236,15 +236,64 @@ class BlockIngestSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     val before = batch3Dirty
     assert(before.nonEmpty)
-    // simulate the crash: rewind the watermark, replay the last batch
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$sink/_committed_height"),
-      "40".getBytes("UTF-8"))
+    // simulate the crash: drop the last commit manifest (the commit
+    // point), replay the last batch
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$sink/_commits/60.json"))
+    assert(BlockIngest.committedHeight(sink) === 40L)
     BlockIngest.processBatch(spark,
       blocks.filter(col("height").between(41L, 60L)), sink)
     assert(BlockIngest.committedHeight(sink) === 60L)
     assert(batch3Dirty === before,
       "replay must reproduce the identical dirty set, not drop guarded rows")
+  }
+
+  test("kill mid-commit: a manifest-resolving reader never sees a torn batch") {
+    val sink = Files.createTempDirectory("ingest_acid").toString
+    val blocks = spark.read.schema(BlockIngest.blockSchema)
+      .json(s"$streamDir/blocks.jsonl")
+    BlockIngest.processBatch(spark,
+      blocks.filter(col("height").between(1L, 40L)), sink)
+    def committedAcct() = BlockIngest
+      .readCommitted(spark, sink, "account_inventory")
+      .drop("bucket", "merged_height")
+    val blocksBefore = BlockIngest.readCommitted(spark, sink, "blocks").count()
+    val txnsBefore = BlockIngest.readCommitted(spark, sink, "transactions").count()
+    val acctBefore = committedAcct().orderBy("address").collect()
+    assert(blocksBefore === 40L)
+
+    // kill #1: after the fact tables, before inventories and commit
+    intercept[IllegalStateException](BlockIngest.processBatch(spark,
+      blocks.filter(col("height").between(41L, 60L)), sink,
+      crashAt = Some("after-facts")))
+    // the torn files ARE on disk — a raw directory read sees them…
+    assert(spark.read.parquet(s"$sink/blocks").count() === 60L)
+    // …but the committed snapshot is intact, with no height filter in
+    // the reader
+    assert(BlockIngest.committedHeight(sink) === 40L)
+    assert(BlockIngest.readCommitted(spark, sink, "blocks").count() ===
+      blocksBefore)
+    assert(BlockIngest.readCommitted(spark, sink, "transactions").count() ===
+      txnsBefore)
+
+    // kill #2: EVERY table written (inventories merged to 60), the
+    // manifest rename never happened — inventory reads still resolve
+    // the height-40 bucket versions
+    intercept[IllegalStateException](BlockIngest.processBatch(spark,
+      blocks.filter(col("height").between(41L, 60L)), sink,
+      crashAt = Some("before-commit")))
+    assert(BlockIngest.committedHeight(sink) === 40L)
+    assert(committedAcct().orderBy("address").collect() === acctBefore)
+
+    // recovery: a plain replay completes the batch exactly once
+    BlockIngest.processBatch(spark,
+      blocks.filter(col("height").between(41L, 60L)), sink)
+    assert(BlockIngest.committedHeight(sink) === 60L)
+    assert(BlockIngest.readCommitted(spark, sink, "blocks").count() === 60L)
+    val txns = spark.read.parquet("/root/repo/fixtures/transactions.parquet")
+    val acctExp = AccountLedger.inventory(txns)
+    assert(committedAcct().except(acctExp).count() === 0L)
+    assert(acctExp.except(committedAcct()).count() === 0L)
   }
 
   test("continuous follow mode picks up newly dropped block files") {
