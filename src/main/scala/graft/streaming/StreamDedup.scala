@@ -86,13 +86,24 @@ object StreamDedup {
     * that is correct — near-duplication is transitive enough at these
     * thresholds — and canonical attribution, when needed, is the batch
     * ConnectedComponents pass over the emitted pairs.
+    *
+    * @param ttlMillis optional sliding state TTL (processing-time): a
+    *        band bucket untouched for this long drops its retained
+    *        entries, bounding state for endless streams. The trade is
+    *        recall — a near-dup of a doc whose buckets all expired is
+    *        admitted as novel (the same documented miss as
+    *        [[firstSeen]]'s TTL). None keeps state forever, which is
+    *        what full-recall global near-dedup inherently costs.
     */
   def nearDupBands(docs: DataFrame, idCol: String, textCol: String,
                    numBands: Int = 12, rowsPerBand: Int = 2,
                    threshold: Double = 0.8,
-                   perBandCap: Int = 8): Dataset[(Long, Long, Double)] = {
+                   perBandCap: Int = 8,
+                   ttlMillis: Option[Long] = None): Dataset[(Long, Long, Double)] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val conf = if (ttlMillis.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     val sig = docs
       .select(col(idCol).cast("long").as("doc_id"),
         tokens(col(textCol)).as("toks"))
@@ -103,27 +114,33 @@ object StreamDedup {
         explode(Dedup.bandKeyArray(col("mh"), numBands, rowsPerBand)).as("bk"))
       .as[(Long, Seq[Long], Long)]
       .groupByKey(_._3)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), conf) {
         (_: Long, rows: Iterator[(Long, Seq[Long], Long)],
          state: GroupState[Seq[(Long, Seq[Long])]]) =>
-          var entries = state.getOption.getOrElse(Seq.empty)
-          val out = Seq.newBuilder[(Long, Long, Double)]
-          // id order within the batch: deterministic regardless of
-          // partition-internal arrival order
-          rows.toSeq.sortBy(_._1).foreach { case (id, hs, _) =>
-            val hsSet = hs.toSet
-            val hit = entries.iterator.map { case (cid, chs) =>
-              val inter = chs.count(hsSet.contains)
-              (cid, inter.toDouble / (hs.size + chs.size - inter))
-            }.find(_._2 >= threshold)
-            hit match {
-              case Some((cid, j)) => out += ((id, cid, j))
-              case None =>
-                if (entries.size < perBandCap) entries :+= ((id, hs))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var entries = state.getOption.getOrElse(Seq.empty)
+            val out = Seq.newBuilder[(Long, Long, Double)]
+            // id order within the batch: deterministic regardless of
+            // partition-internal arrival order
+            rows.toSeq.sortBy(_._1).foreach { case (id, hs, _) =>
+              val hsSet = hs.toSet
+              val hit = entries.iterator.map { case (cid, chs) =>
+                val inter = chs.count(hsSet.contains)
+                (cid, inter.toDouble / (hs.size + chs.size - inter))
+              }.find(_._2 >= threshold)
+              hit match {
+                case Some((cid, j)) => out += ((id, cid, j))
+                case None =>
+                  if (entries.size < perBandCap) entries :+= ((id, hs))
+              }
             }
+            state.update(entries)
+            ttlMillis.foreach(state.setTimeoutDuration) // sliding TTL
+            out.result().iterator
           }
-          state.update(entries)
-          out.result().iterator
       }
   }
 }

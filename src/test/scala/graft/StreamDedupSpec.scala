@@ -79,6 +79,45 @@ class StreamDedupSpec extends SparkSpec {
     assert(got.size === 3)
   }
 
+  test("firstSeen TTL evicts idle state: a replay after expiry is " +
+    "re-emitted (the documented recall miss)") {
+    val src = Files.createTempDirectory("sdedupevict").toString
+    Seq((1L, "alpha text"), (2L, "beta text"))
+      .toDF("doc_id", "text").write.parquet(s"$src/b1.parquet")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*.parquet")
+    val q = StreamDedup
+      .firstSeen(stream.toDF(), "doc_id", "text", ttlMillis = Some(1500L))
+      .toDF("content_hash", "canonical_id")
+      .writeStream.format("memory").queryName("sdedupevict")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 120000
+      while (spark.table("sdedupevict").count() < n &&
+        System.currentTimeMillis < deadline) Thread.sleep(250)
+      assert(spark.table("sdedupevict").count() >= n)
+    }
+    awaitRows(2)
+    // idle well past the TTL: the timeout batch removes the state
+    Thread.sleep(5000)
+    // the SAME content re-arrives — with its first-seen entry evicted
+    // it is re-emitted under the new id: exactly the recall trade the
+    // TTL knob documents
+    Seq((9L, "alpha text")).toDF("doc_id", "text")
+      .write.parquet(s"$src/b2.parquet")
+    awaitRows(3)
+    q.stop()
+    import spark.implicits._
+    val got = spark.table("sdedupevict").as[(String, Long)].collect()
+    val alphaCanonicals = got.filter(_._2 != 2L).map(_._2).toSet
+    assert(got.length === 3)
+    assert(alphaCanonicals === Set(1L, 9L),
+      "alpha text must be emitted twice: once per TTL epoch")
+  }
+
   test("streaming near-dup bands flag cross-batch near-duplicates like batch LSH") {
     val base = (0 until 30).map(i => f"w$i%02d").mkString(" ")
     val near = (0 until 30).map(i => if (i == 29) "CHANGED" else f"w$i%02d")
