@@ -403,4 +403,47 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"q144 shuffle-joins the tiny centroid table:\n$p")
   }
+
+  test("q148 repetition screen is two map-side-combined aggregations " +
+    "— no windows, no sort") {
+    val p = plan("q148_gopher_repetition")
+    assert(!p.contains("Window"), s"q148 grew a window:\n$p")
+    assert(p.contains("HashAggregate"), s"q148 lost hash aggregation:\n$p")
+  }
+
+  test("q149 quantile window runs over the (lang, len) histogram, " +
+    "never the corpus; totals broadcast") {
+    val p = plan("q149_exact_length_quantiles")
+    // the cumulative window's input is the aggregated histogram: a
+    // HashAggregate must appear BELOW the Window in the plan tree
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, s"q149 has no cumulative window:\n$p")
+    assert(p.substring(winIdx).contains("HashAggregate") ||
+      p.substring(0, winIdx).contains("HashAggregate"),
+      s"q149 windows unaggregated rows:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q149 shuffle-joins the per-lang totals:\n$p")
+  }
+
+  test("q150 stratified split windows only sharded buckets and " +
+    "broadcasts stratum sizes") {
+    val p = plan("q150_stratified_split")
+    val windows = p.linesIterator
+      .filter(_.contains("Arguments")).mkString("\n")
+    assert(p.contains("Window"), s"q150 has no rank window?\n$p")
+    assert(windows.contains("bucket"), s"q150 window lost its bucket key")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q150 shuffle-joins the tiny stratum-size table:\n$p")
+  }
+
+  test("q152 truncation audit is one aggregation pass, no joins") {
+    val p = plan("q152_truncation_loss")
+    assert(!p.contains("Join"), s"q152 grew a join:\n$p")
+  }
+
+  test("q153 normalized dedup is the one-shuffle groupBy shape") {
+    val p = plan("q153_normalized_dedup")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"q153 lost the plain aggregation shape:\n$p")
+  }
 }
