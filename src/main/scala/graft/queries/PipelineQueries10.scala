@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
   *  - q153: normalization-aware exact dedup (casefold + punct-strip +
   *    whitespace-collapse before hashing — the C4-style canonical
   *    form; catches trivial variants raw md5 dedup misses).
+  *  - q154: per-epoch deterministic reshuffle (seeded hash order per
+  *    epoch, PrefixSum global rank — no global sort).
+  *  - q155: dedup threshold sensitivity sweep — exact Jaccard computed
+  *    ONCE per band-surfaced candidate pair, counted at 0.7/0.8/0.9.
+  *  - q156: per-source quality scorecard (volume, length, Gopher keep
+  *    rate, within-source dup rate) — the ingest-source triage table.
+  *  - q157: token-budget waterfill — the classical water-filling
+  *    allocation of a token budget across languages, closed-form on
+  *    the sorted O(#langs) aggregate (no iteration, both engines
+  *    replay the same integer level selection).
   *
   * Float/division rules as established: all ratios are integer milli
   * units on non-negative ground (`div` == `//` there), cross-row sums
@@ -281,6 +291,239 @@ object PipelineQueries10 {
              |  CAST(min(doc_id) AS BIGINT) AS canonical_id,
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(count(DISTINCT text) AS BIGINT) AS n_raw_variants
-             |FROM n GROUP BY 1""".stripMargin))
+             |FROM n GROUP BY 1""".stripMargin)),
+
+    // Per-epoch deterministic reshuffle: each training epoch gets its
+    // own seeded hash order (the standard "reshuffle between epochs"
+    // without materializing a permutation): pos = PrefixSum rank of
+    // the epoch-salted hash. One construction covers every epoch — the
+    // epoch id is just another group column, so no global sort and no
+    // per-epoch pass.
+    QDef("q154_epoch_reshuffle",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(typedLit(Seq(0L, 1L))).as("epoch"))
+          .withColumn("h", tokenHash(concat(lit("ep"),
+            col("epoch").cast("string"), lit(":"),
+            col("doc_id").cast("string"))))
+          .withColumn("bucket", floor(col("h") / lit(1L << 24)).cast("long"))
+          .withColumn("one", lit(1L))
+          .localCheckpoint() // rank pass + offsets agg share this
+        PrefixSum
+          .twoLevelPrev(t, Seq("epoch"), "bucket", "doc_id", "one", "h",
+            outCol = "pos")
+          .select(col("epoch"), col("doc_id"), col("pos"))
+      },
+      Some(s"""WITH ep AS (SELECT CAST(unnest([0, 1]) AS BIGINT) AS epoch),
+              |d AS (SELECT epoch, doc_id,
+              |    ${hashSql("'ep' || CAST(epoch AS VARCHAR) || ':' || " +
+                            "CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents CROSS JOIN ep)
+              |SELECT epoch, doc_id,
+              |  CAST(row_number() OVER (PARTITION BY epoch
+              |    ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+              |FROM d""".stripMargin)),
+
+    // Dedup threshold sensitivity: exact Jaccard is computed ONCE per
+    // band-surfaced candidate pair (the q25/q140 12x2 geometry, oracle
+    // replaying the band filter so both engines define the candidate
+    // set identically), then counted at each policy threshold — the
+    // audit that shows what a 0.7-vs-0.9 dedup policy would actually
+    // remove before anyone pays for the corpus-wide run.
+    QDef("q155_dedup_threshold_sweep",
+      (s, dir) => {
+        val sig = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), shingleHashes(col("toks")).as("hs"))
+          .withColumn("mh", minhashAffine(col("hs"), 24))
+          .localCheckpoint() // band join + both verify sides read it
+        val bands = sig.select(col("doc_id"),
+          explode(graft.ops.Dedup.bandKeyArray(col("mh"), 12, 2)).as("bk"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val jm = cand
+          .join(sig.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")),
+            "doc_a")
+          .join(sig.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")),
+            "doc_b")
+          .withColumn("inter",
+            size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+          .withColumn("uni", size(col("hs_a")).cast("long") +
+            size(col("hs_b")).cast("long") - col("inter"))
+          .select(expr("(1000 * inter) div uni").as("jm"))
+        val th = Tables.documents(s, dir).sparkSession.range(0, 1)
+          .select(explode(typedLit(Seq(700L, 800L, 900L))).as("t_milli"))
+        th.join(jm, col("jm") >= col("t_milli"), "left")
+          .groupBy("t_milli")
+          .agg(count(col("jm")).as("n_pairs"))
+      },
+      Some {
+        val mins = (0 until 24).map { j =>
+          val (a, b) = graft.functions.TextAnalysis.affineParam(j)
+          s"list_min(list_transform(sh, h -> (h * $a + $b) % " +
+            s"${graft.functions.TextAnalysis.MinhashPrime}))"
+        }.mkString("[", ",\n  ", "]")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |s AS (SELECT doc_id, list_distinct(list_transform(
+           |    CASE WHEN len(toks) >= 3 THEN
+           |      list_transform(generate_series(1, len(toks) - 2),
+           |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |      ELSE [] END,
+           |    g -> cast('0x' || substr(md5(g), 1, 8) as bigint))) AS sh
+           |  FROM t WHERE len(toks) >= 3),
+           |m AS (SELECT doc_id, sh, $mins AS sig FROM s),
+           |p AS (SELECT len(list_intersect(a.sh, b.sh)) AS inter,
+           |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+           |      AS uni
+           |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+           |  WHERE len(list_filter(generate_series(1, 12), k ->
+           |      a.sig[2*k-1] = b.sig[2*k-1] AND a.sig[2*k] = b.sig[2*k]))
+           |    > 0),
+           |j AS (SELECT (1000 * inter) // uni AS jm FROM p),
+           |th AS (SELECT CAST(unnest([700, 800, 900]) AS BIGINT)
+           |  AS t_milli)
+           |SELECT t_milli, CAST(count(j.jm) AS BIGINT) AS n_pairs
+           |FROM th LEFT JOIN j ON j.jm >= th.t_milli
+           |GROUP BY 1""".stripMargin
+      }),
+
+    // Per-source quality scorecard: the triage table an ingest
+    // operator reads before admitting a source — volume, mean length,
+    // Gopher keep rate (q148's rules re-aggregated per source), and
+    // the within-source exact-dup share. Everything is integer milli
+    // rates over map-side-combined counts.
+    QDef("q156_source_scorecard",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"),
+            tokens(col("text")).as("toks"))
+          .localCheckpoint() // feeds per-doc screens + source rollups
+        val ua = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_tok"), max("c").as("top1"))
+        val bg = base.select(col("doc_id"),
+            explode(when(size(col("toks")) >= 2,
+              transform(sequence(lit(1), size(col("toks")) - 1),
+                i => concat_ws(" ", element_at(col("toks"), i),
+                  element_at(col("toks"), i + 1))))
+              .otherwise(array().cast("array<string>"))).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n2"),
+            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup2"))
+        val perDoc = base.select(col("doc_id"), col("source"))
+          .join(ua, "doc_id").join(bg, Seq("doc_id"), "left")
+          .withColumn("keep",
+            (coalesce(expr("(1000 * dup2) div n2"), lit(0L)) <= 200 &&
+              expr("(1000 * top1) div n_tok") <= 300).cast("long"))
+        val dups = base.groupBy("source")
+          .agg(count(lit(1)).as("nd"),
+            count_distinct(col("text")).as("ndist"))
+        perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").as("n_tokens"),
+            sum("keep").as("n_keep"))
+          .join(dups, "source")
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            expr("(1000 * n_tokens) div n_docs").as("mean_len_milli"),
+            expr("(1000 * n_keep) div n_docs").as("keep_milli"),
+            expr("(1000 * (n_docs - ndist)) div n_docs").as("dup_milli"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks
+              |  FROM documents),
+              |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+              |uc AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2),
+              |ua AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+              |        CAST(max(c) AS BIGINT) AS top1 FROM uc GROUP BY 1),
+              |b AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+              |        list_transform(generate_series(1, len(toks) - 1),
+              |          i -> toks[i] || ' ' || toks[i+1])
+              |        ELSE [] END) AS g FROM t),
+              |bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+              |ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2,
+              |        CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+              |          AS dup2 FROM bc GROUP BY 1),
+              |pd AS (SELECT t.doc_id, t.source, ua.n_tok,
+              |        CASE WHEN coalesce((1000 * ba.dup2) // ba.n2, 0) <= 200
+              |          AND (1000 * ua.top1) // ua.n_tok <= 300
+              |          THEN 1 ELSE 0 END AS keep
+              |      FROM t JOIN ua ON t.doc_id = ua.doc_id
+              |        LEFT JOIN ba ON t.doc_id = ba.doc_id),
+              |dd AS (SELECT source, count(*) AS nd,
+              |        count(DISTINCT text) AS ndist
+              |      FROM t GROUP BY 1),
+              |sc AS (SELECT source, count(*) AS n_docs,
+              |        sum(n_tok) AS n_tokens, sum(keep) AS n_keep
+              |      FROM pd GROUP BY 1)
+              |SELECT sc.source, CAST(n_docs AS BIGINT) AS n_docs,
+              |  CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  CAST((1000 * n_tokens) // n_docs AS BIGINT)
+              |    AS mean_len_milli,
+              |  CAST((1000 * n_keep) // n_docs AS BIGINT) AS keep_milli,
+              |  CAST((1000 * (dd.nd - dd.ndist)) // dd.nd AS BIGINT)
+              |    AS dup_milli
+              |FROM sc JOIN dd ON sc.source = dd.source""".stripMargin)),
+
+    // Token-budget waterfill: allocate half the corpus's tokens across
+    // languages by the classical water-filling rule (every language
+    // gets min(available, level) with the level chosen so the budget
+    // is met). The level has a CLOSED FORM on the availability table
+    // sorted ascending — find the first segment whose availability
+    // covers the per-remaining-language share, one integer division —
+    // so both engines replay it without iteration. Windows run over
+    // O(#langs) rows (bounded by the language inventory, never the
+    // corpus); floors make Σalloc ≤ budget with the gap reported.
+    QDef("q157_token_budget_waterfill",
+      (s, dir) => {
+        val avail = Tables.documents(s, dir)
+          .select(col("lang"), size(tokens(col("text"))).cast("long").as("len"))
+          .groupBy("lang").agg(sum("len").as("avail"))
+          .localCheckpoint() // totals + sorted scan share it
+        val tot = avail.agg(sum("avail").as("total"),
+          count(lit(1)).as("nl"))
+        val w = Window.orderBy(col("avail"), col("lang"))
+        val rows = avail.crossJoin(broadcast(tot))
+          .withColumn("b", expr("total div 2"))
+          .withColumn("i", row_number().over(w))
+          .withColumn("prefix", sum("avail").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("rem", col("b") - (col("prefix") - col("avail")))
+          .withColumn("lft", col("nl") - col("i") + 1L)
+        val level = rows.filter(col("avail") * col("lft") >= col("rem"))
+          .orderBy(col("i")).limit(1)
+          .select(expr("rem div lft").as("level"))
+        val alloc = rows.crossJoin(broadcast(level))
+          .select(col("lang"), col("avail"), col("b"),
+            least(col("avail"), col("level")).as("alloc"))
+        val short = alloc.agg((max(col("b")) - sum(col("alloc")))
+          .as("shortfall"))
+        alloc.crossJoin(broadcast(short))
+          .select(col("lang"), col("avail"), col("alloc"), col("shortfall"))
+      },
+      Some(s"""WITH a AS (SELECT lang,
+              |    CAST(sum(len($toksSql)) AS BIGINT) AS avail
+              |  FROM documents GROUP BY 1),
+              |t AS (SELECT CAST(sum(avail) AS BIGINT) AS total,
+              |    CAST(count(*) AS BIGINT) AS nl FROM a),
+              |r AS (SELECT lang, avail, total // 2 AS b,
+              |    row_number() OVER (ORDER BY avail, lang) AS i,
+              |    CAST(sum(avail) OVER (ORDER BY avail, lang)
+              |      AS BIGINT) AS prefix,
+              |    nl FROM a CROSS JOIN t),
+              |r2 AS (SELECT *, b - (prefix - avail) AS rem,
+              |    nl - i + 1 AS lft FROM r),
+              |lv AS (SELECT rem // lft AS level FROM r2
+              |  WHERE avail * lft >= rem ORDER BY i LIMIT 1),
+              |al AS (SELECT lang, avail, b,
+              |    least(avail, level) AS alloc FROM r2 CROSS JOIN lv),
+              |sh AS (SELECT max(b) - sum(alloc) AS shortfall FROM al)
+              |SELECT lang, avail, CAST(alloc AS BIGINT) AS alloc,
+              |  CAST(shortfall AS BIGINT) AS shortfall
+              |FROM al CROSS JOIN sh""".stripMargin))
   )
 }

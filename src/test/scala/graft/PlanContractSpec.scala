@@ -446,4 +446,35 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
       s"q153 lost the plain aggregation shape:\n$p")
   }
+
+  test("q154 epoch reshuffle windows only sharded buckets (epoch is a " +
+    "group column, not a pass)") {
+    val p = plan("q154_epoch_reshuffle")
+    val windows = p.linesIterator
+      .filter(_.contains("Arguments")).mkString("\n")
+    assert(p.contains("Window"), s"q154 has no rank window?\n$p")
+    assert(windows.contains("bucket"), s"q154 window lost its bucket key")
+  }
+
+  test("q155 threshold sweep joins candidates on the band key, " +
+    "never all pairs") {
+    val p = plan("q155_dedup_threshold_sweep")
+    assert(!p.contains("CartesianProduct"),
+      s"q155 went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("jm"), // the threshold probe is the only theta join
+      s"q155's candidate join degraded:\n$p")
+  }
+
+  test("q157 waterfill broadcasts its scalar frames; windows run over " +
+    "the O(#langs) table") {
+    val p = plan("q157_token_budget_waterfill")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"q157 lost the scalar broadcasts:\n$p")
+    // the corpus-side aggregation happens BEFORE any window
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.contains("HashAggregate"),
+      s"q157 shape changed:\n$p")
+  }
 }
