@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions._
   *    allocation of a token budget across languages, closed-form on
   *    the sorted O(#langs) aggregate (no iteration, both engines
   *    replay the same integer level selection).
+  *  - q158: split leakage audit — 8-gram overlap from every test doc
+  *    back into the q150 train split (the "did my held-out set leak"
+  *    check that must run BEFORE any eval is trusted).
+  *  - q159: perplexity outliers — per-language z-scores of the q108
+  *    doc-level bigram NLL (CCNet-style LM filtering, exact integer
+  *    moments; the only float op is one IEEE sqrt both engines round
+  *    identically).
   *
   * Float/division rules as established: all ratios are integer milli
   * units on non-negative ground (`div` == `//` there), cross-row sums
@@ -524,6 +531,185 @@ object PipelineQueries10 {
               |sh AS (SELECT max(b) - sum(alloc) AS shortfall FROM al)
               |SELECT lang, avail, CAST(alloc AS BIGINT) AS alloc,
               |  CAST(shortfall AS BIGINT) AS shortfall
-              |FROM al CROSS JOIN sh""".stripMargin))
+              |FROM al CROSS JOIN sh""".stripMargin)),
+
+    // Split leakage audit: for every q150 test-split document, how
+    // much of its distinct-8-gram mass appears anywhere in the train
+    // split. The gram join keys on 8-byte hashes (sort-merge at
+    // scale); the test side is 5% of the corpus by construction, so
+    // the probe is the small side. A leak_milli > 0 doc means the
+    // "held-out" eval is partly memorizable from training data.
+    QDef("q158_split_leakage",
+      (s, dir) => {
+        val h = tokenHash(concat(lit("split:"), col("doc_id").cast("string")))
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"),
+            h.as("h"))
+          .withColumn("bucket", floor(col("h") / lit(1L << 24)).cast("long"))
+          .withColumn("one", lit(1L))
+          .localCheckpoint() // rank pass + offsets agg share this
+        val sizes = t.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        val withSplit = PrefixSum
+          .twoLevelPrev(t, Seq("lang", "source"), "bucket", "doc_id",
+            "one", "h", outCol = "prev")
+          .join(broadcast(sizes), Seq("lang", "source"))
+          .withColumn("rnk", col("prev") + 1L)
+          .withColumn("split",
+            when(col("rnk") <= expr("(9 * n) div 10"), "train")
+              .when(col("rnk") <= expr("(19 * n) div 20"), "val")
+              .otherwise("test"))
+        val g = withSplit
+          .select(col("doc_id"), col("split"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("split"),
+            explode(ngramHashes(col("toks"), 8)).as("g8"))
+          .localCheckpoint() // train index + test probe share it
+        val tr = g.filter(col("split") === "train")
+          .select(col("g8")).distinct().withColumn("hit", lit(1L))
+        g.filter(col("split") === "test")
+          .join(tr, Seq("g8"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_leaked"))
+          .withColumn("leak_milli", expr("(1000 * n_leaked) div n_grams"))
+      },
+      Some {
+        val g8 = "list_distinct(list_transform(" +
+          "generate_series(1, len(toks) - 7), i -> " +
+          hashSql("(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || " +
+            "' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || " +
+            "' ' || toks[i+6] || ' ' || toks[i+7])") + "))"
+        s"""WITH d AS (SELECT doc_id, lang, source, text,
+           |    ${hashSql("'split:' || CAST(doc_id AS VARCHAR)")} AS h
+           |  FROM documents),
+           |r AS (SELECT doc_id, text,
+           |    CASE WHEN rnk <= (9 * n) // 10 THEN 'train'
+           |         WHEN rnk <= (19 * n) // 20 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM (SELECT doc_id, text,
+           |      row_number() OVER (PARTITION BY lang, source
+           |        ORDER BY h, doc_id) AS rnk,
+           |      count(*) OVER (PARTITION BY lang, source) AS n
+           |    FROM d)),
+           |tk AS (SELECT doc_id, split, $toksSql AS toks FROM r),
+           |g AS (SELECT doc_id, split, unnest(CASE WHEN len(toks) >= 8
+           |    THEN $g8 ELSE [] END) AS g8 FROM tk),
+           |tr AS (SELECT DISTINCT g8 FROM g WHERE split = 'train'),
+           |te AS (SELECT doc_id, g.g8, tr.g8 IS NOT NULL AS hit
+           |  FROM g LEFT JOIN tr USING (g8) WHERE split = 'test'),
+           |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_leaked
+           |  FROM te GROUP BY 1)
+           |SELECT doc_id, n_grams, n_leaked,
+           |  CAST((1000 * n_leaked) // n_grams AS BIGINT) AS leak_milli
+           |FROM a""".stripMargin
+      }),
+
+    // Perplexity outliers (the CCNet filtering signal): per-language
+    // z-scores of the q108 doc-level bigram NLL. Doc scores and both
+    // moments are exact integer arithmetic (milli-nats, floored means,
+    // integer squared deviations); the ONLY float op is the final
+    // sqrt, a single correctly-rounded IEEE operation both engines
+    // compute identically from identical integers. Signed z uses the
+    // shared canonical-remainder floor division.
+    QDef("q159_nll_outliers",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val withG = docs
+          .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("lang"), col("toks"),
+            gramHashesPositional(col("toks"), 2).as("g2arr"))
+        val stream = withG
+          .select(col("doc_id"), col("lang"), col("toks"),
+            posexplode_outer(col("g2arr")).as(Seq("pos", "g2")))
+          .filter(col("g2").isNotNull)
+          .select(col("doc_id"), col("lang"), col("g2"),
+            tokenHash(element_at(col("toks"), col("pos") + 1)).as("h1"))
+          .localCheckpoint() // c2, c1, vocab and the probe share it
+        val c2 = stream.groupBy("g2").agg(count(lit(1)).as("c2"))
+        val c1 = stream.groupBy("h1").agg(count(lit(1)).as("c1"))
+        val vDf = stream.agg(count_distinct(col("h1")).as("v"))
+        val perDoc = stream
+          .join(c2, "g2").join(c1, "h1")
+          .crossJoin(broadcast(vDf))
+          .withColumn("mnat", floor(lit(1000.0) * log(
+            (col("c2").cast("double") + 1.0) /
+              (col("c1").cast("double") + col("v").cast("double"))))
+            .cast("long"))
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("nb"), sum(col("mnat")).as("smnat"))
+          .withColumn("x", expr("(-smnat) div nb")) // mean milli-NLL ≥ 0
+          .localCheckpoint() // moments + the z pass share it
+        val mom = perDoc.groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+          .withColumn("mean_x", expr("sx div n"))
+        val dev = perDoc.join(broadcast(mom), "lang")
+          .withColumn("d", col("x") - col("mean_x"))
+        val std = dev.groupBy("lang")
+          .agg(sum(col("d") * col("d")).as("devsq"), max("n").as("n2"))
+          .withColumn("std_x",
+            floor(sqrt(expr("devsq div n2").cast("double"))).cast("long"))
+        dev.join(broadcast(std), "lang")
+          .withColumn("z_centi", fdiv(lit(100L) * col("d"),
+            greatest(col("std_x"), lit(1L))))
+          .select(col("doc_id"), col("lang"), col("x").as("nll_milli"),
+            col("z_centi"),
+            (abs(col("z_centi")) >= 250L).cast("long").as("outlier"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks
+              |  FROM documents),
+              |st AS (SELECT doc_id, lang,
+              |    unnest(${gram2Sql("toks")}) AS g2,
+              |    unnest(CASE WHEN len(toks) >= 2 THEN
+              |      list_transform(generate_series(1, len(toks) - 1),
+              |        i -> ${hashSql("toks[i]")})
+              |      ELSE [] END) AS h1
+              |  FROM t),
+              |c2 AS (SELECT g2, count(*) AS c2 FROM st GROUP BY 1),
+              |c1 AS (SELECT h1, count(*) AS c1 FROM st GROUP BY 1),
+              |v AS (SELECT count(DISTINCT h1) AS v FROM st),
+              |pd AS (SELECT doc_id, lang,
+              |    CAST(count(*) AS BIGINT) AS nb,
+              |    CAST(sum(CAST(floor(1000.0 * ln(
+              |      (c2.c2::DOUBLE + 1.0) / (c1.c1::DOUBLE + v.v::DOUBLE)
+              |    )) AS BIGINT)) AS BIGINT) AS smnat
+              |  FROM st JOIN c2 USING (g2) JOIN c1 USING (h1) CROSS JOIN v
+              |  GROUP BY 1, 2),
+              |px AS (SELECT doc_id, lang, (-smnat) // nb AS x FROM pd),
+              |mo AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(x) AS BIGINT) AS sx FROM px GROUP BY 1),
+              |mm AS (SELECT lang, n, sx // n AS mean_x FROM mo),
+              |dv AS (SELECT px.doc_id, px.lang, px.x,
+              |    px.x - mm.mean_x AS d, mm.n
+              |  FROM px JOIN mm USING (lang)),
+              |sd AS (SELECT lang,
+              |    CAST(floor(sqrt(((CAST(sum(d*d) AS BIGINT)) // max(n))
+              |      ::DOUBLE)) AS BIGINT) AS std_x
+              |  FROM dv GROUP BY 1)
+              |SELECT dv.doc_id, dv.lang, CAST(dv.x AS BIGINT)
+              |    AS nll_milli,
+              |  CAST(${fdivSql("100 * dv.d", "greatest(sd.std_x, 1)")}
+              |    AS BIGINT) AS z_centi,
+              |  CAST(CASE WHEN abs(${fdivSql("100 * dv.d",
+                   "greatest(sd.std_x, 1)")}) >= 250
+              |    THEN 1 ELSE 0 END AS BIGINT) AS outlier
+              |FROM dv JOIN sd USING (lang)""".stripMargin))
   )
+
+  /** DuckDB twin of gramHashesPositional(toks, 2) (duplicates kept). */
+  private def gram2Sql(toks: String): String =
+    s"CASE WHEN len($toks) >= 2 THEN " +
+      s"list_transform(generate_series(1, len($toks) - 1), " +
+      s"i -> ${hashSql(s"($toks[i] || ' ' || $toks[i+1])")}) " +
+      "ELSE [] END"
+
+  /** Exact FLOOR division for possibly-negative numerators (the shared
+    * canonical-remainder idiom — PipelineQueries9's fdiv).
+    */
+  private def fdiv(s: org.apache.spark.sql.Column,
+                   n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((s - ((s % n) + n) % n) / n).cast("long")
+
+  private def fdivSql(s: String, n: String): String =
+    s"(($s) - ((($s) % ($n)) + ($n)) % ($n)) // ($n)"
 }

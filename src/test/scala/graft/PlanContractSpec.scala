@@ -466,6 +466,25 @@ class PlanContractSpec extends SparkSpec {
       s"q155's candidate join degraded:\n$p")
   }
 
+  test("q158 split leakage probes the train gram set on the hash key, " +
+    "never nested-loop") {
+    // the split-rank windows sit behind q158's gram checkpoint and are
+    // pinned by q150's contract (identical construction); this plan
+    // shows the post-checkpoint probe join
+    val p = plan("q158_split_leakage")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"q158 gram join degraded:\n$p")
+    assert(p.contains("Join"), s"q158 lost the gram probe join:\n$p")
+  }
+
+  test("q159 outliers broadcast the per-lang moments back to the " +
+    "doc-score side") {
+    val p = plan("q159_nll_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q159 shuffle-joins the tiny moment tables:\n$p")
+    assert(!p.contains("Window"), s"q159 grew a window:\n$p")
+  }
+
   test("q157 waterfill broadcasts its scalar frames; windows run over " +
     "the O(#langs) table") {
     val p = plan("q157_token_budget_waterfill")
