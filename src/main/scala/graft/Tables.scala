@@ -22,16 +22,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS): Spark has no nanosecond
-    * timestamp type, so sessions read it as a long (nanosAsLong, set in
-    * Verify/Bench) and we truncate to a microsecond TimestampType here —
-    * the same floor-truncation DuckDB applies when casting ns → µs.
+  /** `events.ts` normalizes to a microsecond TimestampType whatever the
+    * driver's parquet writer produced that round:
+    *  - TIMESTAMP(NANOS): Spark has no nanosecond timestamp type, so
+    *    sessions read it as a long (nanosAsLong, set in Verify/Bench)
+    *    and we truncate to µs — the same floor-truncation DuckDB
+    *    applies when casting ns → µs.
+    *  - TIMESTAMP(isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ,
+    *    which unix_micros/watermarks reject; the cast interprets the
+    *    wall-clock in the session timezone (pinned to UTC by every
+    *    entrypoint), the same instant DuckDB's naive reading yields.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
