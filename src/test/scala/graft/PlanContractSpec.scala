@@ -496,4 +496,34 @@ class PlanContractSpec extends SparkSpec {
     assert(winIdx >= 0 && p.contains("HashAggregate"),
       s"q157 shape changed:\n$p")
   }
+
+  test("q160 char entropy is aggregation-only: no joins, no windows") {
+    val p = plan("q160_char_entropy")
+    assert(!p.contains("Join"), s"q160 grew a join:\n$p")
+    assert(!p.contains("Window"), s"q160 grew a window:\n$p")
+    assert(p.contains("HashAggregate"), s"q160 lost its aggregates:\n$p")
+  }
+
+  test("q162 backoff probes broadcast the vocabulary-sized count tables") {
+    // only the 5% val stream carries doc granularity; the unigram
+    // tables and the scalar total must reach it as broadcasts
+    val p = plan("q162_backoff_score")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q162 shuffle-joins the unigram tables:\n$p")
+    assert(!p.contains("Window"), s"q162 grew a window:\n$p")
+  }
+
+  test("q164 ensemble ranks come from histograms: windows only over " +
+    "aggregated (lang, value) rows, counts broadcast back") {
+    val p = plan("q164_quality_ensemble")
+    assert(p.contains("Window"), s"q164 lost the histogram windows:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q164 lost the per-lang count broadcast:\n$p")
+    // every Window input is a HashAggregate output (value histogram),
+    // never a corpus-scale scan: formatted plans list Window nodes
+    // right above their child — coarse check: at least two windows and
+    // at least as many aggregates
+    val nWin = p.linesIterator.count(l => l.contains("Window"))
+    assert(nWin >= 2, s"q164 expected two histogram windows:\n$p")
+  }
 }
