@@ -526,4 +526,29 @@ class PlanContractSpec extends SparkSpec {
     val nWin = p.linesIterator.count(l => l.contains("Window"))
     assert(nWin >= 2, s"q164 expected two histogram windows:\n$p")
   }
+
+  test("q165 balance audit is join-free; its only window orders the " +
+    "O(k) cell histogram") {
+    val p = plan("q165_ivf_balance")
+    assert(!p.contains("Join"), s"q165 grew a join:\n$p")
+    assert(p.contains("Window") && p.contains("HashAggregate"),
+      s"q165 shape changed:\n$p")
+  }
+
+  test("q166 transition matrix windows by user and broadcasts the " +
+    "per-type totals") {
+    val p = plan("q166_markov_transitions")
+    val args = p.linesIterator.filter(_.contains("Arguments"))
+      .mkString("\n")
+    assert(args.contains("user_id"), s"q166 lost the per-user window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q166 shuffle-joins the |types| totals:\n$p")
+  }
+
+  test("q167 norm audit broadcasts the per-label moments; no windows") {
+    val p = plan("q167_embedding_norm_audit")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q167 shuffle-joins the tiny moment tables:\n$p")
+    assert(!p.contains("Window"), s"q167 grew a window:\n$p")
+  }
 }
