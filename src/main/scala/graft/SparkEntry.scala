@@ -15,7 +15,8 @@ object SparkEntry {
       PipelineQueries6.defs ++ PipelineQueries7.defs ++
       PipelineQueries8.defs ++ PipelineQueries9.defs ++
       PipelineQueries10.defs ++ PipelineQueries11.defs ++
-      PipelineQueries12.defs ++ VectorQueries2.defs
+      PipelineQueries12.defs ++ PipelineQueries13.defs ++
+      VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 

@@ -551,4 +551,25 @@ class PlanContractSpec extends SparkSpec {
       s"q167 shuffle-joins the tiny moment tables:\n$p")
     assert(!p.contains("Window"), s"q167 grew a window:\n$p")
   }
+
+  test("q169 pair fan-out stays on the vocab table: source list and " +
+    "totals broadcast, no windows") {
+    val p = plan("q169_source_cross_entropy")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"q169 lost the broadcast fan-out:\n$p")
+    assert(!p.contains("Window"), s"q169 grew a window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q169 degraded to a cartesian product:\n$p")
+  }
+
+  test("q170/q171 composition audits are aggregation + broadcast only") {
+    Seq("q170_split_psi", "q171_lang_source_lift").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q grew a window:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q shuffle-joins its tiny frames:\n$p")
+      assert(p.contains("HashAggregate"), s"$q lost its aggregates:\n$p")
+    }
+  }
 }
