@@ -572,4 +572,14 @@ class PlanContractSpec extends SparkSpec {
       assert(p.contains("HashAggregate"), s"$q lost its aggregates:\n$p")
     }
   }
+
+  test("q172/q173 classifier evals stay windowless; q172 broadcasts " +
+    "its row totals") {
+    val p172 = plan("q172_lang_confusion")
+    assert(!p172.contains("Window") && p172.contains("BroadcastHashJoin"),
+      s"q172 shape changed:\n$p172")
+    val p173 = plan("q173_filter_kappa")
+    assert(!p173.contains("Window"), s"q173 grew a window:\n$p173")
+    assert(p173.contains("HashAggregate"), s"q173 lost aggregates:\n$p173")
+  }
 }
