@@ -601,3 +601,61 @@ case class BpeApplyMerges(child: Expression, table: BpeMergeTable)
   override protected def withNewChildInternal(newChild: Expression): BpeApplyMerges =
     copy(child = newChild)
 }
+
+/** Per-row character-histogram terms for the quantized char entropy
+  * (q160/q164): struct(n, k, sterm) = (total code points, distinct
+  * code points, Σ floor(1000·c·ln c) over the per-character counts c).
+  * The statistic is row-local, so computing it inside the scan removes
+  * the explode + two aggregations the HOF construction needs — the
+  * whole query becomes map-only. Counts key on Unicode code points,
+  * matching DuckDB's len()/substr() character semantics; the per-term
+  * floor keeps the sum an exact integer in any iteration order.
+  */
+case class CharEntropyTerms(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy_terms needs string, got ${t.sql}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("k", LongType, nullable = false),
+    StructField("sterm", LongType, nullable = false)))
+  override def prettyName: String = "char_entropy_terms"
+
+  override def nullSafeEval(input: Any): Any =
+    CharEntropyTerms.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.CharEntropyTerms.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyTerms =
+    copy(child = newChild)
+}
+
+object CharEntropyTerms {
+  /** Shared by eval and codegen — one implementation, no drift. */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      counts.merge(cp, 1L, (a, b) => a + b)
+    }
+    var k = 0L
+    var sterm = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      k += 1
+      sterm += math.floor(1000.0 * c * math.log(c)).toLong
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, k, sterm))
+  }
+}

@@ -51,19 +51,19 @@ object PipelineQueries11 {
   private def dbl(x: Double) = f"$x%.17e"
 
   /** Per-doc character histogram → (n, n_distinct, Σfloor(1000·c·lnc)).
-    * The char stream is exploded once and histogrammed by (doc, char)
-    * with map-side combine — ≤ |alphabet| rows per doc ever shuffle
-    * into the second aggregation.
+    * The statistic is row-local, so it computes inside the scan via the
+    * codegen'd [[graft.expressions.CharEntropyTerms]] kernel — NO
+    * explode, NO shuffle; q160 is a map-only query. (The original
+    * explode + (doc, char) double-aggregation construction shuffled
+    * the full char stream; kernel == HOF equivalence is spec-pinned.)
     */
   private def charEnt(docs: DataFrame): DataFrame =
     docs.filter(length(col("text")) >= 1)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), length(col("text"))),
-        i => col("text").substr(i, lit(1)))).as("ch"))
-      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"),
-        entTermSum.as("sterm"))
+      .select(col("doc_id"), org.apache.spark.sql.GraftExpr.column(
+        graft.expressions.CharEntropyTerms(
+          org.apache.spark.sql.GraftExpr.expression(col("text")))).as("t"))
+      .select(col("doc_id"), col("t.n").as("n"),
+        col("t.k").as("n_distinct"), col("t.sterm").as("sterm"))
 
   /** Σ floor(1000·c·ln c) over a count column `c` — each term floored
     * BEFORE the sum, so the aggregate is an exact integer and

@@ -56,6 +56,36 @@ class PipelineQueries11Spec extends SparkSpec {
     assert(got === Set((1L, 4L, 2L, 563L)))
   }
 
+  test("char-entropy kernel == explode/groupBy construction; " +
+    "interpreted eval matches") {
+    import org.apache.spark.sql.GraftExpr
+    import org.apache.spark.sql.functions._
+    val df = Seq("aaab", "hello world", "ü¢ü¢x", "a")
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val hof = df
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("text"))),
+        i => col("text").substr(i, lit(1)))).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("k"),
+        sum(floor(lit(1000.0) * col("c").cast("double") *
+          log(col("c").cast("double"))).cast("long")).as("sterm"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val kern = df
+      .select(col("doc_id"), GraftExpr.column(
+        graft.expressions.CharEntropyTerms(
+          GraftExpr.expression(col("text")))).as("t"))
+      .select(col("doc_id"), col("t.n"), col("t.k"), col("t.sterm"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(kern === hof)
+    // interpreted path: "aaab" → (4, 2, floor(1000·3·ln3) = 3295)
+    val r = graft.expressions.CharEntropyTerms.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("aaab"))
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L &&
+      r.getLong(2) == 3295L)
+  }
+
   test("backoff branch fires only for bigrams the train split never saw") {
     // pick doc ids by their actual split bucket so the test controls
     // which side of the 90/5 hash split each doc lands on

@@ -497,11 +497,13 @@ class PlanContractSpec extends SparkSpec {
       s"q157 shape changed:\n$p")
   }
 
-  test("q160 char entropy is aggregation-only: no joins, no windows") {
+  test("q160 char entropy is MAP-ONLY: the kernel computes the row-" +
+    "local statistic inside the scan — no shuffle at all") {
     val p = plan("q160_char_entropy")
     assert(!p.contains("Join"), s"q160 grew a join:\n$p")
     assert(!p.contains("Window"), s"q160 grew a window:\n$p")
-    assert(p.contains("HashAggregate"), s"q160 lost its aggregates:\n$p")
+    assert(!p.contains("Exchange"), s"q160 grew a shuffle:\n$p")
+    assert(p.contains("char_entropy_terms"), s"q160 lost the kernel:\n$p")
   }
 
   test("q162 backoff probes broadcast the vocabulary-sized count tables") {
