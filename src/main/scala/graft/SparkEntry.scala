@@ -16,7 +16,8 @@ object SparkEntry {
       PipelineQueries8.defs ++ PipelineQueries9.defs ++
       PipelineQueries10.defs ++ PipelineQueries11.defs ++
       PipelineQueries12.defs ++ PipelineQueries13.defs ++
-      PipelineQueries14.defs ++ VectorQueries2.defs
+      PipelineQueries14.defs ++ PipelineQueries15.defs ++
+      VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 
