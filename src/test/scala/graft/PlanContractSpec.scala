@@ -575,6 +575,15 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("q177 calibration is one scan + one aggregation: no joins, " +
+    "no windows, codegen'd dot kernel") {
+    val p = plan("q177_score_calibration")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q177 shape changed:\n$p")
+    assert(p.contains("dot_product_dbl") || p.contains("HashAggregate"),
+      s"q177 lost the kernel/aggregate:\n$p")
+  }
+
   test("q172/q173 classifier evals stay windowless; q172 broadcasts " +
     "its row totals") {
     val p172 = plan("q172_lang_confusion")
