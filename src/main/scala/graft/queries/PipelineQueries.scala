@@ -219,15 +219,16 @@ object PipelineQueries {
           col("n_chars").cast("double")
         val ttr = size(array_distinct(col("toks"))).cast("double") /
           nTok.cast("double")
+        // the gate itself is the shared QualityGates.heuristicPass —
+        // the displayed ratios stay local (they are outputs, not rules)
         docs.select(col("doc_id"),
           nTok.cast("long").as("n_tokens"),
           round(meanTokLen, 6).as("mean_tok_len"),
           round(symbolRatio, 6).as("symbol_ratio"),
           round(digitRatio, 6).as("digit_ratio"),
           round(ttr, 6).as("ttr"),
-          (nTok >= 5 && nTok <= 100000 &&
-            meanTokLen >= 2.0 && meanTokLen <= 12.0 &&
-            symbolRatio < 0.3 && digitRatio < 0.3 && ttr > 0.2).as("pass"))
+          graft.ops.QualityGates.heuristicPass(col("text"), col("n_chars"),
+            col("toks")).as("pass"))
       },
       Some(s"""WITH t AS (SELECT doc_id, n_chars, text, $toksSql AS toks
               |  FROM documents),

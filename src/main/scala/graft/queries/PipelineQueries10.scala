@@ -73,27 +73,9 @@ object PipelineQueries10 {
         val t = Tables.documents(s, dir)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
           .localCheckpoint() // unigram + bigram streams share it
-        val ua = t.select(col("doc_id"), explode(col("toks")).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").as("n_tok"), max("c").as("top1"))
-        val bg = t.select(col("doc_id"),
-            explode(when(size(col("toks")) >= 2,
-              transform(sequence(lit(1), size(col("toks")) - 1),
-                i => concat_ws(" ", element_at(col("toks"), i),
-                  element_at(col("toks"), i + 1))))
-              .otherwise(array().cast("array<string>"))).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").as("n2"),
-            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup2"))
-        ua.join(bg, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(expr("(1000 * dup2) div n2"), lit(0L)).as("dup2_milli"),
-            expr("(1000 * top1) div n_tok").as("top1_milli"))
-          .withColumn("keep",
-            (col("dup2_milli") <= 200 && col("top1_milli") <= 300)
-              .cast("long"))
+        graft.ops.QualityGates.gopherRepetition(t)
+          .select(col("doc_id"), col("dup2_milli"), col("top1_milli"),
+            col("keep"))
       },
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
               |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
@@ -409,25 +391,8 @@ object PipelineQueries10 {
           .select(col("doc_id"), col("source"), col("text"),
             tokens(col("text")).as("toks"))
           .localCheckpoint() // feeds per-doc screens + source rollups
-        val ua = base.select(col("doc_id"), explode(col("toks")).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").as("n_tok"), max("c").as("top1"))
-        val bg = base.select(col("doc_id"),
-            explode(when(size(col("toks")) >= 2,
-              transform(sequence(lit(1), size(col("toks")) - 1),
-                i => concat_ws(" ", element_at(col("toks"), i),
-                  element_at(col("toks"), i + 1))))
-              .otherwise(array().cast("array<string>"))).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").as("n2"),
-            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup2"))
         val perDoc = base.select(col("doc_id"), col("source"))
-          .join(ua, "doc_id").join(bg, Seq("doc_id"), "left")
-          .withColumn("keep",
-            (coalesce(expr("(1000 * dup2) div n2"), lit(0L)) <= 200 &&
-              expr("(1000 * top1) div n_tok") <= 300).cast("long"))
+          .join(graft.ops.QualityGates.gopherRepetition(base), "doc_id")
         val dups = base.groupBy("source")
           .agg(count(lit(1)).as("nd"),
             count_distinct(col("text")).as("ndist"))

@@ -48,7 +48,11 @@ object PipelineQueries11 {
   private def hashSql(t: String) =
     s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
 
-  private def dbl(x: Double) = f"$x%.17e"
+  /** Locale-pinned double literal — the f-interpolator would use the
+    * default locale and emit comma decimal separators on e.g. de_DE.
+    */
+  private def dbl(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
 
   /** Per-doc character histogram → (n, n_distinct, Σfloor(1000·c·lnc)).
     * The statistic is row-local, so it computes inside the scan via the
@@ -77,8 +81,8 @@ object PipelineQueries11 {
     * entropy; both pieces are integers by construction.
     */
   private def entMilli(n: String, sterm: String): Column =
-    (floor(lit(1000.0) * log(col(n).cast("double"))).cast("long") -
-      expr(s"$sterm div $n")).as("ent_milli")
+    floor(lit(1000.0) * log(col(n).cast("double"))).cast("long") -
+      expr(s"$sterm div $n")
 
   private def entSql(n: String, sterm: String): String =
     s"CAST(CAST(floor(1000.0 * ln(($n)::DOUBLE)) AS BIGINT) - " +
@@ -132,14 +136,13 @@ object PipelineQueries11 {
   val defs: Seq[QDef] = Seq(
 
     // Character-unigram entropy per doc: the distribution screen for
-    // gibberish/binary junk. One explode pass, (doc, char) map-side
-    // combine (≤ |alphabet| rows per doc shuffle twice), no windows,
-    // no joins — the cheapest possible corpus shape for a per-doc
-    // histogram statistic.
+    // gibberish/binary junk. The kernel computes the histogram terms
+    // inside the scan — map-only, zero exchanges (contract-pinned);
+    // the oracle spells the equivalent explode + double aggregation.
     QDef("q160_char_entropy",
       (s, dir) => charEnt(Tables.documents(s, dir))
         .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct"),
-          entMilli("n", "sterm")),
+          entMilli("n", "sterm").as("ent_milli")),
       Some(s"""WITH $charCtes
               |SELECT doc_id, n AS n_chars, n_distinct,
               |  ${entSql("n", "sterm")} AS ent_milli
@@ -161,8 +164,7 @@ object PipelineQueries11 {
           .agg(sum("c").as("n_docs"), count(lit(1)).as("n_sources"),
             entTermSum.as("sterm"))
           .select(col("shard_id"), col("n_docs"), col("n_sources"),
-            (floor(lit(1000.0) * log(col("n_docs").cast("double")))
-              .cast("long") - expr("sterm div n_docs")).as("ent_milli"))
+            entMilli("n_docs", "sterm").as("ent_milli"))
       },
       Some(s"""WITH t AS (SELECT doc_id, source,
               |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
@@ -299,9 +301,7 @@ object PipelineQueries11 {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val ent = charEnt(docs)
-          .select(col("doc_id"), (floor(lit(1000.0) *
-            log(col("n").cast("double"))).cast("long") -
-            expr("sterm div n")).as("ent"))
+          .select(col("doc_id"), entMilli("n", "sterm").as("ent"))
         val base = docs
           .select(col("doc_id"), col("lang"),
             size(tokens(col("text"))).cast("long").as("len"))

@@ -169,9 +169,10 @@ object PipelineQueries13 {
     // Language × source contingency lift: observed count vs the
     // independence expectation, both in integer milli. lift < 1000
     // marks an under-represented cell, a missing row a source that
-    // never feeds the language. Bound: the integer products need
-    // 1000·n_lang·n_source < 2^63 — holds to ~10^8 docs per margin;
-    // beyond that the margins themselves should be sampled. One
+    // never feeds the language. Bound: the larger product is the lift
+    // numerator 1000·n·n_tot, so n·n_tot must stay under ~9.2·10¹⁵
+    // (e.g. a 10⁹-doc corpus with cells up to ~10⁶ docs); beyond
+    // that, compute the ratios on margin-preserving samples. One
     // corpus aggregation; everything after runs on |L|×|S| rows.
     QDef("q171_lang_source_lift",
       (s, dir) => {

@@ -75,47 +75,23 @@ object PipelineQueries14 {
     // the 2×2 table, and kappa in EXACT integer milli:
     //   kappa = (n·agree − pe_num) / (n² − pe_num),
     //   pe_num = na1·nb1 + na0·nb0
-    // — no float ever enters; the bound n < ~3·10⁹ keeps n² in a
-    // long (beyond that, compute kappa on a uniform doc sample).
+    // — no float ever enters. Overflow bound: the numerator carries
+    // 1000·n², so n must stay under ~9.6·10⁷ docs; past that, compute
+    // kappa on a uniform doc sample (the statistic converges at far
+    // smaller n anyway).
     QDef("q173_filter_kappa",
       (s, dir) => {
+        // BOTH screens come from graft.ops.QualityGates — the single
+        // definition q74/q148/q156 share, so this kappa can never
+        // compare against a stale clone of either rule
         val docs = Tables.documents(s, dir)
           .withColumn("toks", tokens(col("text")))
           .localCheckpoint() // the A-scan and B-aggregations share it
-        val nTok = size(col("toks"))
-        val meanTokLen = length(array_join(col("toks"), ""))
-          .cast("double") / nTok.cast("double")
-        val symbolRatio = length(regexp_replace(col("text"),
-          lit("[A-Za-z0-9 ]"), lit(""))).cast("double") /
-          col("n_chars").cast("double")
-        val digitRatio = length(regexp_replace(col("text"),
-          lit("[^0-9]"), lit(""))).cast("double") /
-          col("n_chars").cast("double")
-        val ttr = size(array_distinct(col("toks"))).cast("double") /
-          nTok.cast("double")
         val a = docs.select(col("doc_id"),
-          (nTok >= 5 && nTok <= 100000 &&
-            meanTokLen >= 2.0 && meanTokLen <= 12.0 &&
-            symbolRatio < 0.3 && digitRatio < 0.3 && ttr > 0.2)
-            .cast("long").as("a"))
-        val ua = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").as("n_tok"), max("c").as("top1"))
-        val bg = docs.select(col("doc_id"),
-            explode(when(size(col("toks")) >= 2,
-              transform(sequence(lit(1), size(col("toks")) - 1),
-                i => concat_ws(" ", element_at(col("toks"), i),
-                  element_at(col("toks"), i + 1))))
-              .otherwise(array().cast("array<string>"))).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").as("n2"),
-            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup2"))
-        val b = ua.join(bg, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            (coalesce(expr("(1000 * dup2) div n2"), lit(0L)) <= 200 &&
-              expr("(1000 * top1) div n_tok") <= 300).cast("long").as("b"))
+          graft.ops.QualityGates.heuristicPass(col("text"), col("n_chars"),
+            col("toks")).cast("long").as("a"))
+        val b = graft.ops.QualityGates.gopherRepetition(docs)
+          .select(col("doc_id"), col("keep").as("b"))
         a.join(b, "doc_id")
           .agg(count(lit(1)).as("n"),
             sum(col("a") * col("b")).as("n11"),

@@ -155,6 +155,12 @@ object PipelineQueries15 {
             sum(col("x") * col("y")).as("sxy"),
             sum(col("x") * col("x")).as("sxx"),
             sum(col("y") * col("y")).as("syy"))
+          // degenerate-variance guard (the q146 rule): a constant
+          // signal has no defined correlation — Spark would emit NULL
+          // while DuckDB's IEEE floats reach inf/NaN, so both engines
+          // must drop the row rather than divide
+          .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("n") * col("syy") - col("sy") * col("sy") > 0)
           .select(col("lang"), col("n"),
             floor(lit(1000.0) *
               ((col("n") * col("sxy") - col("sx") * col("sy"))
@@ -185,7 +191,9 @@ object PipelineQueries15 {
               |    CAST(sum(x * y) AS BIGINT) AS sxy,
               |    CAST(sum(x * x) AS BIGINT) AS sxx,
               |    CAST(sum(y * y) AS BIGINT) AS syy
-              |  FROM b GROUP BY 1)
+              |  FROM b GROUP BY 1
+              |  HAVING count(*) * sum(x * x) - sum(x) * sum(x) > 0
+              |     AND count(*) * sum(y * y) - sum(y) * sum(y) > 0)
               |SELECT lang, n,
               |  CAST(floor(1000.0 *
               |    ((n * sxy - sx * sy)::DOUBLE /
