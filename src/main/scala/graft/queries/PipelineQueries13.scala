@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 /** Thirteenth pipeline group — corpus-composition statistics:
   *
   *  - q169: source-pair cross-entropy — H(Pa, Pb) over the per-source
-  *    unigram distributions (add-one smoothing on the target side).
+  *    unigram distributions restricted to the global top-50k
+  *    vocabulary (add-one smoothing on the target side); the cap
+  *    bounds per-pair work at any tail size.
   *    The distributional-similarity matrix behind "which sources are
   *    interchangeable / which one drifted": a source whose best
   *    cross-entropy partner is far from its self-entropy is an
@@ -37,17 +39,31 @@ object PipelineQueries13 {
   val defs: Seq[QDef] = Seq(
 
     // Source-pair cross-entropy: per-source term counts (ONE corpus
-    // aggregation), then every ordered pair (a, b) scores
+    // aggregation) restricted to the global top-K vocab, then every
+    // ordered pair (a, b) scores
     // H = −Σ_w c_a(w)·floor(1000·ln((c_b(w)+1)/(N_b+V))) / N_a.
-    // The pair fan-out happens on the VOCAB-sized table (|V|·|S|
-    // rows cross |S| sources), never the corpus; totals and the
-    // source list broadcast. Self pairs (a == a) report the
-    // smoothed self-entropy — the natural diagonal baseline.
+    // The pair fan-out happens on the CAPPED vocab table (≤ K·|S|
+    // rows cross |S| sources → O(K·S²) term-ops, embarrassingly
+    // parallel), never the corpus; totals and the source list
+    // broadcast. An S×S matrix with V-dim inner products is
+    // irreducibly Ω(S²) — the cap makes the per-pair factor a
+    // constant. Self pairs (a == a) report the smoothed self-entropy
+    // — the natural diagonal baseline.
     QDef("q169_source_cross_entropy",
       (s, dir) => {
-        val t = Tables.documents(s, dir)
+        val raw = Tables.documents(s, dir)
           .select(col("source"), explode(tokens(col("text"))).as("tok"))
           .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+          .localCheckpoint() // vocab cap + capped table share it
+        // the metric is DEFINED over the global top-K vocabulary
+        // (count desc, tok tiebreak): per-pair work is then bounded by
+        // K however large the long tail grows — the q96 cap pattern.
+        // At sf scale the full vocab fits under K, so the cap is
+        // exact there.
+        val vocab = raw.groupBy("tok").agg(sum("c").as("cg"))
+          .orderBy(col("cg").desc, col("tok")).limit(50000)
+          .select(col("tok"))
+        val t = raw.join(broadcast(vocab), "tok")
           .localCheckpoint() // probe side + totals + vocab share it
         val totals = t.groupBy("source").agg(sum("c").as("n"))
           .localCheckpoint() // joined twice (a and b sides)
@@ -74,8 +90,12 @@ object PipelineQueries13 {
       },
       Some(s"""WITH e AS (SELECT source, unnest($toksSql) AS tok
               |  FROM documents),
-              |t AS (SELECT source, tok, count(*) AS c
+              |traw AS (SELECT source, tok, count(*) AS c
               |  FROM e GROUP BY 1, 2),
+              |vcap AS (SELECT tok FROM (
+              |    SELECT tok, sum(c) AS cg FROM traw GROUP BY 1)
+              |  ORDER BY cg DESC, tok LIMIT 50000),
+              |t AS (SELECT traw.* FROM traw JOIN vcap USING (tok)),
               |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
               |  FROM t GROUP BY 1),
               |v AS (SELECT count(DISTINCT tok) AS v FROM t),
