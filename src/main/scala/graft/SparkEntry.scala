@@ -17,7 +17,8 @@ object SparkEntry {
       PipelineQueries10.defs ++ PipelineQueries11.defs ++
       PipelineQueries12.defs ++ PipelineQueries13.defs ++
       PipelineQueries14.defs ++ PipelineQueries15.defs ++
-      PipelineQueries16.defs ++ VectorQueries2.defs
+      PipelineQueries16.defs ++ PipelineQueries17.defs ++
+      VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 

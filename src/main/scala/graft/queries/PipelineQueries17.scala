@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextAnalysis._
+import graft.ops.{Dedup, ShardAssign}
+import graft.ops.VectorSearch.{dot, toDouble}
+import org.apache.spark.sql.functions._
+
+/** Seventeenth pipeline group — placement and representation QA:
+  *
+  *  - q179: dedup locality — of the near-dup pairs (q25's geometry),
+  *    how many land WITHIN one q97 token-balanced shard vs across
+  *    shards. This is the planning number behind "can dedup run
+  *    shard-local?": within_milli near 1000 means a per-shard pass
+  *    catches almost everything and the global shuffle can be skipped
+  *    (or run rarely); near 0 means hash sharding scatters dup
+  *    families and dedup must stay global. Dup families are CONTENT
+  *    clusters while shards are token-balanced hash order, so the
+  *    expected answer is "scattered" — the audit proves it rather
+  *    than assumes it.
+  *  - q180: embedding energy-by-prefix — per truncation width d, the
+  *    share of each vector's norm that survives keeping only the
+  *    first d dimensions (‖v[:d]‖/‖v‖, exactly the cosine between v
+  *    and its truncation). The Matryoshka-style audit run before
+  *    shipping truncated embeddings to a cheaper index tier.
+  *
+  * q179's analytics run on the PAIRS frame (already bounded by the
+  * LSH geometry) joined twice against the O(corpus) assignment —
+  * equi joins on doc id; q180 is one scan with three codegen'd dot
+  * products per row and a 3-row aggregate.
+  */
+object PipelineQueries17 {
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+
+  private def hashSql(t: String) =
+    s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef("q179_dedup_locality",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text",
+          threshold = 0.8)
+        val asg = ShardAssign.tokenBalanced(docs, nShards = 64)
+          .select(col("doc_id"), col("shard_id"))
+          .localCheckpoint() // joined for both pair endpoints
+        pairs
+          .join(asg.select(col("doc_id").as("doc_a"),
+            col("shard_id").as("sh_a")), "doc_a")
+          .join(asg.select(col("doc_id").as("doc_b"),
+            col("shard_id").as("sh_b")), "doc_b")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum((col("sh_a") === col("sh_b")).cast("long"))
+              .as("n_within"))
+          .select(col("n_pairs"), col("n_within"),
+            (col("n_pairs") - col("n_within")).as("n_cross"),
+            expr("(1000 * n_within) div greatest(n_pairs, 1)")
+              .as("within_milli"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |s AS (
+              |  SELECT doc_id, list_distinct(list_transform(
+              |    CASE WHEN len(toks) >= 3 THEN
+              |      list_transform(generate_series(1, len(toks) - 2),
+              |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              |      ELSE [] END,
+              |    g -> ${hashSql("g")})) AS sh
+              |  FROM t),
+              |p AS (
+              |  SELECT a.doc_id AS da, b.doc_id AS db
+              |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+              |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+              |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+              |      (len(a.sh) + len(b.sh)
+              |        - len(list_intersect(a.sh, b.sh))) >= 0.8),
+              |d AS (SELECT doc_id,
+              |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+              |    ${hashSql("'shard:' || CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents),
+              |tot AS (SELECT sum(n_tokens) AS total FROM d),
+              |c AS (SELECT doc_id,
+              |    coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS prev
+              |  FROM d),
+              |a AS (SELECT doc_id,
+              |    CAST(prev // greatest(tot.total // 64, 1) AS BIGINT)
+              |      AS shard_id
+              |  FROM c CROSS JOIN tot),
+              |j AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              |    CAST(sum(CASE WHEN sa.shard_id = sb.shard_id
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+              |  FROM p JOIN a sa ON sa.doc_id = p.da
+              |         JOIN a sb ON sb.doc_id = p.db)
+              |SELECT n_pairs, n_within,
+              |  CAST(n_pairs - n_within AS BIGINT) AS n_cross,
+              |  CAST((1000 * n_within) // greatest(n_pairs, 1) AS BIGINT)
+              |    AS within_milli
+              |FROM j""".stripMargin)),
+
+    // Energy-by-prefix: ratio_milli = floor(1000·‖v[:d]‖/‖v‖) per
+    // (vector, d) — the division runs on raw ascending-fold doubles
+    // (identical in both engines), the floor lands on integers, and
+    // the per-d aggregation is exact integer arithmetic. Zero vectors
+    // are excluded in both engines (no defined direction).
+    QDef("q180_embedding_energy_prefix",
+      (s, dir) => {
+        val v = toDouble(col("embedding"))
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), v.as("v"))
+          .filter(dot(col("v"), col("v")) > 0.0)
+          .select(col("vec_id"), col("v"),
+            explode(typedLit(Seq(8, 16, 32))).as("d"))
+          .select(col("d"),
+            floor(lit(1000.0) * sqrt(
+              dot(slice(col("v"), lit(1), col("d")),
+                slice(col("v"), lit(1), col("d"))) /
+                dot(col("v"), col("v"))))
+              .cast("long").as("ratio_milli"))
+        e.groupBy("d")
+          .agg(count(lit(1)).as("n"), sum("ratio_milli").as("sr"),
+            min("ratio_milli").as("min_ratio_milli"))
+          .select(col("d").cast("long").as("d"), col("n"),
+            expr("sr div n").as("mean_ratio_milli"),
+            col("min_ratio_milli"))
+      },
+      Some {
+        val vSql = "list_transform(embedding, x -> x::DOUBLE)"
+        def dotS(a: String, b: String) =
+          s"list_reduce(list_prepend(0.0::DOUBLE, " +
+            s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), " +
+            s"(p, q) -> p + q)"
+        val vd = "list_slice(v, 1, d)"
+        s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings
+           |  WHERE ${dotS(vSql, vSql)} > 0.0),
+           |x AS (SELECT vec_id, v,
+           |    CAST(unnest([8, 16, 32]) AS INT) AS d FROM e),
+           |r AS (SELECT d,
+           |    CAST(floor(1000.0 * sqrt(
+           |      ${dotS(vd, vd)} / ${dotS("v", "v")})) AS BIGINT)
+           |      AS ratio_milli
+           |  FROM x),
+           |g AS (SELECT d, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(ratio_milli) AS BIGINT) AS sr,
+           |    CAST(min(ratio_milli) AS BIGINT) AS min_ratio_milli
+           |  FROM r GROUP BY 1)
+           |SELECT CAST(d AS BIGINT) AS d, n, sr // n AS mean_ratio_milli,
+           |  min_ratio_milli
+           |FROM g""".stripMargin
+      })
+  )
+}

@@ -575,12 +575,20 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("q180 energy audit is one scan + a 3-row aggregate: no joins, " +
+    "no windows") {
+    val p = plan("q180_embedding_energy_prefix")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q180 shape changed:\n$p")
+    assert(p.contains("dot_product"), s"q180 lost the dot kernel:\n$p")
+  }
+
   test("q177 calibration is one scan + one aggregation: no joins, " +
     "no windows, codegen'd dot kernel") {
     val p = plan("q177_score_calibration")
     assert(!p.contains("Join") && !p.contains("Window"),
       s"q177 shape changed:\n$p")
-    assert(p.contains("dot_product_dbl") || p.contains("HashAggregate"),
+    assert(p.contains("dot_product") && p.contains("HashAggregate"),
       s"q177 lost the kernel/aggregate:\n$p")
   }
 
