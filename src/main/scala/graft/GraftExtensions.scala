@@ -112,6 +112,14 @@ object GraftFunctions {
       unwrap(TextAnalysis.simhash32(wrap(args.head)))
     },
 
+    fn("graft_char_entropy_terms", "text",
+      "struct(n, k, sterm): code points, distinct code points, and " +
+        "the floored milli-nat entropy term sum (codegen'd kernel)") {
+      args =>
+        arity("graft_char_entropy_terms", args, 1)
+        graft.expressions.CharEntropyTerms(args.head)
+    },
+
     fn("graft_hamming", "a, b", "Hamming distance between bit patterns") {
       args =>
         arity("graft_hamming", args, 2)

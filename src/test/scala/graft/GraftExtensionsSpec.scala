@@ -108,6 +108,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r == "mail <EMAIL> or <URL> or <IP> or <PHONE> end")
   }
 
+  test("SQL graft_char_entropy_terms matches the kernel hand-check") {
+    val s = registered
+    // "aaab": n=4 code points, 2 distinct, sterm = floor(1000*3*ln3)
+    val r = s.sql(
+      "SELECT graft_char_entropy_terms('aaab') AS t").select("t.*")
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L &&
+      r.getLong(2) == 3295L)
+  }
+
   test("graft_minhash rejects a non-literal family size") {
     val s = registered
     val err = intercept[Exception] {
