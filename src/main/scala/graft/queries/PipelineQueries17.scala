@@ -36,6 +36,51 @@ object PipelineQueries17 {
   private def hashSql(t: String) =
     s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
 
+  /** q181's late-bound oracle: the unrolled per-language train chains
+    * need the language inventory as literals (data-derived plan-time
+    * constants, the q30 centroid pattern — the TRAINING is still fully
+    * replayed, nothing of the result is echoed).
+    */
+  private object PerLangOracle {
+    @volatile var sql: Option[String] = None
+  }
+
+  private def perlangBpeOracleSql(langs: Seq[String], k: Int): String = {
+    val toksFrag = "list_filter(string_split(p, ' '), x -> x != '')"
+    val pairsFrag = "CASE WHEN len(toks) >= 2 THEN " +
+      "list_transform(generate_series(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i+1]) ELSE [] END"
+    val blocks = langs.zipWithIndex.map { case (l, j) =>
+      val lit = l.replace("'", "''")
+      val stages = (1 to k).map { i =>
+        s"""c${j}_$i AS (SELECT pair, count(*) AS cnt FROM (
+           |  SELECT unnest($pairsFrag) AS pair FROM (
+           |    SELECT $toksFrag AS toks FROM t${j}_${i - 1}) x) y
+           |  GROUP BY pair),
+           |m${j}_$i AS (SELECT $i AS iter, pair, cnt FROM c${j}_$i
+           |        ORDER BY cnt DESC, pair ASC LIMIT 1),
+           |t${j}_$i AS (SELECT replace(p,
+           |    ' ' || (SELECT replace(pair, ' ', '  ') FROM m${j}_$i)
+           |      || ' ',
+           |    ' ' || (SELECT replace(pair, ' ', chr(31)) FROM m${j}_$i)
+           |      || ' ') AS p
+           |  FROM t${j}_${i - 1})""".stripMargin
+      }.mkString(",\n")
+      // plain concatenation — the stage strings are already
+      // margin-stripped, and a second stripMargin would eat one pipe
+      // of every line-leading `||` concat operator
+      s"t${j}_0 AS (SELECT ' ' || array_to_string($toksSql, '  ') || ' '" +
+        s"\n  AS p FROM documents WHERE lang = '$lit'),\n" + stages
+    }.mkString(",\n")
+    val unions = langs.zipWithIndex.flatMap { case (l, j) =>
+      val lit = l.replace("'", "''")
+      (1 to k).map(i =>
+        s"SELECT '$lit' AS lang, iter, pair, cnt, " +
+          s"replace(pair, ' ', chr(31)) AS merged FROM m${j}_$i")
+    }.mkString("\nUNION ALL\n")
+    s"WITH $blocks\n$unions"
+  }
+
   val defs: Seq[QDef] = Seq(
 
     QDef("q179_dedup_locality",
@@ -150,6 +195,34 @@ object PipelineQueries17 {
            |SELECT CAST(d AS BIGINT) AS d, n, sr // n AS mean_ratio_milli,
            |  min_ratio_milli
            |FROM g""".stripMargin
-      })
+      }),
+
+    // Per-language BPE training — the multilingual reality: one
+    // tokenizer per language, trained only on that language's corpus
+    // (a shared tokenizer over-merges the dominant language and
+    // starves the rest). The language inventory is a bounded collect
+    // (the CC-gate justification: it is O(10²) in any real corpus);
+    // each language then runs q99's bounded-collect loop on its
+    // filtered slice — total corpus work ≈ k passes over the corpus
+    // regardless of |L|, since the slices partition it. Driver state
+    // is |L|·k single rows. The oracle replays every language's full
+    // train loop with the inventory as literals (nothing echoed).
+    QDef("q181_perlang_bpe",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select(col("lang"), col("text"))
+          .localCheckpoint() // |L| filtered trains share one scan
+        val langs = docs.select(col("lang")).distinct()
+          .orderBy("lang").collect().map(_.getString(0)).toSeq
+        PerLangOracle.sql = Some(perlangBpeOracleSql(langs, k = 2))
+        langs.flatMap { l =>
+          graft.ops.BpeTrainer
+            .train(docs.filter(col("lang") === l), "text", k = 2)
+            .map(m => (l, m.iter, m.pair, m.cnt, m.merged))
+        }.toDF("lang", "iter", "pair", "cnt", "merged")
+      },
+      None,
+      Some(() => PerLangOracle.sql))
   )
 }
