@@ -223,6 +223,97 @@ object PipelineQueries17 {
         }.toDF("lang", "iter", "pair", "cnt", "merged")
       },
       None,
-      Some(() => PerLangOracle.sql))
+      Some(() => PerLangOracle.sql)),
+
+    // PQ reconstruction-error audit: per subspace, the mean/max
+    // squared distance between each vector's sub-slice and its
+    // assigned codebook centroid — the quantization-loss table that
+    // decides whether m=8/k=16 is enough BEFORE the 32× smaller index
+    // replaces raw vectors (completes the index-QA family with q165).
+    // Codes come from the same codegen'd kernel as q85 (bit-identical
+    // assignment); the error fold itself is an interpreted HOF over
+    // dsub=8 elements per (row, subspace) — an audit query, not a
+    // serving path, and the fold order mirrors the oracle exactly.
+    // Per-row errors floor to integer micros so the aggregates are
+    // exact.
+    QDef("q182_pq_recon_error",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val sample = graft.ops.VectorSearch.sampleVectors(
+          emb, "vec_id", "embedding", n = 512, seed = 42)
+        val codebook = graft.ops.VectorSearch.pqTrain(
+          sample, m = 8, k = 16, iters = 10, seed = 42)
+        PqReconOracle.sql = Some(pqReconErrOracleSql(codebook))
+        val cbLit = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
+        val dsub = codebook(0)(0).length
+        emb.select(toDouble(col("embedding")).as("v"))
+          .select(col("v"), posexplode(
+            graft.ops.VectorSearch.pqEncodeKernel(col("v"), codebook))
+            .as(Seq("mi", "code")))
+          .select(col("mi").cast("long").as("subspace"),
+            floor(lit(1000000.0) * aggregate(
+              zip_with(
+                slice(col("v"), col("mi") * dsub + 1, lit(dsub)),
+                element_at(element_at(cbLit, col("mi") + 1),
+                  col("code") + 1),
+                (x, c) => (x - c) * (x - c)),
+              lit(0.0), (acc, t) => acc + t)).cast("long")
+              .as("err_micro"))
+          .groupBy("subspace")
+          .agg(count(lit(1)).as("n"), sum("err_micro").as("se"),
+            max("err_micro").as("max_err_micro"))
+          .select(col("subspace"), col("n"),
+            expr("se div n").as("mean_err_micro"),
+            col("max_err_micro"))
+      },
+      None,
+      Some(() => PqReconOracle.sql))
   )
+
+  /** q182's late-bound oracle (codebook literals, the q85 pattern). */
+  private object PqReconOracle {
+    @volatile var sql: Option[String] = None
+  }
+
+  private def dblR(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+
+  private def pqReconErrOracleSql(
+      codebook: Array[Array[Array[Double]]]): String = {
+    val vSql = "list_transform(embedding, x -> x::DOUBLE)"
+    val dsub = codebook(0)(0).length
+    // code assignment replayed with the exact q85 expression tree
+    def encSql(mi: Int): String = {
+      val cells = codebook(mi).zipWithIndex.map { case (cvec, ci) =>
+        val dotVc = cvec.zipWithIndex.map { case (cv, di) =>
+          s"v[${mi * dsub + di + 1}] * ${dblR(cv)}"
+        }.mkString("(", " + ", ")")
+        val cn2 = cvec.foldLeft(0.0)((s, x) => s + x * x)
+        s"{'d': (${dblR(cn2)} + (-2.0e0 * $dotVc)), 'c': $ci}"
+      }.mkString("[", ", ", "]")
+      s"(list_sort($cells)[1]).c"
+    }
+    val blocks = codebook.indices.map { mi =>
+      val cents = codebook(mi)
+        .map(_.map(dblR).mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      val sliceV = s"list_slice(v, ${mi * dsub + 1}, ${mi * dsub + dsub})"
+      s"""SELECT $mi AS subspace,
+         |  CAST(floor(1000000.0 * list_reduce(
+         |    list_prepend(0.0::DOUBLE, list_transform(
+         |      list_zip($sliceV, ($cents)[${encSql(mi)} + 1]),
+         |      x -> (x[1] - x[2]) * (x[1] - x[2]))),
+         |    (p, q) -> p + q)) AS BIGINT) AS err_micro
+         |FROM e""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT $vSql AS v FROM embeddings),
+       |u AS (
+       |$blocks
+       |)
+       |SELECT CAST(subspace AS BIGINT) AS subspace,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(err_micro) AS BIGINT) // count(*) AS mean_err_micro,
+       |  CAST(max(err_micro) AS BIGINT) AS max_err_micro
+       |FROM u GROUP BY subspace""".stripMargin
+  }
 }
