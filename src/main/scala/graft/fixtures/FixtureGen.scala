@@ -560,6 +560,27 @@ object FixtureGen {
       (sents ++ extras).mkString(" ")
     }
     val paraPool = (0 until 80).map(rdParagraph)
+    // Per-doc crawl URL: 4 consecutive docs share a page (re-crawls of
+    // the same URL under cosmetic variations — trailing slash, utm_*
+    // tracking params, case-folded scheme/host + fragment), so URL
+    // canonicalization maps them to one canonical form; d%16==10 keeps
+    // a GENUINE non-tracking param (id=…) that must survive. Hosts are
+    // drawn from 23 sites so per-domain doc counts (~8-9) exceed a
+    // cap of 6 — the domain-quota operator has something to drop.
+    def rdUrl(d: Int): String = {
+      val page = d / 4
+      val host = s"site${page % 23}.example.com"
+      val base = s"https://$host/page$page"
+      d % 4 match {
+        case 0 => base
+        case 1 => base + "/"
+        case 2 =>
+          if (d % 16 == 10) base + s"?id=$d&utm_ref=x"
+          else base + s"?utm_source=feed&utm_campaign=w${d % 7}"
+        case _ =>
+          s"HTTPS://${host.toUpperCase(java.util.Locale.ROOT)}/page$page#sec$d"
+      }
+    }
     val rawDocs = (0 until 200).map { d =>
       val rnd = new Random(5000 + d)
       val n = 2 + rnd.nextInt(5)
@@ -568,10 +589,10 @@ object FixtureGen {
       val picks = (0 until n).map { _ =>
         if (rnd.nextInt(10) < 3) rnd.nextInt(12) else rnd.nextInt(paraPool.size)
       }
-      (d.toLong, Seq("web", "forum", "code", "news")(d % 4),
+      (d.toLong, Seq("web", "forum", "code", "news")(d % 4), rdUrl(d),
         picks.map(paraPool).mkString("\n\n"))
     }
-    rawDocs.toDF("doc_id", "source", "text")
+    rawDocs.toDF("doc_id", "source", "url", "text")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$FixtureDir/raw_docs.parquet")
 
