@@ -1,7 +1,9 @@
 package graft.queries
 
+import graft.Tables
 import graft.fixtures.FixtureGen
 import graft.functions.TextAnalysis._
+import graft.ops.BpeTrainer.adjacentPairs
 import graft.ops.TopK
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -28,6 +30,11 @@ object PipelineQueries18 {
 
   private def rawPq =
     s"read_parquet('${FixtureGen.FixtureDir}/raw_docs.parquet/*.parquet')"
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+
+  private def hashSql(t: String) =
+    s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
 
   private def rawDocs(s: SparkSession): DataFrame =
     s.read.parquet(s"${FixtureGen.FixtureDir}/raw_docs.parquet")
@@ -141,6 +148,204 @@ object PipelineQueries18 {
               |  CAST(count(*) AS BIGINT) AS n_docs,
               |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
               |  CAST(min(doc_id) AS BIGINT) AS canonical_doc
-              |FROM $rawPq GROUP BY 1""".stripMargin))
+              |FROM $rawPq GROUP BY 1""".stripMargin)),
+
+    // KMV (bottom-k) distinct sketch + sketch-based source overlap.
+    // The third cardinality sketch next to HLL (q111) and Bloom
+    // (q109): keep the K smallest distinct shingle hashes per source;
+    // the K-th smallest estimates distinct count ((K-1)·2^32 div h_K
+    // — hashes are uniform in [0, 2^32)), and the union sketch of two
+    // sources gives a Jaccard estimate (share of the union's bottom-K
+    // present in BOTH sketches) WITHOUT q137's corpus-mass pairwise
+    // postings intersection — per-pair work is O(K), not O(postings).
+    // The K-smallest-per-source selection is ops/TopK (bounded
+    // partial/final, no per-source window); every estimator division
+    // is exact integer arithmetic in both engines. Exact per-source
+    // distinct counts ride along so the sketch error is visible.
+    QDef("q185_kmv_distinct",
+      (s, dir) => {
+        val K = 256
+        val sh = Tables.documents(s, dir)
+          .select(col("source"), tokens(col("text")).as("toks"))
+          .select(col("source"),
+            explode(shingleHashes(col("toks"))).as("h"))
+          .distinct()
+          .localCheckpoint() // exact counts + sketch share it
+        val exact = sh.groupBy("source").agg(count(lit(1)).as("n_exact"))
+        val sk = TopK.perGroup(sh, "source", struct(col("h")), K)
+          .groupBy("source")
+          .agg(sort_array(collect_list(col("key.h"))).as("sk"))
+          .join(exact, "source")
+          .localCheckpoint() // self-joined into S(S-1)/2 pairs
+        // (K-1)·2^32 div h_K, via the exactly-divisible double trick
+        def kmvEst(skc: Column): Column = {
+          val hk = greatest(
+            element_at(skc, least(size(skc), lit(K))), lit(1L))
+          val L = lit((K - 1).toLong << 32)
+          when(size(skc) < K, size(skc).cast("long"))
+            .otherwise(((L - L % hk) / hk).cast("long"))
+        }
+        val a = sk.select(col("source").as("src_a"), col("sk").as("ska"),
+          col("n_exact").as("n_a"))
+        val b = sk.select(col("source").as("src_b"), col("sk").as("skb"),
+          col("n_exact").as("n_b"))
+        a.join(broadcast(b), col("src_a") < col("src_b"))
+          .withColumn("uk",
+            slice(array_sort(array_distinct(concat(col("ska"),
+              col("skb")))), 1, K))
+          .withColumn("n_inter", expr("cast(size(filter(uk, " +
+            "y -> array_contains(ska, y) AND array_contains(skb, y))) " +
+            "as long)"))
+          .select(col("src_a"), col("src_b"), col("n_a"),
+            kmvEst(col("ska")).as("est_a"), col("n_b"),
+            kmvEst(col("skb")).as("est_b"),
+            kmvEst(col("uk")).as("est_union"),
+            expr("(1000 * n_inter) div size(uk)").as("jacc_milli"))
+      },
+      Some {
+        val shingles =
+          s"""CASE WHEN len(toks) >= 3 THEN
+             |      list_distinct(list_transform(
+             |        generate_series(1, len(toks) - 2),
+             |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             |      ELSE [] END""".stripMargin
+        def est(sk: String) =
+          s"CASE WHEN len($sk) < 256 THEN CAST(len($sk) AS BIGINT) " +
+            s"ELSE (255 * 4294967296) // " +
+            s"greatest(list_extract($sk, least(len($sk), 256)), 1) END"
+        s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+           |g AS (SELECT DISTINCT source, h FROM (
+           |  SELECT source, unnest(list_transform($shingles,
+           |    g -> ${hashSql("g")})) AS h FROM t) z),
+           |x AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact,
+           |    list_slice(list_sort(list(h)), 1, 256) AS sk
+           |  FROM g GROUP BY source),
+           |p AS (SELECT a.source AS src_a, b.source AS src_b,
+           |    a.n_exact AS n_a, a.sk AS ska, b.n_exact AS n_b,
+           |    b.sk AS skb,
+           |    list_slice(list_sort(list_distinct(
+           |      list_concat(a.sk, b.sk))), 1, 256) AS uk
+           |  FROM x a JOIN x b ON a.source < b.source)
+           |SELECT src_a, src_b, n_a, ${est("ska")} AS est_a,
+           |  n_b, ${est("skb")} AS est_b, ${est("uk")} AS est_union,
+           |  (1000 * CAST(len(list_filter(uk, y ->
+           |    list_contains(ska, y) AND list_contains(skb, y)))
+           |    AS BIGINT)) // len(uk) AS jacc_milli
+           |FROM p""".stripMargin
+      }),
+
+    // Interpolated Kneser-Ney bigram scoring on the held-out split —
+    // the LM-family capstone over q108 (MLE bigram), q162 (stupid
+    // backoff) and q142 (the discount's count-of-counts): discount
+    // D = N1/(N1+2N2) from TRAIN bigram counts, continuation
+    // probability from distinct-history counts, and the interpolated
+    // estimate max(c-D,0)/c(w1·) + D·N1+(w1·)/c(w1·)·Pcont(w2).
+    // Unseen histories fall to Pcont alone; unseen w2 gets one
+    // pseudo-continuation (the q162 coalesce convention). Scale shape
+    // is q162's: count tables are vocabulary-sized broadcasts, only
+    // the 5% held-out stream carries doc granularity, per-bigram
+    // scores floor to milli-nats so per-doc sums are exact; the
+    // double arithmetic inside ln() is mirrored op-for-op.
+    QDef("q186_kn_score",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"),
+            (tokenHash(concat(lit("kn:"), col("doc_id").cast("string")))
+              % 20).as("b"))
+          .localCheckpoint() // train aggregates + val probe share it
+        val big = t.filter(col("b") < 18)
+          .select(explode(adjacentPairs(col("toks"))).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("c2"))
+          .withColumn("w1", element_at(split(col("pair"), " "), 1))
+          .withColumn("w2", element_at(split(col("pair"), " "), 2))
+          .localCheckpoint() // history/continuation/discount/probe share it
+        val hist = big.groupBy("w1")
+          .agg(count(lit(1)).as("n1plus"), sum("c2").as("h1tot"))
+        val cont = big.groupBy("w2").agg(count(lit(1)).as("ncont"))
+        // N1 = 0 happens: at 10x corpus the bigram space saturates and
+        // no singleton bigrams remain (q142's closed-vocabulary trap,
+        // one stratum up) — fall back to the standard fixed absolute
+        // discount 0.75 (Chen & Goodman) instead of dividing by zero.
+        val stats = big.agg(count(lit(1)).as("ntypes"),
+          sum(when(col("c2") === 1, 1L).otherwise(0L)).as("dn"),
+          sum(when(col("c2") === 2, 1L).otherwise(0L)).as("dn2"))
+          .withColumn("dd", when(col("dn") === 0, lit(0.75))
+            .otherwise(col("dn").cast("double") /
+              (col("dn") + lit(2L) * col("dn2")).cast("double")))
+        val valStream = t.filter(col("b") === 18)
+          .select(col("doc_id"), col("toks"),
+            posexplode(adjacentPairs(col("toks"))).as(Seq("pos", "pair")))
+          .select(col("doc_id"), col("pair"),
+            element_at(col("toks"), col("pos") + 1).as("w1"),
+            element_at(col("toks"), col("pos") + 2).as("w2"))
+        val pcont = coalesce(col("ncont"), lit(1L)).cast("double") /
+          col("ntypes").cast("double")
+        val dd = col("dd")
+        val interp = (greatest(
+          coalesce(col("c2"), lit(0L)).cast("double") - dd, lit(0.0)) +
+          dd * col("n1plus").cast("double") * pcont) /
+          col("h1tot").cast("double")
+        valStream
+          .join(big.select("pair", "c2"), Seq("pair"), "left")
+          .join(broadcast(hist), Seq("w1"), "left")
+          .join(broadcast(cont), Seq("w2"), "left")
+          .crossJoin(broadcast(stats))
+          .withColumn("mnat", floor(lit(1000.0) * log(
+            when(col("n1plus").isNotNull, interp).otherwise(pcont)))
+            .cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("mnat").as("smnat"),
+            sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_unseen"))
+          .select(col("doc_id"), col("n_bigrams"),
+            expr("(-smnat) div n_bigrams").as("nll_milli"),
+            col("n_unseen"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks,
+              |    ${hashSql("'kn:' || CAST(doc_id AS VARCHAR)")} % 20 AS b
+              |  FROM documents),
+              |bg AS (SELECT pair, count(*) AS c2 FROM (
+              |    SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+              |      list_transform(generate_series(1, len(toks) - 1),
+              |        i -> toks[i] || ' ' || toks[i+1])
+              |      ELSE [] END) AS pair FROM t WHERE b < 18) y
+              |  GROUP BY 1),
+              |bgw AS (SELECT pair, c2,
+              |    string_split(pair, ' ')[1] AS w1,
+              |    string_split(pair, ' ')[2] AS w2 FROM bg),
+              |h AS (SELECT w1, count(*) AS n1plus, sum(c2) AS h1tot
+              |  FROM bgw GROUP BY 1),
+              |nc AS (SELECT w2, count(*) AS ncont FROM bgw GROUP BY 1),
+              |st0 AS (SELECT count(*) AS ntypes,
+              |    sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS dn,
+              |    sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS dn2
+              |  FROM bg),
+              |st AS (SELECT ntypes,
+              |    CASE WHEN dn = 0 THEN 0.75::DOUBLE
+              |      ELSE dn::DOUBLE / (dn + 2*dn2)::DOUBLE END AS dd
+              |  FROM st0),
+              |vs AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2,
+              |    toks[i] || ' ' || toks[i+1] AS pair
+              |  FROM (SELECT doc_id, toks,
+              |      unnest(generate_series(1, len(toks) - 1)) AS i
+              |    FROM t WHERE b = 18 AND len(toks) >= 2) q),
+              |sc AS (SELECT doc_id, bg.c2,
+              |    CAST(floor(1000.0 * ln(CASE WHEN h.n1plus IS NOT NULL
+              |      THEN (greatest(coalesce(bg.c2, 0)::DOUBLE - st.dd, 0.0)
+              |        + st.dd * h.n1plus::DOUBLE
+              |          * (coalesce(nc.ncont, 1)::DOUBLE
+              |             / st.ntypes::DOUBLE))
+              |        / h.h1tot::DOUBLE
+              |      ELSE coalesce(nc.ncont, 1)::DOUBLE
+              |        / st.ntypes::DOUBLE END)) AS BIGINT) AS mnat
+              |  FROM vs LEFT JOIN bg USING (pair)
+              |    LEFT JOIN h ON h.w1 = vs.w1
+              |    LEFT JOIN nc ON nc.w2 = vs.w2
+              |    CROSS JOIN st)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |  CAST((-CAST(sum(mnat) AS BIGINT)) // count(*) AS BIGINT)
+              |    AS nll_milli,
+              |  CAST(sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_unseen
+              |FROM sc GROUP BY 1""".stripMargin))
   )
 }
