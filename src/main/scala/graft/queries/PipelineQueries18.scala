@@ -346,6 +346,72 @@ object PipelineQueries18 {
               |    AS nll_milli,
               |  CAST(sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END)
               |    AS BIGINT) AS n_unseen
-              |FROM sc GROUP BY 1""".stripMargin))
+              |FROM sc GROUP BY 1""".stripMargin)),
+
+    // Content-defined chunking (LBFS/FastCDC anchor style, token
+    // granularity): a chunk boundary opens at every token whose hash
+    // ≡ 0 (mod 16) — boundaries depend only on LOCAL content, so an
+    // insertion re-chunks one neighborhood instead of shifting every
+    // downstream chunk the way fixed-width blocks do (the property
+    // q100's media segments lack, and the missing middle granularity
+    // between q81's paragraphs and q101's every-gram spans). Expected
+    // chunk ~16 tokens. The per-doc running cut count is a window
+    // partitioned on doc_id — bounded by one document's length, the
+    // q101 shape, never corpus-wide; chunk identity is an 8-byte hash
+    // so the global sharing table joins on longs.
+    QDef("q187_cdc_chunks",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            posexplode_outer(col("toks")).as(Seq("pos", "tok")))
+          .filter(col("tok").isNotNull) // outer + guard: lesson #7
+          .select(col("doc_id"), col("pos"), col("tok"),
+            when(tokenHash(col("tok")) % 16 === 0, 1L).otherwise(0L)
+              .as("cut"))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val chunks = t
+          .withColumn("chunk_no", sum("cut").over(w))
+          .groupBy("doc_id", "chunk_no")
+          .agg(tokenHash(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ")).as("ch"),
+            count(lit(1)).as("chunk_len"))
+          .localCheckpoint() // global sharing counts + per-doc rollup
+        val global = chunks.groupBy("ch")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+        chunks.join(global, "ch")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum("chunk_len").as("n_tokens"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("doc_id"), col("n_chunks"), col("n_tokens"),
+            col("n_shared"),
+            expr("(1000 * n_shared) div n_chunks").as("shared_milli"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |p AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
+              |    CASE WHEN ${hashSql("toks[i]")} % 16 = 0
+              |      THEN 1 ELSE 0 END AS cut
+              |  FROM (SELECT doc_id, toks,
+              |      unnest(generate_series(1, len(toks))) AS i FROM t) z),
+              |c AS (SELECT doc_id, pos, tok,
+              |    sum(cut) OVER (PARTITION BY doc_id ORDER BY pos)
+              |      AS chunk_no
+              |  FROM p),
+              |chk AS (SELECT doc_id, chunk_no,
+              |    ${hashSql("string_agg(tok, ' ' ORDER BY pos)")} AS ch,
+              |    count(*) AS chunk_len
+              |  FROM c GROUP BY 1, 2),
+              |g AS (SELECT ch, count(DISTINCT doc_id) AS nd
+              |  FROM chk GROUP BY 1)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+              |  CAST(sum(chunk_len) AS BIGINT) AS n_tokens,
+              |  CAST(sum(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_shared,
+              |  (1000 * CAST(sum(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END)
+              |    AS BIGINT)) // count(*) AS shared_milli
+              |FROM chk JOIN g USING (ch) GROUP BY doc_id""".stripMargin))
   )
 }

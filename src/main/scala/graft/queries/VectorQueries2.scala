@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.VectorSearch.{cosine, sq8Approx, toDouble}
+import graft.ops.VectorSearch.{cosine, dot, sq8Approx, toDouble}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,6 +97,90 @@ object VectorQueries2 {
            |SELECT vec_id, sim,
            |  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
            |FROM x ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+      }),
+
+    // Johnson-Lindenstrauss sign random projection: 64 -> 16 dims via
+    // a seeded ±1 matrix (md5-parity, a plan-time constant — the q31
+    // hyperplane pattern), then recall@10 of projected-space cosine
+    // ranking vs full-space exact, per query. This is the missing
+    // DIMENSION-reduction rung of the compression ladder (SQ8/PQ
+    // compress per-dimension precision; RP cuts the dimension count —
+    // 4x fewer floats with no training step at all). Projections ride
+    // the corpus scan through the codegen'd dot kernel (16 kernel
+    // calls, not a 1000-node expression tree — the q85 Janino
+    // lesson); both rankings run through the partial/final TopK
+    // operator, so no per-query window ever sees the corpus, and one
+    // scored pass feeds both (checkpointed). Measured recall@10 on
+    // THIS corpus is 0-2/10: near-uniform vectors separate top-10
+    // neighbors by cosine gaps far below the JL distortion at r=16 —
+    // the same no-free-structure property PLANS.md records for IVF
+    // (q30) and PQ (q85). The audit reporting that honestly is the
+    // point; r is the dial, and the oracle replays any r.
+    QDef("q188_rp_recall",
+      (s, dir) => {
+        val R = 16
+        val signs: Seq[Seq[Double]] = (0 until R).map(j =>
+          (0 until Dims).map(i =>
+            if ((graft.functions.TextAnalysis.md5Hex8(s"rp:$j:$i") & 1L)
+              == 0L) 1.0 else -1.0))
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+          .withColumn("p",
+            array(signs.map(sr => dot(col("v"), typedLit(sr))): _*))
+          .localCheckpoint() // query rows + corpus scan share it
+        val qs = broadcast(e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("p").as("qp")))
+        val scored = e.filter(col("vec_id") >= 4).crossJoin(qs)
+          .select(col("query_id"), col("vec_id"),
+            round(cosine(col("v"), col("qv")), 6).as("sim_full"),
+            round(cosine(col("p"), col("qp")), 6).as("sim_rp"))
+          .localCheckpoint() // both top-k passes share one scoring pass
+        def top10(simCol: String): DataFrame =
+          graft.ops.TopK.perGroup(scored, "query_id",
+            struct((-col(simCol)).as("ns"), col("vec_id").as("id")), 10)
+            .select(col("query_id"), col("key.id").as("vec_id"))
+        val overlap = top10("sim_full")
+          .join(top10("sim_rp"), Seq("query_id", "vec_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("no"))
+        qs.select(col("query_id"))
+          .join(overlap, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("no"), lit(0L)).as("n_overlap"))
+          .withColumn("recall_milli", expr("(1000 * n_overlap) div 10"))
+      },
+      Some {
+        val projs = (0 until 16).map { j =>
+          val sl = (0 until Dims).map(i =>
+            if ((graft.functions.TextAnalysis.md5Hex8(s"rp:$j:$i") & 1L)
+              == 0L) "1.0" else "-1.0").mkString("[", ", ", "]")
+          dotSql("v", sl)
+        }.mkString("[", ",\n      ", "]")
+        s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+           |pe AS (SELECT vec_id, v, $projs AS p FROM e),
+           |q AS (SELECT vec_id AS query_id, v AS qv, p AS qp
+           |  FROM pe WHERE vec_id < 4),
+           |sc AS (SELECT query_id, pe.vec_id,
+           |    round(${cosSql("pe.v", "qv")}, 6) AS sim_full,
+           |    round(${cosSql("pe.p", "qp")}, 6) AS sim_rp
+           |  FROM pe, q WHERE pe.vec_id >= 4),
+           |tf AS (SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id, row_number() OVER (
+           |      PARTITION BY query_id
+           |      ORDER BY sim_full DESC, vec_id ASC) AS rn FROM sc) x
+           |  WHERE rn <= 10),
+           |tr AS (SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id, row_number() OVER (
+           |      PARTITION BY query_id
+           |      ORDER BY sim_rp DESC, vec_id ASC) AS rn FROM sc) y
+           |  WHERE rn <= 10),
+           |o AS (SELECT tf.query_id, count(*) AS n_overlap
+           |  FROM tf JOIN tr USING (query_id, vec_id) GROUP BY 1)
+           |SELECT q.query_id,
+           |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           |  (1000 * CAST(coalesce(o.n_overlap, 0) AS BIGINT)) // 10
+           |    AS recall_milli
+           |FROM q LEFT JOIN o ON o.query_id = q.query_id""".stripMargin
       })
   )
 }
