@@ -227,4 +227,18 @@ object Sketches {
       lit(m.toDouble) * log(lit(m.toDouble) / vZero)).otherwise(raw)
     floor(lit(1000.0) * est).cast("long")
   }
+
+  /** KMV (bottom-k) cardinality estimate from a SORTED-ascending array
+    * of the k smallest distinct 32-bit hashes: (k-1)·2^32 div h_k,
+    * exact integer in both engines via the exactly-divisible-double
+    * trick (numerator made divisible before the IEEE division — both
+    * operands < 2^53). Fewer than k distinct values means the sketch
+    * IS the set: return its exact size.
+    */
+  def kmvEstimate(sk: Column, k: Int): Column = {
+    val hk = greatest(element_at(sk, least(size(sk), lit(k))), lit(1L))
+    val L = lit((k - 1).toLong << 32)
+    when(size(sk) < k, size(sk).cast("long"))
+      .otherwise(((L - L % hk) / hk).cast("long"))
+  }
 }

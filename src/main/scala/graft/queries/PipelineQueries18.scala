@@ -47,7 +47,7 @@ object PipelineQueries18 {
     * trailing slash -> drop tracking params, preserving the rest in
     * original order).
     */
-  private def canonicalUrl(url: Column): Column = {
+  private[graft] def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val base = regexp_extract(noFrag, "^([^?]*)", 1)
     val query = regexp_extract(noFrag, "\\?(.*)$", 1)
@@ -177,14 +177,8 @@ object PipelineQueries18 {
           .agg(sort_array(collect_list(col("key.h"))).as("sk"))
           .join(exact, "source")
           .localCheckpoint() // self-joined into S(S-1)/2 pairs
-        // (K-1)·2^32 div h_K, via the exactly-divisible double trick
-        def kmvEst(skc: Column): Column = {
-          val hk = greatest(
-            element_at(skc, least(size(skc), lit(K))), lit(1L))
-          val L = lit((K - 1).toLong << 32)
-          when(size(skc) < K, size(skc).cast("long"))
-            .otherwise(((L - L % hk) / hk).cast("long"))
-        }
+        def kmvEst(skc: Column): Column =
+          graft.ops.Sketches.kmvEstimate(skc, K)
         val a = sk.select(col("source").as("src_a"), col("sk").as("ska"),
           col("n_exact").as("n_a"))
         val b = sk.select(col("source").as("src_b"), col("sk").as("skb"),
@@ -361,23 +355,8 @@ object PipelineQueries18 {
     // so the global sharing table joins on longs.
     QDef("q187_cdc_chunks",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val t = Tables.documents(s, dir)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"),
-            posexplode_outer(col("toks")).as(Seq("pos", "tok")))
-          .filter(col("tok").isNotNull) // outer + guard: lesson #7
-          .select(col("doc_id"), col("pos"), col("tok"),
-            when(tokenHash(col("tok")) % 16 === 0, 1L).otherwise(0L)
-              .as("cut"))
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val chunks = t
-          .withColumn("chunk_no", sum("cut").over(w))
-          .groupBy("doc_id", "chunk_no")
-          .agg(tokenHash(array_join(transform(
-            array_sort(collect_list(struct(col("pos"), col("tok")))),
-            x => x.getField("tok")), " ")).as("ch"),
-            count(lit(1)).as("chunk_len"))
+        val chunks = graft.ops.CdcChunks
+          .chunks(Tables.documents(s, dir), "doc_id", "text", modulus = 16)
           .localCheckpoint() // global sharing counts + per-doc rollup
         val global = chunks.groupBy("ch")
           .agg(count_distinct(col("doc_id")).as("nd"))

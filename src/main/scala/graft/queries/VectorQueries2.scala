@@ -141,10 +141,11 @@ object VectorQueries2 {
             struct((-col(simCol)).as("ns"), col("vec_id").as("id")), 10)
             .select(col("query_id"), col("key.id").as("vec_id"))
         val overlap = top10("sim_full")
-          .join(top10("sim_rp"), Seq("query_id", "vec_id"), "left_semi")
+          .join(broadcast(top10("sim_rp")), Seq("query_id", "vec_id"),
+            "left_semi")
           .groupBy("query_id").agg(count(lit(1)).as("no"))
         qs.select(col("query_id"))
-          .join(overlap, Seq("query_id"), "left")
+          .join(broadcast(overlap), Seq("query_id"), "left")
           .select(col("query_id"),
             coalesce(col("no"), lit(0L)).as("n_overlap"))
           .withColumn("recall_milli", expr("(1000 * n_overlap) div 10"))

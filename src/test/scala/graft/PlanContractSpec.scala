@@ -601,4 +601,63 @@ class PlanContractSpec extends SparkSpec {
     assert(!p173.contains("Window"), s"q173 grew a window:\n$p173")
     assert(p173.contains("HashAggregate"), s"q173 lost aggregates:\n$p173")
   }
+
+  test("q183 domain cap runs through the partial/final TopK, never a " +
+    "per-domain window") {
+    val p = plan("q183_domain_cap")
+    assert(!p.contains("Window"), s"q183 grew a window:\n$p")
+    assert(p.contains("HashAggregate"), s"q183 lost the TopK aggs:\n$p")
+  }
+
+  test("q184 URL dedup is one scan + one aggregation: no joins, no " +
+    "windows") {
+    val p = plan("q184_url_dedup")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q184 shape changed:\n$p")
+  }
+
+  test("q185 KMV sketch: per-source bottom-k is windowless and the " +
+    "pair join broadcasts the O(#sources) sketch side") {
+    val p = plan("q185_kmv_distinct")
+    assert(!p.contains("Window"), s"q185 grew a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"q185 pair join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q185 pair join shape wrong:\n$p")
+  }
+
+  test("q186 KN scoring broadcasts the vocabulary-sized count tables " +
+    "at the held-out stream") {
+    val p = plan("q186_kn_score")
+    assert(p.contains("BroadcastHashJoin"), s"q186 lost broadcasts:\n$p")
+    assert(!p.contains("Window"), s"q186 grew a window:\n$p")
+  }
+
+  test("q187 CDC chunking windows only per-document partitions and " +
+    "joins chunks on the 8-byte hash") {
+    // the QDef checkpoints the chunk table, truncating its lineage out
+    // of the query plan — inspect the operator's own plan for the
+    // window contract, the QDef's for the join shape
+    val op = graft.ops.CdcChunks
+      .chunks(graft.Tables.documents(spark, dir), "doc_id", "text")
+      .queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val windows = op.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(windows.nonEmpty, s"q187 lost its per-doc prefix sum:\n$op")
+    assert(windows.contains("doc_id"),
+      s"q187 window no longer partitioned by doc_id:\n$windows")
+    val p = plan("q187_cdc_chunks")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q187 join shape wrong:\n$p")
+  }
+
+  test("q188 RP recall: rankings are windowless TopK and the overlap " +
+    "join broadcasts (projections pinned by the op plan)") {
+    val p = plan("q188_rp_recall")
+    assert(!p.contains("Window"), s"q188 grew a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"), s"q188 join shape wrong:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q188 lost its broadcast:\n$p")
+  }
 }
