@@ -18,7 +18,8 @@ object SparkEntry {
       PipelineQueries12.defs ++ PipelineQueries13.defs ++
       PipelineQueries14.defs ++ PipelineQueries15.defs ++
       PipelineQueries16.defs ++ PipelineQueries17.defs ++
-      PipelineQueries18.defs ++ VectorQueries2.defs
+      PipelineQueries18.defs ++ PipelineQueries19.defs ++
+      VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 

@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextAnalysis._
+import graft.ops.VectorSearch.{dot, planeVector, toDouble}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nineteenth pipeline group — classifier evaluation and corpus
+  * versioning:
+  *
+  *  - q189: exact AUC of the q86/q177 quality classifier against the
+  *    even-label truth, computed from the SCORE-VALUE HISTOGRAM: the
+  *    Mann-Whitney rank statistic needs a global ordering, but the
+  *    cumulative negative count runs as a window over O(distinct
+  *    quantized scores) aggregated rows — the q164 histogram shape —
+  *    so no corpus-scale sort or window exists anywhere. Ties get the
+  *    standard half credit via the doubled numerator; every term is
+  *    an exact integer in both engines.
+  *  - q190: corpus snapshot diff — the data-versioning audit a corpus
+  *    refresh ships with (added / removed / changed / unchanged, doc
+  *    and token mass per status). Versions derive from the hash split
+  *    (v1 = buckets 0..18, v2 = buckets 1..19, with bucket 10's text
+  *    edited in v2); the diff itself is ONE full-outer equi join of
+  *    content HASHES — at 100 TB only 8-byte hashes and counts
+  *    shuffle, never document text, and the join co-partitions on
+  *    doc_id.
+  */
+object PipelineQueries19 {
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+
+  private def hashSql(t: String) =
+    s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
+
+  private def dbl(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+
+  val defs: Seq[QDef] = Seq(
+
+    // AUC = [Σ_v 2·pos(v)·negBelow(v) + pos(v)·neg(v)] / (2·P·N) over
+    // milli-quantized logits (the tie granularity is the documented
+    // quantization; floor on identically-derived doubles is
+    // engine-identical). The numerator stays under 2·P·N ≤ ~1e9 at
+    // sf1, and the micro-scaled division is exact integer arithmetic.
+    QDef("q189_classifier_auc",
+      (s, dir) => {
+        val w = planeVector(9999, 64)
+        val logit = dot(toDouble(col("embedding")), typedLit(w)) +
+          lit(-0.05)
+        val hist = Tables.embeddings(s, dir)
+          .select(floor(logit * 1000.0).cast("long").as("score"),
+            (col("label") % 2 === 0).cast("long").as("pos"))
+          .groupBy("score")
+          .agg(sum("pos").as("np"),
+            sum(lit(1L) - col("pos")).as("nn"))
+        // cumulative negatives strictly below each score value — a
+        // window over the O(distinct scores) histogram only
+        val wv = Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        hist
+          .withColumn("neg_below", coalesce(sum("nn").over(wv), lit(0L)))
+          .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+            sum(col("np") * (lit(2L) * col("neg_below") + col("nn")))
+              .as("num2"))
+          .select(col("n_pos"), col("n_neg"),
+            expr("(1000000 * num2) div (2 * n_pos * n_neg)")
+              .as("auc_micro"))
+      },
+      Some {
+        val wLit = planeVector(9999, 64).map(dbl).mkString("[", ", ", "]")
+        val vSql = "list_transform(embedding, x -> x::DOUBLE)"
+        val dotSql = s"list_reduce(list_prepend(0.0::DOUBLE, " +
+          s"list_transform(list_zip($vSql, $wLit), x -> x[1] * x[2])), " +
+          s"(p, q) -> p + q)"
+        s"""WITH b AS (SELECT
+           |    CAST(floor(($dotSql + ${dbl(-0.05)}) * 1000.0) AS BIGINT)
+           |      AS score,
+           |    CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos
+           |  FROM embeddings),
+           |h AS (SELECT score, CAST(sum(pos) AS BIGINT) AS np,
+           |    CAST(sum(1 - pos) AS BIGINT) AS nn
+           |  FROM b GROUP BY 1),
+           |c AS (SELECT score, np, nn,
+           |    coalesce(sum(nn) OVER (ORDER BY score
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |      0) AS neg_below
+           |  FROM h)
+           |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+           |  CAST(sum(nn) AS BIGINT) AS n_neg,
+           |  CAST((1000000 * CAST(sum(np * (2 * neg_below + nn))
+           |    AS BIGINT)) // (2 * CAST(sum(np) AS BIGINT)
+           |    * CAST(sum(nn) AS BIGINT)) AS BIGINT) AS auc_micro
+           |FROM c""".stripMargin
+      }),
+
+    // Snapshot diff: content hashes for both versions are computed in
+    // the SAME scan (the edited-text hash is a second column, not a
+    // second pass); the checkpointed base self-joins full-outer on
+    // doc_id and the status rollup is one aggregation.
+    QDef("q190_snapshot_diff",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("n_toks"),
+            tokenHash(col("text")).as("h1"),
+            tokenHash(concat(col("text"), lit(" v2-edit"))).as("h2"),
+            (tokenHash(concat(lit("ver:"), col("doc_id").cast("string")))
+              % 20).as("b"))
+          .localCheckpoint() // v1 + v2 derive from one scan
+        val v1 = base.filter(col("b") <= 18)
+          .select(col("doc_id"), col("h1").as("ha"),
+            col("n_toks").as("ta"))
+        val v2 = base.filter(col("b") >= 1)
+          .select(col("doc_id"),
+            when(col("b") === 10, col("h2")).otherwise(col("h1")).as("hb"),
+            col("n_toks").as("tb"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select(
+            when(col("ha").isNull, "added")
+              .when(col("hb").isNull, "removed")
+              .when(col("ha") =!= col("hb"), "changed")
+              .otherwise("unchanged").as("status"),
+            coalesce(col("tb"), col("ta")).as("n_toks"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("sum_toks"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id,
+              |    CAST(len($toksSql) AS BIGINT) AS n_toks,
+              |    ${hashSql("text")} AS h1,
+              |    ${hashSql("text || ' v2-edit'")} AS h2,
+              |    ${hashSql("'ver:' || CAST(doc_id AS VARCHAR)")} % 20 AS b
+              |  FROM documents),
+              |v1 AS (SELECT doc_id, h1 AS ha, n_toks AS ta
+              |  FROM base WHERE b <= 18),
+              |v2 AS (SELECT doc_id,
+              |    CASE WHEN b = 10 THEN h2 ELSE h1 END AS hb,
+              |    n_toks AS tb
+              |  FROM base WHERE b >= 1),
+              |d AS (SELECT CASE WHEN ha IS NULL THEN 'added'
+              |      WHEN hb IS NULL THEN 'removed'
+              |      WHEN ha <> hb THEN 'changed'
+              |      ELSE 'unchanged' END AS status,
+              |    coalesce(tb, ta) AS n_toks
+              |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+              |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_toks) AS BIGINT) AS sum_toks
+              |FROM d GROUP BY status""".stripMargin))
+  )
+}

@@ -652,6 +652,24 @@ class PlanContractSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"q187 join shape wrong:\n$p")
   }
 
+  test("q189 AUC: the rank statistic's only window runs over the " +
+    "aggregated score histogram, never corpus rows") {
+    val p = plan("q189_classifier_auc")
+    // histogram aggregation BELOW the window: HashAggregate before
+    // Window in the plan's bottom-up order
+    assert(p.contains("Window"), s"q189 lost its histogram window:\n$p")
+    assert(p.contains("dot_product"), s"q189 lost the dot kernel:\n$p")
+    assert(!p.contains("Join"), s"q189 grew a join:\n$p")
+  }
+
+  test("q190 snapshot diff joins content hashes full-outer on doc_id; " +
+    "no windows, no broadcast-nested-loop") {
+    val p = plan("q190_snapshot_diff")
+    assert(p.contains("FullOuter"), s"q190 lost the full-outer join:\n$p")
+    assert(!p.contains("Window") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q190 shape changed:\n$p")
+  }
+
   test("q188 RP recall: rankings are windowless TopK and the overlap " +
     "join broadcasts (projections pinned by the op plan)") {
     val p = plan("q188_rp_recall")
