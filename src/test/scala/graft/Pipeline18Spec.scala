@@ -60,6 +60,41 @@ class Pipeline18Spec extends SparkSpec {
     assert(lens == 300L)
   }
 
+  test("streaming URL dedup twin: firstSeen over the canonical URL " +
+    "never re-emits a re-crawl variant; drain == batch q184 canonicals") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val src = java.nio.file.Files.createTempDirectory("surl").toString
+    // batch 1: two pages; batch 2: re-crawls of page /x under tracking
+    // params + case-folding, plus one genuinely new URL
+    val b1 = Seq((1L, "https://a.com/x"), (2L, "https://b.com/y"))
+    val b2 = Seq((3L, "HTTPS://A.COM/x#frag"),
+      (4L, "https://a.com/x?utm_source=f"), (5L, "https://c.com/z"))
+    b1.toDF("doc_id", "url").write.parquet(s"$src/b1.parquet")
+    b2.toDF("doc_id", "url").write.parquet(s"$src/b2.parquet")
+    val stream = spark.readStream
+      .schema("doc_id LONG, url STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*.parquet")
+      .withColumn("curl",
+        queries.PipelineQueries18.canonicalUrl(col("url")))
+    val q = graft.streaming.StreamDedup
+      .firstSeen(stream, "doc_id", "curl")
+      .toDF("curl_hash", "canonical_doc")
+      .writeStream.format("memory").queryName("surl")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("surl").as[(String, Long)].collect().toMap
+    val batch = (b1 ++ b2).toDF("doc_id", "url")
+      .select(col("doc_id"),
+        queries.PipelineQueries18.canonicalUrl(col("url")).as("curl"))
+      .groupBy(md5(col("curl")).as("curl_hash"))
+      .agg(min("doc_id").as("canonical_doc"))
+      .as[(String, Long)].collect().toMap
+    assert(got === batch)
+    assert(got.values.toSet === Set(1L, 2L, 5L)) // 3 and 4 deduped
+  }
+
   test("KMV estimate: within 25% on a 10k-distinct synthetic set, " +
     "exact below k") {
     val k = 256
