@@ -145,6 +145,121 @@ object PipelineQueries19 {
               |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
               |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
               |  CAST(sum(n_toks) AS BIGINT) AS sum_toks
-              |FROM d GROUP BY status""".stripMargin))
+              |FROM d GROUP BY status""".stripMargin)),
+
+    // Perplexity-cutoff survival curve: how much token mass remains
+    // under each NLL threshold — the planning table a CCNet-style
+    // perplexity filter is tuned FROM (q96 buckets into fixed
+    // terciles; this emits the whole curve). Per-doc NLL is q78's
+    // integer milli-nat machinery (exact long sums); the cumulative
+    // mass window runs over the O(#buckets) histogram only.
+    QDef("q191_nll_mass_curve",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toksDf = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .localCheckpoint() // vocab aggregation + probe share it
+        val freq = toksDf.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val totalDf = freq.agg(sum("cnt").as("total"))
+        val vocab = freq.orderBy(col("cnt").desc, col("tok")).limit(50000)
+        val p = when(col("cnt").isNotNull,
+          col("total").cast("double") / col("cnt").cast("double"))
+          .otherwise(col("total").cast("double") * 2.0) // OOV: p = 1/(2N)
+        val hist = toksDf
+          .join(broadcast(vocab), Seq("tok"), "left")
+          .crossJoin(broadcast(totalDf))
+          .withColumn("mnat", floor(lit(1000.0) * log(p)).cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("mnat").as("smnat"))
+          .withColumn("bucket", expr("(smnat div n_tokens) div 250"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("toks"))
+        val wv = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        hist
+          .crossJoin(broadcast(hist.agg(sum("toks").as("total_toks"))))
+          .withColumn("cum_toks", sum("toks").over(wv))
+          .select(col("bucket"), col("n_docs"), col("toks"),
+            col("cum_toks"),
+            expr("(1000 * cum_toks) div total_toks").as("cum_frac_milli"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+              |f AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok),
+              |tot AS (SELECT sum(cnt) AS total FROM f),
+              |v AS (SELECT tok, cnt FROM f
+              |  ORDER BY cnt DESC, tok LIMIT 50000),
+              |s AS (SELECT e.doc_id,
+              |    CAST(count(*) AS BIGINT) AS n_tokens,
+              |    CAST(sum(CAST(floor(1000.0 * ln(CASE
+              |      WHEN v.cnt IS NOT NULL THEN tot.total::DOUBLE / v.cnt
+              |      ELSE tot.total::DOUBLE * 2.0 END)) AS BIGINT))
+              |      AS BIGINT) AS smnat
+              |  FROM e LEFT JOIN v USING (tok) CROSS JOIN tot
+              |  GROUP BY e.doc_id),
+              |h AS (SELECT (smnat // n_tokens) // 250 AS bucket,
+              |    CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(n_tokens) AS BIGINT) AS toks
+              |  FROM s GROUP BY 1),
+              |tt AS (SELECT CAST(sum(toks) AS BIGINT) AS total_toks FROM h)
+              |SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, toks,
+              |  CAST(sum(toks) OVER (ORDER BY bucket
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS BIGINT) AS cum_toks,
+              |  (1000 * CAST(sum(toks) OVER (ORDER BY bucket
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS BIGINT)) // tt.total_toks AS cum_frac_milli
+              |FROM h CROSS JOIN tt""".stripMargin)),
+
+    // Temperature-sampling sweep: per-language token shares under
+    // alpha ∈ {1/4, 1/2, 3/4} — the mixing-planning table behind
+    // q83's single-alpha resampler. The exponents are deliberately
+    // sqrt-COMPOSABLE (n^(1/4) = sqrt(sqrt n), n^(3/4) =
+    // sqrt(n)·sqrt(sqrt n)): IEEE sqrt is correctly rounded in both
+    // engines, so no libm pow() enters the cross-engine gate. Weights
+    // quantize to integer micros BEFORE the per-alpha normalization
+    // sum (float sums are order-dependent; integer sums are not).
+    QDef("q192_temperature_sweep",
+      (s, dir) => {
+        val langTok = Tables.documents(s, dir)
+          .groupBy("lang")
+          .agg(sum(size(tokens(col("text"))).cast("long")).as("n"))
+        val w = when(col("alpha_milli") === 250,
+          sqrt(sqrt(col("n").cast("double"))))
+          .when(col("alpha_milli") === 500, sqrt(col("n").cast("double")))
+          .otherwise(sqrt(col("n").cast("double")) *
+            sqrt(sqrt(col("n").cast("double"))))
+        val weighted = langTok
+          .select(col("lang"), col("n"),
+            explode(typedLit(Seq(250, 500, 750))).as("alpha_milli"))
+          .withColumn("w_micro",
+            floor(lit(1000000.0) * w).cast("long"))
+        val totals = weighted.groupBy("alpha_milli")
+          .agg(sum("w_micro").as("tw"))
+        weighted.join(broadcast(totals), "alpha_milli")
+          .select(col("lang"), col("alpha_milli").cast("long")
+            .as("alpha_milli"), col("n"), col("w_micro"),
+            expr("(1000 * w_micro) div tw").as("share_milli"))
+      },
+      Some(s"""WITH lt AS (SELECT lang,
+              |    CAST(sum(len($toksSql)) AS BIGINT) AS n
+              |  FROM documents GROUP BY lang),
+              |x AS (SELECT lang, n,
+              |    CAST(unnest([250, 500, 750]) AS INT) AS alpha_milli
+              |  FROM lt),
+              |wt AS (SELECT lang, alpha_milli, n,
+              |    CAST(floor(1000000.0 * CASE alpha_milli
+              |      WHEN 250 THEN sqrt(sqrt(n::DOUBLE))
+              |      WHEN 500 THEN sqrt(n::DOUBLE)
+              |      ELSE sqrt(n::DOUBLE) * sqrt(sqrt(n::DOUBLE)) END)
+              |      AS BIGINT) AS w_micro
+              |  FROM x),
+              |tot AS (SELECT alpha_milli,
+              |    CAST(sum(w_micro) AS BIGINT) AS tw
+              |  FROM wt GROUP BY 1)
+              |SELECT wt.lang, CAST(wt.alpha_milli AS BIGINT)
+              |    AS alpha_milli, wt.n, wt.w_micro,
+              |  (1000 * wt.w_micro) // tot.tw AS share_milli
+              |FROM wt JOIN tot USING (alpha_milli)""".stripMargin))
   )
 }

@@ -670,6 +670,24 @@ class PlanContractSpec extends SparkSpec {
       s"q190 shape changed:\n$p")
   }
 
+  test("q191 NLL mass curve: vocab broadcasts at the token stream; " +
+    "the cumulative window runs over the bucket histogram only") {
+    val p = plan("q191_nll_mass_curve")
+    assert(p.contains("BroadcastHashJoin"), s"q191 lost the vocab " +
+      s"broadcast:\n$p")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(windows.contains("bucket"),
+      s"q191 window not over the bucket histogram:\n$windows")
+  }
+
+  test("q192 temperature sweep is aggregation + broadcast only, " +
+    "no windows") {
+    val p = plan("q192_temperature_sweep")
+    assert(p.contains("BroadcastHashJoin"), s"q192 lost its broadcast:\n$p")
+    assert(!p.contains("Window"), s"q192 grew a window:\n$p")
+  }
+
   test("q188 RP recall: rankings are windowless TopK and the overlap " +
     "join broadcasts (projections pinned by the op plan)") {
     val p = plan("q188_rp_recall")
