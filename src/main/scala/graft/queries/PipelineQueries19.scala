@@ -36,6 +36,13 @@ object PipelineQueries19 {
   private def dbl(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
 
+  /** The 24-component minhash signature as DuckDB SQL (q140's oracle
+    * replay fragment — same affine family as minhashAffine). */
+  private def minsSql: String = (0 until 24).map { j =>
+    val (a, b) = affineParam(j)
+    s"list_min(list_transform(sh, h -> (h * $a + $b) % $MinhashPrime))"
+  }.mkString("[", ",\n  ", "]")
+
   val defs: Seq[QDef] = Seq(
 
     // AUC = [Σ_v 2·pos(v)·negBelow(v) + pos(v)·neg(v)] / (2·P·N) over
@@ -260,6 +267,95 @@ object PipelineQueries19 {
               |SELECT wt.lang, CAST(wt.alpha_milli AS BIGINT)
               |    AS alpha_milli, wt.n, wt.w_micro,
               |  (1000 * wt.w_micro) // tot.tw AS share_milli
-              |FROM wt JOIN tot USING (alpha_milli)""".stripMargin))
+              |FROM wt JOIN tot USING (alpha_milli)""".stripMargin)),
+
+    // SimHash Hamming-radius operating curve: precision/recall of
+    // "dist <= r" (r = 0..3) against exact-Jaccard >= 0.8 truth — the
+    // q155 threshold-sweep companion for the OTHER near-dup family
+    // (q155 dials MinHash-LSH's Jaccard threshold; this dials
+    // SimHash's radius). Both pair sets come from the bounded
+    // generators (byte-blocked simhash join, full recall to r=3 by
+    // pigeonhole; LSH bands + exact verify for truth); the sweep
+    // itself runs on the PAIR frames — corpus-mass work happens once,
+    // the 4 radii reuse it. The oracle brute-forces both sides.
+    QDef("q193_simhash_radius_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val sim = graft.ops.Dedup
+          .nearDupSimhash(docs, "doc_id", "text", maxDist = 3)
+          .select(col("doc_a"), col("doc_b"), col("dist"))
+        val truth = graft.ops.Dedup
+          .nearDupMinhash(docs, "doc_id", "text", threshold = 0.8)
+          .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+          .localCheckpoint() // joined against pred + counted
+        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+        val counts = sim
+          .join(broadcast(truth), Seq("doc_a", "doc_b"), "left")
+          .select(col("dist"), coalesce(col("hit"), lit(0L)).as("hit"),
+            explode(typedLit(Seq(0, 1, 2, 3))).as("r"))
+          .filter(col("dist") <= col("r"))
+          .groupBy("r")
+          .agg(count(lit(1)).as("n_pred"), sum("hit").as("n_inter"))
+        Seq(0, 1, 2, 3).toDF("r")
+          .join(broadcast(counts), Seq("r"), "left")
+          .crossJoin(broadcast(nTruth))
+          .select(col("r").cast("long").as("r"),
+            coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+            col("n_truth"),
+            coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+          .withColumn("prec_milli",
+            expr("(1000 * n_inter) div greatest(n_pred, 1)"))
+          .withColumn("rec_milli",
+            expr("(1000 * n_inter) div greatest(n_truth, 1)"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |h AS (SELECT doc_id, list_transform(toks,
+              |    t -> ${hashSql("t")}) AS hs FROM t),
+              |sh AS (SELECT doc_id,
+              |  list_sum(list_transform(generate_series(0, 31), b ->
+              |    CASE WHEN list_sum(list_transform(hs,
+              |      h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+              |    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+              |  FROM h),
+              |pred AS (SELECT a.doc_id AS da, b.doc_id AS db,
+              |    bit_count(xor(a.simhash, b.simhash)) AS dist
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+              |sg AS (SELECT doc_id, list_distinct(list_transform(
+              |    CASE WHEN len(toks) >= 3 THEN
+              |      list_transform(generate_series(1, len(toks) - 2),
+              |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              |      ELSE [] END,
+              |    g -> ${hashSql("g")})) AS sh
+              |  FROM t WHERE len(toks) >= 3),
+              |m AS (SELECT doc_id, sh, $minsSql AS sig FROM sg),
+              |truth AS (SELECT a.doc_id AS da, b.doc_id AS db
+              |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+              |  WHERE len(list_filter(generate_series(1, 12), k ->
+              |      a.sig[2*k-1] = b.sig[2*k-1] AND a.sig[2*k] = b.sig[2*k]))
+              |    > 0
+              |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+              |      (len(a.sh) + len(b.sh)
+              |        - len(list_intersect(a.sh, b.sh))) >= 0.8),
+              |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth
+              |  FROM truth),
+              |rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+              |cnt AS (SELECT rs.r,
+              |    CAST(count(pred.da) AS BIGINT) AS n_pred,
+              |    CAST(sum(CASE WHEN truth.da IS NOT NULL
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS n_inter
+              |  FROM rs LEFT JOIN pred ON pred.dist <= rs.r
+              |    LEFT JOIN truth ON truth.da = pred.da
+              |      AND truth.db = pred.db
+              |  GROUP BY rs.r)
+              |SELECT CAST(r AS BIGINT) AS r,
+              |  coalesce(n_pred, 0) AS n_pred, nt.n_truth,
+              |  coalesce(n_inter, 0) AS n_inter,
+              |  (1000 * coalesce(n_inter, 0)) //
+              |    greatest(coalesce(n_pred, 0), 1) AS prec_milli,
+              |  (1000 * coalesce(n_inter, 0)) //
+              |    greatest(nt.n_truth, 1) AS rec_milli
+              |FROM cnt CROSS JOIN nt""".stripMargin))
   )
 }

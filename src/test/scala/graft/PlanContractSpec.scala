@@ -688,6 +688,13 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Window"), s"q192 grew a window:\n$p")
   }
 
+  test("q193 radius sweep: pair generators stay blocked equi joins — " +
+    "no cartesian, no nested loop over the corpus") {
+    val p = plan("q193_simhash_radius_sweep")
+    assert(!p.contains("CartesianProduct"), s"q193 went cartesian:\n$p")
+    assert(!p.contains("Window"), s"q193 grew a window:\n$p")
+  }
+
   test("q188 RP recall: rankings are windowless TopK and the overlap " +
     "join broadcasts (projections pinned by the op plan)") {
     val p = plan("q188_rp_recall")
