@@ -356,6 +356,115 @@ object PipelineQueries19 {
               |    greatest(coalesce(n_pred, 0), 1) AS prec_milli,
               |  (1000 * coalesce(n_inter, 0)) //
               |    greatest(nt.n_truth, 1) AS rec_milli
-              |FROM cnt CROSS JOIN nt""".stripMargin))
+              |FROM cnt CROSS JOIN nt""".stripMargin)),
+
+    // Batch-size padding sweep: total padding waste of length-sorted
+    // batching at 8/32/128 docs per batch — the dynamic-batching
+    // planning table behind q127's single setting (bigger batches
+    // amortize scheduling but pay more padding inside each batch).
+    // The global (len, doc_id) rank is computed ONCE via the
+    // composite-bucket two-level prefix sum (no global sort, no
+    // unbounded window); the sweep is an explode + two aggregations.
+    QDef("q194_batchsize_sweep",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("len"))
+          .withColumn("bucket",
+            struct(col("len"), floor(col("doc_id") / lit(1024L)).as("idr")))
+          .withColumn("one", lit(1L))
+          .localCheckpoint() // window pass + offsets agg share this
+        graft.ops.PrefixSum
+          .twoLevelPrev(t, Seq(), "bucket", "doc_id", "one", "len",
+            outCol = "rank")
+          .select(col("rank"), col("len"),
+            explode(typedLit(Seq(8, 32, 128))).as("bsz"))
+          .withColumn("batch_id", expr("rank div bsz"))
+          .groupBy("bsz", "batch_id")
+          .agg(count(lit(1)).as("nd"), max("len").as("mx"),
+            sum("len").as("sl"))
+          .groupBy("bsz")
+          .agg(count(lit(1)).as("n_batches"),
+            sum(expr("nd * mx - sl")).as("pad_waste"),
+            sum("sl").as("sum_len"))
+          .select(col("bsz").cast("long").as("batch_size"),
+            col("n_batches"), col("pad_waste"), col("sum_len"),
+            expr("(1000 * pad_waste) div (pad_waste + sum_len)")
+              .as("waste_milli"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |  CAST(len($toksSql) AS BIGINT) AS len FROM documents),
+              |r AS (SELECT doc_id, len,
+              |  row_number() OVER (ORDER BY len, doc_id) - 1 AS rank
+              |  FROM t),
+              |x AS (SELECT rank, len,
+              |  CAST(unnest([8, 32, 128]) AS INT) AS bsz FROM r),
+              |b AS (SELECT bsz, rank // bsz AS batch_id,
+              |    CAST(count(*) AS BIGINT) AS nd,
+              |    CAST(max(len) AS BIGINT) AS mx,
+              |    CAST(sum(len) AS BIGINT) AS sl
+              |  FROM x GROUP BY 1, 2)
+              |SELECT CAST(bsz AS BIGINT) AS batch_size,
+              |  CAST(count(*) AS BIGINT) AS n_batches,
+              |  CAST(sum(nd * mx - sl) AS BIGINT) AS pad_waste,
+              |  CAST(sum(sl) AS BIGINT) AS sum_len,
+              |  (1000 * CAST(sum(nd * mx - sl) AS BIGINT)) //
+              |    (CAST(sum(nd * mx - sl) AS BIGINT)
+              |     + CAST(sum(sl) AS BIGINT)) AS waste_milli
+              |FROM b GROUP BY bsz""".stripMargin)),
+
+    // Dedup-cluster source purity: for each near-dup cluster, how many
+    // distinct sources its members span — cross-source duplication is
+    // the licensing/provenance signal a dedup review reads (a cluster
+    // spanning 'web' and 'news' is syndication; within one source it
+    // is re-crawl). Clusters come from the adaptive connected
+    // components over the LSH pair graph (q69's machinery); the
+    // rollup joins members to their source ONCE and aggregates twice.
+    QDef("q195_cluster_purity",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = graft.ops.Dedup.nearDupMinhash(docs,
+          "doc_id", "text", threshold = 0.8)
+        graft.ops.ConnectedComponents.run(pairs, "doc_a", "doc_b")
+          .join(docs.select(col("doc_id").as("node"), col("source")),
+            "node")
+          .groupBy("component")
+          .agg(count(lit(1)).as("cluster_size"),
+            count_distinct(col("source")).as("n_sources"))
+          .groupBy("cluster_size", "n_sources")
+          .agg(count(lit(1)).as("n_clusters"))
+      },
+      Some(s"""WITH RECURSIVE t AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |s AS (SELECT doc_id, list_distinct(list_transform(
+              |    CASE WHEN len(toks) >= 3 THEN
+              |      list_transform(generate_series(1, len(toks) - 2),
+              |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              |      ELSE [] END,
+              |    g -> ${hashSql("g")})) AS sh
+              |  FROM t),
+              |p AS (
+              |  SELECT a.doc_id AS da, b.doc_id AS db
+              |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+              |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+              |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+              |      (len(a.sh) + len(b.sh)
+              |        - len(list_intersect(a.sh, b.sh))) >= 0.8),
+              |e AS (SELECT da AS a, db AS b FROM p
+              |      UNION SELECT db, da FROM p),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM e
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+              |cl AS (SELECT a AS node, least(a, min(b)) AS cid
+              |  FROM reach GROUP BY a),
+              |cj AS (SELECT cl.cid, d.source
+              |  FROM cl JOIN documents d ON d.doc_id = cl.node),
+              |cs AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size,
+              |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+              |  FROM cj GROUP BY 1)
+              |SELECT cluster_size, n_sources,
+              |  CAST(count(*) AS BIGINT) AS n_clusters
+              |FROM cs GROUP BY 1, 2""".stripMargin))
   )
 }

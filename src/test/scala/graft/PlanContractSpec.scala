@@ -695,6 +695,22 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Window"), s"q193 grew a window:\n$p")
   }
 
+  test("q194 batch-size sweep: ranks come from the two-level prefix " +
+    "sum — every window partitions on the sharded bucket") {
+    val p = plan("q194_batchsize_sweep")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(windows.nonEmpty, s"q194 lost its rank windows:\n$p")
+    assert(windows.linesIterator.forall(_.contains("bucket")),
+      s"q194 window not bucket-sharded:\n$windows")
+  }
+
+  test("q195 cluster purity joins members to sources on the id — " +
+    "no cartesian anywhere in the CC + rollup pipeline") {
+    val p = plan("q195_cluster_purity")
+    assert(!p.contains("CartesianProduct"), s"q195 went cartesian:\n$p")
+  }
+
   test("q188 RP recall: rankings are windowless TopK and the overlap " +
     "join broadcasts (projections pinned by the op plan)") {
     val p = plan("q188_rp_recall")
