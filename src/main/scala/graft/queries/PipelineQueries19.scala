@@ -465,6 +465,72 @@ object PipelineQueries19 {
               |  FROM cj GROUP BY 1)
               |SELECT cluster_size, n_sources,
               |  CAST(count(*) AS BIGINT) AS n_clusters
-              |FROM cs GROUP BY 1, 2""".stripMargin))
+              |FROM cs GROUP BY 1, 2""".stripMargin)),
+
+    // WordPiece APPLY — the missing half of q163 (train), mirroring
+    // what q119 is to q99: tokenize the corpus under the trained
+    // likelihood-scored merges and report per-doc compression. The
+    // trained list replays through BpeTrainer.applyMerges (WordPiece
+    // merges satisfy the same halves-exist-before-their-round
+    // property, so the ascending sweep == sequential replays; the
+    // chain/kernel dispatch and its spec carry over unchanged). The
+    // oracle extends the q163 unrolled train chain per-doc — train
+    // AND apply replay end to end.
+    QDef("q196_wordpiece_apply",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val wp = graft.ops.WordPieceTrainer.train(docs, "text", k = 4)
+        val merges = wp.map(m =>
+          graft.ops.BpeTrainer.Merge(m.iter, m.pair, m.cnt, m.merged))
+        docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens_raw"),
+            graft.ops.BpeTrainer.applyMerges(col("toks"), merges).as("wt"))
+          .select(col("doc_id"), col("n_tokens_raw"),
+            size(col("wt")).cast("long").as("n_tokens_wp"))
+          .withColumn("compress_milli",
+            expr("(1000 * n_tokens_wp) div greatest(n_tokens_raw, 1)"))
+      },
+      Some(wordpieceApplyOracleSql(4)))
   )
+
+  /** The q163 wordpiece train chain carried per-doc so the FINAL
+    * corpus state is the output (the bpeApplyOracleSql construction
+    * with likelihood-scored picks). Kept in lockstep with
+    * PipelineQueries11.wordpieceOracleSql.
+    */
+  private def wordpieceApplyOracleSql(k: Int): String = {
+    val toksFrag = "list_filter(string_split(p, ' '), x -> x != '')"
+    val pairsFrag = "CASE WHEN len(toks) >= 2 THEN " +
+      "list_transform(generate_series(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i+1]) ELSE [] END"
+    val stages = (1 to k).map { i =>
+      s"""x$i AS (SELECT $toksFrag AS toks FROM t${i - 1}),
+         |u$i AS (SELECT tok, count(*) AS c FROM (
+         |    SELECT unnest(toks) AS tok FROM x$i) z GROUP BY tok),
+         |c$i AS (SELECT pair, count(*) AS cnt FROM (
+         |    SELECT unnest($pairsFrag) AS pair FROM x$i) y GROUP BY pair),
+         |m$i AS (SELECT pair,
+         |        (1000000000 * cnt) // (ua.c * ub.c) AS score_nano
+         |        FROM c$i
+         |        JOIN u$i ua ON ua.tok = split_part(pair, ' ', 1)
+         |        JOIN u$i ub ON ub.tok = split_part(pair, ' ', 2)
+         |        ORDER BY score_nano DESC, pair ASC LIMIT 1),
+         |t$i AS (SELECT doc_id, n_raw, replace(p,
+         |    ' ' || (SELECT replace(pair, ' ', '  ') FROM m$i) || ' ',
+         |    ' ' || (SELECT replace(pair, ' ', chr(31)) FROM m$i) || ' ')
+         |    AS p
+         |  FROM t${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t0 AS (SELECT doc_id,
+       |  CAST(len($toksSql) AS BIGINT) AS n_raw,
+       |  ' ' || array_to_string($toksSql, '  ') || ' ' AS p
+       |  FROM documents),
+       |$stages
+       |SELECT doc_id, n_raw AS n_tokens_raw,
+       |  CAST(len($toksFrag) AS BIGINT) AS n_tokens_wp,
+       |  (1000 * CAST(len($toksFrag) AS BIGINT)) //
+       |    greatest(n_raw, 1) AS compress_milli
+       |FROM t$k""".stripMargin
+  }
 }
