@@ -491,8 +491,103 @@ object PipelineQueries19 {
           .withColumn("compress_milli",
             expr("(1000 * n_tokens_wp) div greatest(n_tokens_raw, 1)"))
       },
-      Some(wordpieceApplyOracleSql(4)))
+      Some(wordpieceApplyOracleSql(4))),
+
+    // kNN label-agreement audit (Confident-Learning-style mislabel
+    // screen): for every vector, do its 3 nearest neighbors share its
+    // label? Candidates are bounded to the vector's k-means cell (the
+    // SemDeDup/q121 join shape — Σ cell², never n²); per-label rollup
+    // reports the agreement rate and the count of zero-agreement
+    // suspects (the rows a labeling review should open first).
+    // Centroids are bit-deterministic (distributed Lloyd, integer
+    // micro-unit sums), so the oracle replays assignment, neighbor
+    // ranking and the rollup from centroid literals.
+    QDef("q197_label_knn_agreement",
+      (s, dir) => {
+        import graft.ops.VectorSearch._
+        val emb = Tables.embeddings(s, dir)
+        val init = kmeansCentroids(
+          sampleVectors(emb, "vec_id", "embedding", n = 256, seed = 99),
+          k = 8, iters = 0, seed = 99)
+        val cents = lloydRoundsDistributed(emb, "vec_id", "embedding",
+          init, rounds = 2)
+        AgreeOracle.sql = Some(
+          s"""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v
+             |  FROM embeddings),
+             |a AS (SELECT vec_id, label, v,
+             |    list_reverse_sort(${cellsSqlV(cents)})[1].cell AS cell
+             |  FROM e),
+             |c AS (SELECT x.vec_id, x.label,
+             |    ${cosSqlV("x.v", "y.v")} AS sim,
+             |    y.vec_id AS nb, y.label AS nbl
+             |  FROM a x JOIN a y
+             |    ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+             |g AS (SELECT vec_id, label,
+             |    list_sort(list({'ns': -sim, 'nb': nb, 'nbl': nbl}))[1:3]
+             |      AS top3
+             |  FROM c GROUP BY 1, 2),
+             |t AS (SELECT label,
+             |    len(list_filter(top3, t -> t.nbl = label)) AS agree,
+             |    len(top3) AS kn
+             |  FROM g)
+             |SELECT CAST(label AS BIGINT) AS label,
+             |  CAST(count(*) AS BIGINT) AS n_vecs,
+             |  (1000 * CAST(sum(agree) AS BIGINT)) //
+             |    greatest(CAST(sum(kn) AS BIGINT), 1) AS agree_milli,
+             |  CAST(sum(CASE WHEN agree = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_suspect
+             |FROM t GROUP BY 1""".stripMargin)
+        val e = emb.select(col("vec_id").as("id"),
+            toDouble(col("embedding")).as("v"),
+            col("label").cast("long").as("label"))
+          .withColumn("nrm", norm(col("v")))
+          .withColumn("cell", assignBest(col("v"), cents).getField("cell"))
+          .localCheckpoint() // probe side + neighbor side share it
+        val nbr = e.select(col("cell"), col("id").as("nb"),
+          col("v").as("vb"), col("nrm").as("nbn"),
+          col("label").as("nbl"))
+        e.join(nbr, Seq("cell"))
+          .filter(col("id") =!= col("nb"))
+          .withColumn("sim",
+            dot(col("v"), col("vb")) / (col("nrm") * col("nbn")))
+          .groupBy("id", "label")
+          .agg(slice(array_sort(collect_list(struct((-col("sim")).as("ns"),
+            col("nb"), col("nbl")))), 1, 3).as("top3"))
+          .withColumn("agree", size(filter(col("top3"),
+            t => t.getField("nbl") === col("label"))).cast("long"))
+          .withColumn("kn", size(col("top3")).cast("long"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"), sum("agree").as("sa"),
+            sum("kn").as("sk"),
+            sum(when(col("agree") === 0, 1L).otherwise(0L))
+              .as("n_suspect"))
+          .select(col("label"), col("n_vecs"),
+            expr("(1000 * sa) div greatest(sk, 1)").as("agree_milli"),
+            col("n_suspect"))
+      },
+      None,
+      Some(() => AgreeOracle.sql))
   )
+
+  /** q197's late-bound oracle (trained-centroid literals). */
+  private object AgreeOracle { @volatile var sql: Option[String] = None }
+
+  private def dotSqlV(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
+  private def normSqlV(a: String): String = s"sqrt(${dotSqlV(a, a)})"
+  private def cosSqlV(a: String, b: String): String =
+    s"(${dotSqlV(a, b)} / (${normSqlV(a)} * ${normSqlV(b)}))"
+
+  private def cellsSqlV(centroids: Array[Array[Double]]): String = {
+    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    centroids.zipWithIndex.map { case (c, i) =>
+      val n = dbl(math.sqrt(c.map(x => x * x).sum))
+      s"{'sim': ${dotSqlV("v", vlit(c))} / (${normSqlV("v")} * $n), " +
+        s"'cell': $i}"
+    }.mkString("[", ",\n", "]")
+  }
 
   /** The q163 wordpiece train chain carried per-doc so the FINAL
     * corpus state is the output (the bpeApplyOracleSql construction
