@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextAnalysis._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Twentieth pipeline group — order/composition audits and the
+  * headline dedup funnel:
+  *
+  *  - q198: curriculum audit — mean quality signal (char entropy) by
+  *    training-order decile under q75's deterministic shuffle. Decile
+  *    = hash-RANGE bucket (h·10 div 2^32): the shuffle order IS hash
+  *    order, so range deciles need no rank pass at all — one scan,
+  *    one aggregation, identical semantics in both engines.
+  *  - q199: sessionization gap sweep — session counts at 10/30/60 min
+  *    idle thresholds from ONE per-user lag pass (the q166 window
+  *    contract: partitions bounded by one user's events). The
+  *    "choose the session gap" planning table behind q18's fixed
+  *    setting.
+  *  - q200: dedup mass funnel — documents and token mass surviving
+  *    raw → exact-hash → near-dup-canonical, then the residual
+  *    sub-document redundancy (distinct CDC-chunk mass) of the
+  *    survivors. The q134 funnel idea applied to the dedup family:
+  *    one table that says what each stage actually removes.
+  */
+object PipelineQueries20 {
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+
+  private def hashSql(t: String) =
+    s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef("q198_curriculum_audit",
+      (s, dir) => {
+        val h = tokenHash(concat(lit("ord:"), col("doc_id").cast("string")))
+        Tables.documents(s, dir)
+          .filter(length(col("text")) >= 1)
+          .select(col("doc_id"),
+            org.apache.spark.sql.GraftExpr.column(
+              graft.expressions.CharEntropyTerms(
+                org.apache.spark.sql.GraftExpr.expression(col("text"))))
+              .as("t"),
+            (h * 10).as("h10"))
+          .select(
+            expr("h10 div 4294967296").as("decile"),
+            col("t.n").as("n"), col("t.sterm").as("sterm"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_chars"),
+            // Σ of per-doc quantized entropies, then one division —
+            // exact integers end to end (the q160 entropy identity)
+            sum(floor(lit(1000.0) * log(col("n").cast("double")))
+              .cast("long") - expr("sterm div n")).as("se"))
+          .select(col("decile"), col("n_docs"), col("sum_chars"),
+            expr("se div n_docs").as("mean_ent_milli"))
+      },
+      Some(s"""WITH ch AS (SELECT doc_id, unnest(list_transform(
+              |    generate_series(1, len(text)), i -> substr(text, i, 1)))
+              |      AS ch
+              |  FROM documents WHERE len(text) >= 1),
+              |cc AS (SELECT doc_id, ch, count(*) AS c
+              |  FROM ch GROUP BY 1, 2),
+              |ce AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+              |    CAST(sum(CAST(floor(1000.0 * c::DOUBLE * ln(c::DOUBLE))
+              |      AS BIGINT)) AS BIGINT) AS sterm
+              |  FROM cc GROUP BY 1),
+              |d AS (SELECT ce.doc_id, n, sterm,
+              |    (${hashSql("'ord:' || CAST(ce.doc_id AS VARCHAR)")}
+              |      * 10) // 4294967296 AS decile
+              |  FROM ce)
+              |SELECT CAST(decile AS BIGINT) AS decile,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n) AS BIGINT) AS sum_chars,
+              |  CAST(sum(CAST(floor(1000.0 * ln(n::DOUBLE)) AS BIGINT)
+              |    - (sterm // n)) AS BIGINT) // count(*)
+              |    AS mean_ent_milli
+              |FROM d GROUP BY 1""".stripMargin)),
+
+    QDef("q199_session_gap_sweep",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy("tus", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"))
+          .withColumn("gap", col("tus") - lag("tus", 1).over(w))
+          .select(col("gap"),
+            explode(typedLit(Seq(600L, 1800L, 3600L))).as("gap_s"))
+          .groupBy("gap_s")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("gap").isNull ||
+              col("gap") > col("gap_s") * 1000000L, 1L).otherwise(0L))
+              .as("n_sessions"))
+          .select(col("gap_s"), col("n_events"), col("n_sessions"),
+            expr("(1000 * n_events) div greatest(n_sessions, 1)")
+              .as("events_per_session_milli"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    epoch_us(ts) AS tus FROM events),
+             |g AS (SELECT user_id, tus - lag(tus) OVER (
+             |      PARTITION BY user_id ORDER BY tus, event_id) AS gap
+             |  FROM e),
+             |x AS (SELECT gap,
+             |    CAST(unnest([600, 1800, 3600]) AS BIGINT) AS gap_s
+             |  FROM g)
+             |SELECT CAST(gap_s AS BIGINT) AS gap_s,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN gap IS NULL
+             |    OR gap > gap_s * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_sessions,
+             |  (1000 * CAST(count(*) AS BIGINT)) //
+             |    greatest(CAST(sum(CASE WHEN gap IS NULL
+             |      OR gap > gap_s * 1000000 THEN 1 ELSE 0 END)
+             |      AS BIGINT), 1) AS events_per_session_milli
+             |FROM x GROUP BY 1""".stripMargin)),
+
+    // Funnel: CC labels are min-reachable ids, so "cluster canonical"
+    // is simply component == doc_id (or no component at all) — no
+    // second argmax pass. Chunk-unique mass counts each distinct
+    // chunk content once (chunk_len is a function of the chunk hash,
+    // so min() is just "pick the one value").
+    QDef("q200_dedup_mass_funnel",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            size(tokens(col("text"))).cast("long").as("n_toks"),
+            tokenHash(col("text")).as("th"))
+          .localCheckpoint() // every stage reads it
+        def stage(name: String, d: org.apache.spark.sql.DataFrame) =
+          d.agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+            .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+        val exactKeep = docs.groupBy("th").agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val s1 = docs.join(exactKeep, "doc_id").localCheckpoint()
+        val pairs = graft.ops.Dedup.nearDupMinhash(
+          s1.select(col("doc_id"), col("text")), "doc_id", "text",
+          threshold = 0.8)
+        val comp = graft.ops.ConnectedComponents.run(pairs, "doc_a", "doc_b")
+        val s2 = s1.join(
+            comp.select(col("node").as("doc_id"), col("component")),
+            Seq("doc_id"), "left")
+          .filter(col("component").isNull ||
+            col("component") === col("doc_id"))
+          .localCheckpoint() // counted + chunked
+        val chunkMass = graft.ops.CdcChunks
+          .chunks(s2.select(col("doc_id"), col("text")), "doc_id", "text")
+          .groupBy("ch").agg(min("chunk_len").as("cl"))
+          .agg(sum("cl").as("n_tokens"), count(lit(1)).as("n_docs"))
+          .select(lit("chunk_unique").as("stage"), col("n_docs"),
+            col("n_tokens"))
+        stage("raw", docs)
+          .unionAll(stage("exact", s1))
+          .unionAll(stage("neardup", s2))
+          .unionAll(chunkMass)
+      },
+      Some(s"""WITH RECURSIVE d AS (SELECT doc_id, text,
+              |    CAST(len($toksSql) AS BIGINT) AS n_toks,
+              |    ${hashSql("text")} AS th
+              |  FROM documents),
+              |k1 AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY th),
+              |s1 AS (SELECT d.* FROM d JOIN k1 USING (doc_id)),
+              |t AS (SELECT doc_id, $toksSql AS toks
+              |  FROM s1),
+              |sg AS (SELECT doc_id, list_distinct(list_transform(
+              |    CASE WHEN len(toks) >= 3 THEN
+              |      list_transform(generate_series(1, len(toks) - 2),
+              |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              |      ELSE [] END,
+              |    g -> ${hashSql("g")})) AS sh
+              |  FROM t),
+              |p AS (SELECT a.doc_id AS da, b.doc_id AS db
+              |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+              |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+              |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+              |      (len(a.sh) + len(b.sh)
+              |        - len(list_intersect(a.sh, b.sh))) >= 0.8),
+              |e AS (SELECT da AS a, db AS b FROM p
+              |      UNION SELECT db, da FROM p),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM e
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+              |cl AS (SELECT a AS node, least(a, min(b)) AS cid
+              |  FROM reach GROUP BY a),
+              |s2 AS (SELECT s1.* FROM s1
+              |  LEFT JOIN cl ON cl.node = s1.doc_id
+              |  WHERE cl.cid IS NULL OR cl.cid = s1.doc_id),
+              |tp AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
+              |    CASE WHEN ${hashSql("toks[i]")} % 16 = 0
+              |      THEN 1 ELSE 0 END AS cut
+              |  FROM (SELECT doc_id, toks,
+              |      unnest(generate_series(1, len(toks))) AS i
+              |    FROM (SELECT doc_id, $toksSql AS toks FROM s2) y) z),
+              |tc AS (SELECT doc_id, pos, tok,
+              |    sum(cut) OVER (PARTITION BY doc_id ORDER BY pos)
+              |      AS chunk_no
+              |  FROM tp),
+              |chk AS (SELECT doc_id, chunk_no,
+              |    ${hashSql("string_agg(tok, ' ' ORDER BY pos)")} AS ch,
+              |    count(*) AS cl
+              |  FROM tc GROUP BY 1, 2),
+              |cu AS (SELECT ch, min(cl) AS cl FROM chk GROUP BY 1)
+              |SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM d
+              |UNION ALL
+              |SELECT 'exact', CAST(count(*) AS BIGINT),
+              |  CAST(sum(n_toks) AS BIGINT) FROM s1
+              |UNION ALL
+              |SELECT 'neardup', CAST(count(*) AS BIGINT),
+              |  CAST(sum(n_toks) AS BIGINT) FROM s2
+              |UNION ALL
+              |SELECT 'chunk_unique', CAST(count(*) AS BIGINT),
+              |  CAST(sum(cl) AS BIGINT) FROM cu""".stripMargin))
+  )
+}

@@ -711,6 +711,23 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q195 went cartesian:\n$p")
   }
 
+  test("q198 curriculum audit is one scan + one aggregation: hash-" +
+    "range deciles need no rank pass (no windows, no joins)") {
+    val p = plan("q198_curriculum_audit")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"q198 shape changed:\n$p")
+    assert(p.contains("char_entropy"), s"q198 lost the kernel:\n$p")
+  }
+
+  test("q199 gap sweep windows only per-user partitions") {
+    val p = plan("q199_session_gap_sweep")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(windows.nonEmpty && windows.contains("user_id"),
+      s"q199 window not per-user:\n$p")
+    assert(!p.contains("Join"), s"q199 grew a join:\n$p")
+  }
+
   test("q188 RP recall: rankings are windowless TopK and the overlap " +
     "join broadcasts (projections pinned by the op plan)") {
     val p = plan("q188_rp_recall")
