@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   * idiom), ONE window partitioned by doc id (bounded by a document's
   * length — the q101 class, never corpus-wide), then a per-(doc,
   * chunk) aggregation whose ordered reassembly is bounded by one
-  * chunk. Chunk identity is the 8-byte hash of the space-joined
-  * tokens, so downstream sharing joins carry longs, never chunk text.
+  * chunk. Chunk identity is the 60-BIT hash (Sketches.hash60) of the
+  * space-joined tokens — downstream sharing joins carry longs, never
+  * chunk text, and the key survives billions of distinct chunks
+  * (the 32-bit tokenHash would birthday-collide near 77k; it is
+  * still used for the cut predicate, which only needs a few bits).
   */
 object CdcChunks {
 
@@ -36,7 +39,7 @@ object CdcChunks {
     val w = Window.partitionBy(idCol).orderBy("pos")
     t.withColumn("chunk_no", sum("cut").over(w))
       .groupBy(col(idCol), col("chunk_no"))
-      .agg(tokenHash(array_join(transform(
+      .agg(Sketches.hash60(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("tok")))),
         x => x.getField("tok")), " ")).as("ch"),
         count(lit(1)).as("chunk_len"))

@@ -61,7 +61,7 @@ object PipelineQueries11 {
     * explode + (doc, char) double-aggregation construction shuffled
     * the full char stream; kernel == HOF equivalence is spec-pinned.)
     */
-  private def charEnt(docs: DataFrame): DataFrame =
+  private[queries] def charEnt(docs: DataFrame): DataFrame =
     docs.filter(length(col("text")) >= 1)
       .select(col("doc_id"), org.apache.spark.sql.GraftExpr.column(
         graft.expressions.CharEntropyTerms(
@@ -80,16 +80,16 @@ object PipelineQueries11 {
   /** floor(1000·ln n) − (Σfloor(1000·c·ln c)) div n — the quantized
     * entropy; both pieces are integers by construction.
     */
-  private def entMilli(n: String, sterm: String): Column =
+  private[queries] def entMilli(n: String, sterm: String): Column =
     floor(lit(1000.0) * log(col(n).cast("double"))).cast("long") -
       expr(s"$sterm div $n")
 
-  private def entSql(n: String, sterm: String): String =
+  private[queries] def entSql(n: String, sterm: String): String =
     s"CAST(CAST(floor(1000.0 * ln(($n)::DOUBLE)) AS BIGINT) - " +
       s"(($sterm) // ($n)) AS BIGINT)"
 
   /** DuckDB twin of [[charEnt]] (three CTEs: ch, cc, ce). */
-  private val charCtes =
+  private[queries] val charCtes =
     """ch AS (SELECT doc_id, unnest(list_transform(
       |    generate_series(1, len(text)), i -> substr(text, i, 1))) AS ch
       |  FROM documents WHERE len(text) >= 1),

@@ -36,6 +36,9 @@ object PipelineQueries18 {
   private def hashSql(t: String) =
     s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
 
+  private def hash60Sql(t: String) =
+    s"cast('0x' || substr(md5($t), 1, 15) as bigint)"
+
   private def rawDocs(s: SparkSession): DataFrame =
     s.read.parquet(s"${FixtureGen.FixtureDir}/raw_docs.parquet")
 
@@ -351,8 +354,9 @@ object PipelineQueries18 {
     // between q81's paragraphs and q101's every-gram spans). Expected
     // chunk ~16 tokens. The per-doc running cut count is a window
     // partitioned on doc_id — bounded by one document's length, the
-    // q101 shape, never corpus-wide; chunk identity is an 8-byte hash
-    // so the global sharing table joins on longs.
+    // q101 shape, never corpus-wide; chunk identity is a 60-bit hash
+    // (collision-safe into the billions of distinct chunks) so the
+    // global sharing table joins on longs.
     QDef("q187_cdc_chunks",
       (s, dir) => {
         val chunks = graft.ops.CdcChunks
@@ -380,7 +384,7 @@ object PipelineQueries18 {
               |      AS chunk_no
               |  FROM p),
               |chk AS (SELECT doc_id, chunk_no,
-              |    ${hashSql("string_agg(tok, ' ' ORDER BY pos)")} AS ch,
+              |    ${hash60Sql("string_agg(tok, ' ' ORDER BY pos)")} AS ch,
               |    count(*) AS chunk_len
               |  FROM c GROUP BY 1, 2),
               |g AS (SELECT ch, count(DISTINCT doc_id) AS nd

@@ -181,11 +181,17 @@ object PipelineQueries19 {
           .withColumn("bucket", expr("(smnat div n_tokens) div 250"))
           .groupBy("bucket")
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("toks"))
+        // running mass AND grand total as two frames of the SAME
+        // O(#buckets) histogram window — one pass, no self-reference
+        // (a hist.agg() cross-join would re-execute the corpus-side
+        // lineage a second time)
         val wv = Window.orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         hist
-          .crossJoin(broadcast(hist.agg(sum("toks").as("total_toks"))))
           .withColumn("cum_toks", sum("toks").over(wv))
+          .withColumn("total_toks", sum("toks").over(wAll))
           .select(col("bucket"), col("n_docs"), col("toks"),
             col("cum_toks"),
             expr("(1000 * cum_toks) div total_toks").as("cum_frac_milli"))
@@ -236,14 +242,18 @@ object PipelineQueries19 {
           .when(col("alpha_milli") === 500, sqrt(col("n").cast("double")))
           .otherwise(sqrt(col("n").cast("double")) *
             sqrt(sqrt(col("n").cast("double"))))
-        val weighted = langTok
+        // per-alpha normalizer as a window over the O(3·#langs)
+        // aggregated frame — one pass; a groupBy + join-back would
+        // re-execute the corpus tokenize lineage a second time
+        val wA = Window.partitionBy("alpha_milli")
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)
+        langTok
           .select(col("lang"), col("n"),
             explode(typedLit(Seq(250, 500, 750))).as("alpha_milli"))
           .withColumn("w_micro",
             floor(lit(1000000.0) * w).cast("long"))
-        val totals = weighted.groupBy("alpha_milli")
-          .agg(sum("w_micro").as("tw"))
-        weighted.join(broadcast(totals), "alpha_milli")
+          .withColumn("tw", sum("w_micro").over(wA))
           .select(col("lang"), col("alpha_milli").cast("long")
             .as("alpha_milli"), col("n"), col("w_micro"),
             expr("(1000 * w_micro) div tw").as("share_milli"))

@@ -36,36 +36,20 @@ object PipelineQueries20 {
     QDef("q198_curriculum_audit",
       (s, dir) => {
         val h = tokenHash(concat(lit("ord:"), col("doc_id").cast("string")))
-        Tables.documents(s, dir)
-          .filter(length(col("text")) >= 1)
-          .select(col("doc_id"),
-            org.apache.spark.sql.GraftExpr.column(
-              graft.expressions.CharEntropyTerms(
-                org.apache.spark.sql.GraftExpr.expression(col("text"))))
-              .as("t"),
-            (h * 10).as("h10"))
-          .select(
-            expr("h10 div 4294967296").as("decile"),
-            col("t.n").as("n"), col("t.sterm").as("sterm"))
+        // per-doc entropy terms via the shared q160 kernel wrapper;
+        // Σ of per-doc quantized entropies, then one division —
+        // exact integers end to end (the q160 entropy identity)
+        PipelineQueries11.charEnt(Tables.documents(s, dir))
+          .withColumn("h10", (h * 10).cast("long"))
+          .select(expr("h10 div 4294967296").as("decile"),
+            col("n"), col("sterm"))
           .groupBy("decile")
           .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_chars"),
-            // Σ of per-doc quantized entropies, then one division —
-            // exact integers end to end (the q160 entropy identity)
-            sum(floor(lit(1000.0) * log(col("n").cast("double")))
-              .cast("long") - expr("sterm div n")).as("se"))
+            sum(PipelineQueries11.entMilli("n", "sterm")).as("se"))
           .select(col("decile"), col("n_docs"), col("sum_chars"),
             expr("se div n_docs").as("mean_ent_milli"))
       },
-      Some(s"""WITH ch AS (SELECT doc_id, unnest(list_transform(
-              |    generate_series(1, len(text)), i -> substr(text, i, 1)))
-              |      AS ch
-              |  FROM documents WHERE len(text) >= 1),
-              |cc AS (SELECT doc_id, ch, count(*) AS c
-              |  FROM ch GROUP BY 1, 2),
-              |ce AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
-              |    CAST(sum(CAST(floor(1000.0 * c::DOUBLE * ln(c::DOUBLE))
-              |      AS BIGINT)) AS BIGINT) AS sterm
-              |  FROM cc GROUP BY 1),
+      Some(s"""WITH ${PipelineQueries11.charCtes},
               |d AS (SELECT ce.doc_id, n, sterm,
               |    (${hashSql("'ord:' || CAST(ce.doc_id AS VARCHAR)")}
               |      * 10) // 4294967296 AS decile
@@ -73,9 +57,8 @@ object PipelineQueries20 {
               |SELECT CAST(decile AS BIGINT) AS decile,
               |  CAST(count(*) AS BIGINT) AS n_docs,
               |  CAST(sum(n) AS BIGINT) AS sum_chars,
-              |  CAST(sum(CAST(floor(1000.0 * ln(n::DOUBLE)) AS BIGINT)
-              |    - (sterm // n)) AS BIGINT) // count(*)
-              |    AS mean_ent_milli
+              |  CAST(sum(${PipelineQueries11.entSql("n", "sterm")})
+              |    AS BIGINT) // count(*) AS mean_ent_milli
               |FROM d GROUP BY 1""".stripMargin)),
 
     QDef("q199_session_gap_sweep",
@@ -198,7 +181,8 @@ object PipelineQueries20 {
               |      AS chunk_no
               |  FROM tp),
               |chk AS (SELECT doc_id, chunk_no,
-              |    ${hashSql("string_agg(tok, ' ' ORDER BY pos)")} AS ch,
+              |    cast('0x' || substr(md5(string_agg(tok, ' '
+              |      ORDER BY pos)), 1, 15) as bigint) AS ch,
               |    count(*) AS cl
               |  FROM tc GROUP BY 1, 2),
               |cu AS (SELECT ch, min(cl) AS cl FROM chk GROUP BY 1)

@@ -47,9 +47,13 @@ object StreamTopK {
           // row is judged against the state AT ITS OWN arrival
           it.foreach { case (_, score, id) =>
             val cand = (score, id)
-            if (cur.size < k || implicitly[Ordering[(Long, Long)]]
-              .lt(cand, cur.last)) {
-              cur = (cand :: cur.filterNot(_ == cand)).sorted.take(k)
+            // re-arrivals of a pair already in the top-k are silent —
+            // they never "enter" anything (replayed sources would
+            // otherwise duplicate Append-mode admissions)
+            if (!cur.contains(cand) &&
+              (cur.size < k || implicitly[Ordering[(Long, Long)]]
+                .lt(cand, cur.last))) {
+              cur = (cand :: cur).sorted.take(k)
               if (cur.contains(cand)) out += ((g, score, id))
             }
           }

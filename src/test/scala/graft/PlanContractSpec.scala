@@ -634,7 +634,7 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("q187 CDC chunking windows only per-document partitions and " +
-    "joins chunks on the 8-byte hash") {
+    "joins chunks on the 60-bit hash") {
     // the QDef checkpoints the chunk table, truncating its lineage out
     // of the query plan — inspect the operator's own plan for the
     // window contract, the QDef's for the join shape
@@ -681,11 +681,15 @@ class PlanContractSpec extends SparkSpec {
       s"q191 window not over the bucket histogram:\n$windows")
   }
 
-  test("q192 temperature sweep is aggregation + broadcast only, " +
-    "no windows") {
+  test("q192 temperature sweep: one corpus aggregation; the " +
+    "normalizer is a window over the O(3·langs) frame, never a " +
+    "join-back that re-executes the tokenize pass") {
     val p = plan("q192_temperature_sweep")
-    assert(p.contains("BroadcastHashJoin"), s"q192 lost its broadcast:\n$p")
-    assert(!p.contains("Window"), s"q192 grew a window:\n$p")
+    assert(!p.contains("Join"), s"q192 grew a join:\n$p")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(windows.contains("alpha_milli"),
+      s"q192 window not per-alpha:\n$p")
   }
 
   test("q193 radius sweep: pair generators stay blocked equi joins — " +

@@ -21,8 +21,10 @@ class StreamTopKSpec extends SparkSpec {
     Seq((1L, 5L, 10L), (1L, 3L, 11L), (1L, 9L, 12L), (2L, 7L, 20L))
       .toDF("g", "score", "id").write.parquet(s"$src/b1.parquet")
     // batch 2: 100 is worse than group 1's settled top-2 {3, 5} and
-    // must NOT be admitted; 1 beats it and must be
-    Seq((1L, 100L, 13L), (1L, 1L, 14L), (2L, 2L, 21L))
+    // must NOT be admitted; 1 beats it and must be; (2, 7, 20) is a
+    // RE-ARRIVAL of a pair already in group 2's top-k and must stay
+    // silent (a replayed source would otherwise duplicate admissions)
+    Seq((1L, 100L, 13L), (1L, 1L, 14L), (2L, 2L, 21L), (2L, 7L, 20L))
       .toDF("g", "score", "id").write.parquet(s"$src/b2.parquet")
     val stream = spark.readStream
       .schema("g LONG, score LONG, id LONG")
@@ -39,6 +41,9 @@ class StreamTopKSpec extends SparkSpec {
     // dominated arrival silent, improving arrival admitted
     assert(!emitted.contains((1L, 100L, 13L)))
     assert(emitted.contains((1L, 1L, 14L)))
+    // the re-arrival emitted exactly once (batch 1's admission)
+    val got = spark.table("stopk").as[(Long, Long, Long)].collect()
+    assert(got.count(_ == (2L, 7L, 20L)) === 1)
     // reconstruction: top-2 of the admission log == full batch top-2
     val all = Seq((1L, 5L, 10L), (1L, 3L, 11L), (1L, 9L, 12L),
       (2L, 7L, 20L), (1L, 100L, 13L), (1L, 1L, 14L), (2L, 2L, 21L))
