@@ -196,6 +196,50 @@ object PipelineQueries20 {
               |  CAST(sum(n_toks) AS BIGINT) FROM s2
               |UNION ALL
               |SELECT 'chunk_unique', CAST(count(*) AS BIGINT),
-              |  CAST(sum(cl) AS BIGINT) FROM cu""".stripMargin))
+              |  CAST(sum(cl) AS BIGINT) FROM cu""".stripMargin)),
+
+    // Chunk-level syndication matrix: for each source pair, how many
+    // distinct chunk CONTENTS they share — q195's provenance signal
+    // at sub-document granularity (two sources can share zero whole
+    // documents yet syndicate the same paragraphs). The incidence
+    // frame is (chunk, source) DISTINCT, so the per-chunk pair
+    // fan-out is bounded by #sources², never by how many documents
+    // carry the chunk — the q137 source-overlap rationale.
+    QDef("q201_chunk_syndication",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cs = graft.ops.CdcChunks
+          .chunks(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("ch"), col("source")).distinct()
+          .localCheckpoint() // both sides of the pair join read it
+        cs.as("a").join(cs.as("b"),
+            col("a.ch") === col("b.ch") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"),
+            col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_shared_chunks"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |p AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
+              |    CASE WHEN ${hashSql("toks[i]")} % 16 = 0
+              |      THEN 1 ELSE 0 END AS cut
+              |  FROM (SELECT doc_id, toks,
+              |      unnest(generate_series(1, len(toks))) AS i FROM t) z),
+              |c AS (SELECT doc_id, pos, tok,
+              |    sum(cut) OVER (PARTITION BY doc_id ORDER BY pos)
+              |      AS chunk_no
+              |  FROM p),
+              |chk AS (SELECT doc_id, chunk_no,
+              |    cast('0x' || substr(md5(string_agg(tok, ' '
+              |      ORDER BY pos)), 1, 15) as bigint) AS ch
+              |  FROM c GROUP BY 1, 2),
+              |cs AS (SELECT DISTINCT ch, d.source
+              |  FROM chk JOIN documents d USING (doc_id))
+              |SELECT a.source AS src_a, b.source AS src_b,
+              |  CAST(count(*) AS BIGINT) AS n_shared_chunks
+              |FROM cs a JOIN cs b
+              |  ON a.ch = b.ch AND a.source < b.source
+              |GROUP BY 1, 2""".stripMargin))
   )
 }
