@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextAnalysis._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -240,6 +241,134 @@ object PipelineQueries20 {
               |  CAST(count(*) AS BIGINT) AS n_shared_chunks
               |FROM cs a JOIN cs b
               |  ON a.ch = b.ch AND a.source < b.source
-              |GROUP BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2""".stripMargin)),
+
+    // Train→eval n-gram coverage at n = 1/2/3 — the generalization-gap
+    // table (q130's OOV rate is the n=1 token-level row; bigram and
+    // trigram coverage say how much of the eval set's local CONTEXT
+    // the train split has seen). One unioned gram stream feeds all
+    // three n's; the coverage probe is a semi-join of the (distinct)
+    // eval gram set against the (distinct) train gram set on the
+    // (n, gram-hash) key — at 100 TB the distinct gram tables are the
+    // shuffle, and only 8-byte hashes move.
+    QDef("q202_ngram_coverage",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(tokens(col("text")).as("toks"),
+            (tokenHash(concat(lit("cov:"), col("doc_id").cast("string")))
+              % 20).as("b"))
+          .localCheckpoint() // both splits' gram streams share it
+        def grams(d: DataFrame): DataFrame =
+          Seq(1, 2, 3).map { n =>
+            d.select(lit(n.toLong).as("n"),
+              explode(ngramHashes(col("toks"), n)).as("g"))
+          }.reduce(_ unionAll _).distinct()
+        val train = grams(t.filter(col("b") < 18))
+        val eval = grams(t.filter(col("b") === 18))
+          .localCheckpoint() // counted + probed
+        val covered = eval.join(train, Seq("n", "g"), "left_semi")
+          .groupBy("n").agg(count(lit(1)).as("n_covered"))
+        eval.groupBy("n").agg(count(lit(1)).as("n_eval_grams"))
+          .join(broadcast(covered), Seq("n"), "left")
+          .select(col("n"), col("n_eval_grams"),
+            coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+          .withColumn("coverage_milli",
+            expr("(1000 * n_covered) div greatest(n_eval_grams, 1)"))
+      },
+      Some {
+        def gramFrag(n: Int): String =
+          if (n == 1) "toks[i]"
+          else (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+        val streams = Seq(1, 2, 3).map { n =>
+          s"""SELECT b, $n AS n, ${hashSql(gramFrag(n))} AS g
+             |  FROM (SELECT b, toks,
+             |      unnest(generate_series(1, len(toks) - ${n - 1})) AS i
+             |    FROM t WHERE len(toks) >= $n) x$n""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH t AS (SELECT $toksSql AS toks,
+           |    ${hashSql("'cov:' || CAST(doc_id AS VARCHAR)")} % 20 AS b
+           |  FROM documents),
+           |g AS ($streams),
+           |tr AS (SELECT DISTINCT n, g FROM g WHERE b < 18),
+           |ev AS (SELECT DISTINCT n, g FROM g WHERE b = 18),
+           |cv AS (SELECT ev.n, CAST(count(*) AS BIGINT) AS n_covered
+           |  FROM ev JOIN tr ON tr.n = ev.n AND tr.g = ev.g
+           |  GROUP BY 1),
+           |te AS (SELECT n, CAST(count(*) AS BIGINT) AS n_eval_grams
+           |  FROM ev GROUP BY 1)
+           |SELECT CAST(te.n AS BIGINT) AS n, te.n_eval_grams,
+           |  coalesce(cv.n_covered, 0) AS n_covered,
+           |  (1000 * coalesce(cv.n_covered, 0)) //
+           |    greatest(te.n_eval_grams, 1) AS coverage_milli
+           |FROM te LEFT JOIN cv ON cv.n = te.n""".stripMargin
+      }),
+
+    // Pipeline-order sensitivity: filter∘dedup vs dedup∘filter. The
+    // orders disagree exactly when a duplicate cluster's canonical
+    // (min id) FAILS the quality gate while another member passes:
+    // gate-first keeps that member's content, dedup-first discards
+    // the whole content. The audit quantifies the gap — the number a
+    // pipeline-ordering debate should be had over, instead of vibes.
+    QDef("q203_dedup_order_sensitivity",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), tokenHash(col("text")).as("th"),
+            size(tokens(col("text"))).cast("long").as("n_toks"),
+            graft.ops.QualityGates.heuristicPass(col("text"),
+              col("n_chars"), tokens(col("text"))).as("pass"))
+          .localCheckpoint() // both orders read it
+        // order A: gate first, then canonical per content among passers
+        val a = base.filter(col("pass"))
+          .groupBy("th").agg(min("doc_id").as("doc_id"),
+            min("n_toks").as("n_toks"))
+        // order B: canonical per content first, gate the canonical
+        val b = base
+          .groupBy("th").agg(min(struct(col("doc_id"), col("pass"),
+            col("n_toks"))).as("c"))
+          .filter(col("c.pass"))
+          .select(col("th"), col("c.doc_id").as("doc_id"),
+            col("c.n_toks").as("n_toks"))
+        val sa = a.agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("n_tokens"))
+          .select(lit("gate_then_dedup").as("order"), col("n_docs"),
+            col("n_tokens"))
+        val sb = b.agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("n_tokens"))
+          .select(lit("dedup_then_gate").as("order"), col("n_docs"),
+            col("n_tokens"))
+        sa.unionAll(sb)
+      },
+      Some {
+        val gate = """(len(toks) >= 5 AND len(toks) <= 100000
+          | AND list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+          |   / len(toks) >= 2.0
+          | AND list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+          |   / len(toks) <= 12.0
+          | AND length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+          |   / n_chars < 0.3
+          | AND length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+          |   / n_chars < 0.3
+          | AND len(list_distinct(toks))::DOUBLE / len(toks) > 0.2)"""
+          .stripMargin.replace("\n", "")
+        s"""WITH b0 AS (SELECT doc_id, text, n_chars,
+           |    ${hashSql("text")} AS th, $toksSql AS toks
+           |  FROM documents),
+           |base AS (SELECT doc_id, th,
+           |    CAST(len(toks) AS BIGINT) AS n_toks, $gate AS pass
+           |  FROM b0),
+           |a AS (SELECT th, min(doc_id) AS doc_id, min(n_toks) AS n_toks
+           |  FROM base WHERE pass GROUP BY th),
+           |b AS (SELECT th, min(doc_id) AS doc_id,
+           |    arg_min(pass, doc_id) AS pass,
+           |    arg_min(n_toks, doc_id) AS n_toks
+           |  FROM base GROUP BY th)
+           |SELECT 'gate_then_dedup' AS "order",
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM a
+           |UNION ALL
+           |SELECT 'dedup_then_gate',
+           |  CAST(count(*) AS BIGINT), CAST(sum(n_toks) AS BIGINT)
+           |FROM b WHERE pass""".stripMargin
+      })
   )
 }
