@@ -732,6 +732,27 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Join"), s"q199 grew a join:\n$p")
   }
 
+  test("q201 syndication: the pair join runs on the 60-bit chunk " +
+    "hash — no cartesian, no nested loop") {
+    val p = plan("q201_chunk_syndication")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q201 shape wrong:\n$p")
+  }
+
+  test("q202 coverage probe: distinct gram tables meet in a semi " +
+    "join on (n, hash); no windows") {
+    val p = plan("q202_ngram_coverage")
+    assert(p.contains("LeftSemi"), s"q202 lost the semi join:\n$p")
+    assert(!p.contains("Window"), s"q202 grew a window:\n$p")
+  }
+
+  test("q203 order sensitivity reads one scan into two aggregations " +
+    "— no windows, no self-join of the corpus") {
+    val p = plan("q203_dedup_order_sensitivity")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"q203 shape changed:\n$p")
+  }
+
   test("q188 RP recall: rankings are windowless TopK and the overlap " +
     "join broadcasts (projections pinned by the op plan)") {
     val p = plan("q188_rp_recall")
