@@ -369,6 +369,64 @@ object PipelineQueries20 {
            |SELECT 'dedup_then_gate',
            |  CAST(count(*) AS BIGINT), CAST(sum(n_toks) AS BIGINT)
            |FROM b WHERE pass""".stripMargin
-      })
+      }),
+
+    // Join-key skew audit — the decision table behind "salt or not":
+    // per candidate shuffle key, total rows, distinct keys, the
+    // heaviest key's row share, and the max/mean skew factor. AQE
+    // splits skewed JOIN partitions at runtime, but window/groupBy
+    // hot keys (the q72-class killers) need design-time salting —
+    // this is the number that decision reads. Each key audits in two
+    // map-side-combined aggregations (per-key counts, then the
+    // 4-number rollup); the three audited keys union O(1) rows.
+    QDef("q204_key_skew_audit",
+      (s, dir) => {
+        def audit(df: DataFrame, keyName: String, key: org.apache.spark.sql.Column): DataFrame =
+          df.groupBy(key.cast("string").as("k"))
+            .agg(count(lit(1)).as("c"))
+            .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+              max("c").as("max_c"))
+            .select(lit(keyName).as("key"), col("n_rows"), col("n_keys"),
+              col("max_c").as("max_key_rows"),
+              expr("(1000 * max_c) div n_rows").as("top_share_milli"),
+              // skew = max / mean = max·n_keys / n_rows, in milli
+              expr("(1000 * max_c * n_keys) div n_rows")
+                .as("skew_milli"))
+        audit(Tables.lineitem(s, dir), "lineitem.l_orderkey",
+          col("l_orderkey"))
+          .unionAll(audit(Tables.events(s, dir), "events.user_id",
+            col("user_id")))
+          .unionAll(audit(Tables.documents(s, dir), "documents.source",
+            col("source")))
+      },
+      Some("""WITH a1 AS (SELECT count(*) AS c
+             |  FROM lineitem GROUP BY CAST(l_orderkey AS VARCHAR)),
+             |a2 AS (SELECT count(*) AS c
+             |  FROM events GROUP BY CAST(user_id AS VARCHAR)),
+             |a3 AS (SELECT count(*) AS c
+             |  FROM documents GROUP BY source)
+             |SELECT 'lineitem.l_orderkey' AS key,
+             |  CAST(sum(c) AS BIGINT) AS n_rows,
+             |  CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(max(c) AS BIGINT) AS max_key_rows,
+             |  (1000 * CAST(max(c) AS BIGINT)) // CAST(sum(c) AS BIGINT)
+             |    AS top_share_milli,
+             |  (1000 * CAST(max(c) AS BIGINT) * CAST(count(*) AS BIGINT))
+             |    // CAST(sum(c) AS BIGINT) AS skew_milli
+             |FROM a1
+             |UNION ALL
+             |SELECT 'events.user_id', CAST(sum(c) AS BIGINT),
+             |  CAST(count(*) AS BIGINT), CAST(max(c) AS BIGINT),
+             |  (1000 * CAST(max(c) AS BIGINT)) // CAST(sum(c) AS BIGINT),
+             |  (1000 * CAST(max(c) AS BIGINT) * CAST(count(*) AS BIGINT))
+             |    // CAST(sum(c) AS BIGINT)
+             |FROM a2
+             |UNION ALL
+             |SELECT 'documents.source', CAST(sum(c) AS BIGINT),
+             |  CAST(count(*) AS BIGINT), CAST(max(c) AS BIGINT),
+             |  (1000 * CAST(max(c) AS BIGINT)) // CAST(sum(c) AS BIGINT),
+             |  (1000 * CAST(max(c) AS BIGINT) * CAST(count(*) AS BIGINT))
+             |    // CAST(sum(c) AS BIGINT)
+             |FROM a3""".stripMargin))
   )
 }
