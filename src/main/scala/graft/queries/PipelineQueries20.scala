@@ -427,6 +427,57 @@ object PipelineQueries20 {
              |  (1000 * CAST(max(c) AS BIGINT)) // CAST(sum(c) AS BIGINT),
              |  (1000 * CAST(max(c) AS BIGINT) * CAST(count(*) AS BIGINT))
              |    // CAST(sum(c) AS BIGINT)
-             |FROM a3""".stripMargin))
+             |FROM a3""".stripMargin)),
+
+    // Stop-shingle audit — the planning table behind PLANS.md's q118
+    // mitigation (df-cap the prefix-filter index on dense corpora):
+    // shingle document-frequency histogram in log-ish bands, with the
+    // POSTING mass each band contributes. A heavy high-df band means
+    // prefix-filter candidates go ~N² (the measured q118 sf1 case)
+    // and the standard stop-shingle rule (drop df > bound) pays; a
+    // hapax-dominated table means the rarest-first prefix is already
+    // df-O(1). One distinct + one aggregation + an O(4)-row rollup.
+    QDef("q205_stop_shingle_audit",
+      (s, dir) => {
+        val df = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            explode(shingleHashes(col("toks"))).as("h"))
+          .distinct()
+          .groupBy("h").agg(count(lit(1)).as("df"))
+        val band = when(col("df") === 1, "df=1")
+          .when(col("df") <= 10, "df=2-10")
+          .when(col("df") <= 100, "df=11-100")
+          .otherwise("df>100")
+        val wAll = Window
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        df.groupBy(band.as("band"))
+          .agg(count(lit(1)).as("n_shingles"), sum("df").as("postings"))
+          .withColumn("total_postings", sum("postings").over(wAll))
+          .select(col("band"), col("n_shingles"), col("postings"),
+            expr("(1000 * postings) div total_postings")
+              .as("posting_share_milli"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |g AS (SELECT DISTINCT doc_id, h FROM (
+              |  SELECT doc_id, unnest(list_transform(
+              |    CASE WHEN len(toks) >= 3 THEN
+              |      list_distinct(list_transform(
+              |        generate_series(1, len(toks) - 2),
+              |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              |      ELSE [] END,
+              |    g -> ${hashSql("g")})) AS h FROM t) z),
+              |d AS (SELECT h, count(*) AS df FROM g GROUP BY h),
+              |b AS (SELECT CASE WHEN df = 1 THEN 'df=1'
+              |      WHEN df <= 10 THEN 'df=2-10'
+              |      WHEN df <= 100 THEN 'df=11-100'
+              |      ELSE 'df>100' END AS band,
+              |    CAST(count(*) AS BIGINT) AS n_shingles,
+              |    CAST(sum(df) AS BIGINT) AS postings
+              |  FROM d GROUP BY 1),
+              |tt AS (SELECT CAST(sum(postings) AS BIGINT) AS tp FROM b)
+              |SELECT band, n_shingles, postings,
+              |  (1000 * postings) // tt.tp AS posting_share_milli
+              |FROM b CROSS JOIN tt""".stripMargin))
   )
 }
