@@ -478,6 +478,103 @@ object PipelineQueries20 {
               |tt AS (SELECT CAST(sum(postings) AS BIGINT) AS tp FROM b)
               |SELECT band, n_shingles, postings,
               |  (1000 * postings) // tt.tp AS posting_share_milli
-              |FROM b CROSS JOIN tt""".stripMargin))
+              |FROM b CROSS JOIN tt""".stripMargin)),
+
+    // MinHash signature-width sweep: estimator error (MAE + signed
+    // bias, milli) at widths 8/16/24 over the SAME verified pair set
+    // — q140 calibrates the shipped 24-hash geometry; this is the
+    // "how much does halving the signature cost" table (signature
+    // bytes are the dominant dedup state at corpus scale). ONE
+    // signature table feeds the band join, both verify sides, and
+    // all three width estimates; the sweep is an explode over the
+    // PAIR frame. Oracle replays band candidates (the q140 lesson)
+    // and every width's prefix estimate.
+    QDef("q206_minhash_width_sweep",
+      (s, dir) => {
+        val sig = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), shingleHashes(col("toks")).as("hs"))
+          .withColumn("mh", minhashAffine(col("hs"), 24))
+          .localCheckpoint() // band join + both verify sides read it
+        val bands = sig.select(col("doc_id"),
+          explode(graft.ops.Dedup.bandKeyArray(col("mh"), 12, 2)).as("bk"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val a = sig.select(col("doc_id").as("doc_a"),
+          col("hs").as("hs_a"), col("mh").as("mh_a"))
+        val b = sig.select(col("doc_id").as("doc_b"),
+          col("hs").as("hs_b"), col("mh").as("mh_b"))
+        cand.join(a, "doc_a").join(b, "doc_b")
+          .withColumn("inter",
+            size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+          .withColumn("uni", size(col("hs_a")).cast("long") +
+            size(col("hs_b")).cast("long") - col("inter"))
+          .filter(col("inter").cast("double") / col("uni").cast("double")
+            >= 0.8)
+          .withColumn("exact_milli", expr("(1000 * inter) div uni"))
+          .select(col("exact_milli"),
+            explode(typedLit(Seq(8, 16, 24))).as("w"),
+            col("mh_a"), col("mh_b"))
+          .withColumn("est_milli", expr("(1000 * size(filter(" +
+            "zip_with(slice(mh_a, 1, w), slice(mh_b, 1, w), " +
+            "(x, y) -> x = y), v -> v))) div w"))
+          .groupBy("w")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(abs(col("est_milli") - col("exact_milli"))).as("sae"),
+            sum(col("est_milli") - col("exact_milli")).as("sbias"))
+          .select(col("w").cast("long").as("w"), col("n_pairs"),
+            expr("sae div n_pairs").as("mae_milli"),
+            // bias can be negative: floor-div is fine, both engines
+            // floor identically on negatives (// and div agree ≥ 0;
+            // shift keeps the numerator non-negative)
+            expr("((sbias + 1000000 * n_pairs) div n_pairs) - 1000000")
+              .as("bias_milli"))
+      },
+      Some {
+        val mins = (0 until 24).map { j =>
+          val (a, b) = affineParam(j)
+          s"list_min(list_transform(sh, h -> (h * $a + $b) % " +
+            s"$MinhashPrime))"
+        }.mkString("[", ",\n  ", "]")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |s AS (SELECT doc_id, list_distinct(list_transform(
+           |    CASE WHEN len(toks) >= 3 THEN
+           |      list_transform(generate_series(1, len(toks) - 2),
+           |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |      ELSE [] END,
+           |    g -> ${hashSql("g")})) AS sh
+           |  FROM t WHERE len(toks) >= 3),
+           |m AS (SELECT doc_id, sh, $mins AS sig FROM s),
+           |p AS (SELECT len(list_intersect(a.sh, b.sh)) AS inter,
+           |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+           |      AS uni,
+           |    a.sig AS sa, b.sig AS sb
+           |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+           |  WHERE len(list_filter(generate_series(1, 12), k ->
+           |      a.sig[2*k-1] = b.sig[2*k-1] AND a.sig[2*k] = b.sig[2*k]))
+           |    > 0
+           |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+           |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+           |    >= 0.8),
+           |x AS (SELECT (1000 * inter) // uni AS exact_milli,
+           |    CAST(unnest([8, 16, 24]) AS INT) AS w, sa, sb
+           |  FROM p),
+           |e AS (SELECT w, exact_milli,
+           |    (1000 * len(list_filter(list_zip(
+           |      list_slice(sa, 1, w), list_slice(sb, 1, w)),
+           |      z -> z[1] = z[2]))) // w AS est_milli
+           |  FROM x)
+           |SELECT CAST(w AS BIGINT) AS w,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(abs(est_milli - exact_milli)) AS BIGINT)
+           |    // count(*) AS mae_milli,
+           |  ((CAST(sum(est_milli - exact_milli) AS BIGINT)
+           |    + 1000000 * count(*)) // count(*)) - 1000000
+           |    AS bias_milli
+           |FROM e GROUP BY 1""".stripMargin
+      })
   )
 }
