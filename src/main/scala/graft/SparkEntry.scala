@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private val allDefs: Seq[QDef] =
+  private[graft] val allDefs: Seq[QDef] =
     Relational.defs ++ TextQueries.defs ++ VectorQueries.defs ++
       DomainQueries.defs ++ DomainQueries2.defs ++ DomainQueries3.defs ++
       DomainQueries4.defs ++ MediaQueries.defs ++ PipelineQueries.defs ++
