@@ -575,6 +575,82 @@ object PipelineQueries20 {
            |    + 1000000 * count(*)) // count(*)) - 1000000
            |    AS bias_milli
            |FROM e GROUP BY 1""".stripMargin
-      })
+      }),
+
+    // Per-source dedup rates — q200's funnel broken out by source:
+    // which sources lose the most mass to exact and near-dup removal
+    // (the number that moves a source's mixing weight when its
+    // apparent volume is mostly re-crawls). Same machinery as q200
+    // (hash canonical, CC min-label canonical), one extra source
+    // dimension in the rollups.
+    QDef("q207_source_dedup_rate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"),
+            tokenHash(col("text")).as("th"))
+          .localCheckpoint() // all three rollups read it
+        val exactKeep = docs.groupBy("th").agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val s1 = docs.join(exactKeep, "doc_id").localCheckpoint()
+        val pairs = graft.ops.Dedup.nearDupMinhash(
+          s1.select(col("doc_id"), col("text")), "doc_id", "text",
+          threshold = 0.8)
+        val comp = graft.ops.ConnectedComponents.run(pairs, "doc_a", "doc_b")
+        val s2 = s1.join(
+            comp.select(col("node").as("doc_id"), col("component")),
+            Seq("doc_id"), "left")
+          .filter(col("component").isNull ||
+            col("component") === col("doc_id"))
+        val total = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val e1 = s1.groupBy("source").agg(count(lit(1)).as("n_exact"))
+        val e2 = s2.groupBy("source").agg(count(lit(1)).as("n_neardup"))
+        total.join(broadcast(e1), "source").join(broadcast(e2), "source")
+          .select(col("source"), col("n_docs"), col("n_exact"),
+            col("n_neardup"),
+            expr("(1000 * (n_docs - n_neardup)) div n_docs")
+              .as("removed_milli"))
+      },
+      Some(s"""WITH RECURSIVE d AS (SELECT doc_id, source,
+              |    ${hashSql("text")} AS th, $toksSql AS toks
+              |  FROM documents),
+              |k1 AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY th),
+              |s1 AS (SELECT d.* FROM d JOIN k1 USING (doc_id)),
+              |sg AS (SELECT doc_id, list_distinct(list_transform(
+              |    CASE WHEN len(toks) >= 3 THEN
+              |      list_transform(generate_series(1, len(toks) - 2),
+              |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              |      ELSE [] END,
+              |    g -> ${hashSql("g")})) AS sh
+              |  FROM s1),
+              |p AS (SELECT a.doc_id AS da, b.doc_id AS db
+              |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+              |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+              |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+              |      (len(a.sh) + len(b.sh)
+              |        - len(list_intersect(a.sh, b.sh))) >= 0.8),
+              |e AS (SELECT da AS a, db AS b FROM p
+              |      UNION SELECT db, da FROM p),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM e
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+              |cl AS (SELECT a AS node, least(a, min(b)) AS cid
+              |  FROM reach GROUP BY a),
+              |s2 AS (SELECT s1.* FROM s1
+              |  LEFT JOIN cl ON cl.node = s1.doc_id
+              |  WHERE cl.cid IS NULL OR cl.cid = s1.doc_id),
+              |t0 AS (SELECT source, count(*) AS n_docs
+              |  FROM d GROUP BY 1),
+              |t1 AS (SELECT source, count(*) AS n_exact
+              |  FROM s1 GROUP BY 1),
+              |t2 AS (SELECT source, count(*) AS n_neardup
+              |  FROM s2 GROUP BY 1)
+              |SELECT t0.source, CAST(t0.n_docs AS BIGINT) AS n_docs,
+              |  CAST(t1.n_exact AS BIGINT) AS n_exact,
+              |  CAST(t2.n_neardup AS BIGINT) AS n_neardup,
+              |  (1000 * CAST(t0.n_docs - t2.n_neardup AS BIGINT)) //
+              |    CAST(t0.n_docs AS BIGINT) AS removed_milli
+              |FROM t0 JOIN t1 USING (source) JOIN t2 USING (source)"""
+        .stripMargin))
   )
 }
