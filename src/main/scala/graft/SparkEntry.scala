@@ -19,7 +19,8 @@ object SparkEntry {
       PipelineQueries14.defs ++ PipelineQueries15.defs ++
       PipelineQueries16.defs ++ PipelineQueries17.defs ++
       PipelineQueries18.defs ++ PipelineQueries19.defs ++
-      PipelineQueries20.defs ++ VectorQueries2.defs
+      PipelineQueries20.defs ++ PipelineQueries21.defs ++
+      VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 

@@ -761,4 +761,72 @@ class PlanContractSpec extends SparkSpec {
       !p.contains("SortMergeJoin"), s"q188 join shape wrong:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"q188 lost its broadcast:\n$p")
   }
+
+  test("q208 fuzzy decon: the gram-df table and title joins broadcast; " +
+    "per-doc prefix windows partition by doc_id") {
+    val p = plan("q208_fuzzy_decon")
+    assert(p.contains("BroadcastHashJoin"), s"q208 lost broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q208 went all-pairs:\n$p")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(windows.nonEmpty && windows.contains("doc_id"),
+      s"q208 prefix rank not per-doc:\n$p")
+  }
+
+  test("q209 NB: the vocabulary-sized model joins broadcast — the " +
+    "corpus token stream is never sort-merge-joined") {
+    val p = plan("q209_nb_langid")
+    assert(p.contains("BroadcastHashJoin"), s"q209 lost broadcasts:\n$p")
+    assert(!p.contains("Window"), s"q209 grew a window:\n$p")
+  }
+
+  test("q211 under the gate: HITS vectors broadcast, edges resident") {
+    val p = plan("q211_domain_hits")
+    assert(p.contains("BroadcastHashJoin"), s"q211 lost broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q211 shuffle-joins vectors:\n$p")
+  }
+
+  test("q211 over the gate: vectors shuffle-join WITHOUT re-shuffling " +
+    "either resident edge copy per iteration") {
+    // web-scale shape: edges laid out by src AND dst once; per
+    // half-iteration only the O(#nodes) vector exchanges. Contract:
+    // no Exchange re-partitions a checkpointed (src, dst) scan.
+    import org.apache.spark.sql.execution.RDDScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val conf = spark.conf
+    conf.set(graft.ops.Hits.GateConf, "0")
+    conf.set("spark.sql.adaptive.enabled", "false") // plain executedPlan
+    try {
+      val df = SparkEntry.queries("q211_domain_hits")(spark, dir)
+      val exec = df.queryExecution.executedPlan
+      assert(exec.collect { case j: ShuffledHashJoinExec => j }.nonEmpty,
+        s"over-gate q211 lost the shuffle-hash vector joins:\n$exec")
+      // the contribution aggregation legitimately exchanges its
+      // map-side-COMBINED partials each half-iteration; what must
+      // never appear is an Exchange over RAW edge rows — i.e. one
+      // whose subtree reaches the (src, dst) scan with no aggregate
+      // in between
+      import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+      val edgeReshuffles = exec.collect {
+        case e: ShuffleExchangeExec if (e.outputPartitioning match {
+          case h: HashPartitioning =>
+            h.references.exists(a => a.name == "src" || a.name == "dst")
+          case _ => false
+        }) && e.child.collectFirst {
+          case r: RDDScanExec
+            if r.output.map(_.name).toSet == Set("src", "dst") => r
+        }.nonEmpty && e.child.collectFirst {
+          case a: HashAggregateExec => a
+        }.isEmpty => e
+      }
+      assert(edgeReshuffles.isEmpty,
+        s"raw edge rows re-shuffled per iteration:\n$exec")
+    } finally {
+      conf.unset(graft.ops.Hits.GateConf)
+      conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
 }
