@@ -781,6 +781,14 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Window"), s"q209 grew a window:\n$p")
   }
 
+  test("q213 unigram apply: the word → piece-count model broadcasts " +
+    "at the corpus token stream") {
+    val p = plan("q213_unigram_fertility")
+    assert(p.contains("BroadcastHashJoin"), s"q213 lost the broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q213 sort-merge-joins the corpus:\n$p")
+  }
+
   test("q211 under the gate: HITS vectors broadcast, edges resident") {
     val p = plan("q211_domain_hits")
     assert(p.contains("BroadcastHashJoin"), s"q211 lost broadcasts:\n$p")
