@@ -20,7 +20,8 @@ object SparkEntry {
       PipelineQueries16.defs ++ PipelineQueries17.defs ++
       PipelineQueries18.defs ++ PipelineQueries19.defs ++
       PipelineQueries20.defs ++ PipelineQueries21.defs ++
-      PipelineQueries22.defs ++ VectorQueries2.defs
+      PipelineQueries22.defs ++ PipelineQueries23.defs ++
+      VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 

@@ -789,6 +789,33 @@ class PlanContractSpec extends SparkSpec {
       s"q213 sort-merge-joins the corpus:\n$p")
   }
 
+  test("q214 LPA under the gate: label vectors broadcast, edges " +
+    "resident") {
+    val p = plan("q214_domain_communities")
+    assert(p.contains("BroadcastHashJoin"), s"q214 lost broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q214 shuffle-joins labels:\n$p")
+  }
+
+  test("q215 triangles: oriented wedge + closing joins are equi " +
+    "joins — no cartesian, no nested loop, and the close is a semi " +
+    "join") {
+    val p = plan("q215_domain_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q215 went all-pairs:\n$p")
+    assert(p.contains("LeftSemi"), s"q215 lost the semi-join close:\n$p")
+  }
+
+  test("q216 per-lang quantiles: every window partitions by lang " +
+    "(sample rows or value histogram — never the corpus unpartitioned)") {
+    val p = plan("q216_lang_quantiles")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(windows.nonEmpty, s"q216 lost its rank windows:\n$p")
+    assert(!windows.linesIterator.exists(w => !w.contains("lang")),
+      s"q216 has an unpartitioned window:\n$windows")
+  }
+
   test("q211 under the gate: HITS vectors broadcast, edges resident") {
     val p = plan("q211_domain_hits")
     assert(p.contains("BroadcastHashJoin"), s"q211 lost broadcasts:\n$p")
