@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Twenty-fourth pipeline group — classic event-funnel and cohort
+  * analytics over the events table:
+  *
+  *  - q217: ORDERED conversion funnel (view → click → purchase): a
+  *    click only counts with a strictly earlier view, a purchase only
+  *    with a strictly earlier qualified click. The whole funnel is
+  *    TWO running-min window passes over the SAME (user, ts) spec —
+  *    Spark plans one exchange + one sort for both — then one
+  *    per-user aggregation; no self-joins, no per-stage re-scans
+  *    (the naive construction joins events to events once per stage).
+  *    Per-user partitions are bounded by a user's event count (the
+  *    q166/q199 window contract).
+  *  - q218: cohort retention — users grouped by first-active day,
+  *    re-activity measured at day offsets 0/1/7/14. One distinct
+  *    (user, day) projection feeds both the cohort assignment and the
+  *    offset matrix; output is O(#days · #offsets).
+  *
+  * Determinism: tie-breaks on event_id inside the window order;
+  * conversion/retention are integer milli ratios with greatest(·,1)
+  * guards mirrored in both engines.
+  */
+object PipelineQueries24 {
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef("q217_event_funnel",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"))
+        val staged = e
+          .withColumn("pv",
+            min(when(col("event_type") === "view", col("tus"))).over(w))
+          .withColumn("cav", when(col("event_type") === "click" &&
+            col("pv").isNotNull, col("tus")))
+          .withColumn("pcav", min(col("cav")).over(w))
+          .withColumn("pav", when(col("event_type") === "purchase" &&
+            col("pcav").isNotNull, col("tus")))
+        val tot = staged.groupBy("user_id")
+          .agg(max(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("s1"),
+            max(when(col("cav").isNotNull, 1L).otherwise(0L)).as("s2"),
+            max(when(col("pav").isNotNull, 1L).otherwise(0L)).as("s3"))
+          .agg(count(lit(1)).as("n0"), sum("s1").as("n1"),
+            sum("s2").as("n2"), sum("s3").as("n3"))
+        tot.select(explode(array(
+            struct(lit("all").as("stage"), col("n0").as("n_users"),
+              lit(1000L).as("conv_milli")),
+            struct(lit("view").as("stage"), col("n1").as("n_users"),
+              expr("(1000 * n1) div greatest(n0, 1)").as("conv_milli")),
+            struct(lit("view_click").as("stage"), col("n2").as("n_users"),
+              expr("(1000 * n2) div greatest(n1, 1)").as("conv_milli")),
+            struct(lit("view_click_purchase").as("stage"),
+              col("n3").as("n_users"),
+              expr("(1000 * n3) div greatest(n2, 1)").as("conv_milli"))))
+            .as("r"))
+          .select(col("r.stage").as("stage"), col("r.n_users"),
+            col("r.conv_milli"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |    epoch_us(ts) AS tus FROM events),
+             |p1 AS (SELECT *, min(CASE WHEN event_type = 'view'
+             |      THEN tus END) OVER (PARTITION BY user_id
+             |      ORDER BY tus, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    AS pv FROM e),
+             |p2 AS (SELECT *, CASE WHEN event_type = 'click'
+             |    AND pv IS NOT NULL THEN tus END AS cav FROM p1),
+             |p3 AS (SELECT *, min(cav) OVER (PARTITION BY user_id
+             |      ORDER BY tus, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    AS pcav FROM p2),
+             |p4 AS (SELECT *, CASE WHEN event_type = 'purchase'
+             |    AND pcav IS NOT NULL THEN tus END AS pav FROM p3),
+             |u AS (SELECT user_id,
+             |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      AS s1,
+             |    max(CASE WHEN cav IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+             |    max(CASE WHEN pav IS NOT NULL THEN 1 ELSE 0 END) AS s3
+             |  FROM p4 GROUP BY 1),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+             |    CAST(sum(s1) AS BIGINT) AS n1,
+             |    CAST(sum(s2) AS BIGINT) AS n2,
+             |    CAST(sum(s3) AS BIGINT) AS n3 FROM u)
+             |SELECT 'all' AS stage, n0 AS n_users,
+             |  CAST(1000 AS BIGINT) AS conv_milli FROM t
+             |UNION ALL SELECT 'view', n1,
+             |  (1000 * n1) // greatest(n0, 1) FROM t
+             |UNION ALL SELECT 'view_click', n2,
+             |  (1000 * n2) // greatest(n1, 1) FROM t
+             |UNION ALL SELECT 'view_click_purchase', n3,
+             |  (1000 * n3) // greatest(n2, 1) FROM t""".stripMargin)),
+
+    QDef("q218_cohort_retention",
+      (s, dir) => {
+        val days = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+          .localCheckpoint() // cohort assignment + offsets share it
+        val first = days.groupBy("user_id").agg(min("day").as("d0"))
+        val offsets = days.join(first, "user_id")
+          .select(col("d0"), (col("day") - col("d0")).as("off"))
+          .filter(col("off").isin(0L, 1L, 7L, 14L))
+          .groupBy("d0", "off").agg(count(lit(1)).as("n_active"))
+        val size = offsets.filter(col("off") === 0)
+          .select(col("d0"), col("n_active").as("csize"))
+        offsets.join(broadcast(size), "d0") // O(#days) dimension
+          .select(col("d0").as("cohort_day"),
+            col("off").as("day_offset"), col("n_active"),
+            expr("(1000 * n_active) div csize").as("retention_milli"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id,
+             |    epoch_us(ts) // 86400000000 AS day FROM events),
+             |f AS (SELECT user_id, min(day) AS d0 FROM d GROUP BY 1),
+             |o AS (SELECT f.d0, d.day - f.d0 AS off
+             |  FROM d JOIN f USING (user_id)
+             |  WHERE d.day - f.d0 IN (0, 1, 7, 14)),
+             |a AS (SELECT d0, off, count(*) AS n_active FROM o
+             |  GROUP BY 1, 2),
+             |s AS (SELECT d0, n_active AS csize FROM a WHERE off = 0)
+             |SELECT CAST(a.d0 AS BIGINT) AS cohort_day,
+             |  CAST(a.off AS BIGINT) AS day_offset,
+             |  CAST(a.n_active AS BIGINT) AS n_active,
+             |  (1000 * a.n_active) // csize AS retention_milli
+             |FROM a JOIN s USING (d0)""".stripMargin))
+  )
+}

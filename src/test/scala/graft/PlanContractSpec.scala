@@ -789,6 +789,16 @@ class PlanContractSpec extends SparkSpec {
       s"q213 sort-merge-joins the corpus:\n$p")
   }
 
+  test("q217 funnel: both running-min windows partition by user and " +
+    "share one sort — no self-join of the event stream") {
+    val p = plan("q217_event_funnel")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(windows.nonEmpty && windows.contains("user_id"),
+      s"q217 windows not per-user:\n$p")
+    assert(!p.contains("Join"), s"q217 grew a join:\n$p")
+  }
+
   test("q214 LPA under the gate: label vectors broadcast, edges " +
     "resident") {
     val p = plan("q214_domain_communities")
