@@ -21,7 +21,8 @@ object SparkEntry {
       PipelineQueries18.defs ++ PipelineQueries19.defs ++
       PipelineQueries20.defs ++ PipelineQueries21.defs ++
       PipelineQueries22.defs ++ PipelineQueries23.defs ++
-      PipelineQueries24.defs ++ VectorQueries2.defs
+      PipelineQueries24.defs ++ PipelineQueries25.defs ++
+      VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 
