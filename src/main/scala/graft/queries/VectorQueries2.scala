@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   * than float32, ~8× larger than PQ's 1 byte per SUBSPACE) with far
   * better per-vector fidelity than PQ, which is why int8 quantization
   * is the default first step in production vector stores.
+  *
+  * q223 adds the FINAL rung: binary sign quantization — 1 BIT per
+  * dimension, so the whole 64-dim vector is ONE long and candidate
+  * scoring is a single `bit_count(xor)` (the cheapest similarity
+  * computable on any hardware; 256× smaller than float32). This is
+  * the shape billion-vector stores scan first precisely because the
+  * Hamming pass is memory-bandwidth-bound, then a tiny exact re-rank
+  * restores fidelity.
   */
 object VectorQueries2 {
 
@@ -182,6 +190,85 @@ object VectorQueries2 {
            |  (1000 * CAST(coalesce(o.n_overlap, 0) AS BIGINT)) // 10
            |    AS recall_milli
            |FROM q LEFT JOIN o ON o.query_id = q.query_id""".stripMargin
+      }),
+
+    // Binary sign quantization ANN: bit i = (v[i] > per-dim corpus
+    // midpoint), packed into ONE long (64 dims), candidates ranked by
+    // Hamming distance bit_count(sig XOR qsig), 50-shortlist + exact
+    // cosine re-rank (the q94 two-stage shape). Thresholds come from
+    // the same exact min/max aggregation as SQ8 — no float
+    // accumulation, so the oracle replays them in closed form. The
+    // signature is a 64-term when-chain OR-reduced (codegen'd; bitwise
+    // OR, not +, so no overflow arithmetic anywhere near the sign
+    // bit). At 100 TB this is the scan-stage everything else rides
+    // on: 8 bytes/vector means the Hamming pass streams the whole
+    // corpus at memory bandwidth, and the re-rank touches 50 raw
+    // vectors; both ranking stages are no-shuffle TakeOrdered.
+    QDef("q223_ann_binary",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+          .localCheckpoint() // stats agg + encode + re-rank share it
+        val statCols =
+          (1 to Dims).map(d => min(element_at(col("v"), d)).as(s"mn$d")) ++
+            (1 to Dims).map(d => max(element_at(col("v"), d)).as(s"mx$d"))
+        val mids = e.agg(statCols.head, statCols.tail: _*)
+          .select(array((1 to Dims).map(d =>
+            (col(s"mn$d") + col(s"mx$d")) / 2.0): _*).as("mid"))
+        def sig(v: Column, mid: Column): Column =
+          (0 until Dims).map(i =>
+            when(element_at(v, i + 1) > element_at(mid, i + 1),
+              lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ bitwiseOR _)
+        val signed = e.crossJoin(broadcast(mids))
+          .select(col("vec_id"), sig(col("v"), col("mid")).as("sig"))
+          .localCheckpoint() // query row + corpus Hamming scan share it
+        val q = broadcast(
+          signed.filter(col("vec_id") === 0).select(col("sig").as("qsig"))
+            .crossJoin(e.filter(col("vec_id") === 0)
+              .select(col("v").as("qv"))))
+        val short = signed.filter(col("vec_id") =!= 0)
+          .crossJoin(q)
+          .select(col("vec_id"),
+            bit_count(col("sig").bitwiseXOR(col("qsig"))).as("ham"))
+          .orderBy(col("ham").asc, col("vec_id").asc)
+          .limit(50)
+          .select(col("vec_id"))
+        short.join(e, "vec_id")
+          .crossJoin(q)
+          .select(col("vec_id"),
+            round(cosine(col("v"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("sim").desc, col("vec_id").asc)))
+      },
+      Some {
+        val midList = (1 to Dims)
+          .map(d => s"(min(v[$d]) + max(v[$d])) / 2.0")
+          .mkString("[", ", ", "]")
+        // 1L << 63 has no direct BIGINT literal in DuckDB (<< overflows,
+        // -9223372036854775808 parses as HUGEINT); spell it arithmetically
+        def bitLit(i: Int): String =
+          if (i == 63) "(-9223372036854775807 - 1)::BIGINT"
+          else s"${1L << i}::BIGINT"
+        val sigSql = (0 until Dims).map(i =>
+          s"(CASE WHEN v[${i + 1}] > mid[${i + 1}] THEN ${bitLit(i)} " +
+            "ELSE 0::BIGINT END)").mkString(" | ")
+        s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+           |st AS (SELECT $midList AS mid FROM e),
+           |se AS (SELECT vec_id, $sigSql AS sig FROM e CROSS JOIN st),
+           |q AS (SELECT se.sig AS qsig, e.v AS qv
+           |      FROM se JOIN e USING (vec_id) WHERE vec_id = 0),
+           |h AS (SELECT vec_id, bit_count(xor(sig, qsig)) AS ham
+           |      FROM se, q WHERE vec_id <> 0),
+           |short AS (SELECT vec_id FROM h
+           |          ORDER BY ham ASC, vec_id ASC LIMIT 50),
+           |x AS (SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+           |      FROM e JOIN short USING (vec_id), q)
+           |SELECT vec_id, sim,
+           |  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+           |FROM x ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
       })
   )
 }

@@ -87,6 +87,13 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q223 binary ANN: Hamming shortlist is TakeOrdered, no " +
+    "sort-merge join anywhere") {
+    val p = plan("q223_ann_binary")
+    assert(p.contains("TakeOrderedAndProject"), s"q223 lost TakeOrdered")
+    assert(!p.contains("SortMergeJoin"), s"q223 grew a sort-merge join:\n$p")
+  }
+
   test("q94 SQ8 ANN: stats broadcast, both ranking stages TakeOrdered") {
     val p = plan("q94_ann_sq8")
     assert(p.contains("TakeOrderedAndProject"), s"q94 lost TakeOrdered")
