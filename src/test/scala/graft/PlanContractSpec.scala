@@ -87,6 +87,21 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q224/q226 governance audits: join-free single-exchange rollups") {
+    val p224 = plan("q224_readability")
+    assert(!p224.contains("Join"), s"q224 grew a join:\n$p224")
+    val p226 = plan("q226_k_anonymity")
+    assert(!p226.contains("Join"), s"q226 grew a join:\n$p226")
+    // the k sweep fans out AFTER the corpus collapses: an aggregate
+    // must sit BELOW the explode (formatted explain prints root first,
+    // so "below" = later in the text)
+    val lines = p226.linesIterator.toSeq
+    val gen = lines.indexWhere(_.contains("Generate"))
+    val aggBelow = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(gen >= 0 && aggBelow > gen,
+      s"q226 explode must ride the bounded group-size frame:\n$p226")
+  }
+
   test("q223 binary ANN: Hamming shortlist is TakeOrdered, no " +
     "sort-merge join anywhere") {
     val p = plan("q223_ann_binary")
