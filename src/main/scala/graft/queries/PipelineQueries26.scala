@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.TextAnalysis.tokens
+import graft.functions.TextAnalysis.{affineParam, tokens, tokenHash, MinhashPrime}
+import graft.ops.{Dedup, Sketches}
 import org.apache.spark.sql.functions._
 
 /** Twenty-sixth pipeline group — dataset governance audits:
@@ -133,6 +134,113 @@ object PipelineQueries26 {
              |  CAST((1000 * CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END)
              |    AS BIGINT)) // CAST(sum(sz) AS BIGINT) AS BIGINT)
              |    AS risky_milli
-             |FROM x GROUP BY k""".stripMargin))
+             |FROM x GROUP BY k""".stripMargin)),
+
+    // Sliding-window passage chunking — the RAG indexing prep: 32-token
+    // windows at stride 16 (full windows only, documented), passage
+    // identity an 8-byte 60-bit hash (the CdcChunks collision lesson —
+    // a 32-bit id birthday-collides near 77k distinct chunks), and the
+    // per-source duplicate-passage mass that decides whether passage-
+    // level dedup is worth a pass. Plan: tokens materialized once, the
+    // window transform explodes OVER AN EXPRESSION (non-attribute
+    // child — exempt from the InferFiltersFromGenerate inlining trap,
+    // the q92 shape), then one aggregation; shuffle rows carry
+    // (source, long), never passage strings.
+    QDef("q227_passage_chunks",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("source"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 32)
+        t.select(col("source"),
+            explode(expr("transform(sequence(1, size(toks) - 31, 16), " +
+              "i -> array_join(slice(toks, i, 32), ' '))")).as("passage"))
+          .select(col("source"), Sketches.hash60(col("passage")).as("h"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_passages"),
+            count_distinct(col("h")).as("n_distinct"))
+          .select(col("source"), col("n_passages"), col("n_distinct"),
+            expr("(1000 * (n_passages - n_distinct)) div n_passages")
+              .as("dup_milli"))
+      },
+      Some(s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+              |p AS (SELECT source, unnest(list_transform(
+              |        generate_series(1, len(toks) - 31, 16),
+              |        i -> array_to_string(list_slice(toks, i, i + 31), ' ')))
+              |        AS passage
+              |      FROM t WHERE len(toks) >= 32),
+              |h AS (SELECT source,
+              |        cast('0x' || substr(md5(passage), 1, 15) as bigint) AS h
+              |      FROM p)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_passages,
+              |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+              |  CAST((1000 * (count(*) - count(DISTINCT h))) // count(*)
+              |    AS BIGINT) AS dup_milli
+              |FROM h GROUP BY source""".stripMargin)),
+
+    // Split-leakage audit: does the 'bo:' hash split (train = buckets
+    // 0-17, the protocol q162/q168/q170/q186 all evaluate under)
+    // leak near-duplicate TRAIN content into its held-out buckets?
+    // Pairs come from the q25 LSH geometry (12×2 bands, exact-Jaccard
+    // ≥ 0.8 verify) run CROSS-split — candidate volume scales with
+    // the 10% eval mass, the incremental-crawl shape of q112. Output
+    // is the per-bucket leak rate; a nonzero row is the number every
+    // eval score on this split must be discounted by. The oracle
+    // replays band-candidate generation (the q140 lesson) so both
+    // engines define the pair set identically rather than resting on
+    // banding recall.
+    QDef("q228_split_leakage",
+      (s, dir) => {
+        val withB = Tables.documents(s, dir)
+          .withColumn("b",
+            tokenHash(concat(lit("bo:"), col("doc_id").cast("string")))
+              % 20)
+        val train = withB.filter(col("b") < 18)
+        val ev = withB.filter(col("b") >= 18)
+        val leaked = Dedup
+          .nearDupMinhashCross(ev, train, "doc_id", "text",
+            numBands = 12, rowsPerBand = 2, threshold = 0.8)
+          .select(col("doc_new").as("doc_id")).distinct()
+          .withColumn("leak", lit(1L))
+        ev.select(col("doc_id"), col("b"))
+          .join(broadcast(leaked), Seq("doc_id"), "left")
+          .groupBy("b")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("leak"), lit(0L))).as("n_leaked"))
+          .select(col("b").as("bucket"), col("n_docs"), col("n_leaked"),
+            expr("(1000 * n_leaked) div n_docs").as("leak_milli"))
+      },
+      Some {
+        val mins = (0 until 24).map { j =>
+          val (a, b) = affineParam(j)
+          s"list_min(list_transform(sh, h -> (h * $a + $b) % " +
+            s"$MinhashPrime))"
+        }.mkString("[", ",\n  ", "]")
+        val splitSql =
+          "cast('0x' || substr(md5('bo:' || CAST(doc_id AS VARCHAR)), " +
+            "1, 8) as bigint) % 20"
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks, $splitSql AS b
+           |           FROM documents),
+           |s AS (SELECT doc_id, b, list_distinct(list_transform(
+           |    list_transform(generate_series(1, len(toks) - 2),
+           |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+           |    g -> cast('0x' || substr(md5(g), 1, 8) as bigint))) AS sh
+           |  FROM t WHERE len(toks) >= 3),
+           |m AS (SELECT doc_id, b, sh, $mins AS sig FROM s),
+           |p AS (SELECT a.doc_id AS doc_id
+           |  FROM m a JOIN m tr ON a.b >= 18 AND tr.b < 18
+           |  WHERE len(list_filter(generate_series(1, 12), k ->
+           |      a.sig[2*k-1] = tr.sig[2*k-1] AND a.sig[2*k] = tr.sig[2*k]))
+           |    > 0
+           |    AND len(list_intersect(a.sh, tr.sh))::DOUBLE /
+           |    (len(a.sh) + len(tr.sh) - len(list_intersect(a.sh, tr.sh)))
+           |    >= 0.8),
+           |lk AS (SELECT DISTINCT doc_id FROM p),
+           |ev AS (SELECT doc_id, b FROM t WHERE b >= 18)
+           |SELECT b AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(lk.doc_id) AS BIGINT) AS n_leaked,
+           |  CAST((1000 * count(lk.doc_id)) // count(*) AS BIGINT)
+           |    AS leak_milli
+           |FROM ev LEFT JOIN lk USING (doc_id) GROUP BY b""".stripMargin
+      })
   )
 }

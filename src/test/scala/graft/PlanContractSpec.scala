@@ -102,6 +102,17 @@ class PlanContractSpec extends SparkSpec {
       s"q226 explode must ride the bounded group-size frame:\n$p226")
   }
 
+  test("q227 passage chunks: join-free; q228 leak rollup broadcasts " +
+    "the leaked-id frame") {
+    val p227 = plan("q227_passage_chunks")
+    assert(!p227.contains("Join"), s"q227 grew a join:\n$p227")
+    val p228 = plan("q228_split_leakage")
+    assert(p228.contains("BroadcastHashJoin"),
+      s"q228 lost the leaked-id broadcast:\n$p228")
+    assert(!p228.contains("SortMergeJoin"),
+      s"q228 grew a sort-merge join:\n$p228")
+  }
+
   test("q223 binary ANN: Hamming shortlist is TakeOrdered, no " +
     "sort-merge join anywhere") {
     val p = plan("q223_ann_binary")
