@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextAnalysis.{affineParam, tokens, tokenHash, MinhashPrime}
-import graft.ops.{Dedup, Sketches}
+import graft.ops.{Dedup, KCore, Sketches}
 import org.apache.spark.sql.functions._
 
 /** Twenty-sixth pipeline group — dataset governance audits:
@@ -241,6 +241,96 @@ object PipelineQueries26 {
            |  CAST((1000 * count(lk.doc_id)) // count(*) AS BIGINT)
            |    AS leak_milli
            |FROM ev LEFT JOIN lk USING (doc_id) GROUP BY b""".stripMargin
-      })
+      }),
+
+    // k-core decomposition of the near-dup graph (q25 pairs): the
+    // 2-core separates dup CHAINS from isolated pairs, the 3-core
+    // finds the densely-mutual clusters (boilerplate families, spam
+    // farms) that CC's component view cannot distinguish from long
+    // chains. Synchronized peel (ops/KCore) — order-free, so both
+    // engines land on the unique k-core; the round count becomes a
+    // plan-time constant and the oracle replays exactly that many
+    // peel stages (the q99 unroll pattern, late-bound like q30's
+    // centroids because rounds are data-dependent).
+    QDef("q229_kcore",
+      (s, dir) => {
+        val pairs = Dedup
+          .nearDupMinhash(Tables.documents(s, dir), "doc_id", "text")
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint() // both k-core peels start from it
+        val perK = Seq(2, 3).map { k =>
+          val (core, rounds) = KCore.kCore(pairs, "doc_a", "doc_b", k)
+          KCoreState.rounds(k) = rounds
+          val nodes = core.select(col("a").as("n"))
+            .unionAll(core.select(col("b").as("n")))
+          core.agg(count(lit(1)).as("n_edges"))
+            .crossJoin(nodes.agg(count_distinct(col("n")).as("n_nodes")))
+            .select(lit(k.toLong).as("k"), col("n_nodes"),
+              col("n_edges"), lit(rounds.toLong).as("rounds"))
+        }
+        perK.reduce(_ unionAll _)
+      },
+      oracle = None,
+      oracleLate = Some(() =>
+        for (r2 <- KCoreState.rounds.get(2); r3 <- KCoreState.rounds.get(3))
+          yield kcoreOracleSql(Map(2 -> r2, 3 -> r3))))
   )
+
+  /** Peel round counts recorded by the q229 run, read by its late
+    * oracle (the IvfOracle pattern).
+    */
+  private object KCoreState {
+    val rounds = scala.collection.concurrent.TrieMap[Int, Int]()
+  }
+
+  /** Unrolls the synchronized peel: `rounds(k)` MATERIALIZED stages
+    * per k, each stage = degree filter + both-endpoint semi join of
+    * the previous edge set (DuckDB default CTEs inline — the q212
+    * "Too many open files" lesson makes MATERIALIZED load-bearing).
+    */
+  private def kcoreOracleSql(rounds: Map[Int, Int]): String = {
+    val gramSql = "cast('0x' || substr(md5(g), 1, 8) as bigint)"
+    val stages = new StringBuilder
+    val finals = rounds.toSeq.sortBy(_._1).map { case (k, r) =>
+      stages.append(
+        s"e${k}_0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p),\n")
+      for (i <- 1 to r) {
+        val prev = s"e${k}_${i - 1}"
+        stages.append(
+          s"""k${k}_$i AS MATERIALIZED (SELECT node FROM
+             |  (SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+             |  GROUP BY node HAVING count(*) >= $k),
+             |e${k}_$i AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+             |  JOIN k${k}_$i ka ON e.a = ka.node
+             |  JOIN k${k}_$i kb ON e.b = kb.node),
+             |""".stripMargin)
+      }
+      s"""SELECT CAST($k AS BIGINT) AS k,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM
+         |    (SELECT a AS n FROM e${k}_$r UNION SELECT b FROM e${k}_$r))
+         |    AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e${k}_$r) AS n_edges,
+         |  CAST($r AS BIGINT) AS rounds""".stripMargin
+    }
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |s AS MATERIALIZED (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    CASE WHEN len(toks) >= 3 THEN
+       |      list_transform(generate_series(1, len(toks) - 2),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |      ELSE [] END,
+       |    g -> $gramSql)) AS sh
+       |  FROM t),
+       |p AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |      >= 0.8),
+       |${stages.toString}
+       |dummy AS (SELECT 1)
+       |${finals.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 }
