@@ -39,6 +39,39 @@ object PipelineQueries26 {
   /** Profiled columns of `documents`, in output order. */
   private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
+  /** (source, doc_id, h): 60-bit hashes of 32-token/stride-16 sliding
+    * passages (full windows only) — one definition serves q227 and
+    * q230 so the chunking geometry can never desynchronize between
+    * the dup audit and the deletion audit. Tokens materialize as
+    * their own projection (the lambda-reevaluation rule); the explode
+    * rides an expression child (exempt from InferFiltersFromGenerate
+    * inlining, the q92 shape).
+    */
+  private def passageHashes(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 32)
+      .select(col("source"), col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 31, 16), " +
+          "i -> array_join(slice(toks, i, 32), ' '))")).as("passage"))
+      .select(col("source"), col("doc_id"),
+        Sketches.hash60(col("passage")).as("h"))
+
+  /** DuckDB twin of [[passageHashes]], as a `ph(source, doc_id, h)`
+    * CTE body (caller supplies `WITH`).
+    */
+  private val passagesCte: String =
+    s"""pt AS (SELECT source, doc_id, $toksSql AS toks FROM documents),
+       |pp AS (SELECT source, doc_id, unnest(list_transform(
+       |        generate_series(1, len(toks) - 31, 16),
+       |        i -> array_to_string(list_slice(toks, i, i + 31), ' ')))
+       |        AS passage
+       |      FROM pt WHERE len(toks) >= 32),
+       |ph AS (SELECT source, doc_id,
+       |        cast('0x' || substr(md5(passage), 1, 15) as bigint) AS h
+       |      FROM pp)""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     QDef("q224_readability",
@@ -147,35 +180,20 @@ object PipelineQueries26 {
     // the q92 shape), then one aggregation; shuffle rows carry
     // (source, long), never passage strings.
     QDef("q227_passage_chunks",
-      (s, dir) => {
-        val t = Tables.documents(s, dir)
-          .select(col("source"), tokens(col("text")).as("toks"))
-          .filter(size(col("toks")) >= 32)
-        t.select(col("source"),
-            explode(expr("transform(sequence(1, size(toks) - 31, 16), " +
-              "i -> array_join(slice(toks, i, 32), ' '))")).as("passage"))
-          .select(col("source"), Sketches.hash60(col("passage")).as("h"))
+      (s, dir) =>
+        passageHashes(s, dir)
           .groupBy("source")
           .agg(count(lit(1)).as("n_passages"),
             count_distinct(col("h")).as("n_distinct"))
           .select(col("source"), col("n_passages"), col("n_distinct"),
             expr("(1000 * (n_passages - n_distinct)) div n_passages")
-              .as("dup_milli"))
-      },
-      Some(s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
-              |p AS (SELECT source, unnest(list_transform(
-              |        generate_series(1, len(toks) - 31, 16),
-              |        i -> array_to_string(list_slice(toks, i, i + 31), ' ')))
-              |        AS passage
-              |      FROM t WHERE len(toks) >= 32),
-              |h AS (SELECT source,
-              |        cast('0x' || substr(md5(passage), 1, 15) as bigint) AS h
-              |      FROM p)
+              .as("dup_milli")),
+      Some(s"""WITH $passagesCte
               |SELECT source, CAST(count(*) AS BIGINT) AS n_passages,
               |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
               |  CAST((1000 * (count(*) - count(DISTINCT h))) // count(*)
               |    AS BIGINT) AS dup_milli
-              |FROM h GROUP BY source""".stripMargin)),
+              |FROM ph GROUP BY source""".stripMargin)),
 
     // Split-leakage audit: does the 'bo:' hash split (train = buckets
     // 0-17, the protocol q162/q168/q170/q186 all evaluate under)
@@ -273,7 +291,96 @@ object PipelineQueries26 {
       oracle = None,
       oracleLate = Some(() =>
         for (r2 <- KCoreState.rounds.get(2); r3 <- KCoreState.rounds.get(3))
-          yield kcoreOracleSql(Map(2 -> r2, 3 -> r3))))
+          yield kcoreOracleSql(Map(2 -> r2, 3 -> r3)))),
+
+    // Deletion-propagation audit — the "right to be forgotten" check a
+    // governed corpus runs before attesting a takedown: delete-list =
+    // ~2% of docs by hash; for each derived artifact, how many of the
+    // deleted docs' content units ESCAPE deletion because a kept doc
+    // carries identical content. Rows: doc_content (exact-dup text
+    // copies surviving among kept docs — dropping the row does not
+    // drop the content), passages (32/16 sliding chunks of deleted
+    // docs still present verbatim in kept docs — partial-copy
+    // escape), shards_touched (how many of q97's output shards
+    // contain a deleted doc and must be rewritten — reuses q97's
+    // QDef fn and oracle SQL verbatim, the q219 nesting pattern, so
+    // the audit can never drift from the real assignment). Every
+    // probe frame is tiny (distinct deleted-unit hashes) and
+    // broadcasts; the corpus is scanned, never self-joined.
+    QDef("q230_deletion_audit",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), md5(col("text")).as("ch"),
+            (tokenHash(concat(lit("del:"), col("doc_id").cast("string")))
+              % 50 === 0).as("deleted"))
+          .localCheckpoint() // content + passage + shard probes share it
+        val delHashes = docs.filter(col("deleted"))
+          .select(col("ch")).distinct()
+        val escContent = docs.filter(!col("deleted"))
+          .join(broadcast(delHashes), Seq("ch"), "left_semi")
+          .select(col("ch")).distinct()
+        val pass = passageHashes(s, dir)
+          .join(docs.select(col("doc_id"), col("deleted")), "doc_id")
+        val delPass = pass.filter(col("deleted")).select(col("h")).distinct()
+          .localCheckpoint() // unit count + escape probe share it
+        val escPass = pass.filter(!col("deleted"))
+          .join(broadcast(delPass), Seq("h"), "left_semi")
+          .select(col("h")).distinct()
+        val shards = PipelineQueries4.defs
+          .find(_.name == "q97_shard_assign").get.fn(s, dir)
+          .select(col("doc_id"), col("shard_id"))
+          .join(docs.select(col("doc_id"), col("deleted")), "doc_id")
+          .localCheckpoint() // total + touched share one assignment run
+        def row(name: String, units: org.apache.spark.sql.DataFrame,
+                escaped: org.apache.spark.sql.DataFrame) =
+          units.agg(count(lit(1)).as("n_units"))
+            .crossJoin(escaped.agg(count(lit(1)).as("n_escaped")))
+            .select(lit(name).as("artifact"), col("n_units"),
+              col("n_escaped"),
+              expr("(1000 * n_escaped) div greatest(n_units, 1L)")
+                .as("escaped_milli"))
+        row("doc_content", delHashes, escContent)
+          .unionAll(row("passages", delPass, escPass))
+          .unionAll(row("shards_touched",
+            shards.select(col("shard_id")).distinct(),
+            shards.filter(col("deleted"))
+              .select(col("shard_id")).distinct()))
+      },
+      Some {
+        val q97Sql = PipelineQueries4.defs
+          .find(_.name == "q97_shard_assign").get.oracle.get
+        val delSql = "cast('0x' || substr(md5('del:' || " +
+          "CAST(doc_id AS VARCHAR)), 1, 8) as bigint) % 50 = 0"
+        s"""WITH d AS (SELECT doc_id, md5(text) AS ch, $delSql AS deleted
+           |           FROM documents),
+           |delh AS (SELECT DISTINCT ch FROM d WHERE deleted),
+           |esch AS (SELECT DISTINCT d.ch FROM d
+           |         JOIN delh USING (ch) WHERE NOT deleted),
+           |$passagesCte,
+           |pd AS (SELECT DISTINCT h FROM ph JOIN d USING (doc_id)
+           |       WHERE deleted),
+           |pe AS (SELECT DISTINCT ph.h FROM ph JOIN d USING (doc_id)
+           |       JOIN pd ON ph.h = pd.h WHERE NOT deleted),
+           |sa AS (SELECT doc_id, shard_id FROM ($q97Sql)),
+           |su AS (SELECT DISTINCT shard_id FROM sa),
+           |st AS (SELECT DISTINCT shard_id FROM sa JOIN d USING (doc_id)
+           |       WHERE deleted),
+           |m AS (
+           |  SELECT 'doc_content' AS artifact,
+           |    (SELECT count(*) FROM delh) AS n_units,
+           |    (SELECT count(*) FROM esch) AS n_escaped
+           |  UNION ALL
+           |  SELECT 'passages',
+           |    (SELECT count(*) FROM pd), (SELECT count(*) FROM pe)
+           |  UNION ALL
+           |  SELECT 'shards_touched',
+           |    (SELECT count(*) FROM su), (SELECT count(*) FROM st))
+           |SELECT artifact, CAST(n_units AS BIGINT) AS n_units,
+           |  CAST(n_escaped AS BIGINT) AS n_escaped,
+           |  CAST((1000 * n_escaped) // greatest(n_units, 1) AS BIGINT)
+           |    AS escaped_milli
+           |FROM m""".stripMargin
+      })
   )
 
   /** Peel round counts recorded by the q229 run, read by its late
