@@ -380,6 +380,96 @@ object PipelineQueries26 {
            |  CAST((1000 * n_escaped) // greatest(n_units, 1) AS BIGINT)
            |    AS escaped_milli
            |FROM m""".stripMargin
+      }),
+
+    // DoReMi-flavored domain reweighting: train the q78 unigram LM on
+    // the 90% 'bo:' split, score each source's HELD-OUT tokens, and
+    // up-weight sources by excess NLL over the easiest source —
+    // excess held-out loss marks under-represented/harder domains
+    // (the DoReMi intuition) with a deterministic integer proxy in
+    // place of the reference-model loop: weight ∝ train-share ×
+    // (1000 + excess_milli), normalized to milli. Scale shape: the
+    // corpus is touched twice (train counts, eval probe) over one
+    // checkpointed token stream; everything after is arithmetic on
+    // O(#sources) rows, with the vocab broadcast (the q78 contract).
+    QDef("q232_domain_reweight",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("source"),
+            (tokenHash(concat(lit("bo:"), col("doc_id").cast("string")))
+              % 20).as("b"),
+            explode(tokens(col("text"))).as("tok"))
+          .localCheckpoint() // train counts + shares + eval probe
+        val train = t.filter(col("b") < 18)
+        val freq = train.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val totalDf = freq.agg(sum("cnt").as("total"))
+        val vocab = freq.orderBy(col("cnt").desc, col("tok")).limit(50000)
+        val shares = train.groupBy("source")
+          .agg(count(lit(1)).as("n_train"))
+          .localCheckpoint() // join + total read it
+        val p = when(col("cnt").isNotNull,
+          col("total").cast("double") / col("cnt").cast("double"))
+          .otherwise(col("total").cast("double") * 2.0)
+        val ev = t.filter(col("b") >= 18)
+          .join(broadcast(vocab), Seq("tok"), "left")
+          .crossJoin(broadcast(totalDf))
+          .withColumn("mnat", floor(lit(1000.0) * log(p)).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_eval_tokens"), sum("mnat").as("snll"))
+          .select(col("source"), col("n_eval_tokens"),
+            expr("snll div n_eval_tokens").as("nll_milli"))
+          .localCheckpoint() // min probe + weight rows read it
+        // NOT checkpointed: j's lineage starts at the two checkpoints
+        // above, so its double execution (rows + normalization total)
+        // re-runs only O(#sources) arithmetic — and the plan contract
+        // keeps the joins visible (the q214 checkpoint-blindness trap)
+        val j = ev.join(broadcast(shares), "source")
+          .crossJoin(broadcast(ev.agg(min("nll_milli").as("mn"))))
+          .crossJoin(broadcast(shares.agg(sum("n_train").as("nt"))))
+          .withColumn("excess_milli", col("nll_milli") - col("mn"))
+          .withColumn("w_raw",
+            expr("((1000 * n_train) div nt) * (1000 + excess_milli)"))
+        j.crossJoin(broadcast(j.agg(sum("w_raw").as("tw"))))
+          .select(col("source"), col("n_eval_tokens"), col("nll_milli"),
+            col("excess_milli"),
+            expr("(1000 * w_raw) div tw").as("weight_milli"))
+      },
+      Some {
+        val splitSql = "cast('0x' || substr(md5('bo:' || " +
+          "CAST(doc_id AS VARCHAR)), 1, 8) as bigint) % 20"
+        s"""WITH t AS (SELECT source, $splitSql AS b, $toksSql AS toks
+           |           FROM documents),
+           |e AS (SELECT source, b, unnest(toks) AS tok FROM t),
+           |tr AS (SELECT * FROM e WHERE b < 18),
+           |f AS (SELECT tok, count(*) AS cnt FROM tr GROUP BY tok),
+           |tot AS (SELECT sum(cnt) AS total FROM f),
+           |v AS (SELECT tok, cnt FROM f ORDER BY cnt DESC, tok
+           |      LIMIT 50000),
+           |sh AS (SELECT source, CAST(count(*) AS BIGINT) AS n_train
+           |       FROM tr GROUP BY source),
+           |nt AS (SELECT CAST(sum(n_train) AS BIGINT) AS nt FROM sh),
+           |ev AS (SELECT e.source,
+           |    CAST(count(*) AS BIGINT) AS n_eval_tokens,
+           |    CAST(sum(CAST(floor(1000.0 * ln(CASE
+           |      WHEN v.cnt IS NOT NULL THEN tot.total::DOUBLE / v.cnt
+           |      ELSE tot.total::DOUBLE * 2.0 END)) AS BIGINT))
+           |      AS BIGINT) AS snll
+           |  FROM e LEFT JOIN v USING (tok) CROSS JOIN tot
+           |  WHERE e.b >= 18 GROUP BY e.source),
+           |ev2 AS (SELECT source, n_eval_tokens,
+           |    snll // n_eval_tokens AS nll_milli FROM ev),
+           |mn AS (SELECT min(nll_milli) AS mn FROM ev2),
+           |j AS (SELECT ev2.source, n_eval_tokens, nll_milli,
+           |    nll_milli - mn.mn AS excess_milli,
+           |    ((1000 * sh.n_train) // nt.nt) *
+           |      (1000 + nll_milli - mn.mn) AS w_raw
+           |  FROM ev2 JOIN sh USING (source) CROSS JOIN mn CROSS JOIN nt),
+           |tw AS (SELECT CAST(sum(w_raw) AS BIGINT) AS tw FROM j)
+           |SELECT source, n_eval_tokens,
+           |  CAST(nll_milli AS BIGINT) AS nll_milli,
+           |  CAST(excess_milli AS BIGINT) AS excess_milli,
+           |  CAST((1000 * w_raw) // tw.tw AS BIGINT) AS weight_milli
+           |FROM j CROSS JOIN tw""".stripMargin
       })
   )
 

@@ -269,6 +269,152 @@ object VectorQueries2 {
            |SELECT vec_id, sim,
            |  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
            |FROM x ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+      }),
+
+    // Matryoshka truncation recall: recall@10 of PREFIX-dimension
+    // cosine ranking (r = 8/16/32 of 64) vs the full-space exact
+    // ranking — the decision table for Matryoshka-style tiered
+    // retrieval (truncate stored vectors, re-rank survivors at full
+    // width). Complements q180 (which measures prefix ENERGY — how
+    // much norm the prefix holds) with the retrieval-quality number
+    // that actually gates the decision, and q188 (random projection —
+    // no training assumption) with the learned-prefix variant. Same
+    // plan skeleton as q188: one scored pass (4 codegen'd cosines per
+    // row) checkpointed, windowless TopK rankings, overlap by semi
+    // join; on THIS near-uniform corpus expect the documented
+    // no-free-structure recall floor — the audit states it by data.
+    QDef("q231_matryoshka_recall",
+      (s, dir) => {
+        val rs = Seq(8, 16, 32)
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val qs = broadcast(e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")))
+        val scored = e.filter(col("vec_id") >= 4).crossJoin(qs)
+          .select(Seq(col("query_id"), col("vec_id"),
+            round(cosine(col("v"), col("qv")), 6).as("sim_full")) ++
+            rs.map(r => round(cosine(slice(col("v"), 1, r),
+              slice(col("qv"), 1, r)), 6).as(s"sim_$r")): _*)
+          .localCheckpoint() // all four top-k passes share one scoring
+        def top10(simCol: String) =
+          graft.ops.TopK.perGroup(scored, "query_id",
+            struct((-col(simCol)).as("ns"), col("vec_id").as("id")), 10)
+            .select(col("query_id"), col("key.id").as("vec_id"))
+        val full = top10("sim_full").localCheckpoint() // 3 overlap probes
+        val perR = rs.map { r =>
+          full.join(broadcast(top10(s"sim_$r")),
+              Seq("query_id", "vec_id"), "left_semi")
+            .groupBy("query_id").agg(count(lit(1)).as("no"))
+            .select(lit(r.toLong).as("prefix_dims"), col("query_id"),
+              col("no"))
+        }.reduce(_ unionAll _)
+        qs.select(col("query_id"))
+          .crossJoin(broadcast(
+            s.range(0, 1).select(explode(
+              array(rs.map(r => lit(r.toLong)): _*)).as("prefix_dims"))))
+          .join(broadcast(perR), Seq("prefix_dims", "query_id"), "left")
+          .select(col("prefix_dims"), col("query_id"),
+            coalesce(col("no"), lit(0L)).as("n_overlap"))
+          .withColumn("recall_milli", expr("(1000 * n_overlap) div 10"))
+      },
+      Some {
+        val simCols = Seq(8, 16, 32).map(r =>
+          s"round(${cosSql(s"list_slice(pe.v, 1, $r)",
+            s"list_slice(qv, 1, $r)")}, 6) AS sim_$r").mkString(",\n    ")
+        val tops = (Seq("full") ++ Seq(8, 16, 32).map(_.toString)).map { r =>
+          val c = if (r == "full") "sim_full" else s"sim_$r"
+          s"""t$r AS (SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id, row_number() OVER (
+             |      PARTITION BY query_id
+             |      ORDER BY $c DESC, vec_id ASC) AS rn FROM sc) x$r
+             |  WHERE rn <= 10)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+           |      WHERE vec_id < 4),
+           |sc AS (SELECT query_id, pe.vec_id,
+           |    round(${cosSql("pe.v", "qv")}, 6) AS sim_full,
+           |    $simCols
+           |  FROM e pe, q WHERE pe.vec_id >= 4),
+           |$tops,
+           |o AS (SELECT 8 AS prefix_dims, tfull.query_id,
+           |        count(*) AS no
+           |      FROM tfull JOIN t8 USING (query_id, vec_id) GROUP BY 2
+           |      UNION ALL
+           |      SELECT 16, tfull.query_id, count(*)
+           |      FROM tfull JOIN t16 USING (query_id, vec_id) GROUP BY 2
+           |      UNION ALL
+           |      SELECT 32, tfull.query_id, count(*)
+           |      FROM tfull JOIN t32 USING (query_id, vec_id) GROUP BY 2),
+           |grid AS (SELECT r AS prefix_dims, query_id
+           |         FROM q CROSS JOIN (SELECT unnest([8, 16, 32]) AS r))
+           |SELECT CAST(g.prefix_dims AS BIGINT) AS prefix_dims,
+           |  g.query_id,
+           |  CAST(coalesce(o.no, 0) AS BIGINT) AS n_overlap,
+           |  (1000 * CAST(coalesce(o.no, 0) AS BIGINT)) // 10
+           |    AS recall_milli
+           |FROM grid g LEFT JOIN o
+           |  ON o.prefix_dims = g.prefix_dims
+           |  AND o.query_id = g.query_id""".stripMargin
+      }),
+
+    // Per-dimension moment audit — the whitening/anisotropy check run
+    // before trusting cosine at corpus scale: per dimension, the mean
+    // and variance of the corpus distribution (dead dims, dominant
+    // dims, mean offsets — each distorts cosine differently), plus
+    // each dimension's share of total variance. Components quantize
+    // to integer MICRO units before aggregation (the q106 discipline:
+    // partition-order-free exact long sums); the variance uses
+    // floor-division moments (E[x²]−E[x]², both floored) so every
+    // intermediate stays under ~2e16 at any corpus size — no squared
+    // corpus-sum term (the q220 overflow class is avoided by
+    // dividing BEFORE multiplying).
+    QDef("q233_dim_moments",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(toDouble(col("embedding")).as("v"))
+        def qd(d: Int) =
+          s"CAST(floor(element_at(v, $d) * 1000000.0) AS BIGINT)"
+        val sums = (1 to Dims).flatMap(d => Seq(
+          sum(expr(qd(d))).as(s"s$d"),
+          sum(expr(s"(${qd(d)} * ${qd(d)}) div 1000000")).as(s"ss$d")))
+          .:+(count(lit(1)).as("n"))
+        val agg = e.agg(sums.head, sums.tail: _*)
+        val rows = agg.select(explode(array((1 to Dims).map(d =>
+          struct(lit(d.toLong).as("dim"),
+            expr(s"s$d div n").as("mean_micro"),
+            expr(s"ss$d div n - ((s$d div n) * (s$d div n)) div 1000000")
+              .as("var_micro"))): _*)).as("p"))
+          .select(col("p.dim"), col("p.mean_micro"), col("p.var_micro"))
+          .localCheckpoint() // total-variance probe reads it twice
+        rows.crossJoin(broadcast(
+            rows.agg(sum("var_micro").as("tv"))))
+          .select(col("dim"), col("mean_micro"), col("var_micro"),
+            expr("(1000 * var_micro) div greatest(tv, 1L)")
+              .as("var_share_milli"))
+      },
+      Some {
+        val terms = (1 to Dims).map(d =>
+          s"""SELECT $d AS dim,
+             |  CAST(sum(CAST(floor(v[$d] * 1000000.0) AS BIGINT))
+             |    AS BIGINT) AS s,
+             |  CAST(sum((CAST(floor(v[$d] * 1000000.0) AS BIGINT) *
+             |    CAST(floor(v[$d] * 1000000.0) AS BIGINT)) // 1000000)
+             |    AS BIGINT) AS ss,
+             |  count(*) AS n
+             |FROM e""".stripMargin).mkString("\nUNION ALL\n")
+        s"""WITH e AS (SELECT $vSql AS v FROM embeddings),
+           |m AS ($terms),
+           |r AS (SELECT CAST(dim AS BIGINT) AS dim,
+           |    s // n AS mean_micro,
+           |    ss // n - ((s // n) * (s // n)) // 1000000 AS var_micro
+           |  FROM m),
+           |tv AS (SELECT CAST(sum(var_micro) AS BIGINT) AS tv FROM r)
+           |SELECT dim, CAST(mean_micro AS BIGINT) AS mean_micro,
+           |  CAST(var_micro AS BIGINT) AS var_micro,
+           |  CAST((1000 * var_micro) // greatest(tv, 1) AS BIGINT)
+           |    AS var_share_milli
+           |FROM r CROSS JOIN tv""".stripMargin
       })
   )
 }

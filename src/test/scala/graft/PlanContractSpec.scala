@@ -102,6 +102,26 @@ class PlanContractSpec extends SparkSpec {
       s"q226 explode must ride the bounded group-size frame:\n$p226")
   }
 
+  test("q231 matryoshka recall: windowless TopK rankings, broadcasts " +
+    "only; q233 moments: single-pass aggregation, no corpus join") {
+    val p231 = plan("q231_matryoshka_recall")
+    assert(!p231.contains("Window"), s"q231 grew a window:\n$p231")
+    assert(!p231.contains("SortMergeJoin"),
+      s"q231 grew a sort-merge join:\n$p231")
+    val p233 = plan("q233_dim_moments")
+    assert(!p233.contains("SortMergeJoin") && !p233.contains("Window"),
+      s"q233 plan shape wrong:\n$p233")
+  }
+
+  test("q232 domain reweight: small-frame joins broadcast, no " +
+    "sort-merge join (corpus lineage sits behind the ev/shares " +
+    "checkpoints; the vocab broadcast there is the q78 contract)") {
+    val p = plan("q232_domain_reweight")
+    assert(p.contains("BroadcastHashJoin"), s"q232 lost broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q232 grew a sort-merge join:\n$p")
+  }
+
   test("q227 passage chunks: join-free; q228 leak rollup broadcasts " +
     "the leaked-id frame") {
     val p227 = plan("q227_passage_chunks")
