@@ -22,7 +22,7 @@ object SparkEntry {
       PipelineQueries20.defs ++ PipelineQueries21.defs ++
       PipelineQueries22.defs ++ PipelineQueries23.defs ++
       PipelineQueries24.defs ++ PipelineQueries25.defs ++
-      PipelineQueries26.defs ++
+      PipelineQueries26.defs ++ PipelineQueries27.defs ++
       VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap

@@ -33,8 +33,10 @@ object PipelineQueries {
   }
 
   /** Brute-force exact-Jaccard pair CTEs (the q25 oracle shape) — the
-    * ground truth the MinHash-LSH implementation provably reproduces. */
-  private def pairCtes(threshold: Double): String =
+    * ground truth the MinHash-LSH implementation provably reproduces.
+    * `private[queries]`: q229's k-core and q234's topology oracles
+    * peel/aggregate the same pair set (one definition, never copies). */
+  private[queries] def pairCtes(threshold: Double): String =
     s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |s AS (SELECT doc_id, ${ngramSql(3)} AS sh FROM t),
        |p AS (

@@ -486,11 +486,10 @@ object PipelineQueries26 {
     * "Too many open files" lesson makes MATERIALIZED load-bearing).
     */
   private def kcoreOracleSql(rounds: Map[Int, Int]): String = {
-    val gramSql = "cast('0x' || substr(md5(g), 1, 8) as bigint)"
     val stages = new StringBuilder
     val finals = rounds.toSeq.sortBy(_._1).map { case (k, r) =>
       stages.append(
-        s"e${k}_0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p),\n")
+        s"e${k}_0 AS MATERIALIZED (SELECT da AS a, db AS b FROM pr),\n")
       for (i <- 1 to r) {
         val prev = s"e${k}_${i - 1}"
         stages.append(
@@ -509,23 +508,7 @@ object PipelineQueries26 {
          |  (SELECT CAST(count(*) AS BIGINT) FROM e${k}_$r) AS n_edges,
          |  CAST($r AS BIGINT) AS rounds""".stripMargin
     }
-    s"""WITH t AS MATERIALIZED (
-       |  SELECT doc_id, $toksSql AS toks FROM documents),
-       |s AS MATERIALIZED (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    CASE WHEN len(toks) >= 3 THEN
-       |      list_transform(generate_series(1, len(toks) - 2),
-       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-       |      ELSE [] END,
-       |    g -> $gramSql)) AS sh
-       |  FROM t),
-       |p AS MATERIALIZED (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
-       |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
-       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-       |      >= 0.8),
+    s"""WITH ${PipelineQueries.pairCtes(0.8)},
        |${stages.toString}
        |dummy AS (SELECT 1)
        |${finals.mkString("\nUNION ALL\n")}""".stripMargin

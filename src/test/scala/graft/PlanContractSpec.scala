@@ -102,6 +102,30 @@ class PlanContractSpec extends SparkSpec {
       s"q226 explode must ride the bounded group-size frame:\n$p226")
   }
 
+  test("q235 bursts: TakeOrdered over the hourly frame, no sort-merge " +
+    "join; q234 topology joins never cartesian") {
+    val p235 = plan("q235_burst_hours")
+    assert(p235.contains("TakeOrderedAndProject"),
+      s"q235 lost TakeOrdered:\n$p235")
+    assert(!p235.contains("SortMergeJoin"),
+      s"q235 grew a sort-merge join:\n$p235")
+    val p234 = plan("q234_component_topology")
+    assert(!p234.contains("CartesianProduct"),
+      s"q234 grew a cartesian product:\n$p234")
+  }
+
+  test("q237 eval sampler: ranked + alloc frames broadcast back at " +
+    "the corpus; apportionment window is the only Window") {
+    val p = plan("q237_eval_sampler")
+    assert(p.contains("BroadcastHashJoin"), s"q237 lost broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q237 grew a sort-merge join:\n$p")
+    val nWindows = p.linesIterator.count(l =>
+      l.contains("Window") && !l.contains("WindowGroupLimit"))
+    assert(nWindows <= 2, // formatted explain: one tree line + detail
+      s"q237 grew corpus windows ($nWindows):\n$p")
+  }
+
   test("q231 matryoshka recall: windowless TopK rankings, broadcasts " +
     "only; q233 moments: single-pass aggregation, no corpus join") {
     val p231 = plan("q231_matryoshka_recall")
