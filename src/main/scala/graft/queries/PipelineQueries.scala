@@ -35,17 +35,25 @@ object PipelineQueries {
   /** Brute-force exact-Jaccard pair CTEs (the q25 oracle shape) — the
     * ground truth the MinHash-LSH implementation provably reproduces.
     * `private[queries]`: q229's k-core and q234's topology oracles
-    * peel/aggregate the same pair set (one definition, never copies). */
-  private[queries] def pairCtes(threshold: Double): String =
-    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |s AS (SELECT doc_id, ${ngramSql(3)} AS sh FROM t),
-       |p AS (
+    * peel/aggregate the same pair set (one definition, never copies).
+    * `materialized = true` pins every stage MATERIALIZED — DuckDB
+    * inlines default CTEs per reference, so an oracle reading `p`
+    * from k downstream CTEs would re-run the O(n²) pair scan k times
+    * (the q212 lesson; q241 measured it as a many-minute replay). */
+  private[queries] def pairCtes(threshold: Double,
+                                materialized: Boolean = false): String = {
+    val m = if (materialized) "MATERIALIZED " else ""
+    s"""t AS $m(SELECT doc_id, $toksSql AS toks FROM documents),
+       |s AS $m(SELECT doc_id, ${ngramSql(3)} AS sh FROM t),
+       |p AS $m(
        |  SELECT a.doc_id AS da, b.doc_id AS db,
        |    len(list_intersect(a.sh, b.sh)) AS inter,
        |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0),
-       |pr AS (SELECT da, db FROM p WHERE inter::DOUBLE / uni >= $threshold)""".stripMargin
+       |pr AS $m(SELECT da, db FROM p
+       |  WHERE inter::DOUBLE / uni >= $threshold)""".stripMargin
+  }
 
   val defs: Seq[QDef] = Seq(
 

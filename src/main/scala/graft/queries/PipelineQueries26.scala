@@ -508,7 +508,7 @@ object PipelineQueries26 {
          |  (SELECT CAST(count(*) AS BIGINT) FROM e${k}_$r) AS n_edges,
          |  CAST($r AS BIGINT) AS rounds""".stripMargin
     }
-    s"""WITH ${PipelineQueries.pairCtes(0.8)},
+    s"""WITH ${PipelineQueries.pairCtes(0.8, materialized = true)},
        |${stages.toString}
        |dummy AS (SELECT 1)
        |${finals.mkString("\nUNION ALL\n")}""".stripMargin

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextAnalysis.{affineParam, shingleHashes, tokens, MinhashPrime}
-import graft.ops.{ConnectedComponents, Dedup}
+import graft.ops.{ConnectedComponents, Dedup, Sketches}
 import org.apache.spark.sql.functions._
 
 /** Twenty-seventh pipeline group — dedup-graph topology, event
@@ -69,7 +69,7 @@ object PipelineQueries27 {
           .select(col("n_nodes"), col("n_components"), col("n_cliques"),
             expr("sd div n_components").as("mean_density_milli"))
       },
-      Some(s"""WITH RECURSIVE ${PipelineQueries.pairCtes(0.8)},
+      Some(s"""WITH RECURSIVE ${PipelineQueries.pairCtes(0.8, materialized = true)},
               |e AS (SELECT da AS a, db AS b FROM pr
               |      UNION SELECT db, da FROM pr),
               |reach(a, b) AS (
@@ -322,6 +322,232 @@ object PipelineQueries27 {
            |  CAST(rk.pick_rank AS BIGINT) AS pick_rank
            |FROM rk JOIN alloc USING (lang, source)
            |WHERE rk.pick_rank < alloc.n_alloc""".stripMargin
+      }),
+
+    // Per-rule failure attribution for the q74 heuristic gate: for
+    // each of the five rules, how many docs fail it and how many fail
+    // ONLY it (sole blockers — relaxing that one threshold admits
+    // them). This is the threshold-tuning table the composite `pass`
+    // boolean cannot provide. One scan computes all five booleans
+    // (identical expressions to QualityGates.heuristicPass, mirrored
+    // from the proven q74 oracle forms); the rule fan-out explodes 5
+    // structs per doc with map-side partial aggregation — no joins.
+    QDef("q238_rule_attribution",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("toks", tokens(col("text")))
+        val nTok = size(col("toks"))
+        val meanTokLen = length(array_join(col("toks"), ""))
+          .cast("double") / nTok.cast("double")
+        val symbolRatio = length(regexp_replace(col("text"),
+          lit("[A-Za-z0-9 ]"), lit(""))).cast("double") /
+          col("n_chars").cast("double")
+        val digitRatio = length(regexp_replace(col("text"),
+          lit("[^0-9]"), lit(""))).cast("double") /
+          col("n_chars").cast("double")
+        val ttr = size(array_distinct(col("toks"))).cast("double") /
+          nTok.cast("double")
+        val fails = Seq(
+          "length" -> !(nTok >= 5 && nTok <= 100000),
+          "tok_len" -> !(meanTokLen >= 2.0 && meanTokLen <= 12.0),
+          "symbol" -> !(symbolRatio < 0.3),
+          "digit" -> !(digitRatio < 0.3),
+          "ttr" -> !(ttr > 0.2))
+        val withF = docs.select(fails.map { case (n, c) =>
+          c.cast("long").as(s"f_$n") }: _*)
+          .withColumn("nf", fails.map(f => col(s"f_${f._1}"))
+            .reduce(_ + _))
+        withF.select(explode(array(fails.map { case (n, _) =>
+            struct(lit(n).as("rule"), col(s"f_$n").as("fail"),
+              (col(s"f_$n") === 1 && col("nf") === 1)
+                .cast("long").as("sole"))
+          }: _*)).as("p"))
+          .select(col("p.rule"), col("p.fail"), col("p.sole"))
+          .groupBy("rule")
+          .agg(count(lit(1)).as("nd"), sum("fail").as("n_fail"),
+            sum("sole").as("n_sole_fail"))
+          .select(col("rule"), col("n_fail"), col("n_sole_fail"),
+            expr("(1000 * n_fail) div nd").as("fail_milli"))
+      },
+      Some {
+        val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+        val rules = Seq(
+          "length" -> "NOT (n_tokens >= 5 AND n_tokens <= 100000)",
+          "tok_len" -> "NOT (mean_tok_len >= 2.0 AND mean_tok_len <= 12.0)",
+          "symbol" -> "NOT (symbol_ratio < 0.3)",
+          "digit" -> "NOT (digit_ratio < 0.3)",
+          "ttr" -> "NOT (ttr > 0.2)")
+        val fCols = rules.map { case (n, e) =>
+          s"CASE WHEN $e THEN 1 ELSE 0 END AS f_$n" }.mkString(",\n    ")
+        val nf = rules.map(r => s"f_${r._1}").mkString(" + ")
+        val u = rules.map { case (n, _) =>
+          s"SELECT '$n' AS rule, f_$n AS fail, " +
+            s"CASE WHEN f_$n = 1 AND nf = 1 THEN 1 ELSE 0 END AS sole " +
+            "FROM g"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH t AS (SELECT doc_id, n_chars, text, $toksSql AS toks
+           |           FROM documents),
+           |m AS (SELECT doc_id,
+           |    len(toks) AS n_tokens,
+           |    list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+           |      / len(toks) AS mean_tok_len,
+           |    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+           |      / n_chars AS symbol_ratio,
+           |    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+           |      / n_chars AS digit_ratio,
+           |    len(list_distinct(toks))::DOUBLE / len(toks) AS ttr
+           |  FROM t),
+           |f AS (SELECT doc_id, $fCols FROM m),
+           |g AS (SELECT *, $nf AS nf FROM f),
+           |u AS ($u)
+           |SELECT rule, CAST(sum(fail) AS BIGINT) AS n_fail,
+           |  CAST(sum(sole) AS BIGINT) AS n_sole_fail,
+           |  CAST((1000 * CAST(sum(fail) AS BIGINT)) // count(*)
+           |    AS BIGINT) AS fail_milli
+           |FROM u GROUP BY rule""".stripMargin
+      }),
+
+    // Boilerplate phrase mining: the 20 most widely-carried 5-gram
+    // PHRASES (by distinct-doc frequency) with their doc share — the
+    // human-readable counterpart of q117's hash-level boilerplate
+    // strip (this is the report a cleaning pass attaches to justify
+    // its removals). Scale shape: df counts aggregate 8-byte hashes;
+    // the global top-20 is one TakeOrdered; gram STRINGS shuffle only
+    // for the 20 winners (broadcast semi join restricts before the
+    // recovery distinct) — the corpus-side shuffle never carries
+    // phrase text.
+    QDef("q239_boilerplate_phrases",
+      (s, dir) => {
+        val grams = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, size(toks) - 4), " +
+              "i -> array_join(slice(toks, i, 5), ' '))")).as("g"))
+          .select(col("doc_id"), col("g"),
+            Sketches.hash60(col("g")).as("h"))
+          .localCheckpoint() // df counts + winner-string recovery
+        val dfc = grams.select(col("doc_id"), col("h")).distinct()
+          .groupBy("h").agg(count(lit(1)).as("df"))
+        val top = dfc.orderBy(col("df").desc, col("h")).limit(20)
+        val names = grams.join(broadcast(top.select("h")), "h")
+          .select(col("h"), col("g")).distinct()
+        val nd = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+        top.join(broadcast(names), "h")
+          .crossJoin(broadcast(nd))
+          .select(col("g").as("gram"), col("df").as("n_docs"),
+            expr("(1000 * df) div n").as("doc_share_milli"))
+      },
+      Some {
+        val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |p5 AS (SELECT doc_id, unnest(list_transform(
+           |        generate_series(1, len(toks) - 4),
+           |        i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
+           |        AS g
+           |      FROM t WHERE len(toks) >= 5),
+           |h AS (SELECT doc_id, g,
+           |        cast('0x' || substr(md5(g), 1, 15) as bigint) AS h
+           |      FROM p5),
+           |dfc AS (SELECT h, CAST(count(*) AS BIGINT) AS df
+           |        FROM (SELECT DISTINCT doc_id, h FROM h) x GROUP BY h),
+           |top AS (SELECT h, df FROM dfc ORDER BY df DESC, h LIMIT 20),
+           |names AS (SELECT DISTINCT h.h, h.g FROM h JOIN top USING (h)),
+           |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+           |SELECT names.g AS gram, top.df AS n_docs,
+           |  (1000 * top.df) // nd.n AS doc_share_milli
+           |FROM top JOIN names USING (h) CROSS JOIN nd""".stripMargin
+      }),
+
+    // Event 3-path mining: the 10 most common consecutive
+    // (type → type → type) per-user paths — the navigation-pattern
+    // rollup one step deeper than q166's transition matrix. Two lag
+    // windows over ONE (user, ts, event_id) sort (the q166/q199
+    // contract: per-user partitions, never a corpus sort); paths
+    // aggregate map-side; top-10 is one TakeOrdered.
+    QDef("q240_event_paths",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .filter(col("t3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("t2"),
+            col("t3")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(10)
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type
+             |           FROM events),
+             |l AS (SELECT event_type,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS t2,
+             |    lead(event_type, 2) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS t3
+             |  FROM e)
+             |SELECT event_type || '>' || t2 || '>' || t3 AS path,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM l WHERE t3 IS NOT NULL
+             |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin)),
+
+    // Dedup aggressiveness curve: pair count, cluster count, and docs
+    // removed at thresholds 0.7 / 0.8 / 0.9 — the table that picks
+    // the dedup threshold by showing what each notch actually costs.
+    // ONE full-recall prefix join at the loosest threshold (0.7)
+    // feeds every stratum (higher-threshold pair sets are jaccard
+    // FILTERS of it — no second corpus pass); the three closures run
+    // on the small pair frames, where ConnectedComponents' bounded
+    // union-find gate applies.
+    QDef("q241_threshold_curve",
+      (s, dir) => {
+        val pairs = Dedup
+          .nearDupPrefix(Tables.documents(s, dir), "doc_id", "text",
+            threshold = 0.7)
+          .localCheckpoint() // all three strata filter it
+        val rows = Seq(700L, 800L, 900L).map { tm =>
+          val p = pairs.filter(col("jaccard") >= tm.toDouble / 1000.0)
+          val comp = ConnectedComponents.run(p, "doc_a", "doc_b")
+          comp.agg(count(lit(1)).as("n_docs_in_clusters"),
+              count_distinct(col("component")).as("n_clusters"))
+            .crossJoin(broadcast(p.agg(count(lit(1)).as("n_pairs"))))
+            .select(lit(tm).as("threshold_milli"), col("n_pairs"),
+              col("n_clusters"),
+              (col("n_docs_in_clusters") - col("n_clusters"))
+                .as("n_docs_removed"))
+        }
+        rows.reduce(_ unionAll _)
+      },
+      Some {
+        val closures = Seq(700, 800, 900).map { tm =>
+          val t = tm / 1000.0
+          s"""e$tm AS (SELECT da AS a, db AS b FROM p
+             |  WHERE inter::DOUBLE / uni >= $t
+             |  UNION SELECT db, da FROM p
+             |  WHERE inter::DOUBLE / uni >= $t),
+             |reach$tm(a, b) AS (
+             |  SELECT a, b FROM e$tm
+             |  UNION
+             |  SELECT r.a, e.b FROM reach$tm r JOIN e$tm e ON r.b = e.a),
+             |cl$tm AS (SELECT a AS node, least(a, min(b)) AS component
+             |          FROM reach$tm GROUP BY a),
+             |s$tm AS (SELECT CAST($tm AS BIGINT) AS threshold_milli,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM p
+             |     WHERE inter::DOUBLE / uni >= $t) AS n_pairs,
+             |    (SELECT CAST(count(DISTINCT component) AS BIGINT)
+             |     FROM cl$tm) AS n_clusters,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cl$tm) -
+             |    (SELECT CAST(count(DISTINCT component) AS BIGINT)
+             |     FROM cl$tm) AS n_docs_removed)""".stripMargin
+        }
+        s"""WITH RECURSIVE ${PipelineQueries.pairCtes(0.7, materialized = true)},
+           |${closures.mkString(",\n")}
+           |SELECT * FROM s700
+           |UNION ALL SELECT * FROM s800
+           |UNION ALL SELECT * FROM s900""".stripMargin
       })
   )
 }
