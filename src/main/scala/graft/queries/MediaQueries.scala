@@ -106,6 +106,64 @@ object MediaQueries {
         |  AND x.seg_hash = y.seg_hash AND x.media_id < y.media_id
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
 
+    // Overlap/trim audit over q100's detected pairs: overlap share of
+    // the SHORTER clip plus the is_trim verdict (every segment of the
+    // shorter side shared ⇒ a pure trim/re-encode; partial overlap ⇒
+    // spliced or watermarked variants). Same segment-join candidates
+    // as q100 — the per-media segment counts ride a tiny aggregate
+    // broadcast back at the pair frame, so the audit adds no second
+    // corpus pass.
+    QDef("q242_media_overlap",
+      (s, _) => {
+        val media = Multimodal.readMedia(s,
+          s"${FixtureGen.FixtureDir}/media.parquet")
+        val segs = Multimodal.segmentHashes(media).localCheckpoint()
+        val counts = segs.groupBy("media_id")
+          .agg(count(lit(1)).as("n_segs"))
+        val pairs = segs.as("x").join(segs.as("y"),
+            col("x.kind") === col("y.kind") &&
+              col("x.seg") === col("y.seg") &&
+              col("x.seg_hash") === col("y.seg_hash") &&
+              col("x.media_id") < col("y.media_id"))
+          .select(col("x.media_id").as("media_a"),
+            col("y.media_id").as("media_b"))
+          .groupBy("media_a", "media_b")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+        pairs
+          .join(broadcast(counts.select(col("media_id").as("media_a"),
+            col("n_segs").as("na"))), "media_a")
+          .join(broadcast(counts.select(col("media_id").as("media_b"),
+            col("n_segs").as("nb"))), "media_b")
+          .select(col("media_a"), col("media_b"), col("n_shared"),
+            expr("(1000 * n_shared) div least(na, nb)")
+              .as("overlap_milli"),
+            expr("n_shared = least(na, nb)").as("is_trim"))
+      },
+      Some(s"""WITH $mCte,
+        |segs AS (
+        |  SELECT media_id, kind, seg,
+        |    md5(substr(payload, (seg - 1) * 32 + 1, 32)) AS seg_hash
+        |  FROM (
+        |    SELECT media_id, kind, payload,
+        |      unnest(generate_series(1,
+        |        (CAST(length(payload) AS INT) + 31) // 32)) AS seg
+        |    FROM p WHERE length(payload) > 0) t),
+        |cnt AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_segs
+        |        FROM segs GROUP BY 1),
+        |pr AS (SELECT x.media_id AS media_a, y.media_id AS media_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM segs x JOIN segs y ON x.kind = y.kind AND x.seg = y.seg
+        |    AND x.seg_hash = y.seg_hash AND x.media_id < y.media_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT media_a, media_b, n_shared,
+        |  (1000 * n_shared) // least(a.n_segs, b.n_segs)
+        |    AS overlap_milli,
+        |  n_shared = least(a.n_segs, b.n_segs) AS is_trim
+        |FROM pr
+        |JOIN cnt a ON a.media_id = pr.media_a
+        |JOIN cnt b ON b.media_id = pr.media_b""".stripMargin)),
+
     // Feature extraction: payload -> deterministic 8-dim embedding (the
     // stub encoder), exploded to (media_id, dim, feat) so the check is
     // engine-portable; the float embedding itself feeds VectorSearch in

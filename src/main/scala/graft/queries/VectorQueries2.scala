@@ -26,6 +26,51 @@ object VectorQueries2 {
   private val Dims = 64
 
   /** DuckDB fragments shared with VectorQueries (same fold order). */
+  /** (vec_id, v, sig): the corpus with its q223 binary signature —
+    * per-dim midpoint thresholds from one exact min/max aggregation,
+    * 64 bits OR-reduced into one long. One definition serves q223's
+    * ANN and q243's calibration curve.
+    */
+  private def signedFrame(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .localCheckpoint() // stats agg + encode share it
+    val statCols =
+      (1 to Dims).map(d => min(element_at(col("v"), d)).as(s"mn$d")) ++
+        (1 to Dims).map(d => max(element_at(col("v"), d)).as(s"mx$d"))
+    val mids = e.agg(statCols.head, statCols.tail: _*)
+      .select(array((1 to Dims).map(d =>
+        (col(s"mn$d") + col(s"mx$d")) / 2.0): _*).as("mid"))
+    val sig = (0 until Dims).map(i =>
+      when(element_at(col("v"), i + 1) > element_at(col("mid"), i + 1),
+        lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    e.crossJoin(broadcast(mids))
+      .select(col("vec_id"), col("v"), sig.as("sig"))
+  }
+
+  /** DuckDB twin of [[signedFrame]]: `e`/`st`/`se(vec_id, v, sig)`
+    * CTEs (caller supplies `WITH`). 1L << 63 has no direct BIGINT
+    * literal in DuckDB (`<<` overflows, -9223372036854775808 parses
+    * HUGEINT) — bit 63 is spelled arithmetically.
+    */
+  private def signedCtes: String = {
+    val midList = (1 to Dims)
+      .map(d => s"(min(v[$d]) + max(v[$d])) / 2.0")
+      .mkString("[", ", ", "]")
+    def bitLit(i: Int): String =
+      if (i == 63) "(-9223372036854775807 - 1)::BIGINT"
+      else s"${1L << i}::BIGINT"
+    val sigSql = (0 until Dims).map(i =>
+      s"(CASE WHEN v[${i + 1}] > mid[${i + 1}] THEN ${bitLit(i)} " +
+        "ELSE 0::BIGINT END)").mkString(" | ")
+    s"""e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+       |st AS (SELECT $midList AS mid FROM e),
+       |se AS (SELECT vec_id, v, $sigSql AS sig FROM e CROSS JOIN st)"""
+      .stripMargin
+  }
+
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, " +
       s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
@@ -206,27 +251,10 @@ object VectorQueries2 {
     // vectors; both ranking stages are no-shuffle TakeOrdered.
     QDef("q223_ann_binary",
       (s, dir) => {
-        val e = Tables.embeddings(s, dir)
-          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-          .localCheckpoint() // stats agg + encode + re-rank share it
-        val statCols =
-          (1 to Dims).map(d => min(element_at(col("v"), d)).as(s"mn$d")) ++
-            (1 to Dims).map(d => max(element_at(col("v"), d)).as(s"mx$d"))
-        val mids = e.agg(statCols.head, statCols.tail: _*)
-          .select(array((1 to Dims).map(d =>
-            (col(s"mn$d") + col(s"mx$d")) / 2.0): _*).as("mid"))
-        def sig(v: Column, mid: Column): Column =
-          (0 until Dims).map(i =>
-            when(element_at(v, i + 1) > element_at(mid, i + 1),
-              lit(1L << i)).otherwise(lit(0L)))
-            .reduce(_ bitwiseOR _)
-        val signed = e.crossJoin(broadcast(mids))
-          .select(col("vec_id"), sig(col("v"), col("mid")).as("sig"))
-          .localCheckpoint() // query row + corpus Hamming scan share it
-        val q = broadcast(
-          signed.filter(col("vec_id") === 0).select(col("sig").as("qsig"))
-            .crossJoin(e.filter(col("vec_id") === 0)
-              .select(col("v").as("qv"))))
+        val signed = signedFrame(s, dir)
+          .localCheckpoint() // query row + Hamming scan + re-rank
+        val q = broadcast(signed.filter(col("vec_id") === 0)
+          .select(col("sig").as("qsig"), col("v").as("qv")))
         val short = signed.filter(col("vec_id") =!= 0)
           .crossJoin(q)
           .select(col("vec_id"),
@@ -234,7 +262,7 @@ object VectorQueries2 {
           .orderBy(col("ham").asc, col("vec_id").asc)
           .limit(50)
           .select(col("vec_id"))
-        short.join(e, "vec_id")
+        short.join(signed, "vec_id")
           .crossJoin(q)
           .select(col("vec_id"),
             round(cosine(col("v"), col("qv")), 6).as("sim"))
@@ -244,31 +272,71 @@ object VectorQueries2 {
             Window.orderBy(col("sim").desc, col("vec_id").asc)))
       },
       Some {
-        val midList = (1 to Dims)
-          .map(d => s"(min(v[$d]) + max(v[$d])) / 2.0")
-          .mkString("[", ", ", "]")
-        // 1L << 63 has no direct BIGINT literal in DuckDB (<< overflows,
-        // -9223372036854775808 parses as HUGEINT); spell it arithmetically
-        def bitLit(i: Int): String =
-          if (i == 63) "(-9223372036854775807 - 1)::BIGINT"
-          else s"${1L << i}::BIGINT"
-        val sigSql = (0 until Dims).map(i =>
-          s"(CASE WHEN v[${i + 1}] > mid[${i + 1}] THEN ${bitLit(i)} " +
-            "ELSE 0::BIGINT END)").mkString(" | ")
-        s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
-           |st AS (SELECT $midList AS mid FROM e),
-           |se AS (SELECT vec_id, $sigSql AS sig FROM e CROSS JOIN st),
-           |q AS (SELECT se.sig AS qsig, e.v AS qv
-           |      FROM se JOIN e USING (vec_id) WHERE vec_id = 0),
+        s"""WITH $signedCtes,
+           |q AS (SELECT sig AS qsig, v AS qv FROM se WHERE vec_id = 0),
            |h AS (SELECT vec_id, bit_count(xor(sig, qsig)) AS ham
            |      FROM se, q WHERE vec_id <> 0),
            |short AS (SELECT vec_id FROM h
            |          ORDER BY ham ASC, vec_id ASC LIMIT 50),
-           |x AS (SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
-           |      FROM e JOIN short USING (vec_id), q)
+           |x AS (SELECT se.vec_id, round(${cosSql("se.v", "qv")}, 6)
+           |        AS sim
+           |      FROM se JOIN short USING (vec_id), q)
            |SELECT vec_id, sim,
            |  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
            |FROM x ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+      }),
+
+    // Hamming-vs-cosine calibration: mean exact cosine per Hamming-
+    // distance bucket over a BOUNDED deterministic pair sample (128
+    // hash-ordered vectors split 64×64 — 4096 pairs at ANY corpus
+    // size, the audit is O(1) in the corpus). This is the table that
+    // says how much ranking signal the 1-bit signature carries here —
+    // i.e. why q223's exact re-rank is load-bearing on near-uniform
+    // data, stated by measurement. Cosines micro-quantize per pair
+    // before the mean (exact integer sums; negative-safe div per the
+    // q220 finding).
+    QDef("q243_hamming_cosine_curve",
+      (s, dir) => {
+        val withH = signedFrame(s, dir)
+          .withColumn("hs", graft.functions.TextAnalysis.tokenHash(
+            concat(lit("hp:"), col("vec_id").cast("string"))))
+          .orderBy(col("hs"), col("vec_id")).limit(128)
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("hs"), col("vec_id"))) - 1)
+          .localCheckpoint() // both halves of the pair grid read it
+        val aH = withH.filter(col("r") < 64)
+          .select(col("v").as("va"), col("sig").as("sa"))
+        val bH = withH.filter(col("r") >= 64)
+          .select(col("v").as("vb"), col("sig").as("sb"))
+        aH.crossJoin(bH)
+          .select(
+            (bit_count(col("sa").bitwiseXOR(col("sb"))) / lit(4))
+              .cast("long").as("hamming_bucket"),
+            floor(lit(1000000.0) * cosine(col("va"), col("vb")))
+              .cast("long").as("cm"))
+          .groupBy("hamming_bucket")
+          .agg(count(lit(1)).as("n_pairs"), sum("cm").as("sc"))
+          .select(col("hamming_bucket"), col("n_pairs"),
+            expr("sc div n_pairs").as("mean_cos_micro"))
+      },
+      Some {
+        val hSql = "cast('0x' || substr(md5('hp:' || " +
+          "CAST(vec_id AS VARCHAR)), 1, 8) as bigint)"
+        s"""WITH $signedCtes,
+           |rk AS (SELECT vec_id, v, sig, row_number() OVER (
+           |    ORDER BY $hSql, vec_id) - 1 AS r FROM se),
+           |a AS (SELECT v AS va, sig AS sa FROM rk WHERE r < 64),
+           |b AS (SELECT v AS vb, sig AS sb FROM rk
+           |      WHERE r >= 64 AND r < 128),
+           |pr AS (SELECT bit_count(xor(sa, sb)) // 4 AS hamming_bucket,
+           |    CAST(floor(1000000.0 * ${cosSql("va", "vb")}) AS BIGINT)
+           |      AS cm
+           |  FROM a CROSS JOIN b)
+           |SELECT CAST(hamming_bucket AS BIGINT) AS hamming_bucket,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(CAST(sum(cm) AS BIGINT) // count(*) AS BIGINT)
+           |    AS mean_cos_micro
+           |FROM pr GROUP BY 1""".stripMargin
       }),
 
     // Matryoshka truncation recall: recall@10 of PREFIX-dimension

@@ -102,6 +102,37 @@ class PlanContractSpec extends SparkSpec {
       s"q226 explode must ride the bounded group-size frame:\n$p226")
   }
 
+  test("q238 rule attribution is join-free; q239 phrase mining " +
+    "broadcasts the winner set; q240 paths windows per user only") {
+    val p238 = plan("q238_rule_attribution")
+    assert(!p238.contains("Join"), s"q238 grew a join:\n$p238")
+    val p239 = plan("q239_boilerplate_phrases")
+    assert(p239.contains("BroadcastHashJoin"),
+      s"q239 lost the winner-set broadcast:\n$p239")
+    assert(p239.contains("TakeOrderedAndProject"),
+      s"q239 lost TakeOrdered:\n$p239")
+    val p240 = plan("q240_event_paths")
+    assert(p240.contains("TakeOrderedAndProject"),
+      s"q240 lost TakeOrdered:\n$p240")
+    assert(!p240.contains("SortMergeJoin"), s"q240 grew a join:\n$p240")
+  }
+
+  test("q242 media overlap: segment counts broadcast at the pair " +
+    "frame; q243 calibration stays on bounded frames") {
+    val p242 = plan("q242_media_overlap")
+    assert(p242.contains("BroadcastHashJoin"),
+      s"q242 lost the count broadcast:\n$p242")
+    assert(!p242.contains("SortMergeJoin"),
+      s"q242 grew a sort-merge join:\n$p242")
+    // q243's bounded-sample TakeOrdered sits BEHIND the 128-row
+    // checkpoint (q214 plan-blindness), so the visible contract is
+    // the downstream shape only: tiny-grid join, one aggregation
+    val p243 = plan("q243_hamming_cosine_curve")
+    assert(!p243.contains("SortMergeJoin"),
+      s"q243 grew a sort-merge join:\n$p243")
+    assert(!p243.contains("Window"), s"q243 grew a window:\n$p243")
+  }
+
   test("q235 bursts: TakeOrdered over the hourly frame, no sort-merge " +
     "join; q234 topology joins never cartesian") {
     val p235 = plan("q235_burst_hours")
