@@ -139,10 +139,8 @@ object PipelineQueries27 {
           .withColumn("mh",
             graft.functions.TextAnalysis.minhashAffine(col("hs"), 24))
           .localCheckpoint() // every geometry + the truth set read it
-        val a = sig.select(col("doc_id").as("doc_a"),
-          col("hs").as("hs_a"), col("mh").as("mh_a"))
-        val b = sig.select(col("doc_id").as("doc_b"),
-          col("hs").as("hs_b"), col("mh").as("mh_b"))
+        val a = sig.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+        val b = sig.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
         // full-recall truth: the prefix join's verified pair count
         val truth = Dedup
           .nearDupPrefix(Tables.documents(s, dir), "doc_id", "text",
