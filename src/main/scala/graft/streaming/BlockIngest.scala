@@ -85,15 +85,32 @@ object BlockIngest {
     * atomically-renamed JSON file per batch, named by its committed
     * height. No manifest = height 0 (empty sink).
     */
-  def committedHeight(sinkDir: String): Long = {
+  def committedHeight(sinkDir: String): Long =
+    manifestHeights(sinkDir).foldLeft(0L)(math.max)
+
+  /** All published commit heights (one manifest per batch). */
+  private def manifestHeights(sinkDir: String): Seq[Long] = {
     val d = Paths.get(s"$sinkDir/_commits")
-    if (!Files.exists(d)) return 0L
+    if (!Files.exists(d)) return Seq.empty
     import scala.jdk.CollectionConverters._
     Files.list(d).iterator().asScala
       .map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
+      .filter(f => f.endsWith(".json") && !f.startsWith("."))
       .map(_.stripSuffix(".json").toLong)
-      .foldLeft(0L)(math.max)
+      .toSeq
+  }
+
+  /** The vacuum floor under a `retainCommits` retention: the height of
+    * the R-th-newest manifest (or the oldest, if fewer exist). Every
+    * file version a manifest ≥ the floor pins survives vacuum, so
+    * [[readCommittedAt]] time-travels across the retained window;
+    * retainCommits = 1 reproduces the original keep-only-newest
+    * behavior exactly.
+    */
+  private def retentionFloor(sinkDir: String, retainCommits: Int): Long = {
+    val hs = manifestHeights(sinkDir).sorted(Ordering[Long].reverse)
+    if (hs.isEmpty) 0L
+    else hs(math.min(math.max(retainCommits, 1), hs.size) - 1)
   }
 
   /** Process one micro-batch of whole blocks. Pure batch function —
@@ -106,7 +123,8 @@ object BlockIngest {
     * batch.
     */
   def processBatch(spark: SparkSession, batch: DataFrame, sinkDir: String,
-                   crashAt: Option[String] = None): Unit = {
+                   crashAt: Option[String] = None,
+                   retainCommits: Int = 1): Unit = {
     def crash(point: String): Unit =
       if (crashAt.contains(point))
         throw new IllegalStateException(s"injected crash at $point")
@@ -173,11 +191,14 @@ object BlockIngest {
       // the previous snapshot is fully intact and a manifest-resolving
       // reader cannot observe the torn batch.
       writeCommitManifest(sinkDir, newCommitted)
-      // reclaim versions no manifest references anymore — strictly
-      // after the commit point
+      // reclaim versions no RETAINED manifest references anymore —
+      // strictly after the commit point. The floor is the R-th-newest
+      // commit's height, so the newest `retainCommits` snapshots stay
+      // fully resolvable for readCommittedAt time travel
+      val floor = retentionFloor(sinkDir, retainCommits)
       inventoryTables.foreach(t =>
-        Inventory.vacuumBucketedState(s"$sinkDir/$t", newCommitted))
-      vacuumStats(sinkDir, newCommitted)
+        Inventory.vacuumBucketedState(s"$sinkDir/$t", floor))
+      vacuumStats(sinkDir, floor)
     } finally fresh.unpersist()
   }
 
@@ -676,6 +697,27 @@ object BlockIngest {
                     table: String): DataFrame = {
     val h = committedHeight(sinkDir)
     require(h > 0L, s"no committed snapshot at $sinkDir")
+    resolveManifest(spark, sinkDir, h, table)
+  }
+
+  /** Time travel: resolve `table` through the newest commit manifest
+    * at or below `asOf` — the snapshot a reader at that height saw.
+    * Resolvable as long as the manifest's file versions survive
+    * vacuum, i.e. within the writer's `retainCommits` window (the
+    * manifest itself always survives; only superseded inventory/stats
+    * versions are reclaimed — fact-table height partitions are
+    * immutable and readable forever).
+    */
+  def readCommittedAt(spark: SparkSession, sinkDir: String,
+                      table: String, asOf: Long): DataFrame = {
+    val hs = manifestHeights(sinkDir).filter(_ <= asOf)
+    require(hs.nonEmpty,
+      s"no commit manifest at or below height $asOf in $sinkDir")
+    resolveManifest(spark, sinkDir, hs.max, table)
+  }
+
+  private def resolveManifest(spark: SparkSession, sinkDir: String,
+                              h: Long, table: String): DataFrame = {
     val manifest = new String(Files.readAllBytes(
       Paths.get(s"$sinkDir/_commits/$h.json")), "UTF-8")
     val schema = StructType(Seq(
