@@ -1,0 +1,208 @@
+package graft.queries
+
+import graft.Tables
+import graft.fixtures.FixtureGen
+import graft.functions.TextAnalysis.tokens
+import graft.ops.BpeTrainer.adjacentPairs
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Twenty-eighth pipeline group — long-run event behavior, crawl
+  * hygiene, and the vocabulary-size decision curve:
+  *
+  *  - q244: stationary distribution of the q166 Markov chain — where
+  *    user attention settles in the long run, the number session-mix
+  *    planners compare against the RAW event mix to find transient-
+  *    vs-sticky event types. Twenty synchronous power-iteration steps
+  *    in integer micro-units over the |types|²-row transition matrix:
+  *    the matrix is a BOUNDED driver collect (the q95 waterfall
+  *    precedent), each step's truncating division is replayed
+  *    stage-for-stage by the oracle's unrolled CTEs.
+  *  - q245: crawl-URL hygiene profile per source — https/tracking-
+  *    param/fragment/trailing-slash shares over the raw_docs fixture
+  *    URLs (the q183/q184 crawl-frontier family's reporting face).
+  *    One scan, one aggregation; string predicates chosen to behave
+  *    identically in both engines (contains/prefix, never LIKE with
+  *    its `_` wildcard).
+  *  - q246: bigram vocabulary coverage curve — corpus token-pair mass
+  *    covered by the top-k bigram vocabulary (k = 10/100/1000), the
+  *    curve that sizes phrase tables and subword-merge budgets. The
+  *    corpus collapses to the vocab-sized count table; the cumulative
+  *    rank window runs over those O(vocab) rows only (the q164
+  *    histogram-window contract), never the corpus.
+  */
+object PipelineQueries28 {
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+
+  private val rawDocsPq =
+    s"read_parquet('${FixtureGen.FixtureDir}/raw_docs.parquet/*.parquet')"
+
+  /** Power-iteration step count — a plan-time constant, unrolled in
+    * the oracle, and PART OF THE OPERATOR'S DEFINITION: each step's
+    * truncating divisions leak a few micro of probability mass, so
+    * the integer iterate never literally fixes (measured: every
+    * component drifts DOWN ~2-4 micro per step past convergence —
+    * the price of cross-engine integer determinism). The eigenvector
+    * itself settles by ~step 10 on chains this size; 20 is comfortably
+    * past that, and both engines replay the identical 20 truncations.
+    */
+  private val PowerSteps = 20
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef("q244_stationary_distribution",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val tr = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("to_type", lead("event_type", 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        // |types|² rows — bounded by the event-type alphabet, the q95
+        // bounded-collect precedent (guarded, not assumed)
+        val edges = tr.collect().map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2)))
+        require(edges.length <= 100000,
+          s"transition matrix unexpectedly large: ${edges.length}")
+        val nFrom = edges.groupBy(_._1).map { case (f, es) =>
+          f -> es.map(_._3).sum }
+        val types = (edges.map(_._1) ++ edges.map(_._2))
+          .distinct.sorted
+        var pi: Map[String, Long] =
+          types.map(_ -> 1000000L / types.size).toMap
+        for (_ <- 1 to PowerSteps) {
+          val next = types.map { j =>
+            j -> edges.filter(_._2 == j).map { case (i, _, n) =>
+              (pi.getOrElse(i, 0L) * n) / nFrom(i)
+            }.sum
+          }.toMap
+          pi = next
+        }
+        types.toSeq.map(t => (t, pi(t))).toDF("event_type", "pi_micro")
+      },
+      Some {
+        val stages = (1 to PowerSteps).map { i =>
+          val prev = s"p${i - 1}"
+          s"""p$i AS MATERIALIZED (
+             |  SELECT c.to_type AS ty,
+             |    CAST(sum((p.pi * c.n) // f.n_from) AS BIGINT) AS pi
+             |  FROM c JOIN $prev p ON p.ty = c.from_type
+             |  JOIN f ON f.from_type = c.from_type
+             |  GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH t AS (SELECT event_type,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS to_type
+           |  FROM events),
+           |c AS MATERIALIZED (SELECT event_type AS from_type, to_type,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+           |f AS MATERIALIZED (SELECT from_type,
+           |    CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1),
+           |ty AS MATERIALIZED (SELECT from_type AS ty FROM c
+           |    UNION SELECT to_type FROM c),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ty),
+           |p0 AS MATERIALIZED (SELECT ty, 1000000 // nt.k AS pi
+           |    FROM ty CROSS JOIN nt),
+           |$stages
+           |SELECT ty.ty AS event_type,
+           |  CAST(coalesce(pp.pi, 0) AS BIGINT) AS pi_micro
+           |FROM ty LEFT JOIN p$PowerSteps pp ON pp.ty = ty.ty"""
+          .stripMargin
+      }),
+
+    QDef("q245_url_profile",
+      (s, _) => {
+        val docs = s.read
+          .parquet(s"${FixtureGen.FixtureDir}/raw_docs.parquet")
+        docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(lower(col("url")).startsWith("https://").cast("long"))
+              .as("nh"),
+            sum(col("url").contains("utm_").cast("long")).as("nu"),
+            sum(col("url").contains("#").cast("long")).as("nf"),
+            sum(col("url").endsWith("/").cast("long")).as("nt"))
+          .select(col("source"), col("n_docs"),
+            expr("(1000 * nh) div n_docs").as("https_milli"),
+            expr("(1000 * nu) div n_docs").as("tracking_milli"),
+            expr("(1000 * nf) div n_docs").as("fragment_milli"),
+            expr("(1000 * nt) div n_docs").as("trailing_slash_milli"))
+      },
+      Some(s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST((1000 * sum(CASE WHEN starts_with(lower(url),
+              |    'https://') THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+              |    AS https_milli,
+              |  CAST((1000 * sum(CASE WHEN contains(url, 'utm_')
+              |    THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+              |    AS tracking_milli,
+              |  CAST((1000 * sum(CASE WHEN contains(url, '#')
+              |    THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+              |    AS fragment_milli,
+              |  CAST((1000 * sum(CASE WHEN ends_with(url, '/')
+              |    THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+              |    AS trailing_slash_milli
+              |FROM $rawDocsPq GROUP BY source""".stripMargin)),
+
+    QDef("q246_vocab_coverage",
+      (s, dir) => {
+        val bg = Tables.documents(s, dir)
+          .select(tokens(col("text")).as("toks"))
+          .select(explode(adjacentPairs(col("toks"))).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+        // rank + cumulative over the VOCAB-sized frame only
+        val w = Window.orderBy(col("n").desc, col("pair"))
+        val ranked = bg
+          .withColumn("rk", row_number().over(w))
+          .withColumn("cum", sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .localCheckpoint() // total + three k probes read it
+        val tot = ranked.agg(sum("n").as("total"),
+          count(lit(1)).as("vocab"))
+        Seq(10L, 100L, 1000L).map { k =>
+          ranked.filter(col("rk") <= k)
+            .agg(max("cum").as("covered"))
+            .crossJoin(broadcast(tot))
+            .select(lit(k).as("k"),
+              coalesce(col("covered"), lit(0L)).as("covered"),
+              col("total"), col("vocab"),
+              expr("(1000 * coalesce(covered, 0L)) div total")
+                .as("coverage_milli"))
+        }.reduce(_ unionAll _)
+      },
+      Some {
+        val pairSql = "list_transform(generate_series(1, len(toks) - 1), " +
+          "i -> toks[i] || ' ' || toks[i+1])"
+        val ks = Seq(10, 100, 1000).map { k =>
+          s"""SELECT CAST($k AS BIGINT) AS k,
+             |  coalesce((SELECT max(cum) FROM r WHERE rk <= $k), 0)
+             |    AS covered,
+             |  tot.total, tot.vocab,
+             |  CAST((1000 * coalesce((SELECT max(cum) FROM r
+             |    WHERE rk <= $k), 0)) // tot.total AS BIGINT)
+             |    AS coverage_milli
+             |FROM tot""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+           |bg AS MATERIALIZED (SELECT pair, CAST(count(*) AS BIGINT) AS n
+           |  FROM (SELECT unnest($pairSql) AS pair FROM t
+           |        WHERE len(toks) >= 2) x
+           |  GROUP BY pair),
+           |r AS MATERIALIZED (SELECT pair, n,
+           |    row_number() OVER (ORDER BY n DESC, pair) AS rk,
+           |    sum(n) OVER (ORDER BY n DESC, pair
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS cum
+           |  FROM bg),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+           |    CAST(count(*) AS BIGINT) AS vocab FROM bg)
+           |SELECT k, CAST(covered AS BIGINT) AS covered, total, vocab,
+           |  coverage_milli
+           |FROM ($ks)""".stripMargin
+      })
+  )
+}
