@@ -203,6 +203,60 @@ object PipelineQueries28 {
            |SELECT k, CAST(covered AS BIGINT) AS covered, total, vocab,
            |  coverage_milli
            |FROM ($ks)""".stripMargin
+      }),
+
+    // Epoch schedule under the q232 reweighting: for token budgets of
+    // 1×/2×/4× the corpus, how many times does each source's data get
+    // seen (epochs, in milli)? target_i = budget · weight_i; epochs_i
+    // = target_i / mass_i — the table that turns mixture weights into
+    // an actual training plan and shows where up-weighting becomes
+    // many-epoch repetition (the data-repetition risk DoReMi-style
+    // reweighting must be checked against). Reuses q232's QDef fn and
+    // oracle SQL verbatim (the q219 nesting pattern) so the schedule
+    // can never drift from the weights; source token masses are one
+    // aggregation of the token stream.
+    QDef("q247_epoch_schedule",
+      (s, dir) => {
+        val weights = PipelineQueries26.defs
+          .find(_.name == "q232_domain_reweight").get.fn(s, dir)
+          .select(col("source"), col("weight_milli"))
+          .localCheckpoint() // three budget rows read it
+        val mass = Tables.documents(s, dir)
+          .select(col("source"), tokens(col("text")).as("toks"))
+          .select(col("source"), size(col("toks")).cast("long").as("nt"))
+          .groupBy("source").agg(sum("nt").as("mass"))
+        val tot = mass.agg(sum("mass").as("total"))
+        val base = weights.join(broadcast(mass), "source")
+          .crossJoin(broadcast(tot))
+        Seq(1L, 2L, 4L).map { m =>
+          base.select(lit(m).as("budget_x"), col("source"),
+            col("mass"),
+            expr(s"($m * total * weight_milli) div 1000").as("target"),
+            expr(s"(1000 * (($m * total * weight_milli) div 1000)) " +
+              "div mass").as("epochs_milli"))
+        }.reduce(_ unionAll _)
+      },
+      Some {
+        val q232Sql = PipelineQueries26.defs
+          .find(_.name == "q232_domain_reweight").get.oracle.get
+        val budgets = Seq(1, 2, 4).map { m =>
+          s"""SELECT CAST($m AS BIGINT) AS budget_x, w.source, ms.mass,
+             |  ($m * tt.total * w.weight_milli) // 1000 AS target,
+             |  (1000 * (($m * tt.total * w.weight_milli) // 1000))
+             |    // ms.mass AS epochs_milli
+             |FROM w JOIN ms USING (source) CROSS JOIN tt""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH w AS MATERIALIZED (
+           |  SELECT source, weight_milli FROM ($q232Sql)),
+           |tk AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS nt
+           |       FROM documents),
+           |ms AS MATERIALIZED (SELECT source,
+           |    CAST(sum(nt) AS BIGINT) AS mass FROM tk GROUP BY 1),
+           |tt AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM ms)
+           |SELECT budget_x, source, mass, CAST(target AS BIGINT)
+           |    AS target,
+           |  CAST(epochs_milli AS BIGINT) AS epochs_milli
+           |FROM ($budgets)""".stripMargin
       })
   )
 }
