@@ -40,6 +40,8 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries27 {
 
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+
   private val Geometries = Seq((12, 2), (8, 3), (6, 4))
 
   val defs: Seq[QDef] = Seq(
@@ -220,7 +222,6 @@ object PipelineQueries27 {
              |    AS BIGINT) AS n_verified
              |FROM c""".stripMargin
         }.mkString("\nUNION ALL\n")
-        val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |s AS (SELECT doc_id, list_distinct(list_transform(
            |    CASE WHEN len(toks) >= 3 THEN
@@ -368,7 +369,6 @@ object PipelineQueries27 {
             expr("(1000 * n_fail) div nd").as("fail_milli"))
       },
       Some {
-        val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
         val rules = Seq(
           "length" -> "NOT (n_tokens >= 5 AND n_tokens <= 100000)",
           "tok_len" -> "NOT (mean_tok_len >= 2.0 AND mean_tok_len <= 12.0)",
@@ -437,7 +437,6 @@ object PipelineQueries27 {
             expr("(1000 * df) div n").as("doc_share_milli"))
       },
       Some {
-        val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |p5 AS (SELECT doc_id, unnest(list_transform(
            |        generate_series(1, len(toks) - 4),
@@ -522,10 +521,17 @@ object PipelineQueries27 {
       Some {
         val closures = Seq(700, 800, 900).map { tm =>
           val t = tm / 1000.0
+          // membership is the RAW ≥ 0.7 prefix-join set; the stratum
+          // re-filter runs on the ROUNDED jaccard column exactly as
+          // the Spark side does (nearDupPrefix emits round(j, 6) — a
+          // raw filter here would drop a pair whose raw ratio sits in
+          // [t − 5e-7, t) while Spark keeps its rounded value)
+          val strat = "inter::DOUBLE / uni >= 0.7 AND " +
+            s"round(inter::DOUBLE / uni, 6) >= $t"
           s"""e$tm AS (SELECT da AS a, db AS b FROM p
-             |  WHERE inter::DOUBLE / uni >= $t
+             |  WHERE $strat
              |  UNION SELECT db, da FROM p
-             |  WHERE inter::DOUBLE / uni >= $t),
+             |  WHERE $strat),
              |reach$tm(a, b) AS (
              |  SELECT a, b FROM e$tm
              |  UNION
@@ -534,7 +540,7 @@ object PipelineQueries27 {
              |          FROM reach$tm GROUP BY a),
              |s$tm AS (SELECT CAST($tm AS BIGINT) AS threshold_milli,
              |    (SELECT CAST(count(*) AS BIGINT) FROM p
-             |     WHERE inter::DOUBLE / uni >= $t) AS n_pairs,
+             |     WHERE $strat) AS n_pairs,
              |    (SELECT CAST(count(DISTINCT component) AS BIGINT)
              |     FROM cl$tm) AS n_clusters,
              |    (SELECT CAST(count(*) AS BIGINT) FROM cl$tm) -

@@ -63,23 +63,29 @@ object PipelineQueries28 {
           .filter(col("to_type").isNotNull)
           .groupBy(col("event_type").as("from_type"), col("to_type"))
           .agg(count(lit(1)).as("n"))
-        // |types|² rows — bounded by the event-type alphabet, the q95
-        // bounded-collect precedent (guarded, not assumed)
-        val edges = tr.collect().map(r =>
+        // |types|² rows — bounded by the event-type alphabet. The
+        // guard bounds the FETCH (limit before collect, the CC
+        // collectIfSmall pattern) — a count-then-collect or a
+        // post-collect require would materialize the blowup it
+        // guards against
+        val cap = 100000
+        val edges = tr.limit(cap + 1).collect().map(r =>
           (r.getString(0), r.getString(1), r.getLong(2)))
-        require(edges.length <= 100000,
-          s"transition matrix unexpectedly large: ${edges.length}")
+        require(edges.length <= cap,
+          s"transition matrix larger than $cap rows — not driver-safe")
         val nFrom = edges.groupBy(_._1).map { case (f, es) =>
           f -> es.map(_._3).sum }
+        val inEdges = edges.groupBy(_._2) // one index, O(edges)/step
         val types = (edges.map(_._1) ++ edges.map(_._2))
           .distinct.sorted
         var pi: Map[String, Long] =
           types.map(_ -> 1000000L / types.size).toMap
         for (_ <- 1 to PowerSteps) {
           val next = types.map { j =>
-            j -> edges.filter(_._2 == j).map { case (i, _, n) =>
-              (pi.getOrElse(i, 0L) * n) / nFrom(i)
-            }.sum
+            j -> inEdges.getOrElse(j, Array.empty[(String, String, Long)])
+              .map { case (i, _, n) =>
+                (pi.getOrElse(i, 0L) * n) / nFrom(i)
+              }.sum
           }.toMap
           pi = next
         }

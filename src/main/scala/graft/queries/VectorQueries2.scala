@@ -25,7 +25,6 @@ object VectorQueries2 {
 
   private val Dims = 64
 
-  /** DuckDB fragments shared with VectorQueries (same fold order). */
   /** (vec_id, v, sig): the corpus with its q223 binary signature —
     * per-dim midpoint thresholds from one exact min/max aggregation,
     * 64 bits OR-reduced into one long. One definition serves q223's
