@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Twenty-ninth pipeline group — the remaining classic relational
+  * surfaces (pivot / unpivot / RANGE-frame windows), exercised as
+  * first-class operators:
+  *
+  *  - q250: pivot — the per-source lang-count matrix in WIDE form via
+  *    `RelationalGroupedDataset.pivot` with an EXPLICIT value list
+  *    (the scale-correct form: an implicit pivot runs a distinct-
+  *    values job first and caps at
+  *    spark.sql.pivotMaxValues — explicit values make the plan a
+  *    single pass of conditional aggregates). Oracle = CASE sums,
+  *    which is literally the plan Spark generates.
+  *  - q251: unpivot/melt (Spark 3.4+ `Dataset.unpivot`) — lineitem's
+  *    three money-ish measures to long form, then a per-measure
+  *    rollup. Unpivot is a zero-shuffle Expand (×3 rows map-side),
+  *    so the aggregation is the only exchange.
+  *  - q252: RANGE-frame rolling window — each user's trailing-24-hour
+  *    event count at every event (`rangeBetween` on the epoch-second
+  *    axis, vs the ROWS frames every other window query uses). The
+  *    partition is per-user (the q18/q166 contract); emitted as the
+  *    per-user MAX burst so the result is O(#users), not O(events).
+  */
+object PipelineQueries29 {
+
+  /** Fixture langs, pinned (TESTDATA.md); the explicit pivot list. */
+  private val Langs = Seq("de", "en", "es", "fr", "zh")
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef("q250_pivot_matrix",
+      (s, dir) => {
+        val wide = Tables.documents(s, dir)
+          .groupBy("source")
+          .pivot("lang", Langs)
+          .agg(count(lit(1)))
+        Langs.foldLeft(wide)((d, l) =>
+            d.withColumn(s"n_$l", coalesce(col(l), lit(0L))))
+          .select(col("source") +: Langs.map(l => col(s"n_$l")) :+
+            Langs.map(l => col(s"n_$l")).reduce(_ + _).as("n_total"): _*)
+      },
+      Some {
+        val cases = Langs.map(l =>
+          s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT)" +
+            s" AS n_$l").mkString(",\n  ")
+        s"""SELECT source, $cases,
+           |  CAST(count(*) AS BIGINT) AS n_total
+           |FROM documents GROUP BY source""".stripMargin
+      }),
+
+    QDef("q251_unpivot_measures",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"),
+            col("l_quantity").cast("double").as("quantity"),
+            col("l_extendedprice").cast("double").as("extendedprice"),
+            col("l_discount").cast("double").as("discount"))
+          .unpivot(Array(col("l_orderkey")),
+            Array(col("quantity"), col("extendedprice"), col("discount")),
+            "measure", "value")
+          .groupBy("measure")
+          .agg(count(lit(1)).as("n"),
+            round(min("value"), 6).as("min_v"),
+            round(max("value"), 6).as("max_v"))
+      },
+      Some("""WITH u AS (
+             |  SELECT l_orderkey, 'quantity' AS measure,
+             |    l_quantity::DOUBLE AS value FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, 'extendedprice',
+             |    l_extendedprice::DOUBLE FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, 'discount',
+             |    l_discount::DOUBLE FROM lineitem)
+             |SELECT measure, CAST(count(*) AS BIGINT) AS n,
+             |  round(min(value), 6) AS min_v,
+             |  round(max(value), 6) AS max_v
+             |FROM u GROUP BY measure""".stripMargin)),
+
+    QDef("q252_rolling_burst",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("tsec"))
+          .rangeBetween(-86400L, 0L) // trailing 24 h on the value axis
+        Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 1000000").as("tsec"))
+          .withColumn("w24", count(lit(1)).over(w))
+          .groupBy("user_id")
+          .agg(max("w24").as("max_24h_events"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 1000000
+             |    AS tsec FROM events),
+             |r AS (SELECT user_id, count(*) OVER (
+             |    PARTITION BY user_id ORDER BY tsec
+             |    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS w24
+             |  FROM e)
+             |SELECT user_id,
+             |  CAST(max(w24) AS BIGINT) AS max_24h_events,
+             |  CAST(count(*) AS BIGINT) AS n_events
+             |FROM r GROUP BY user_id""".stripMargin))
+  )
+}
