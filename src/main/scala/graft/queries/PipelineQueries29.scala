@@ -103,6 +103,44 @@ object PipelineQueries29 {
              |SELECT user_id,
              |  CAST(max(w24) AS BIGINT) AS max_24h_events,
              |  CAST(count(*) AS BIGINT) AS n_events
-             |FROM r GROUP BY user_id""".stripMargin))
+             |FROM r GROUP BY user_id""".stripMargin)),
+
+    // Multiset set-ops (§2.7's ALL variants): token-bag INTERSECT ALL
+    // and EXCEPT ALL between the even- and odd-doc halves of the
+    // corpus — multiplicity-aware overlap, which the q11/q13 DISTINCT
+    // set ops deliberately erase. `intersectAll`/`exceptAll` plan as
+    // count-compare aggregations (no row explosion); the output is
+    // the one-row overlap scorecard.
+    QDef("q253_set_ops_all",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(graft.functions.TextAnalysis.tokens(col("text")))
+              .as("tok"))
+          .localCheckpoint() // both halves read it
+        val a = t.filter(col("doc_id") % 2 === 0).select("tok")
+        val b = t.filter(col("doc_id") % 2 === 1).select("tok")
+        a.intersectAll(b).agg(count(lit(1)).as("n_intersect_all"))
+          .crossJoin(a.exceptAll(b)
+            .agg(count(lit(1)).as("n_except_all")))
+          .crossJoin(a.agg(count(lit(1)).as("n_a")))
+          .crossJoin(b.agg(count(lit(1)).as("n_b")))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    unnest(list_filter(string_split(text, ' '),
+              |      x -> x != '')) AS tok
+              |  FROM documents),
+              |a AS (SELECT tok FROM t WHERE doc_id % 2 = 0),
+              |b AS (SELECT tok FROM t WHERE doc_id % 2 = 1)
+              |SELECT
+              |  (SELECT CAST(count(*) AS BIGINT) FROM
+              |    (SELECT tok FROM a INTERSECT ALL SELECT tok FROM b) x)
+              |    AS n_intersect_all,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM
+              |    (SELECT tok FROM a EXCEPT ALL SELECT tok FROM b) y)
+              |    AS n_except_all,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b"""
+        .stripMargin))
   )
 }
