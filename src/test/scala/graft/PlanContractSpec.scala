@@ -102,6 +102,25 @@ class PlanContractSpec extends SparkSpec {
       s"q226 explode must ride the bounded group-size frame:\n$p226")
   }
 
+  test("q250 explicit pivot is one pass (no distinct-values job: a " +
+    "single scan feeds a single aggregate chain)") {
+    val p = plan("q250_pivot_matrix")
+    // formatted explain prints each scan as a tree line AND a detail
+    // block — count the per-scan `Location:` detail lines instead
+    val scans = p.linesIterator.count(_.trim.startsWith("Location:"))
+    assert(scans == 1, s"q250 grew extra scans ($scans):\n$p")
+    assert(!p.contains("Join"), s"q250 grew a join:\n$p")
+  }
+
+  test("q252 rolling burst windows per user (no global sort) and " +
+    "q249 cohort conversion windows per user only") {
+    val p252 = plan("q252_rolling_burst")
+    assert(p252.contains("Window"), s"q252 lost its window:\n$p252")
+    assert(!p252.contains("Join"), s"q252 grew a join:\n$p252")
+    val p249 = plan("q249_cohort_conversion")
+    assert(!p249.contains("Join"), s"q249 grew a join:\n$p249")
+  }
+
   test("q238 rule attribution is join-free; q239 phrase mining " +
     "broadcasts the winner set; q240 paths windows per user only") {
     val p238 = plan("q238_rule_attribution")
