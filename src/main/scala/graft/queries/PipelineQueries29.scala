@@ -141,6 +141,89 @@ object PipelineQueries29 {
               |    AS n_except_all,
               |  (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
               |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b"""
-        .stripMargin))
+        .stripMargin)),
+
+    // Day-of-week × hour activity heatmap — the traffic-shape rollup
+    // behind capacity planning and the q146/q175 rhythm audits. One
+    // aggregation; share in milli of total. CROSS-ENGINE TRAP: Spark
+    // `dayofweek` is 1-7 (Sunday = 1), DuckDB's is 0-6 (Sunday = 0) —
+    // the oracle adds 1. Session timezone is pinned UTC everywhere,
+    // so both engines bucket the same wall-clock instant.
+    QDef("q254_activity_heatmap",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(dayofweek(col("ts")).cast("long").as("dow"),
+            hour(col("ts")).cast("long").as("hr"))
+          .groupBy("dow", "hr").agg(count(lit(1)).as("n"))
+          .localCheckpoint() // total + shares read it
+        e.crossJoin(broadcast(e.agg(sum("n").as("tot"))))
+          .select(col("dow"), col("hr"), col("n"),
+            expr("(1000 * n) div tot").as("share_milli"))
+      },
+      Some("""WITH h AS (SELECT dayofweek(ts) + 1 AS dow,
+             |    CAST(hour(ts) AS BIGINT) AS hr,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM h)
+             |SELECT CAST(dow AS BIGINT) AS dow, hr, n,
+             |  CAST((1000 * n) // tot AS BIGINT) AS share_milli
+             |FROM h CROSS JOIN t""".stripMargin)),
+
+    // Funnel latency: time-to-convert quantiles (first qualifying
+    // purchase − first view, ordered-funnel semantics) across
+    // converted users — the latency face of q217's conversion counts.
+    // One per-user window pass (the q217 staged construction), one
+    // per-user aggregate, exact interpolated percentiles over the
+    // O(#converted-users) frame (the q73 contract; approx_percentile
+    // is the 100 TB swap).
+    QDef("q255_funnel_latency",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val staged = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"))
+          .withColumn("pv",
+            min(when(col("event_type") === "view", col("tus"))).over(w))
+          .withColumn("cav", when(col("event_type") === "click" &&
+            col("pv").isNotNull, col("tus")))
+          .withColumn("pcav", min(col("cav")).over(w))
+          .withColumn("pav", when(col("event_type") === "purchase" &&
+            col("pcav").isNotNull, col("tus")))
+        staged.groupBy("user_id")
+          .agg(min(when(col("event_type") === "view", col("tus")))
+              .as("tv"),
+            min(col("pav")).as("tp"))
+          .filter(col("tp").isNotNull)
+          .select(expr("(tp - tv) div 1000000").as("dt_sec"))
+          .agg(count(lit(1)).as("n_converted"),
+            round(percentile(col("dt_sec"), lit(0.5)), 6).as("p50_sec"),
+            round(percentile(col("dt_sec"), lit(0.9)), 6).as("p90_sec"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |    epoch_us(ts) AS tus FROM events),
+             |p1 AS (SELECT *, min(CASE WHEN event_type = 'view'
+             |      THEN tus END) OVER (PARTITION BY user_id
+             |      ORDER BY tus, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    AS pv FROM e),
+             |p2 AS (SELECT *, CASE WHEN event_type = 'click'
+             |    AND pv IS NOT NULL THEN tus END AS cav FROM p1),
+             |p3 AS (SELECT *, min(cav) OVER (PARTITION BY user_id
+             |      ORDER BY tus, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    AS pcav FROM p2),
+             |p4 AS (SELECT *, CASE WHEN event_type = 'purchase'
+             |    AND pcav IS NOT NULL THEN tus END AS pav FROM p3),
+             |u AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN tus END) AS tv,
+             |    min(pav) AS tp
+             |  FROM p4 GROUP BY user_id)
+             |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+             |  round(quantile_cont((tp - tv) // 1000000, 0.5), 6)
+             |    AS p50_sec,
+             |  round(quantile_cont((tp - tv) // 1000000, 0.9), 6)
+             |    AS p90_sec
+             |FROM u WHERE tp IS NOT NULL""".stripMargin))
   )
 }
