@@ -32,6 +32,29 @@ object PipelineQueries {
        |  g -> ${hashSql("g")}))""".stripMargin
   }
 
+  /** DuckDB twin of QualityGates.heuristicPass, split into the metric
+    * CTE (`gm`) and the gate boolean — ONE definition serving q74's
+    * gate and q248's dup-quality interaction, mirroring the Scala
+    * side's single-definition rule. */
+  private[queries] val gateMetricsCte: String =
+    s"""gm AS (SELECT doc_id,
+       |    len(toks) AS n_tokens,
+       |    list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+       |      / len(toks) AS mean_tok_len,
+       |    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+       |      / n_chars AS symbol_ratio,
+       |    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+       |      / n_chars AS digit_ratio,
+       |    len(list_distinct(toks))::DOUBLE / len(toks) AS ttr
+       |  FROM (SELECT doc_id, n_chars, text, $toksSql AS toks
+       |        FROM documents) gx)""".stripMargin
+
+  private[queries] val gatePassSql: String =
+    """(n_tokens >= 5 AND n_tokens <= 100000
+      |    AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
+      |    AND symbol_ratio < 0.3 AND digit_ratio < 0.3
+      |    AND ttr > 0.2)""".stripMargin
+
   /** Brute-force exact-Jaccard pair CTEs (the q25 oracle shape) — the
     * ground truth the MinHash-LSH implementation provably reproduces.
     * `private[queries]`: q229's k-core and q234's topology oracles
@@ -240,28 +263,14 @@ object PipelineQueries {
           graft.ops.QualityGates.heuristicPass(col("text"), col("n_chars"),
             col("toks")).as("pass"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, n_chars, text, $toksSql AS toks
-              |  FROM documents),
-              |m AS (SELECT doc_id,
-              |  len(toks) AS n_tokens,
-              |  list_sum(list_transform(toks, x -> length(x)))::DOUBLE
-              |    / len(toks) AS mean_tok_len,
-              |  length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
-              |    / n_chars AS symbol_ratio,
-              |  length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
-              |    / n_chars AS digit_ratio,
-              |  len(list_distinct(toks))::DOUBLE / len(toks) AS ttr
-              |  FROM t)
+      Some(s"""WITH $gateMetricsCte
               |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
               |  round(mean_tok_len, 6) AS mean_tok_len,
               |  round(symbol_ratio, 6) AS symbol_ratio,
               |  round(digit_ratio, 6) AS digit_ratio,
               |  round(ttr, 6) AS ttr,
-              |  (n_tokens >= 5 AND n_tokens <= 100000
-              |    AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
-              |    AND symbol_ratio < 0.3 AND digit_ratio < 0.3
-              |    AND ttr > 0.2) AS pass
-              |FROM m""".stripMargin)),
+              |  $gatePassSql AS pass
+              |FROM gm""".stripMargin)),
 
     // Deterministic global shuffle order — the "shuffle the corpus
     // before sharding" step, WITHOUT a single-partition global sort:

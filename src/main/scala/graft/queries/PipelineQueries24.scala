@@ -28,23 +28,57 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries24 {
 
+  /** THE ordered-funnel staged frame — one definition for q217's
+    * conversion counts, q249's cohort conversion, and q255's latency
+    * quantiles (the QualityGates rule: a funnel-semantics tweak must
+    * not be hand-applied to three sites). Input: events at `(s, dir)`;
+    * output adds `tus` (epoch micros), `pv` (earliest strictly-prior
+    * view), `cav`/`pcav` (qualified click / its running min), `pav`
+    * (qualified purchase time).
+    */
+  private[queries] def funnelStaged(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("pv",
+        min(when(col("event_type") === "view", col("tus"))).over(w))
+      .withColumn("cav", when(col("event_type") === "click" &&
+        col("pv").isNotNull, col("tus")))
+      .withColumn("pcav", min(col("cav")).over(w))
+      .withColumn("pav", when(col("event_type") === "purchase" &&
+        col("pcav").isNotNull, col("tus")))
+  }
+
+  /** DuckDB twin of [[funnelStaged]]: `e, p1..p4` CTE bodies (caller
+    * supplies `WITH`; final frame is `p4`).
+    */
+  private[queries] val funnelCtes: String =
+    """e AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(ts) AS tus FROM events),
+      |p1 AS (SELECT *, min(CASE WHEN event_type = 'view'
+      |      THEN tus END) OVER (PARTITION BY user_id
+      |      ORDER BY tus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    AS pv FROM e),
+      |p2 AS (SELECT *, CASE WHEN event_type = 'click'
+      |    AND pv IS NOT NULL THEN tus END AS cav FROM p1),
+      |p3 AS (SELECT *, min(cav) OVER (PARTITION BY user_id
+      |      ORDER BY tus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    AS pcav FROM p2),
+      |p4 AS (SELECT *, CASE WHEN event_type = 'purchase'
+      |    AND pcav IS NOT NULL THEN tus END AS pav FROM p3)"""
+      .stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     QDef("q217_event_funnel",
       (s, dir) => {
-        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val e = Tables.events(s, dir)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            unix_micros(col("ts")).as("tus"))
-        val staged = e
-          .withColumn("pv",
-            min(when(col("event_type") === "view", col("tus"))).over(w))
-          .withColumn("cav", when(col("event_type") === "click" &&
-            col("pv").isNotNull, col("tus")))
-          .withColumn("pcav", min(col("cav")).over(w))
-          .withColumn("pav", when(col("event_type") === "purchase" &&
-            col("pcav").isNotNull, col("tus")))
+        val staged = funnelStaged(s, dir)
         val tot = staged.groupBy("user_id")
           .agg(max(when(col("event_type") === "view", 1L).otherwise(0L))
               .as("s1"),
@@ -66,21 +100,7 @@ object PipelineQueries24 {
           .select(col("r.stage").as("stage"), col("r.n_users"),
             col("r.conv_milli"))
       },
-      Some("""WITH e AS (SELECT user_id, event_id, event_type,
-             |    epoch_us(ts) AS tus FROM events),
-             |p1 AS (SELECT *, min(CASE WHEN event_type = 'view'
-             |      THEN tus END) OVER (PARTITION BY user_id
-             |      ORDER BY tus, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-             |    AS pv FROM e),
-             |p2 AS (SELECT *, CASE WHEN event_type = 'click'
-             |    AND pv IS NOT NULL THEN tus END AS cav FROM p1),
-             |p3 AS (SELECT *, min(cav) OVER (PARTITION BY user_id
-             |      ORDER BY tus, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-             |    AS pcav FROM p2),
-             |p4 AS (SELECT *, CASE WHEN event_type = 'purchase'
-             |    AND pcav IS NOT NULL THEN tus END AS pav FROM p3),
+      Some(s"""WITH $funnelCtes,
              |u AS (SELECT user_id,
              |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
              |      AS s1,

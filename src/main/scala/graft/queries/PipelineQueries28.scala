@@ -266,7 +266,7 @@ object PipelineQueries28 {
       }),
 
     // Are duplicates junk? Quality-gate pass rate by near-dup cluster
-    // size (singletons / pairs / 3-4 / 5+): if replicated content
+    // size (buckets 1 / 2 / 3 / 4 / 5+): if replicated content
     // passes the q74 gate at a much lower rate, dedup and quality
     // filtering overlap and the pipeline can cheapen one of them —
     // if not, they prune DIFFERENT mass and both must run. Composes
@@ -301,10 +301,6 @@ object PipelineQueries28 {
             expr("(1000 * n_pass) div n_docs").as("pass_milli"))
       },
       Some {
-        val gate = """(n_tokens >= 5 AND n_tokens <= 100000
-          |    AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
-          |    AND symbol_ratio < 0.3 AND digit_ratio < 0.3
-          |    AND ttr > 0.2)""".stripMargin
         s"""WITH RECURSIVE ${PipelineQueries.pairCtes(0.8, materialized = true)},
            |e AS (SELECT da AS a, db AS b FROM pr
            |      UNION SELECT db, da FROM pr),
@@ -318,19 +314,10 @@ object PipelineQueries28 {
            |       FROM cl GROUP BY 1),
            |ds AS (SELECT cl.node AS doc_id, sz.csize
            |       FROM cl JOIN sz USING (component)),
-           |m AS (SELECT doc_id,
-           |    len(toks) AS n_tokens,
-           |    list_sum(list_transform(toks, x -> length(x)))::DOUBLE
-           |      / len(toks) AS mean_tok_len,
-           |    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
-           |      / n_chars AS symbol_ratio,
-           |    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
-           |      / n_chars AS digit_ratio,
-           |    len(list_distinct(toks))::DOUBLE / len(toks) AS ttr
-           |  FROM (SELECT doc_id, n_chars, text, $toksSql AS toks
-           |        FROM documents) x),
-           |g AS (SELECT doc_id, CASE WHEN $gate THEN 1 ELSE 0 END
-           |        AS pass FROM m),
+           |${PipelineQueries.gateMetricsCte},
+           |g AS (SELECT doc_id,
+           |    CASE WHEN ${PipelineQueries.gatePassSql} THEN 1 ELSE 0
+           |    END AS pass FROM gm),
            |j AS (SELECT least(coalesce(ds.csize, 1), 5) AS size_bucket,
            |    g.pass
            |  FROM g LEFT JOIN ds USING (doc_id))
@@ -349,22 +336,7 @@ object PipelineQueries28 {
     // ordered-stage booleans; output is O(#days) rows.
     QDef("q249_cohort_conversion",
       (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy("tus", "event_id")
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, -1)
-        val e = Tables.events(s, dir)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            unix_micros(col("ts")).as("tus"))
-        val staged = e
-          .withColumn("pv",
-            min(when(col("event_type") === "view", col("tus"))).over(w))
-          .withColumn("cav", when(col("event_type") === "click" &&
-            col("pv").isNotNull, col("tus")))
-          .withColumn("pcav", min(col("cav")).over(w))
-          .withColumn("pav", when(col("event_type") === "purchase" &&
-            col("pcav").isNotNull, col("tus")))
-        staged.groupBy("user_id")
+        PipelineQueries24.funnelStaged(s, dir).groupBy("user_id")
           .agg(expr("min(tus) div 86400000000").as("cohort_day"),
             max(when(col("pav").isNotNull, 1L).otherwise(0L))
               .as("converted"))
@@ -374,21 +346,7 @@ object PipelineQueries28 {
           .select(col("cohort_day"), col("n_users"), col("n_converted"),
             expr("(1000 * n_converted) div n_users").as("conv_milli"))
       },
-      Some("""WITH e AS (SELECT user_id, event_id, event_type,
-             |    epoch_us(ts) AS tus FROM events),
-             |p1 AS (SELECT *, min(CASE WHEN event_type = 'view'
-             |      THEN tus END) OVER (PARTITION BY user_id
-             |      ORDER BY tus, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-             |    AS pv FROM e),
-             |p2 AS (SELECT *, CASE WHEN event_type = 'click'
-             |    AND pv IS NOT NULL THEN tus END AS cav FROM p1),
-             |p3 AS (SELECT *, min(cav) OVER (PARTITION BY user_id
-             |      ORDER BY tus, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-             |    AS pcav FROM p2),
-             |p4 AS (SELECT *, CASE WHEN event_type = 'purchase'
-             |    AND pcav IS NOT NULL THEN tus END AS pav FROM p3),
+      Some(s"""WITH ${PipelineQueries24.funnelCtes},
              |u AS (SELECT user_id, min(tus) // 86400000000 AS cohort_day,
              |    max(CASE WHEN pav IS NOT NULL THEN 1 ELSE 0 END)
              |      AS converted

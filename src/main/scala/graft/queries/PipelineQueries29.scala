@@ -178,19 +178,7 @@ object PipelineQueries29 {
     // is the 100 TB swap).
     QDef("q255_funnel_latency",
       (s, dir) => {
-        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val staged = Tables.events(s, dir)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            unix_micros(col("ts")).as("tus"))
-          .withColumn("pv",
-            min(when(col("event_type") === "view", col("tus"))).over(w))
-          .withColumn("cav", when(col("event_type") === "click" &&
-            col("pv").isNotNull, col("tus")))
-          .withColumn("pcav", min(col("cav")).over(w))
-          .withColumn("pav", when(col("event_type") === "purchase" &&
-            col("pcav").isNotNull, col("tus")))
-        staged.groupBy("user_id")
+        PipelineQueries24.funnelStaged(s, dir).groupBy("user_id")
           .agg(min(when(col("event_type") === "view", col("tus")))
               .as("tv"),
             min(col("pav")).as("tp"))
@@ -200,21 +188,7 @@ object PipelineQueries29 {
             round(percentile(col("dt_sec"), lit(0.5)), 6).as("p50_sec"),
             round(percentile(col("dt_sec"), lit(0.9)), 6).as("p90_sec"))
       },
-      Some("""WITH e AS (SELECT user_id, event_id, event_type,
-             |    epoch_us(ts) AS tus FROM events),
-             |p1 AS (SELECT *, min(CASE WHEN event_type = 'view'
-             |      THEN tus END) OVER (PARTITION BY user_id
-             |      ORDER BY tus, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-             |    AS pv FROM e),
-             |p2 AS (SELECT *, CASE WHEN event_type = 'click'
-             |    AND pv IS NOT NULL THEN tus END AS cav FROM p1),
-             |p3 AS (SELECT *, min(cav) OVER (PARTITION BY user_id
-             |      ORDER BY tus, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-             |    AS pcav FROM p2),
-             |p4 AS (SELECT *, CASE WHEN event_type = 'purchase'
-             |    AND pcav IS NOT NULL THEN tus END AS pav FROM p3),
+      Some(s"""WITH ${PipelineQueries24.funnelCtes},
              |u AS (SELECT user_id,
              |    min(CASE WHEN event_type = 'view' THEN tus END) AS tv,
              |    min(pav) AS tp

@@ -114,11 +114,18 @@ class PlanContractSpec extends SparkSpec {
 
   test("q252 rolling burst windows per user (no global sort) and " +
     "q249 cohort conversion windows per user only") {
-    val p252 = plan("q252_rolling_burst")
-    assert(p252.contains("Window"), s"q252 lost its window:\n$p252")
-    assert(!p252.contains("Join"), s"q252 grew a join:\n$p252")
-    val p249 = plan("q249_cohort_conversion")
-    assert(!p249.contains("Join"), s"q249 grew a join:\n$p249")
+    // pin the PARTITION KEY, not just Window-exists — a window without
+    // partitionBy would be the single-partition global-sort collapse
+    // this contract forbids (the q72-family assertion idiom)
+    Seq("q252_rolling_burst", "q249_cohort_conversion").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q has no window?")
+      val windowArgs = p.linesIterator
+        .filter(_.contains("Arguments")).mkString("\n")
+      assert(windowArgs.contains("user_id"),
+        s"$q window lost its per-user partition:\n$p")
+    }
+    assert(!plan("q252_rolling_burst").contains("Join"))
   }
 
   test("q238 rule attribution is join-free; q239 phrase mining " +
