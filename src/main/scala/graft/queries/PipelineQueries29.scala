@@ -198,6 +198,50 @@ object PipelineQueries29 {
              |    AS p50_sec,
              |  round(quantile_cont((tp - tv) // 1000000, 0.9), 6)
              |    AS p90_sec
-             |FROM u WHERE tp IS NOT NULL""".stripMargin))
+             |FROM u WHERE tp IS NOT NULL""".stripMargin)),
+
+    // Winsorized value statistics per event type — the outlier-robust
+    // revenue/metric rollup (raw float means are both statistically
+    // fragile AND cross-engine nondeterministic under reordered
+    // summation). Per type: exact p05/p95 fences, then every value
+    // CLIPS to the fences and quantizes to integer micro BEFORE the
+    // sum — the winsorized mean is an exact long aggregation (the q78
+    // rule applied to money-ish doubles). Fences broadcast back at
+    // the scan; two passes total, the percentile pass bounded by the
+    // q73 contract.
+    QDef("q256_robust_value_stats",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_type"), col("value"))
+          .localCheckpoint() // fence pass + clip pass read it
+        val fences = e.groupBy("event_type")
+          .agg(round(percentile(col("value"), lit(0.05)), 6).as("p05"),
+            round(percentile(col("value"), lit(0.95)), 6).as("p95"))
+        e.join(broadcast(fences), "event_type")
+          .select(col("event_type"), col("p05"), col("p95"),
+            floor(lit(1000000.0) *
+              least(greatest(col("value"), col("p05")), col("p95")))
+              .cast("long").as("wv"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            max("p05").as("p05"), max("p95").as("p95"),
+            sum("wv").as("sw"))
+          .select(col("event_type"), col("n"), col("p05"), col("p95"),
+            expr("sw div n").as("winsor_mean_micro"))
+      },
+      Some("""WITH f AS (SELECT event_type,
+             |    round(quantile_cont(value, 0.05), 6) AS p05,
+             |    round(quantile_cont(value, 0.95), 6) AS p95
+             |  FROM events GROUP BY 1),
+             |c AS (SELECT e.event_type, f.p05, f.p95,
+             |    CAST(floor(1000000.0 *
+             |      least(greatest(e.value, f.p05), f.p95)) AS BIGINT)
+             |      AS wv
+             |  FROM events e JOIN f USING (event_type))
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  max(p05) AS p05, max(p95) AS p95,
+             |  CAST(CAST(sum(wv) AS BIGINT) // count(*) AS BIGINT)
+             |    AS winsor_mean_micro
+             |FROM c GROUP BY event_type""".stripMargin))
   )
 }
