@@ -93,6 +93,13 @@ object Bench {
       try w.println(s"""{"total":${ms(total)},"queries":$fullQs,"sf":"$sfDir"}""") finally w.close()
     } catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","contended":$contended,"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // The driver captures only the TAIL of stdout; with 250+ queries
+    // the full line above overflows that window and is cut mid-map
+    // FROM THE HEAD — BENCH_r09's committed artifact lost the total
+    // and the contended flag that way. A second, short, summary-only
+    // line printed LAST survives any tail capture; the per-query map
+    // lives in the full line above and in target/bench_full.json.
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","contended":$contended,"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","queries_file":"target/bench_full.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -218,17 +218,15 @@ object Inventory {
   def bucketVersions(stateDir: String): Map[Int, Seq[Long]] = {
     val root = Paths.get(stateDir)
     if (!Files.exists(root)) return Map.empty
-    import scala.jdk.CollectionConverters._
-    Files.list(root).iterator().asScala
+    Fs.ls(root).iterator
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("bucket="))
       .map { p =>
         val bk = p.getFileName.toString.stripPrefix("bucket=").toInt
-        val vs = Files.list(p).iterator().asScala
+        val vs = Fs.ls(p)
           .filter(q => Files.isDirectory(q) &&
             q.getFileName.toString.startsWith("merged_height="))
           .map(_.getFileName.toString.stripPrefix("merged_height=").toLong)
-          .toSeq
         bk -> vs
       }.toMap
   }
@@ -240,13 +238,12 @@ object Inventory {
     * only AFTER the commit point that stops referencing them.
     */
   def vacuumBucketedState(stateDir: String, committed: Long): Unit = {
-    import scala.jdk.CollectionConverters._
     bucketVersions(stateDir).foreach { case (bk, vs) =>
       val keepFloor = vs.filter(_ <= committed).sorted.lastOption
       keepFloor.foreach { floor =>
         vs.filter(_ < floor).foreach { v =>
           val dir = Paths.get(s"$stateDir/bucket=$bk/merged_height=$v")
-          Files.walk(dir).iterator().asScala.toSeq.reverse
+          Fs.walk(dir).reverse
             .foreach(Files.deleteIfExists(_))
         }
       }

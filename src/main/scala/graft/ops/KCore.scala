@@ -49,6 +49,13 @@ object KCore {
         .select(col("a"), col("b"))
         .localCheckpoint()
       val n2 = e2.count()
+      // e2's checkpoint is materialized (eager + the count above), so
+      // the PRIOR round's blocks are dead — free them now, or storage
+      // grows linearly with peel rounds (one retained edge frame +
+      // keep set per round) on exactly the long-peel graphs where the
+      // distributed loop matters.
+      keep.unpersist(blocking = false)
+      e.unpersist(blocking = false)
       rounds += 1
       changed = n2 != n && n2 > 0
       e = e2

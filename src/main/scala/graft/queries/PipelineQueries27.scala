@@ -346,12 +346,19 @@ object PipelineQueries27 {
           col("n_chars").cast("double")
         val ttr = size(array_distinct(col("toks"))).cast("double") /
           nTok.cast("double")
+        // Degenerate docs (zero tokens / zero chars) FAIL every
+        // ratio rule by definition: the guards make the booleans
+        // deterministic on both engines (unguarded, Spark's 0/0
+        // divisions yield NaN/Infinity while DuckDB's yield NULL,
+        // and the two fold differently through NOT/CASE — the
+        // engines would diverge exactly on degenerate docs).
         val fails = Seq(
           "length" -> !(nTok >= 5 && nTok <= 100000),
-          "tok_len" -> !(meanTokLen >= 2.0 && meanTokLen <= 12.0),
-          "symbol" -> !(symbolRatio < 0.3),
-          "digit" -> !(digitRatio < 0.3),
-          "ttr" -> !(ttr > 0.2))
+          "tok_len" -> !(nTok > 0 &&
+            meanTokLen >= 2.0 && meanTokLen <= 12.0),
+          "symbol" -> !(col("n_chars") > 0 && symbolRatio < 0.3),
+          "digit" -> !(col("n_chars") > 0 && digitRatio < 0.3),
+          "ttr" -> !(nTok > 0 && ttr > 0.2))
         val withF = docs.select(fails.map { case (n, c) =>
           c.cast("long").as(s"f_$n") }: _*)
           .withColumn("nf", fails.map(f => col(s"f_${f._1}"))
@@ -371,10 +378,11 @@ object PipelineQueries27 {
       Some {
         val rules = Seq(
           "length" -> "NOT (n_tokens >= 5 AND n_tokens <= 100000)",
-          "tok_len" -> "NOT (mean_tok_len >= 2.0 AND mean_tok_len <= 12.0)",
-          "symbol" -> "NOT (symbol_ratio < 0.3)",
-          "digit" -> "NOT (digit_ratio < 0.3)",
-          "ttr" -> "NOT (ttr > 0.2)")
+          "tok_len" -> ("NOT (n_tokens > 0 AND mean_tok_len >= 2.0" +
+            " AND mean_tok_len <= 12.0)"),
+          "symbol" -> "NOT (n_chars > 0 AND symbol_ratio < 0.3)",
+          "digit" -> "NOT (n_chars > 0 AND digit_ratio < 0.3)",
+          "ttr" -> "NOT (n_tokens > 0 AND ttr > 0.2)")
         val fCols = rules.map { case (n, e) =>
           s"CASE WHEN $e THEN 1 ELSE 0 END AS f_$n" }.mkString(",\n    ")
         val nf = rules.map(r => s"f_${r._1}").mkString(" + ")
@@ -385,7 +393,7 @@ object PipelineQueries27 {
         }.mkString("\nUNION ALL\n")
         s"""WITH t AS (SELECT doc_id, n_chars, text, $toksSql AS toks
            |           FROM documents),
-           |m AS (SELECT doc_id,
+           |m AS (SELECT doc_id, n_chars,
            |    len(toks) AS n_tokens,
            |    list_sum(list_transform(toks, x -> length(x)))::DOUBLE
            |      / len(toks) AS mean_tok_len,

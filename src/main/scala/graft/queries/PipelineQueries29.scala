@@ -32,9 +32,15 @@ object PipelineQueries29 {
 
   val defs: Seq[QDef] = Seq(
 
+    // Both engines restrict to the pinned pivot langs BEFORE counting,
+    // so n_total == Σ n_* by construction on ANY data — without the
+    // filter, a row whose lang falls outside `Langs` would appear in
+    // the oracle's count(*) but in no pivot column, and the engines
+    // would diverge only at cross-engine verify time.
     QDef("q250_pivot_matrix",
       (s, dir) => {
         val wide = Tables.documents(s, dir)
+          .filter(col("lang").isin(Langs.map(l => l: Any): _*))
           .groupBy("source")
           .pivot("lang", Langs)
           .agg(count(lit(1)))
@@ -47,9 +53,11 @@ object PipelineQueries29 {
         val cases = Langs.map(l =>
           s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT)" +
             s" AS n_$l").mkString(",\n  ")
+        val inList = Langs.map(l => s"'$l'").mkString(", ")
         s"""SELECT source, $cases,
            |  CAST(count(*) AS BIGINT) AS n_total
-           |FROM documents GROUP BY source""".stripMargin
+           |FROM documents WHERE lang IN ($inList) GROUP BY source"""
+          .stripMargin
       }),
 
     QDef("q251_unpivot_measures",
@@ -109,35 +117,42 @@ object PipelineQueries29 {
     // and EXCEPT ALL between the even- and odd-doc halves of the
     // corpus — multiplicity-aware overlap, which the q11/q13 DISTINCT
     // set ops deliberately erase. `intersectAll`/`exceptAll` plan as
-    // count-compare aggregations (no row explosion); the output is
-    // the one-row overlap scorecard.
+    // count-compare aggregations (no row explosion), and they run
+    // over 8-byte token HASHES, not strings — the output is counts
+    // only, so the shuffle never carries token text (the q227/q239
+    // house rule); the oracle replays the same md5-prefix hash.
     QDef("q253_set_ops_all",
       (s, dir) => {
         val t = Tables.documents(s, dir)
           .select(col("doc_id"),
             explode(graft.functions.TextAnalysis.tokens(col("text")))
               .as("tok"))
+          .select(col("doc_id"),
+            graft.functions.TextAnalysis.tokenHash(col("tok")).as("th"))
           .localCheckpoint() // both halves read it
-        val a = t.filter(col("doc_id") % 2 === 0).select("tok")
-        val b = t.filter(col("doc_id") % 2 === 1).select("tok")
+        val a = t.filter(col("doc_id") % 2 === 0).select("th")
+        val b = t.filter(col("doc_id") % 2 === 1).select("th")
         a.intersectAll(b).agg(count(lit(1)).as("n_intersect_all"))
           .crossJoin(a.exceptAll(b)
             .agg(count(lit(1)).as("n_except_all")))
           .crossJoin(a.agg(count(lit(1)).as("n_a")))
           .crossJoin(b.agg(count(lit(1)).as("n_b")))
       },
-      Some(s"""WITH t AS (SELECT doc_id,
+      Some(s"""WITH t0 AS (SELECT doc_id,
               |    unnest(list_filter(string_split(text, ' '),
               |      x -> x != '')) AS tok
               |  FROM documents),
-              |a AS (SELECT tok FROM t WHERE doc_id % 2 = 0),
-              |b AS (SELECT tok FROM t WHERE doc_id % 2 = 1)
+              |t AS (SELECT doc_id,
+              |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS th
+              |  FROM t0),
+              |a AS (SELECT th FROM t WHERE doc_id % 2 = 0),
+              |b AS (SELECT th FROM t WHERE doc_id % 2 = 1)
               |SELECT
               |  (SELECT CAST(count(*) AS BIGINT) FROM
-              |    (SELECT tok FROM a INTERSECT ALL SELECT tok FROM b) x)
+              |    (SELECT th FROM a INTERSECT ALL SELECT th FROM b) x)
               |    AS n_intersect_all,
               |  (SELECT CAST(count(*) AS BIGINT) FROM
-              |    (SELECT tok FROM a EXCEPT ALL SELECT tok FROM b) y)
+              |    (SELECT th FROM a EXCEPT ALL SELECT th FROM b) y)
               |    AS n_except_all,
               |  (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
               |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b"""
@@ -203,45 +218,67 @@ object PipelineQueries29 {
     // Winsorized value statistics per event type — the outlier-robust
     // revenue/metric rollup (raw float means are both statistically
     // fragile AND cross-engine nondeterministic under reordered
-    // summation). Per type: exact p05/p95 fences, then every value
-    // CLIPS to the fences and quantizes to integer micro BEFORE the
-    // sum — the winsorized mean is an exact long aggregation (the q78
-    // rule applied to money-ish doubles). Fences broadcast back at
-    // the scan; two passes total, the percentile pass bounded by the
-    // q73 contract.
+    // summation). Values quantize to integer micro AT THE SCAN, so the
+    // corpus collapses to a (type, micro-value) histogram in ONE
+    // shuffle; the p05/p95 fences are the classical discrete order
+    // statistic over the cumulative histogram (the q149 shape — never
+    // a raw-double `percentile()` whose aggregation buffer holds
+    // O(distinct values) per group), and the winsorized mean is an
+    // exact long aggregation over the CLIPPED histogram itself — the
+    // clip pass touches O(distinct micro values) rows, not the corpus.
     QDef("q256_robust_value_stats",
       (s, dir) => {
-        val e = Tables.events(s, dir)
-          .select(col("event_type"), col("value"))
+        val hist = Tables.events(s, dir)
+          .select(col("event_type"),
+            floor(col("value") * lit(1000000.0)).cast("long").as("vm"))
+          .groupBy("event_type", "vm").agg(count(lit(1)).as("c"))
           .localCheckpoint() // fence pass + clip pass read it
-        val fences = e.groupBy("event_type")
-          .agg(round(percentile(col("value"), lit(0.05)), 6).as("p05"),
-            round(percentile(col("value"), lit(0.95)), 6).as("p95"))
-        e.join(broadcast(fences), "event_type")
-          .select(col("event_type"), col("p05"), col("p95"),
-            floor(lit(1000000.0) *
-              least(greatest(col("value"), col("p05")), col("p95")))
-              .cast("long").as("wv"))
+        val n = hist.groupBy("event_type").agg(sum("c").as("n"))
+        val w = Window.partitionBy("event_type").orderBy("vm")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        def fence(p: Int, out: String) =
+          min(when(col("cum") >= expr(s"($p * n + 99) div 100"),
+            col("vm"))).as(out)
+        val fences = hist.withColumn("cum", sum("c").over(w))
+          .join(broadcast(n), "event_type")
           .groupBy("event_type")
-          .agg(count(lit(1)).as("n"),
-            max("p05").as("p05"), max("p95").as("p95"),
-            sum("wv").as("sw"))
-          .select(col("event_type"), col("n"), col("p05"), col("p95"),
+          .agg(fence(5, "p05m"), fence(95, "p95m"))
+        hist.join(broadcast(fences), "event_type")
+          .select(col("event_type"), col("p05m"), col("p95m"), col("c"),
+            (col("c") *
+              least(greatest(col("vm"), col("p05m")), col("p95m")))
+              .as("cw"))
+          .groupBy("event_type")
+          .agg(sum("c").as("n"),
+            max("p05m").as("p05_micro"), max("p95m").as("p95_micro"),
+            sum("cw").as("sw"))
+          .select(col("event_type"), col("n"),
+            col("p05_micro"), col("p95_micro"),
             expr("sw div n").as("winsor_mean_micro"))
       },
-      Some("""WITH f AS (SELECT event_type,
-             |    round(quantile_cont(value, 0.05), 6) AS p05,
-             |    round(quantile_cont(value, 0.95), 6) AS p95
-             |  FROM events GROUP BY 1),
-             |c AS (SELECT e.event_type, f.p05, f.p95,
-             |    CAST(floor(1000000.0 *
-             |      least(greatest(e.value, f.p05), f.p95)) AS BIGINT)
-             |      AS wv
-             |  FROM events e JOIN f USING (event_type))
-             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-             |  max(p05) AS p05, max(p95) AS p95,
-             |  CAST(CAST(sum(wv) AS BIGINT) // count(*) AS BIGINT)
+      Some("""WITH h AS (SELECT event_type,
+             |    CAST(floor(1000000.0 * value) AS BIGINT) AS vm,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |cc AS (SELECT event_type, vm, c,
+             |    sum(c) OVER (PARTITION BY event_type ORDER BY vm)
+             |      AS cum
+             |  FROM h),
+             |n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+             |  FROM h GROUP BY 1),
+             |f AS (SELECT event_type,
+             |    min(CASE WHEN cum >= (5*n + 99) // 100 THEN vm END)
+             |      AS p05m,
+             |    min(CASE WHEN cum >= (95*n + 99) // 100 THEN vm END)
+             |      AS p95m
+             |  FROM cc JOIN n USING (event_type) GROUP BY event_type)
+             |SELECT h.event_type, CAST(sum(c) AS BIGINT) AS n,
+             |  CAST(max(p05m) AS BIGINT) AS p05_micro,
+             |  CAST(max(p95m) AS BIGINT) AS p95_micro,
+             |  CAST(CAST(sum(c * least(greatest(vm, p05m), p95m))
+             |      AS BIGINT) // CAST(sum(c) AS BIGINT) AS BIGINT)
              |    AS winsor_mean_micro
-             |FROM c GROUP BY event_type""".stripMargin))
+             |FROM h JOIN f USING (event_type)
+             |GROUP BY h.event_type""".stripMargin))
   )
 }

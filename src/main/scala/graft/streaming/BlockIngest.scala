@@ -92,8 +92,7 @@ object BlockIngest {
   private def manifestHeights(sinkDir: String): Seq[Long] = {
     val d = Paths.get(s"$sinkDir/_commits")
     if (!Files.exists(d)) return Seq.empty
-    import scala.jdk.CollectionConverters._
-    Files.list(d).iterator().asScala
+    graft.ops.Fs.ls(d).iterator
       .map(_.getFileName.toString)
       .filter(f => f.endsWith(".json") && !f.startsWith("."))
       .map(_.stripSuffix(".json").toLong)
@@ -592,8 +591,7 @@ object BlockIngest {
   private def statsVersions(statsDir: String): Seq[Long] = {
     val root = Paths.get(statsDir)
     if (!Files.exists(root)) return Seq.empty
-    import scala.jdk.CollectionConverters._
-    Files.list(root).iterator().asScala
+    graft.ops.Fs.ls(root).iterator
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("h="))
       .map(_.getFileName.toString.stripPrefix("h=").toLong)
@@ -601,13 +599,12 @@ object BlockIngest {
   }
 
   private def vacuumStats(sinkDir: String, committed: Long): Unit = {
-    import scala.jdk.CollectionConverters._
     val statsDir = s"$sinkDir/stats_inventory"
     val vs = statsVersions(statsDir)
     vs.filter(_ <= committed).sorted.lastOption.foreach { keep =>
       vs.filter(_ < keep).foreach { v =>
         val dir = Paths.get(s"$statsDir/h=$v")
-        Files.walk(dir).iterator().asScala.toSeq.reverse
+        graft.ops.Fs.walk(dir).reverse
           .foreach(Files.deleteIfExists(_))
       }
     }
@@ -621,11 +618,11 @@ object BlockIngest {
     import scala.jdk.CollectionConverters._
     def filesUnder(p: java.nio.file.Path): Seq[java.nio.file.Path] =
       if (!Files.exists(p)) Seq.empty
-      else Files.walk(p).iterator().asScala
+      else graft.ops.Fs.walk(p)
         .filter(f => Files.isRegularFile(f) && {
           val n = f.getFileName.toString
           !n.startsWith("_") && !n.startsWith(".")
-        }).toSeq
+        })
     def rel(f: java.nio.file.Path): String =
       Paths.get(sinkDir).relativize(f).toString
     val facts = factTables.map { case (table, partCol) =>

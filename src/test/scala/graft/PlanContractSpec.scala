@@ -1008,4 +1008,18 @@ class PlanContractSpec extends SparkSpec {
       conf.set("spark.sql.adaptive.enabled", "true")
     }
   }
+
+  test("q256 winsorize fences are histogram-first: no raw-value " +
+    "percentile aggregate (O(distinct) per-group state) in the plan") {
+    val p = plan("q256_robust_value_stats")
+    assert(!p.toLowerCase.contains("percentile"),
+      s"q256 regressed to a percentile aggregate over raw values:\n$p")
+    // the fence pass must ride the (event_type, vm) histogram: a
+    // cumulative window partitioned by event_type over micro values
+    assert(p.contains("Window"), s"q256 lost the cumulative window:\n$p")
+    val windowArgs = p.linesIterator
+      .filter(_.contains("Arguments")).mkString("\n")
+    assert(windowArgs.contains("event_type"),
+      s"q256 window lost its per-type partition:\n$p")
+  }
 }

@@ -118,6 +118,65 @@ class StreamDedupSpec extends SparkSpec {
       "alpha text must be emitted twice: once per TTL epoch")
   }
 
+  test("near-dup band-state TTL evicts idle buckets: a near-dup " +
+    "arriving after expiry is admitted (the documented recall miss)") {
+    val base = (0 until 30).map(i => f"w$i%02d").mkString(" ")
+    val near = (0 until 30).map(i => if (i == 29) "CHANGED" else f"w$i%02d")
+      .mkString(" ")
+    val other = (100 until 130).map(i => f"x$i%03d").mkString(" ")
+    val nearOther = (100 until 130)
+      .map(i => if (i == 129) "CHANGED" else f"x$i%03d").mkString(" ")
+    val src = Files.createTempDirectory("snearttl").toString
+    Seq((1L, base)).toDF("doc_id", "text")
+      .write.parquet(s"$src/b1.parquet")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*.parquet")
+    val q = StreamDedup
+      .nearDupBands(stream.toDF(), "doc_id", "text",
+        ttlMillis = Some(1500L))
+      .toDF("doc_id", "matched_id", "jaccard")
+      .writeStream.format("memory").queryName("snearttl")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+    // Idle past the TTL — but sleeping is not enough: eviction only
+    // happens when a TIMEOUT BATCH actually runs (a key receiving new
+    // data in the same batch as its expiry is served with the old
+    // state, hasTimedOut=false — Spark's documented best-effort
+    // caveat, the flake this wait closes). So wait for b1 to process,
+    // then for an EMPTY batch triggered ≥ TTL+margin after it: that
+    // batch is the one that removed doc 1's band state.
+    val wDeadline = System.currentTimeMillis + 120000
+    while (!q.recentProgress.exists(_.numInputRows > 0) &&
+      System.currentTimeMillis < wDeadline) Thread.sleep(250)
+    val b1Done = System.currentTimeMillis
+    def evicted: Boolean = q.recentProgress.exists { p =>
+      p.numInputRows == 0 && java.time.Instant.parse(p.timestamp)
+        .toEpochMilli > b1Done + 2500
+    }
+    while (!evicted && System.currentTimeMillis < wDeadline)
+      Thread.sleep(250)
+    assert(evicted, "no timeout batch ran after the TTL window")
+    // doc 3 is a near-dup of the EXPIRED doc 1 → admitted as novel
+    // (the recall trade the TTL knob documents). Docs 5/6 are a fresh
+    // in-batch near pair: their flag row is the sentinel proving the
+    // batch was fully processed (an absent doc-3 row alone could just
+    // mean "not processed yet").
+    Seq((3L, near), (5L, other), (6L, nearOther))
+      .toDF("doc_id", "text").write.parquet(s"$src/b2.parquet")
+    val deadline = System.currentTimeMillis + 120000
+    while (spark.table("snearttl").isEmpty &&
+      System.currentTimeMillis < deadline) Thread.sleep(250)
+    q.stop()
+    val got = spark.table("snearttl")
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet === Set(6L),
+      s"only the fresh in-batch pair flags — the post-TTL near-dup of " +
+        s"doc 1 must be admitted: ${got.mkString(",")}")
+    assert(got.forall(r => r._2 === 5L && r._3 >= 0.8))
+  }
+
   test("streaming near-dup bands flag cross-batch near-duplicates like batch LSH") {
     val base = (0 until 30).map(i => f"w$i%02d").mkString(" ")
     val near = (0 until 30).map(i => if (i == 29) "CHANGED" else f"w$i%02d")
