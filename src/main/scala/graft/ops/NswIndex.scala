@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import VectorSearch._
+
+/** Graph ANN, Spark-first: a navigable-small-world-STYLE index built
+  * and searched as bounded-round joins (Malkov & Yashunin's NSW/HNSW
+  * searches by pointer-chasing a beam through a neighbor graph — the
+  * one shape a shared-nothing engine cannot run; what it CAN run is
+  * the same neighbor graph materialized as an edge table and the same
+  * beam search unrolled into a FIXED number of expand-score-prune
+  * rounds, each one broadcast join).
+  *
+  * Build: vectors multiprobe-assign to their top-`probes` k-means
+  * cells (the q30 coarse quantizer — multiprobe is what makes the
+  * graph navigable ACROSS cell borders), candidate neighbors are cell
+  * co-residents (the q197 Σ cell² bound — never an all-pairs join),
+  * and each node keeps its top-`m` by rounded cosine with id
+  * tiebreak; edges are symmetrized. At 100 TB the build is one
+  * bounded-candidate join + one per-group top-k — the same scale
+  * shape as the LSH band join.
+  *
+  * Search: the beam starts at deterministic entry points (per probed
+  * query cell), and each round expands the beam's neighbors via the
+  * edge table (beam is ≤ `beamWidth` rows → ALWAYS the broadcast
+  * side), re-scores ≤ beamWidth·(m+1) candidates against the query,
+  * and keeps the top `beamWidth`. Rounds are fixed — the KCore
+  * bounded-round discipline — so the whole search is `rounds`
+  * broadcast joins over the edge table, no driver loop over data.
+  * Candidate budget: |entries| + rounds · beamWidth · m scored rows,
+  * independent of corpus size once the graph exists.
+  *
+  * Determinism contract (what makes the DuckDB replay possible):
+  * every ranking anywhere — neighbor top-m, beam prune, final top-k —
+  * orders by (round(cosine, 6) DESC, id ASC).
+  */
+object NswIndex {
+
+  /** The symmetrized cell-bounded k-NN edge table: (src, dst) longs.
+    * `emb` must already exclude any query-only rows.
+    */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
+               centroids: Array[Array[Double]], probes: Int,
+               m: Int): DataFrame = {
+    val assign = ivfAssign(emb, idCol, vecCol, centroids, probes)
+      .localCheckpoint() // both sides of the candidate join read it
+    val vecs = emb.select(col(idCol).cast("long").as("id"),
+        toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .localCheckpoint() // src-score + dst-score sides share it
+    val cand = assign.as("x").join(assign.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").cast("long").as("src"),
+        col("y.id").cast("long").as("dst"))
+      .distinct() // multiprobe can collide a pair in 2 cells
+    val scored = cand
+      .join(vecs.select(col("id").as("src"), col("v").as("sv"),
+        col("nrm").as("sn")), "src")
+      .join(vecs.select(col("id").as("dst"), col("v").as("dv"),
+        col("nrm").as("dn")), "dst")
+      .select(col("src"), col("dst"),
+        round(dot(col("sv"), col("dv")) / (col("sn") * col("dn")), 6)
+          .as("sim"))
+    val topm = TopK.perGroup(scored, "src",
+        struct((-col("sim")).as("ns"), col("dst").as("dst")), m)
+      .select(col("src").cast("long").as("src"),
+        col("key.dst").as("dst"))
+    topm.unionByName(topm.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+  }
+
+  /** Fixed-beam, fixed-round search. `vecs` is (id, v, nrm) for the
+    * corpus (localCheckpointed by the caller), `edges` the
+    * [[knnGraph]] output, `query` a ONE-ROW frame (qv, qn). Returns
+    * the final beam as (id, sim).
+    */
+  def beamSearch(vecs: DataFrame, edges: DataFrame, query: DataFrame,
+                 entries: DataFrame, beamWidth: Int,
+                 rounds: Int): DataFrame = {
+    // ids is O(beamWidth·m) rows — ALWAYS the broadcast side; the
+    // corpus frame never shuffles for the lookup
+    def score(ids: DataFrame): DataFrame = vecs
+      .join(broadcast(ids), "id")
+      .crossJoin(broadcast(query))
+      .select(col("id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+    var beam = score(entries.select(col("id")).distinct())
+      .orderBy(col("sim").desc, col("id").asc).limit(beamWidth)
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val ids = edges
+        .join(broadcast(beam.select(col("id").as("src"))), "src")
+        .select(col("dst").as("id"))
+        .unionByName(beam.select(col("id")))
+        .distinct()
+      val next = score(ids)
+        .orderBy(col("sim").desc, col("id").asc).limit(beamWidth)
+        .localCheckpoint()
+      beam.unpersist(blocking = false) // KCore round discipline
+      beam = next
+    }
+    beam
+  }
+}

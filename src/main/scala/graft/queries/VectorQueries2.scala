@@ -482,6 +482,144 @@ object VectorQueries2 {
            |  CAST((1000 * var_micro) // greatest(tv, 1) AS BIGINT)
            |    AS var_share_milli
            |FROM r CROSS JOIN tv""".stripMargin
-      })
+      }),
+
+    // Graph ANN, NSW-style (Malkov & Yashunin's navigable small
+    // world, re-expressed as bounded-round joins — the
+    // pointer-chasing beam search HNSW runs on one machine becomes a
+    // FIXED number of expand-score-prune rounds, each one broadcast
+    // join; see ops/NswIndex). Build: multiprobe k-means cells bound
+    // the neighbor candidates (the q197 Σ cell² join — multiprobe is
+    // what threads edges ACROSS cell borders and makes the graph
+    // navigable), top-6 neighbors per node, symmetrized. Search:
+    // beam 12, 3 rounds, entries = each probed query cell's min-id
+    // resident (+ the global min id as the never-empty fallback);
+    // candidate budget ≈ entries + rounds·beam·m scored vectors —
+    // independent of corpus size, vs IVF-probe's fixed FRACTION of
+    // the corpus. Every ranking orders by (round(cos,6) DESC, id) so
+    // the DuckDB oracle replays build + all three rounds exactly
+    // from centroid literals (late oracle, the q30 pattern).
+    // Measured recall@10 vs exact: AnnRecallSpec (uniform corpus
+    // floor) and VectorSearchSpec (clustered fixture, ≥ IVF at a
+    // smaller candidate budget).
+    QDef("q257_ann_nsw",
+      (s, dir) => {
+        import graft.ops.VectorSearch._
+        import graft.ops.NswIndex
+        val emb = Tables.embeddings(s, dir)
+        val sample = sampleVectors(emb, "vec_id", "embedding",
+          n = 512, seed = 42)
+        val cents = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
+        NswOracle.sql = Some(nswOracleSql(cents, probes = NswProbes,
+          m = NswM, beam = NswBeam, rounds = NswRounds, topK = 10))
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val edges = NswIndex.knnGraph(corpus, "vec_id", "embedding",
+          cents, probes = NswProbes, m = NswM).localCheckpoint()
+        val vecs = corpus
+          .select(col("vec_id").cast("long").as("id"),
+            toDouble(col("embedding")).as("v"))
+          .withColumn("nrm", graft.ops.VectorSearch.norm(col("v")))
+          .localCheckpoint() // entry scoring + every round reads it
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(toDouble(col("embedding")).as("qv"))
+          .withColumn("qn", graft.ops.VectorSearch.norm(col("qv")))
+        val assign = ivfAssign(corpus, "vec_id", "embedding", cents,
+          probes = NswProbes).localCheckpoint()
+        val qCells = ivfAssign(emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", cents, probes = NswProbes)
+          .select(col("cell"))
+        val entries = assign.join(broadcast(qCells), "cell")
+          .groupBy("cell").agg(min("id").as("id")).select(col("id"))
+          .unionByName(assign.agg(min("id").as("id")))
+          .distinct()
+        NswIndex.beamSearch(vecs, edges, qv, entries,
+            beamWidth = NswBeam, rounds = NswRounds)
+          .orderBy(col("sim").desc, col("id").asc).limit(10)
+          .select(col("id").as("vec_id"), col("sim"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("sim").desc, col("vec_id").asc)))
+      },
+      None,
+      Some(() => NswOracle.sql))
   )
+
+  private val NswProbes = 2
+  private val NswM = 6
+  private val NswBeam = 12
+  private val NswRounds = 3
+
+  /** q257's late-bound oracle (trained-centroid literals). */
+  private object NswOracle { @volatile var sql: Option[String] = None }
+
+  /** Shortest-safe double literal (the VectorQueries.dbl rule). */
+  private def dbl(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+
+  /** DuckDB replay of [[graft.ops.NswIndex]] build + search with
+    * literal centroids: multiprobe assignment (the ivfOracleSql cell
+    * construction — centroid norms precomputed with the kernel's
+    * ascending fold), cell-bounded top-m neighbor edges symmetrized,
+    * then `rounds` beam stages unrolled as MATERIALIZED CTEs (the
+    * KCore late-oracle discipline: the replay runs exactly the
+    * measured rounds).
+    */
+  private def nswOracleSql(centroids: Array[Array[Double]], probes: Int,
+                           m: Int, beam: Int, rounds: Int,
+                           topK: Int): String = {
+    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      val n = dbl(math.sqrt(c.map(x => x * x).sum))
+      s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), " +
+        s"'cell': $i}"
+    }.mkString("[", ",\n", "]")
+    val beamStages = (1 to rounds).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT DISTINCT vec_id FROM (
+         |    SELECT ed.dst AS vec_id FROM edges ed
+         |    JOIN b${r - 1} b ON ed.src = b.vec_id
+         |    UNION SELECT vec_id FROM b${r - 1}) z),
+         |b$r AS MATERIALIZED (
+         |  SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+         |  FROM e JOIN c$r USING (vec_id), q
+         |  ORDER BY sim DESC, vec_id ASC LIMIT $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, $vSql AS v
+       |  FROM embeddings),
+       |a AS (SELECT vec_id, list_reverse_sort($cells) AS cs FROM e),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, unnest(list_transform(list_slice(cs, 1, $probes),
+       |    x -> x.cell)) AS cell
+       |  FROM a),
+       |cand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |  FROM cells x JOIN cells y
+       |    ON x.cell = y.cell AND x.vec_id <> y.vec_id
+       |  WHERE x.vec_id <> 0 AND y.vec_id <> 0),
+       |sc AS MATERIALIZED (SELECT cand.src, cand.dst,
+       |    round(${cosSql("sv.v", "dv.v")}, 6) AS sim
+       |  FROM cand JOIN e sv ON sv.vec_id = cand.src
+       |    JOIN e dv ON dv.vec_id = cand.dst),
+       |tm AS (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY sim DESC, dst ASC) AS rn FROM sc) z
+       |  WHERE rn <= $m),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM tm UNION SELECT dst, src FROM tm),
+       |qc AS (SELECT DISTINCT cell FROM cells WHERE vec_id = 0),
+       |ent AS (
+       |  SELECT min(c.vec_id) AS vec_id FROM cells c
+       |    JOIN qc ON c.cell = qc.cell WHERE c.vec_id <> 0
+       |  GROUP BY c.cell
+       |  UNION
+       |  SELECT min(vec_id) FROM cells WHERE vec_id <> 0),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |b0 AS MATERIALIZED (
+       |  SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+       |  FROM e JOIN (SELECT DISTINCT vec_id FROM ent) en
+       |    USING (vec_id), q
+       |  ORDER BY sim DESC, vec_id ASC LIMIT $beam),
+       |$beamStages
+       |SELECT vec_id, sim,
+       |  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+       |FROM b$rounds ORDER BY sim DESC, vec_id ASC LIMIT $topK"""
+      .stripMargin
+  }
 }
