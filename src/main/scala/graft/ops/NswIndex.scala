@@ -40,18 +40,41 @@ object NswIndex {
 
   /** The symmetrized cell-bounded k-NN edge table: (src, dst) longs.
     * `emb` must already exclude any query-only rows.
+    *
+    * `blockCap` is what makes the build UNCONDITIONALLY linear: with a
+    * fixed-k coarse quantizer, cell population grows with the corpus
+    * and the Σ cell² candidate join grows quadratically (measured:
+    * q257 4.3 s at sf0.1 → 334 s at sf1 before the cap). Every cell
+    * whose population exceeds the cap is therefore salted into
+    * ceil(cn / blockCap) deterministic sub-blocks (hash of the id —
+    * content-independent, replayable), and candidates pair only
+    * within (cell, salt): Σ block² ≤ assignments · blockCap = O(n).
+    * Cross-salt neighbors inside one cell are sacrificed; multiprobe
+    * keeps the graph navigable because a vector's `probes` cells are
+    * salted independently. Below the cap (sf0.01/sf0.1 fixtures:
+    * ~60-250 assignments/cell) every salt count is 1 and the graph is
+    * bit-identical to the uncapped build.
     */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
                centroids: Array[Array[Double]], probes: Int,
-               m: Int): DataFrame = {
-    val assign = ivfAssign(emb, idCol, vecCol, centroids, probes)
-      .localCheckpoint() // both sides of the candidate join read it
+               m: Int, blockCap: Int = 256): DataFrame = {
+    val assign0 = ivfAssign(emb, idCol, vecCol, centroids, probes)
+      .localCheckpoint() // cell-size agg + the salted join read it
+    val sizes = assign0.groupBy("cell")
+      .agg(count(lit(1)).as("cn")) // O(k) rows — broadcast back
+    val assign = assign0.join(broadcast(sizes), "cell")
+      .withColumn("salt",
+        pmod(graft.functions.TextAnalysis.tokenHash(
+          concat(lit("nsw:"), col("id").cast("string"))),
+          expr(s"greatest(1, (cn + ${blockCap - 1}) div $blockCap)")))
     val vecs = emb.select(col(idCol).cast("long").as("id"),
         toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
       .localCheckpoint() // src-score + dst-score sides share it
     val cand = assign.as("x").join(assign.as("y"),
-        col("x.cell") === col("y.cell") && col("x.id") =!= col("y.id"))
+        col("x.cell") === col("y.cell") &&
+          col("x.salt") === col("y.salt") &&
+          col("x.id") =!= col("y.id"))
       .select(col("x.id").cast("long").as("src"),
         col("y.id").cast("long").as("dst"))
       .distinct() // multiprobe can collide a pair in 2 cells
@@ -100,6 +123,52 @@ object NswIndex {
       val next = score(ids)
         .orderBy(col("sim").desc, col("id").asc).limit(beamWidth)
         .localCheckpoint()
+      beam.unpersist(blocking = false) // KCore round discipline
+      beam = next
+    }
+    beam
+  }
+
+  /** [[beamSearch]] generalized to a query BATCH — the serving shape
+    * (ANN indexes are built once and probed by many queries; a
+    * per-query driver loop would pay `rounds` Spark jobs PER query).
+    * One beam frame keyed by `qid` advances every query's beam in the
+    * same `rounds` joins: per round the (qid, id) beam — O(batch ·
+    * beamWidth) rows, ALWAYS the broadcast side — expands via the
+    * edge table, re-scores against its own query vector (`queries` is
+    * the batch frame (qid, qv, qn), broadcast into the score join),
+    * and prunes back to beamWidth per qid via the partial/final TopK
+    * aggregation (never a corpus-wide window). Candidate budget:
+    * batch · (entries + rounds · beamWidth · m) scored rows —
+    * corpus-size-independent, linear in the batch.
+    */
+  def beamSearchBatch(vecs: DataFrame, edges: DataFrame,
+                      queries: DataFrame, entries: DataFrame,
+                      beamWidth: Int, rounds: Int): DataFrame = {
+    // cand is (qid, id), O(batch·beam·m) rows — broadcast so the
+    // corpus frame never shuffles for the lookup
+    def score(cand: DataFrame): DataFrame = vecs
+      .join(broadcast(cand), "id")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+    def prune(scored: DataFrame): DataFrame =
+      TopK.perGroup(scored, "qid",
+          struct((-col("sim")).as("ns"), col("id").as("id")), beamWidth)
+        .select(col("qid"), col("key.id").as("id"),
+          (-col("key.ns")).as("sim"))
+    var beam = prune(score(entries.select(col("qid"), col("id"))
+        .distinct()))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cand = edges
+        .join(broadcast(beam.select(col("qid"), col("id").as("src"))),
+          "src")
+        .select(col("qid"), col("dst").as("id"))
+        .unionByName(beam.select(col("qid"), col("id")))
+        .distinct()
+      val next = prune(score(cand)).localCheckpoint()
       beam.unpersist(blocking = false) // KCore round discipline
       beam = next
     }

@@ -540,7 +540,67 @@ object VectorQueries2 {
             Window.orderBy(col("sim").desc, col("vec_id").asc)))
       },
       None,
-      Some(() => NswOracle.sql))
+      Some(() => NswOracle.sql)),
+
+    // q257's graph ANN in its SERVING shape: one shared index probed
+    // by a query BATCH (every 100th vector), all beams advanced
+    // together — a per-query driver loop would pay `rounds` Spark
+    // jobs PER query; here the whole batch costs the same number of
+    // joins as ONE q257 search. The (qid, id) beam frame is always
+    // the broadcast side (O(batch·beam) rows), the query batch
+    // broadcasts into each score join, and the per-qid prune is the
+    // partial/final TopK aggregation — never a corpus-wide window.
+    // Candidate budget: batch · (entries + rounds·beam·m) scored
+    // rows, corpus-size-independent and linear in the batch. Oracle:
+    // the q257 replay with every beam stage PARTITION BY qid.
+    QDef("q259_ann_nsw_batch",
+      (s, dir) => {
+        import graft.ops.VectorSearch._
+        import graft.ops.NswIndex
+        val emb = Tables.embeddings(s, dir)
+        val sample = sampleVectors(emb, "vec_id", "embedding",
+          n = 512, seed = 42)
+        val cents = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
+        NswBatchOracle.sql = Some(nswBatchOracleSql(cents,
+          probes = NswProbes, m = NswM, beam = NswBeam,
+          rounds = NswRounds, topK = 10))
+        val isQ = col("vec_id") % 100 === 0
+        val corpus = emb.filter(!isQ)
+        val edges = NswIndex.knnGraph(corpus, "vec_id", "embedding",
+          cents, probes = NswProbes, m = NswM).localCheckpoint()
+        val vecs = corpus
+          .select(col("vec_id").cast("long").as("id"),
+            toDouble(col("embedding")).as("v"))
+          .withColumn("nrm", graft.ops.VectorSearch.norm(col("v")))
+          .localCheckpoint() // entry scoring + every round reads it
+        val queries = emb.filter(isQ)
+          .select(col("vec_id").cast("long").as("qid"),
+            toDouble(col("embedding")).as("qv"))
+          .withColumn("qn", graft.ops.VectorSearch.norm(col("qv")))
+          .localCheckpoint() // broadcast into every round's score join
+        val assign = ivfAssign(corpus, "vec_id", "embedding", cents,
+          probes = NswProbes).localCheckpoint()
+        val qAssign = ivfAssign(emb.filter(isQ), "vec_id", "embedding",
+          cents, probes = NswProbes)
+        val cellMin = assign.groupBy("cell").agg(min("id").as("id"))
+        val globalMin = assign.agg(min("id").as("id"))
+        val entries = qAssign.select(col("id").as("qid"), col("cell"))
+          .join(broadcast(cellMin), "cell")
+          .select(col("qid"), col("id"))
+          .unionByName(queries.select(col("qid"))
+            .crossJoin(broadcast(globalMin)))
+          .distinct()
+        NswIndex.beamSearchBatch(vecs, edges, queries, entries,
+            beamWidth = NswBeam, rounds = NswRounds)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("sim").desc, col("id").asc)))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("id").as("vec_id"), col("sim"),
+            col("rank"))
+      },
+      None,
+      Some(() => NswBatchOracle.sql))
   )
 
   private val NswProbes = 2
@@ -551,9 +611,39 @@ object VectorQueries2 {
   /** q257's late-bound oracle (trained-centroid literals). */
   private object NswOracle { @volatile var sql: Option[String] = None }
 
+  /** q259's late-bound oracle (trained-centroid literals). */
+  private object NswBatchOracle {
+    @volatile var sql: Option[String] = None
+  }
+
   /** Shortest-safe double literal (the VectorQueries.dbl rule). */
   private def dbl(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+
+  /** DuckDB twin of TextAnalysis.tokenHash (the house hash). */
+  private def hashSql(t: String) =
+    s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
+
+  /** NswIndex.knnGraph's blockCap — the build's linearity bound. */
+  private val NswBlockCap = 256
+
+  /** The salted candidate CTEs shared by both NSW oracles:
+    * corpus-only cell sizes → per-assignment deterministic salt →
+    * candidates pair only within (cell, salt), replaying
+    * [[graft.ops.NswIndex.knnGraph]]'s blockCap exactly.
+    * `corpusPred` filters query rows out of the graph. */
+  private def nswCandCtes(corpusPred: String): String =
+    s"""csz AS (SELECT cell, count(*) AS cn FROM cells
+       |  WHERE $corpusPred GROUP BY cell),
+       |sal AS MATERIALIZED (SELECT c.vec_id, c.cell,
+       |    ${hashSql("'nsw:' || CAST(c.vec_id AS VARCHAR)")}
+       |      % greatest(1, (cn + ${NswBlockCap - 1}) // $NswBlockCap)
+       |      AS salt
+       |  FROM cells c JOIN csz USING (cell) WHERE $corpusPred),
+       |cand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |  FROM sal x JOIN sal y
+       |    ON x.cell = y.cell AND x.salt = y.salt
+       |      AND x.vec_id <> y.vec_id)""".stripMargin
 
   /** DuckDB replay of [[graft.ops.NswIndex]] build + search with
     * literal centroids: multiprobe assignment (the ivfOracleSql cell
@@ -589,10 +679,7 @@ object VectorQueries2 {
        |  SELECT vec_id, unnest(list_transform(list_slice(cs, 1, $probes),
        |    x -> x.cell)) AS cell
        |  FROM a),
-       |cand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
-       |  FROM cells x JOIN cells y
-       |    ON x.cell = y.cell AND x.vec_id <> y.vec_id
-       |  WHERE x.vec_id <> 0 AND y.vec_id <> 0),
+       |${nswCandCtes("vec_id <> 0")},
        |sc AS MATERIALIZED (SELECT cand.src, cand.dst,
        |    round(${cosSql("sv.v", "dv.v")}, 6) AS sim
        |  FROM cand JOIN e sv ON sv.vec_id = cand.src
@@ -620,6 +707,81 @@ object VectorQueries2 {
        |SELECT vec_id, sim,
        |  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
        |FROM b$rounds ORDER BY sim DESC, vec_id ASC LIMIT $topK"""
+      .stripMargin
+  }
+
+  /** DuckDB replay of [[graft.ops.NswIndex.beamSearchBatch]]: the
+    * [[nswOracleSql]] build replay (queries = vec_id % 100 = 0
+    * excluded from the graph), then every beam stage re-ranked
+    * PARTITION BY qid (nested-subquery row_number, the tm shape —
+    * one window per stage over O(batch · beam · m) rows).
+    */
+  private def nswBatchOracleSql(centroids: Array[Array[Double]],
+                                probes: Int, m: Int, beam: Int,
+                                rounds: Int, topK: Int): String = {
+    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      val n = dbl(math.sqrt(c.map(x => x * x).sum))
+      s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), " +
+        s"'cell': $i}"
+    }.mkString("[", ",\n", "]")
+    val beamStages = (1 to rounds).map { r =>
+      s"""c$r AS (SELECT DISTINCT qid, vec_id FROM (
+         |    SELECT b.qid, ed.dst AS vec_id FROM edges ed
+         |    JOIN b${r - 1} b ON ed.src = b.vec_id
+         |    UNION SELECT qid, vec_id FROM b${r - 1}) z),
+         |b$r AS MATERIALIZED (SELECT qid, vec_id, sim FROM (
+         |    SELECT qid, vec_id, sim, row_number() OVER (
+         |      PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM (SELECT c.qid, e.vec_id,
+         |        round(${cosSql("e.v", "q.qv")}, 6) AS sim
+         |      FROM e JOIN c$r c ON e.vec_id = c.vec_id
+         |        JOIN q ON q.qid = c.qid) y) z
+         |  WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, $vSql AS v
+       |  FROM embeddings),
+       |a AS (SELECT vec_id, list_reverse_sort($cells) AS cs FROM e),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, unnest(list_transform(list_slice(cs, 1, $probes),
+       |    x -> x.cell)) AS cell
+       |  FROM a),
+       |${nswCandCtes("vec_id % 100 <> 0")},
+       |sc AS MATERIALIZED (SELECT cand.src, cand.dst,
+       |    round(${cosSql("sv.v", "dv.v")}, 6) AS sim
+       |  FROM cand JOIN e sv ON sv.vec_id = cand.src
+       |    JOIN e dv ON dv.vec_id = cand.dst),
+       |tm AS (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY sim DESC, dst ASC) AS rn FROM sc) z
+       |  WHERE rn <= $m),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM tm UNION SELECT dst, src FROM tm),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |qc AS (SELECT vec_id AS qid, cell FROM cells
+       |  WHERE vec_id % 100 = 0),
+       |cellmin AS (SELECT cell, min(vec_id) AS vec_id FROM cells
+       |  WHERE vec_id % 100 <> 0 GROUP BY cell),
+       |gmin AS (SELECT min(vec_id) AS vec_id FROM cells
+       |  WHERE vec_id % 100 <> 0),
+       |ent AS (SELECT DISTINCT qid, vec_id FROM (
+       |  SELECT qc.qid, cm.vec_id FROM qc JOIN cellmin cm USING (cell)
+       |  UNION SELECT q.qid, g.vec_id FROM q CROSS JOIN gmin g) z),
+       |b0 AS MATERIALIZED (SELECT qid, vec_id, sim FROM (
+       |    SELECT qid, vec_id, sim, row_number() OVER (
+       |      PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+       |    FROM (SELECT en.qid, e.vec_id,
+       |        round(${cosSql("e.v", "q.qv")}, 6) AS sim
+       |      FROM e JOIN ent en ON e.vec_id = en.vec_id
+       |        JOIN q ON q.qid = en.qid) y) z
+       |  WHERE rn <= $beam),
+       |$beamStages
+       |SELECT qid, vec_id, sim, rank FROM (
+       |  SELECT qid, vec_id, sim, row_number() OVER (
+       |    PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+       |  FROM b$rounds) z
+       |WHERE rank <= $topK"""
       .stripMargin
   }
 }

@@ -112,4 +112,90 @@ class NswIndexSpec extends SparkSpec {
     assert(nswRecall >= ivfRecall,
       s"NSW ($nswRecall) must match-or-beat IVF ($ivfRecall)")
   }
+
+  test("blockCap salting bounds candidate blocks without breaking " +
+    "graph structure; a non-binding cap is a no-op") {
+    val rnd = new Random(38)
+    val vecs = (0 until 80).map(i => (i.toLong, randUnit(rnd, 8).toSeq))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .localCheckpoint()
+    val sample = VectorSearch.sampleVectors(vecs, "vec_id", "embedding",
+      96, 5L)
+    val cents = VectorSearch.kmeansCentroids(sample, 4, 5, 5L)
+    // cap far above any cell population (160 assignments / 4 cells)
+    val loose = NswIndex.knnGraph(vecs, "vec_id", "embedding", cents,
+      probes = 2, m = 3, blockCap = 10000).as[(Long, Long)].collect().toSet
+    val default = NswIndex.knnGraph(vecs, "vec_id", "embedding", cents,
+      probes = 2, m = 3).as[(Long, Long)].collect().toSet
+    // a binding cap: cells of ~40-80 assignments split into blocks ≤ 8
+    val capped = NswIndex.knnGraph(vecs, "vec_id", "embedding", cents,
+      probes = 2, m = 3, blockCap = 8).as[(Long, Long)].collect().toSet
+    assert(loose === default,
+      "a cap above every cell population must not change the graph")
+    assert(capped.nonEmpty)
+    assert(capped.forall { case (a, b) => capped.contains((b, a)) },
+      "salted graph must stay symmetric")
+    assert(capped.forall { case (a, b) => a != b }, "no self loops")
+    assert(capped !== default,
+      "a binding cap must actually restrict the candidate pools " +
+        "(top-m picked from ≤cap-sized blocks, not whole cells)")
+  }
+
+  test("batch beam search == per-query beam search on the same graph") {
+    val rnd = new Random(37)
+    val centers = Array.fill(4)(randUnit(rnd, 12))
+    val corpus = (0 until 120).map { i =>
+      (i.toLong, noisy(rnd, centers(i % 4)).toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .localCheckpoint()
+    val qArrs = (0 until 3).map(i => (900L + i, noisy(rnd, centers(i))))
+    val sample = VectorSearch.sampleVectors(corpus, "vec_id", "embedding",
+      128, 7L)
+    val cents = VectorSearch.kmeansCentroids(sample, 6, 8, 7L)
+    val edges = NswIndex.knnGraph(corpus, "vec_id", "embedding", cents,
+      probes = 2, m = 5).localCheckpoint()
+    val vecs = corpus.select(col("vec_id").cast("long").as("id"),
+        VectorSearch.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorSearch.norm(col("v")))
+      .localCheckpoint()
+    val assign = VectorSearch.ivfAssign(corpus, "vec_id", "embedding",
+      cents, probes = 2).localCheckpoint()
+    val globalMin = assign.agg(min("id").as("id"))
+
+    // batch run over all three queries at once
+    val queries = qArrs.toDF("qid", "qv")
+      .withColumn("qn", VectorSearch.norm(col("qv")))
+      .localCheckpoint()
+    val qAssign = VectorSearch.ivfAssign(
+        qArrs.map { case (q, v) => (q, v.toSeq) }.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents, probes = 2)
+    val entries = qAssign.select(col("id").as("qid"), col("cell"))
+      .join(broadcast(assign.groupBy("cell").agg(min("id").as("id"))),
+        "cell")
+      .select(col("qid"), col("id"))
+      .unionByName(queries.select(col("qid")).crossJoin(
+        broadcast(globalMin)))
+      .distinct()
+      .localCheckpoint()
+    val batch = NswIndex.beamSearchBatch(vecs, edges, queries, entries,
+        beamWidth = 8, rounds = 2)
+      .select("qid", "id", "sim").as[(Long, Long, Double)]
+      .collect().groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(r => (r._2, r._3)).toSet }
+
+    // per-query singles over the identical graph/entries
+    qArrs.foreach { case (qid, arr) =>
+      val query = Seq(1).toDF("one")
+        .select(typedLit(arr.toSeq).as("qv"))
+        .withColumn("qn", VectorSearch.norm(col("qv")))
+      val single = NswIndex.beamSearch(vecs, edges, query,
+          entries.filter(col("qid") === qid).select(col("id")),
+          beamWidth = 8, rounds = 2)
+        .as[(Long, Double)].collect().toSet
+      assert(batch(qid) === single,
+        s"batch beam for $qid must equal the single-query beam")
+    }
+  }
 }
