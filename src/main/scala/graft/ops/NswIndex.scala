@@ -114,7 +114,7 @@ object NswIndex {
     var beam = score(entries.select(col("id")).distinct())
       .orderBy(col("sim").desc, col("id").asc).limit(beamWidth)
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val ids = edges
         .join(broadcast(beam.select(col("id").as("src"))), "src")
         .select(col("dst").as("id"))
@@ -122,9 +122,17 @@ object NswIndex {
         .distinct()
       val next = score(ids)
         .orderBy(col("sim").desc, col("id").asc).limit(beamWidth)
-        .localCheckpoint()
-      beam.unpersist(blocking = false) // KCore round discipline
-      beam = next
+      if (r < rounds) {
+        val cp = next.localCheckpoint()
+        beam.unpersist(blocking = false) // KCore round discipline
+        beam = cp
+      } else {
+        // the LAST round stays declarative: the caller's plan keeps
+        // the broadcast-lookup + bounded-top-k shape visible (plan-
+        // contract-pinned) and the result isn't materialized twice.
+        // Its parent checkpoint stays resident (beamWidth rows).
+        beam = next
+      }
     }
     beam
   }
@@ -161,16 +169,21 @@ object NswIndex {
     var beam = prune(score(entries.select(col("qid"), col("id"))
         .distinct()))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val cand = edges
         .join(broadcast(beam.select(col("qid"), col("id").as("src"))),
           "src")
         .select(col("qid"), col("dst").as("id"))
         .unionByName(beam.select(col("qid"), col("id")))
         .distinct()
-      val next = prune(score(cand)).localCheckpoint()
-      beam.unpersist(blocking = false) // KCore round discipline
-      beam = next
+      val next = prune(score(cand))
+      if (r < rounds) {
+        val cp = next.localCheckpoint()
+        beam.unpersist(blocking = false) // KCore round discipline
+        beam = cp
+      } else {
+        beam = next // declarative last round (see beamSearch)
+      }
     }
     beam
   }

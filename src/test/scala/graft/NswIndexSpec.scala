@@ -142,6 +142,25 @@ class NswIndexSpec extends SparkSpec {
         "(top-m picked from ≤cap-sized blocks, not whole cells)")
   }
 
+  test("knn-graph candidate join is an equi join on (cell, salt) — " +
+    "never a cartesian or nested-loop pairing") {
+    val rnd = new Random(39)
+    val vecs = (0 until 50).map(i => (i.toLong, randUnit(rnd, 8).toSeq))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val sample = VectorSearch.sampleVectors(vecs, "vec_id", "embedding",
+      64, 5L)
+    val cents = VectorSearch.kmeansCentroids(sample, 4, 5, 5L)
+    val edges = NswIndex.knnGraph(vecs, "vec_id", "embedding", cents,
+      probes = 2, m = 3)
+    val p = edges.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation degraded to a cartesian:\n$p")
+    assert(p.contains("salt"),
+      s"candidate join lost the blockCap salt key:\n$p")
+  }
+
   test("batch beam search == per-query beam search on the same graph") {
     val rnd = new Random(37)
     val centers = Array.fill(4)(randUnit(rnd, 12))

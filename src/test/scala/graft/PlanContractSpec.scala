@@ -1022,4 +1022,28 @@ class PlanContractSpec extends SparkSpec {
     assert(windowArgs.contains("event_type"),
       s"q256 window lost its per-type partition:\n$p")
   }
+
+  test("q257/q259 NSW beams: every id lookup broadcasts (the beam is " +
+    "always the small side) and the final ranking is bounded") {
+    // the beam rounds execute behind localCheckpoints; the visible
+    // final stage must still carry the contract — broadcast lookups,
+    // no sort-merge exchange of the corpus, bounded final top-k
+    val p257 = plan("q257_ann_nsw")
+    assert(p257.contains("TakeOrderedAndProject"),
+      s"q257 final top-10 lost TakeOrdered:\n$p257")
+    assert(p257.contains("BroadcastHashJoin"),
+      s"q257 beam lookup lost its broadcast:\n$p257")
+    assert(!p257.contains("SortMergeJoin"),
+      s"q257 shuffles the corpus for a beam lookup:\n$p257")
+    val p259 = plan("q259_ann_nsw_batch")
+    assert(p259.contains("BroadcastHashJoin"),
+      s"q259 beam lookup lost its broadcast:\n$p259")
+    assert(!p259.contains("SortMergeJoin"),
+      s"q259 shuffles the corpus for a beam lookup:\n$p259")
+    // the final rank is PARTITION BY qid — per query, never global
+    val w259 = p259.linesIterator
+      .filter(_.contains("Arguments")).mkString("\n")
+    assert(w259.contains("qid"),
+      s"q259 final rank lost its per-query partition:\n$p259")
+  }
 }
