@@ -36,11 +36,19 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries30 {
 
-  /** DuckDB twins of TextAnalysis.tokens / tokenHash (lockstep with
-    * PipelineQueries' copies). */
+  /** DuckDB twins of TextAnalysis.tokens / tokenHash / ngramHashes
+    * (lockstep with PipelineQueries' copies). */
   private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
   private def hashSql(t: String) =
     s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
+  private def ngramSql(n: Int): String = {
+    val cat = (0 until n).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+    s"""list_distinct(list_transform(
+       |  CASE WHEN len(toks) >= $n THEN
+       |    list_transform(generate_series(1, len(toks) - ${n - 1}), i -> $cat)
+       |  ELSE [] END,
+       |  g -> ${hashSql("g")}))""".stripMargin
+  }
 
   /** Shared oracle CTEs: brute-force pair closure → per-doc cluster id
     * (q69's oracle shape) + token counts. `cl.mn IS NOT NULL` ⇔ the
@@ -251,6 +259,144 @@ object PipelineQueries30 {
               |      THEN n_toks ELSE 0 END))
               |    // greatest(sum(n_toks), 1) AS BIGINT)
               |    AS discount_milli
-              |FROM bse GROUP BY source""".stripMargin))
+              |FROM bse GROUP BY source""".stripMargin)),
+
+    // Multi-benchmark decontamination scorecard — q70 generalized to
+    // the realistic shape: a pipeline decontaminates against MANY
+    // eval sets at once and reports per benchmark (a) how much of the
+    // corpus each one taints and (b) how redundant the benchmarks are
+    // with each other (shared grams → overlapping protection, a
+    // second benchmark that adds no new exclusions). Three disjoint-
+    // rule synthetic benchmarks (doc_id ≡ 0 mod 31/37/41 — a doc can
+    // sit in several, as real eval suites overlap). One (doc, gram)
+    // stream feeds every side; the tagged benchmark gram table is
+    // broadcast into the corpus probe (eval sets are small by nature
+    // — the 100 TB corpus side never shuffles); every rollup is over
+    // O(#benchmarks) rows.
+    QDef("q262_multi_benchmark_decon",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val notBench = (col("doc_id") % 31 =!= 0) &&
+          (col("doc_id") % 37 =!= 0) && (col("doc_id") % 41 =!= 0)
+        val grams = docs
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), explode(ngramHashes(col("toks"), 8)).as("g"))
+          .localCheckpoint() // 3 bench sides + the probe side
+        val benches = Seq(("mod31", 31L), ("mod37", 37L), ("mod41", 41L))
+        val benchGrams = benches.map { case (nm, m) =>
+            grams.filter(col("doc_id") % m === 0)
+              .select(lit(nm).as("bench"), col("g")).distinct()
+          }.reduce(_ unionByName _)
+          .localCheckpoint() // probe join + overlap self-join + counts
+        val gramCounts = benchGrams.groupBy("bench")
+          .agg(count(lit(1)).as("n_grams"))
+        val shared = benchGrams.as("a")
+          .join(benchGrams.as("b"),
+            col("a.g") === col("b.g") && col("a.bench") =!= col("b.bench"))
+          .groupBy(col("a.bench").as("bench"))
+          .agg(count_distinct(col("a.g")).as("n_shared_grams"))
+        val hits = grams.filter(notBench)
+          .join(broadcast(benchGrams), "g")
+          .groupBy("bench")
+          .agg(count_distinct(col("doc_id")).as("n_hit_docs"))
+        val benchDocs = benches.map { case (nm, m) =>
+            docs.filter(col("doc_id") % m === 0)
+              .agg(lit(nm).as("bench"), count(lit(1)).as("n_bench_docs"))
+          }.reduce(_ unionByName _)
+        val nCorpus = docs.filter(notBench)
+          .agg(count(lit(1)).as("nc"))
+        benchDocs
+          .join(gramCounts, "bench")
+          .join(shared, Seq("bench"), "left")
+          .join(hits, Seq("bench"), "left")
+          .crossJoin(broadcast(nCorpus))
+          .select(col("bench"), col("n_bench_docs"), col("n_grams"),
+            coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+            coalesce(col("n_hit_docs"), lit(0L)).as("n_hit_docs"),
+            expr("(1000 * coalesce(n_hit_docs, 0)) div greatest(nc, 1)")
+              .as("hit_rate_milli"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |ga AS (SELECT doc_id, ${ngramSql(8)} AS gs FROM t),
+              |g AS MATERIALIZED (
+              |  SELECT doc_id, unnest(gs) AS g FROM ga),
+              |bg AS MATERIALIZED (
+              |  SELECT DISTINCT 'mod31' AS bench, g FROM g
+              |    WHERE doc_id % 31 = 0
+              |  UNION ALL SELECT DISTINCT 'mod37', g FROM g
+              |    WHERE doc_id % 37 = 0
+              |  UNION ALL SELECT DISTINCT 'mod41', g FROM g
+              |    WHERE doc_id % 41 = 0),
+              |gc AS (SELECT bench, CAST(count(*) AS BIGINT) AS n_grams
+              |  FROM bg GROUP BY bench),
+              |sh AS (SELECT a.bench,
+              |    CAST(count(DISTINCT a.g) AS BIGINT) AS n_shared_grams
+              |  FROM bg a JOIN bg b
+              |    ON a.g = b.g AND a.bench <> b.bench
+              |  GROUP BY a.bench),
+              |h AS (SELECT bench,
+              |    CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_hit_docs
+              |  FROM g JOIN bg USING (g)
+              |  WHERE g.doc_id % 31 <> 0 AND g.doc_id % 37 <> 0
+              |    AND g.doc_id % 41 <> 0
+              |  GROUP BY bench),
+              |bd AS (SELECT 'mod31' AS bench,
+              |    CAST(count(*) AS BIGINT) AS n_bench_docs
+              |  FROM documents WHERE doc_id % 31 = 0
+              |  UNION ALL SELECT 'mod37', count(*) FROM documents
+              |    WHERE doc_id % 37 = 0
+              |  UNION ALL SELECT 'mod41', count(*) FROM documents
+              |    WHERE doc_id % 41 = 0),
+              |nc AS (SELECT count(*) AS nc FROM documents
+              |  WHERE doc_id % 31 <> 0 AND doc_id % 37 <> 0
+              |    AND doc_id % 41 <> 0)
+              |SELECT bd.bench, bd.n_bench_docs, gc.n_grams,
+              |  CAST(coalesce(sh.n_shared_grams, 0) AS BIGINT)
+              |    AS n_shared_grams,
+              |  CAST(coalesce(h.n_hit_docs, 0) AS BIGINT) AS n_hit_docs,
+              |  CAST((1000 * coalesce(h.n_hit_docs, 0))
+              |    // greatest(nc.nc, 1) AS BIGINT) AS hit_rate_milli
+              |FROM bd JOIN gc USING (bench)
+              |  LEFT JOIN sh USING (bench) LEFT JOIN h USING (bench)
+              |  CROSS JOIN nc""".stripMargin)),
+
+    // Quasi-identifier k-anonymity audit — the privacy governance
+    // number: how many documents sit in equivalence classes (same
+    // lang, source, coarse length bucket) smaller than k=5, i.e. are
+    // re-identifiable by their metadata alone. Two aggregations: the
+    // corpus collapses to O(distinct QI tuples) class rows, then to
+    // O(lang·source) report rows; no window ever touches the corpus.
+    QDef("q263_k_anonymity",
+      (s, dir) => {
+        val classes = Tables.documents(s, dir)
+          .select(col("lang"), col("source"),
+            expr("n_chars div 100").as("len_bucket"))
+          .groupBy("lang", "source", "len_bucket")
+          .agg(count(lit(1)).as("cn"))
+        classes
+          .groupBy("lang", "source")
+          .agg(sum(col("cn")).as("n_docs"),
+            count(lit(1)).as("n_classes"),
+            min(col("cn")).as("min_class_size"),
+            sum(when(col("cn") < 5, col("cn")).otherwise(0L))
+              .as("n_small_class_docs"))
+          .select(col("lang"), col("source"), col("n_docs"),
+            col("n_classes"), col("min_class_size"),
+            col("n_small_class_docs"),
+            expr("(1000 * (n_docs - n_small_class_docs)) div n_docs")
+              .as("k_anon_milli"))
+      },
+      Some("""WITH c AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+             |    CAST(count(*) AS BIGINT) AS cn
+             |  FROM documents GROUP BY lang, source, len_bucket)
+             |SELECT lang, source,
+             |  CAST(sum(cn) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS n_classes,
+             |  CAST(min(cn) AS BIGINT) AS min_class_size,
+             |  CAST(sum(CASE WHEN cn < 5 THEN cn ELSE 0 END) AS BIGINT)
+             |    AS n_small_class_docs,
+             |  CAST((1000 * (sum(cn) - sum(CASE WHEN cn < 5 THEN cn
+             |    ELSE 0 END))) // sum(cn) AS BIGINT) AS k_anon_milli
+             |FROM c GROUP BY lang, source""".stripMargin))
   )
 }
