@@ -161,6 +161,25 @@ class NswIndexSpec extends SparkSpec {
       s"candidate join lost the blockCap salt key:\n$p")
   }
 
+  test("q257/q259 are partition-invariant: identical output under a " +
+    "different shuffle-partition count") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+    val conf = spark.conf
+    val orig = conf.get("spark.sql.shuffle.partitions")
+    try {
+      val a257 = rows("q257_ann_nsw")
+      val a259 = rows("q259_ann_nsw_batch")
+      conf.set("spark.sql.shuffle.partitions", "7")
+      assert(rows("q257_ann_nsw") === a257,
+        "q257 output depends on the shuffle partitioning")
+      assert(rows("q259_ann_nsw_batch") === a259,
+        "q259 output depends on the shuffle partitioning")
+    } finally conf.set("spark.sql.shuffle.partitions", orig)
+  }
+
   test("batch beam search == per-query beam search on the same graph") {
     val rnd = new Random(37)
     val centers = Array.fill(4)(randUnit(rnd, 12))

@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.Dedup
+import graft.streaming.StreamSplit
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+import scala.util.Random
+
+/** Streaming cluster-consistent split: near-dup cluster members
+  * arriving in DIFFERENT micro-batches must land in the same split
+  * (the q258 invariant, held at arrival time), and a full replay of
+  * the stream appends nothing to the store.
+  */
+class StreamSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cluster members spread across batches share one split; zero " +
+    "near-dup straddle; replay is a no-op") {
+    val rnd = new Random(42)
+    val vocab = (0 until 80).map(i => s"w$i")
+    def base(): Seq[String] =
+      Seq.fill(20)(vocab(rnd.nextInt(vocab.size)))
+    val clusterBases = (0 until 6).map(_ => base())
+    // member (c, j): id 100c + j, 90% shingle overlap within cluster
+    val members = for (c <- 0 until 6; j <- 0 until 3)
+      yield (100L * c + j, (clusterBases(c) :+ s"uniq_${c}_$j").mkString(" "))
+    val singles = (0 until 10).map(i => (1000L + i, base().mkString(" ")))
+    val all = members ++ singles
+
+    // batch j carries member j of every cluster + a third of singles:
+    // every cluster straddles all three micro-batches
+    val src = Files.createTempDirectory("ssplit-src").toString
+    val store = Files.createTempDirectory("ssplit-store").toString + "/st"
+    (0 until 3).foreach { j =>
+      (members.filter(_._1 % 100 == j) ++ singles.filter(_._1 % 3 == j))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$src/b$j.parquet")
+    }
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*.parquet")
+      val q = StreamSplit.run(stream, store, Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val assigned = spark.read.parquet(store)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(assigned.size === all.size, "every doc assigned exactly once")
+
+    // the q258 invariant at arrival time: no near-dup pair straddles
+    val pairs = Dedup.nearDupMinhash(all.toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must actually contain near-dups")
+    val straddled = pairs.filter { case (a, b) =>
+      assigned(a) != assigned(b)
+    }
+    assert(straddled.isEmpty,
+      s"near-dup pairs straddle splits: ${straddled.take(5).toSeq}")
+    // and the planted clusters each share exactly one split
+    (0 until 6).foreach { c =>
+      val splits = (0 until 3).map(j => assigned(100L * c + j)).toSet
+      assert(splits.size === 1, s"cluster $c split across $splits")
+    }
+
+    // full replay (no checkpoint → all files reprocess): insert-ignore
+    // makes every append empty
+    drain()
+    val after = spark.read.parquet(store).count()
+    assert(after === all.size.toLong,
+      s"replay appended rows: $after != ${all.size}")
+  }
+}
