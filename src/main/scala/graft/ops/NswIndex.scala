@@ -57,9 +57,14 @@ object NswIndex {
     */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
                centroids: Array[Array[Double]], probes: Int,
-               m: Int, blockCap: Int = 256): DataFrame = {
-    val assign0 = ivfAssign(emb, idCol, vecCol, centroids, probes)
-      .localCheckpoint() // cell-size agg + the salted join read it
+               m: Int, blockCap: Int = 256,
+               assignOpt: Option[DataFrame] = None): DataFrame = {
+    // callers that already materialized the (id, cell) assignment for
+    // entry election pass it in; both paths are the same checkpointed
+    // ivfAssign frame
+    val assign0 = assignOpt.getOrElse(
+      ivfAssign(emb, idCol, vecCol, centroids, probes)
+        .localCheckpoint()) // cell-size agg + the salted join read it
     val sizes = assign0.groupBy("cell")
       .agg(count(lit(1)).as("cn")) // O(k) rows — broadcast back
     val assign = assign0.join(broadcast(sizes), "cell")

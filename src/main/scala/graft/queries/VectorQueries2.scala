@@ -513,8 +513,11 @@ object VectorQueries2 {
         NswOracle.sql = Some(nswOracleSql(cents, probes = NswProbes,
           m = NswM, beam = NswBeam, rounds = NswRounds, topK = 10))
         val corpus = emb.filter(col("vec_id") =!= 0)
+        val assign = ivfAssign(corpus, "vec_id", "embedding", cents,
+          probes = NswProbes).localCheckpoint() // graph build + entries
         val edges = NswIndex.knnGraph(corpus, "vec_id", "embedding",
-          cents, probes = NswProbes, m = NswM).localCheckpoint()
+          cents, probes = NswProbes, m = NswM,
+          assignOpt = Some(assign)).localCheckpoint()
         val vecs = corpus
           .select(col("vec_id").cast("long").as("id"),
             toDouble(col("embedding")).as("v"))
@@ -523,8 +526,6 @@ object VectorQueries2 {
         val qv = emb.filter(col("vec_id") === 0)
           .select(toDouble(col("embedding")).as("qv"))
           .withColumn("qn", graft.ops.VectorSearch.norm(col("qv")))
-        val assign = ivfAssign(corpus, "vec_id", "embedding", cents,
-          probes = NswProbes).localCheckpoint()
         val qCells = ivfAssign(emb.filter(col("vec_id") === 0),
           "vec_id", "embedding", cents, probes = NswProbes)
           .select(col("cell"))
@@ -566,8 +567,11 @@ object VectorQueries2 {
           rounds = NswRounds, topK = 10))
         val isQ = col("vec_id") % 100 === 0
         val corpus = emb.filter(!isQ)
+        val assign = ivfAssign(corpus, "vec_id", "embedding", cents,
+          probes = NswProbes).localCheckpoint() // graph build + entries
         val edges = NswIndex.knnGraph(corpus, "vec_id", "embedding",
-          cents, probes = NswProbes, m = NswM).localCheckpoint()
+          cents, probes = NswProbes, m = NswM,
+          assignOpt = Some(assign)).localCheckpoint()
         val vecs = corpus
           .select(col("vec_id").cast("long").as("id"),
             toDouble(col("embedding")).as("v"))
@@ -578,8 +582,6 @@ object VectorQueries2 {
             toDouble(col("embedding")).as("qv"))
           .withColumn("qn", graft.ops.VectorSearch.norm(col("qv")))
           .localCheckpoint() // broadcast into every round's score join
-        val assign = ivfAssign(corpus, "vec_id", "embedding", cents,
-          probes = NswProbes).localCheckpoint()
         val qAssign = ivfAssign(emb.filter(isQ), "vec_id", "embedding",
           cents, probes = NswProbes)
         val cellMin = assign.groupBy("cell").agg(min("id").as("id"))
