@@ -305,10 +305,10 @@ object PipelineQueries30 {
           }.reduce(_ unionByName _)
         val nCorpus = docs.filter(notBench)
           .agg(count(lit(1)).as("nc"))
-        benchDocs
-          .join(gramCounts, "bench")
-          .join(shared, Seq("bench"), "left")
-          .join(hits, Seq("bench"), "left")
+        benchDocs // every rollup frame is O(#benchmarks) — broadcast
+          .join(broadcast(gramCounts), "bench")
+          .join(broadcast(shared), Seq("bench"), "left")
+          .join(broadcast(hits), Seq("bench"), "left")
           .crossJoin(broadcast(nCorpus))
           .select(col("bench"), col("n_bench_docs"), col("n_grams"),
             coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
