@@ -84,7 +84,12 @@ object StreamSplit {
       spark.createDataFrame(spark.sparkContext
         .emptyRDD[Row], storeSchema)
 
-  /** Wire a (doc_id, text) stream into the split store at `storeDir`. */
+  /** Wire a (doc_id, text) stream into the split store at `storeDir`.
+    * After each batch's append the leftover localCheckpoint blocks
+    * (the batch frame, the store snapshot, and the signature tables
+    * Dedup checkpoints internally) are freed via the Bench mechanism
+    * — without this a long-running follower accumulates one set of
+    * checkpoint RDDs per micro-batch (the KCore round-leak class). */
   def run(stream: DataFrame, storeDir: String,
           trigger: Trigger, threshold: Double = 0.8): DataStreamWriter[Row] =
     stream.writeStream
@@ -92,7 +97,9 @@ object StreamSplit {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val prior = readStore(spark, storeDir).localCheckpoint()
-        assignBatch(batch, prior, threshold)
+        try assignBatch(batch, prior, threshold)
           .write.mode("append").parquet(storeDir)
+        finally spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
       }
 }
