@@ -60,6 +60,12 @@ object Bench {
       // run)
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
+      // broadcast blocks are freed by the ContextCleaner only after
+      // driver GC collects their references — without a GC hint,
+      // hundreds of per-query broadcasts stay pinned in storage
+      // memory and the tail queries run against a squeezed heap
+      // (q257: 18-23 s isolated vs 32-67 s late in a full sweep)
+      System.gc()
       name -> dt
     }
     // The driver captures only the last ~2000 chars of output; with 89
