@@ -46,7 +46,8 @@ object Bench {
     }
     probeSec() // codegen warm-up; floor below is a warm number
     val probeStart = probeSec()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((name, fn), qi) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
@@ -61,11 +62,16 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
       // broadcast blocks are freed by the ContextCleaner only after
-      // driver GC collects their references — without a GC hint,
+      // driver GC collects their references — without any GC hint,
       // hundreds of per-query broadcasts stay pinned in storage
       // memory and the tail queries run against a squeezed heap
-      // (q257: 18-23 s isolated vs 32-67 s late in a full sweep)
-      System.gc()
+      // (q257: 18-23 s isolated vs 67 s late in a full sf1 sweep).
+      // PERIODIC, not per-query: a GC after every query made the
+      // sweep 27% slower at sf0.1 — the cleanup burst it triggers
+      // (unregister broadcasts, remove shuffles) runs inside the NEXT
+      // query's timed section. Every 16 queries bounds accumulation
+      // at ~1/16th of the sweep's broadcasts with 1/16th the bursts.
+      if (qi % 16 == 15) System.gc()
       name -> dt
     }
     // The driver captures only the last ~2000 chars of output; with 89
