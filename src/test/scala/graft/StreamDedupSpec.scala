@@ -163,18 +163,27 @@ class StreamDedupSpec extends SparkSpec {
     // in-batch near pair: their flag row is the sentinel proving the
     // batch was fully processed (an absent doc-3 row alone could just
     // mean "not processed yet").
+    // coalesce(1): a multi-part write + maxFilesPerTrigger=1 would
+    // split the sentinel pair across batches (part order decides
+    // which of 5/6 is "prior" — a measured orientation flake)
     Seq((3L, near), (5L, other), (6L, nearOther))
-      .toDF("doc_id", "text").write.parquet(s"$src/b2.parquet")
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$src/b2.parquet")
     val deadline = System.currentTimeMillis + 120000
     while (spark.table("snearttl").isEmpty &&
       System.currentTimeMillis < deadline) Thread.sleep(250)
     q.stop()
     val got = spark.table("snearttl")
       .as[(Long, Long, Double)].collect()
-    assert(got.map(_._1).toSet === Set(6L),
-      s"only the fresh in-batch pair flags — the post-TTL near-dup of " +
-        s"doc 1 must be admitted: ${got.mkString(",")}")
-    assert(got.forall(r => r._2 === 5L && r._3 >= 0.8))
+    // doc 3 must be ADMITTED (its band state expired) — the recall
+    // trade the TTL knob documents
+    assert(!got.map(_._1).contains(3L),
+      s"post-TTL near-dup of doc 1 must be admitted as novel: " +
+        s"${got.mkString(",")}")
+    // the fresh 5/6 pair is the processed-batch sentinel; which side
+    // flags is an arrival-order artifact, not part of the contract
+    assert(got.nonEmpty, "sentinel pair 5/6 must flag")
+    assert(got.forall(r => Set((5L, 6L), (6L, 5L)).contains((r._1, r._2))
+      && r._3 >= 0.8), s"unexpected flag rows: ${got.mkString(",")}")
   }
 
   test("streaming near-dup bands flag cross-batch near-duplicates like batch LSH") {
