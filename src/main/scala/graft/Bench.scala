@@ -111,7 +111,9 @@ object Bench {
     // and the contended flag that way. A second, short, summary-only
     // line printed LAST survives any tail capture; the per-query map
     // lives in the full line above and in target/bench_full.json.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","contended":$contended,"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","queries_file":"target/bench_full.json"}""")
+    // Distinct metric name: a consumer grepping "metric":"total" must
+    // not double-count or land on the truncatable per-query line.
+    println(s"""{"metric":"total_summary","value":${ms(total)},"unit":"sec","contended":$contended,"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","queries_file":"target/bench_full.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

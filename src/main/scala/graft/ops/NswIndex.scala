@@ -38,6 +38,13 @@ import VectorSearch._
   */
 object NswIndex {
 
+  /** The single source of truth for [[knnGraph]]'s `blockCap` default.
+    * The DuckDB oracle replay (VectorQueries2.nswCandCtes) must use the
+    * SAME value — callers that rely on the replayed graph pass this
+    * constant explicitly so a change here cannot silently diverge the
+    * two engines. */
+  val DefaultBlockCap = 256
+
   /** The symmetrized cell-bounded k-NN edge table: (src, dst) longs.
     * `emb` must already exclude any query-only rows.
     *
@@ -57,7 +64,7 @@ object NswIndex {
     */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
                centroids: Array[Array[Double]], probes: Int,
-               m: Int, blockCap: Int = 256,
+               m: Int, blockCap: Int = DefaultBlockCap,
                assignOpt: Option[DataFrame] = None): DataFrame = {
     // callers that already materialized the (id, cell) assignment for
     // entry election pass it in; both paths are the same checkpointed

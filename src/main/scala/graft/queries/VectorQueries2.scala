@@ -517,6 +517,7 @@ object VectorQueries2 {
           probes = NswProbes).localCheckpoint() // graph build + entries
         val edges = NswIndex.knnGraph(corpus, "vec_id", "embedding",
           cents, probes = NswProbes, m = NswM,
+          blockCap = NswIndex.DefaultBlockCap,
           assignOpt = Some(assign)).localCheckpoint()
         val vecs = corpus
           .select(col("vec_id").cast("long").as("id"),
@@ -571,6 +572,7 @@ object VectorQueries2 {
           probes = NswProbes).localCheckpoint() // graph build + entries
         val edges = NswIndex.knnGraph(corpus, "vec_id", "embedding",
           cents, probes = NswProbes, m = NswM,
+          blockCap = NswIndex.DefaultBlockCap,
           assignOpt = Some(assign)).localCheckpoint()
         val vecs = corpus
           .select(col("vec_id").cast("long").as("id"),
@@ -626,8 +628,11 @@ object VectorQueries2 {
   private def hashSql(t: String) =
     s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
 
-  /** NswIndex.knnGraph's blockCap — the build's linearity bound. */
-  private val NswBlockCap = 256
+  /** NswIndex.knnGraph's blockCap — the build's linearity bound.
+    * Single-sourced from the op so the Spark build and this DuckDB
+    * replay cannot silently diverge (q257/q259 also pass it
+    * explicitly at their knnGraph call sites). */
+  private val NswBlockCap = graft.ops.NswIndex.DefaultBlockCap
 
   /** The salted candidate CTEs shared by both NSW oracles:
     * corpus-only cell sizes → per-assignment deterministic salt →

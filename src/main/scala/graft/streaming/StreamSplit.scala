@@ -87,19 +87,24 @@ object StreamSplit {
   /** Wire a (doc_id, text) stream into the split store at `storeDir`.
     * After each batch's append the leftover localCheckpoint blocks
     * (the batch frame, the store snapshot, and the signature tables
-    * Dedup checkpoints internally) are freed via the Bench mechanism
-    * — without this a long-running follower accumulates one set of
-    * checkpoint RDDs per micro-batch (the KCore round-leak class). */
+    * Dedup checkpoints internally) are freed — without this a
+    * long-running follower accumulates one set of checkpoint RDDs per
+    * micro-batch (the KCore round-leak class). Only blocks THIS batch
+    * created are freed: the session may be shared with other streams
+    * or user-cached frames, and unpersisting a foreign localCheckpoint
+    * (lineage already truncated) makes that frame unrecoverable. */
   def run(stream: DataFrame, storeDir: String,
           trigger: Trigger, threshold: Double = 0.8): DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val before = spark.sparkContext.getPersistentRDDs.keySet
         val prior = readStore(spark, storeDir).localCheckpoint()
         try assignBatch(batch, prior, threshold)
           .write.mode("append").parquet(storeDir)
-        finally spark.sparkContext.getPersistentRDDs.valuesIterator
-          .foreach(_.unpersist(blocking = false))
+        finally spark.sparkContext.getPersistentRDDs.iterator
+          .filter { case (id, _) => !before.contains(id) }
+          .foreach { case (_, rdd) => rdd.unpersist(blocking = false) }
       }
 }

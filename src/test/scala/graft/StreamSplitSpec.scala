@@ -74,4 +74,35 @@ class StreamSplitSpec extends SparkSpec {
     assert(after === all.size.toLong,
       s"replay appended rows: $after != ${all.size}")
   }
+
+  test("per-batch cleanup frees only this batch's blocks: a foreign " +
+    "localCheckpoint in the shared session survives the drain") {
+    // localCheckpoint truncates lineage, so an unpersist-everything
+    // cleanup (the pre-fix behavior) makes this frame unrecoverable
+    // ('checkpoint block not found') the moment the follower's first
+    // batch finishes. The frame must still be readable afterwards.
+    val foreign = (0 until 100).map(i => (i.toLong, s"doc $i"))
+      .toDF("id", "t").localCheckpoint()
+    assert(foreign.count() === 100L)
+
+    val src = Files.createTempDirectory("ssplit-src2").toString
+    val store = Files.createTempDirectory("ssplit-store2").toString + "/st"
+    (0 until 2).foreach { j =>
+      Seq((10L + j, s"some text body number $j"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$src/b$j.parquet")
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*.parquet")
+    val q = StreamSplit.run(stream, store, Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(store).count() === 2L)
+
+    // the foreign frame's blocks must still be resident and readable
+    assert(foreign.count() === 100L,
+      "follower cleanup unpersisted a foreign localCheckpoint")
+    foreign.unpersist(blocking = false)
+  }
 }
