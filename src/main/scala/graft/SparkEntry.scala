@@ -24,7 +24,8 @@ object SparkEntry {
       PipelineQueries24.defs ++ PipelineQueries25.defs ++
       PipelineQueries26.defs ++ PipelineQueries27.defs ++
       PipelineQueries28.defs ++ PipelineQueries29.defs ++
-      PipelineQueries30.defs ++ VectorQueries2.defs
+      PipelineQueries30.defs ++ PipelineQueries31.defs ++
+      VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 
