@@ -25,7 +25,8 @@ object SparkEntry {
       PipelineQueries26.defs ++ PipelineQueries27.defs ++
       PipelineQueries28.defs ++ PipelineQueries29.defs ++
       PipelineQueries30.defs ++ PipelineQueries31.defs ++
-      PipelineQueries32.defs ++ VectorQueries2.defs
+      PipelineQueries32.defs ++ PipelineQueries33.defs ++
+      VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 
