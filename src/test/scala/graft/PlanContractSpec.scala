@@ -1046,4 +1046,33 @@ class PlanContractSpec extends SparkSpec {
     assert(w259.contains("qid"),
       s"q259 final rank lost its per-query partition:\n$p259")
   }
+
+  test("q264/q266/q276: the quantile/median family is histogram-first " +
+    "— no raw percentile aggregate anywhere, per-key windows only") {
+    Seq("q264_logbucket_quantiles", "q266_mad_outliers",
+      "q276_source_length_sketch").foreach { q =>
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("percentile("),
+        s"$q fell back to a raw percentile aggregate:\n$p")
+      val windowArgs = p.linesIterator
+        .filter(_.contains("Arguments")).mkString("\n")
+      assert(windowArgs.contains("event_type") ||
+        windowArgs.contains("source"),
+        s"$q window lost its per-key partition:\n$p")
+    }
+  }
+
+  test("q268: the three gram orders aggregate without an Expand stack " +
+    "(one distinct-aggregate per (source, n) group)") {
+    val p = plan("q268_ngram_diversity")
+    assert(!p.contains("Expand"),
+      s"q268 planned stacked count-distincts via Expand:\n$p")
+  }
+
+  test("q278: the PCA projection is map-only against literal " +
+    "eigenvectors — zero exchanges in the output plan") {
+    val p = plan("q278_pca_project")
+    assert(!p.contains("Exchange"),
+      s"q278 projection shuffles:\n$p")
+  }
 }
