@@ -26,7 +26,8 @@ object SparkEntry {
       PipelineQueries28.defs ++ PipelineQueries29.defs ++
       PipelineQueries30.defs ++ PipelineQueries31.defs ++
       PipelineQueries32.defs ++ PipelineQueries33.defs ++
-      PipelineQueries34.defs ++ VectorQueries2.defs
+      PipelineQueries34.defs ++ PipelineQueries35.defs ++
+      VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 
