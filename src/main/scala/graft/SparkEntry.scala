@@ -27,7 +27,8 @@ object SparkEntry {
       PipelineQueries30.defs ++ PipelineQueries31.defs ++
       PipelineQueries32.defs ++ PipelineQueries33.defs ++
       PipelineQueries34.defs ++ PipelineQueries35.defs ++
-      PipelineQueries36.defs ++ VectorQueries2.defs
+      PipelineQueries36.defs ++ PipelineQueries37.defs ++
+      VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 
