@@ -28,7 +28,8 @@ object SparkEntry {
       PipelineQueries32.defs ++ PipelineQueries33.defs ++
       PipelineQueries34.defs ++ PipelineQueries35.defs ++
       PipelineQueries36.defs ++ PipelineQueries37.defs ++
-      PipelineQueries38.defs ++ VectorQueries2.defs
+      PipelineQueries38.defs ++ PipelineQueries39.defs ++
+      VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 

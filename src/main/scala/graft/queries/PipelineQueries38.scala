@@ -29,6 +29,52 @@ object PipelineQueries38 {
   private def hashSql(t: String) =
     s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
 
+  /** The per-source-pair vocabulary Jaccard frame — q291's body,
+    * shared with q292 (one definition, never copies). */
+  private[queries] def vocabOverlapFrame(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .select(col("source"), tokenHash(col("tok")).as("h"))
+      .distinct()
+      .localCheckpoint() // sizes + the per-token pair join
+    val sz = vocab.groupBy("source").agg(count(lit(1)).as("vs"))
+    val inter = vocab.as("a").join(vocab.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sz.select(col("source").as("source_a"),
+        col("vs").as("va"))), "source_a")
+      .join(broadcast(sz.select(col("source").as("source_b"),
+        col("vs").as("vb"))), "source_b")
+      .selectExpr("source_a", "source_b", "inter",
+        "va", "vb",
+        "(1000 * inter) div (va + vb - inter) AS jaccard_milli")
+  }
+
+  /** q291's oracle CTEs ending in a `vo` relation with the same
+    * columns as [[vocabOverlapFrame]]. */
+  private[queries] val vocabOverlapCtes: String =
+    s"""vv AS MATERIALIZED (SELECT DISTINCT source,
+       |    ${hashSql("tok")} AS h
+       |  FROM (SELECT source, unnest($toksSql) AS tok
+       |        FROM documents)),
+       |vsz AS (SELECT source, CAST(count(*) AS BIGINT) AS vs
+       |  FROM vv GROUP BY 1),
+       |vi AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM vv a JOIN vv b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |vo AS (SELECT source_a, source_b, inter, x.vs AS va, y.vs AS vb,
+       |    CAST((1000 * inter) // (x.vs + y.vs - inter) AS BIGINT)
+       |      AS jaccard_milli
+       |  FROM vi JOIN vsz x ON vi.source_a = x.source
+       |    JOIN vsz y ON vi.source_b = y.source)""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     QDef("q290_degree_assortativity",
@@ -88,42 +134,9 @@ object PipelineQueries38 {
               |FROM v""".stripMargin)),
 
     QDef("q291_source_vocab_overlap",
-      (s, dir) => {
-        val vocab = Tables.documents(s, dir)
-          .select(col("source"), explode(tokens(col("text"))).as("tok"))
-          .select(col("source"), tokenHash(col("tok")).as("h"))
-          .distinct()
-          .localCheckpoint() // sizes + the per-token pair join
-        val sz = vocab.groupBy("source").agg(count(lit(1)).as("vs"))
-        val inter = vocab.as("a").join(vocab.as("b"),
-            col("a.h") === col("b.h") &&
-              col("a.source") < col("b.source"))
-          .groupBy(col("a.source").as("source_a"),
-            col("b.source").as("source_b"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(broadcast(sz.select(col("source").as("source_a"),
-            col("vs").as("va"))), "source_a")
-          .join(broadcast(sz.select(col("source").as("source_b"),
-            col("vs").as("vb"))), "source_b")
-          .selectExpr("source_a", "source_b", "inter",
-            "va", "vb",
-            "(1000 * inter) div (va + vb - inter) AS jaccard_milli")
-      },
-      Some(s"""WITH v AS MATERIALIZED (SELECT DISTINCT source,
-              |    ${hashSql("tok")} AS h
-              |  FROM (SELECT source, unnest($toksSql) AS tok
-              |        FROM documents)),
-              |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS vs
-              |  FROM v GROUP BY 1),
-              |i AS (SELECT a.source AS source_a, b.source AS source_b,
-              |    CAST(count(*) AS BIGINT) AS inter
-              |  FROM v a JOIN v b ON a.h = b.h AND a.source < b.source
-              |  GROUP BY 1, 2)
-              |SELECT source_a, source_b, inter, x.vs AS va, y.vs AS vb,
-              |  CAST((1000 * inter) // (x.vs + y.vs - inter) AS BIGINT)
-              |    AS jaccard_milli
-              |FROM i JOIN sz x ON i.source_a = x.source
-              |  JOIN sz y ON i.source_b = y.source""".stripMargin))
+      (s, dir) => vocabOverlapFrame(s, dir),
+      Some(s"""WITH $vocabOverlapCtes
+              |SELECT source_a, source_b, inter, va, vb, jaccard_milli
+              |FROM vo""".stripMargin))
   )
 }
