@@ -29,7 +29,7 @@ object SparkEntry {
       PipelineQueries34.defs ++ PipelineQueries35.defs ++
       PipelineQueries36.defs ++ PipelineQueries37.defs ++
       PipelineQueries38.defs ++ PipelineQueries39.defs ++
-      PipelineQueries40.defs ++ PipelineQueries41.defs ++
+      PipelineQueries40.defs ++ PipelineQueries41.defs ++ PipelineQueries42.defs ++
       VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
