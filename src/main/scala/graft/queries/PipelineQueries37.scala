@@ -120,9 +120,14 @@ object PipelineQueries37 {
             col("prev") =!= col("event_type"))
         val wc = Window.partitionBy("user_id")
           .orderBy(col("tus").asc, col("eid").asc)
+        // exclusive end ([from, to) — the standard SCD2 convention):
+        // an inclusive lead-1 end would INVERT the interval when two
+        // change events share a timestamp (the (ts, event_id) tie);
+        // with the exclusive bound a tie yields an empty-but-ordered
+        // interval instead.
         changes
           .withColumn("version", row_number().over(wc).cast("long"))
-          .withColumn("valid_to", lead("tus", 1).over(wc) - 1L)
+          .withColumn("valid_to", lead("tus", 1).over(wc))
           .select(col("user_id"), col("event_type"), col("version"),
             col("tus").as("valid_from_us"),
             col("valid_to").as("valid_to_us"))
@@ -138,7 +143,7 @@ object PipelineQueries37 {
              |SELECT user_id, event_type,
              |  CAST(row_number() OVER w AS BIGINT) AS version,
              |  CAST(tus AS BIGINT) AS valid_from_us,
-             |  CAST(lead(tus) OVER w - 1 AS BIGINT) AS valid_to_us
+             |  CAST(lead(tus) OVER w AS BIGINT) AS valid_to_us
              |FROM f
              |WINDOW w AS (PARTITION BY user_id ORDER BY tus, eid)"""
         .stripMargin))
