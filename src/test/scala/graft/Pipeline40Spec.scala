@@ -59,6 +59,30 @@ class Pipeline40Spec extends SparkSpec {
     }
   }
 
+  test("q289: SCD2 intervals match an independent Scala replay — " +
+    "(ts, event_id) order, change-only collapse, exclusive ends") {
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      val ordered = rs.sortBy(r => (r._2, r._3))
+      val changes = ordered.zip(Option.empty[String] +:
+          ordered.map(r => Some(r._4)).init)
+        .collect { case (r, prev) if !prev.contains(r._4) => r }
+      changes.zipWithIndex.map { case (c, i) =>
+        val to = if (i + 1 < changes.length) Some(changes(i + 1)._2)
+          else None
+        (u, c._4, (i + 1).toLong, c._2, to)
+      }
+    }.toSet
+    val got = SparkEntry.queries("q289_scd2_intervals")(spark, dir)
+      .as[(Long, String, Long, Long, Option[Long])].collect().toSet
+    assert(got === expected,
+      s"SCD2 mismatch: extra=${(got -- expected).take(3)} " +
+        s"missing=${(expected -- got).take(3)}")
+  }
+
   test("q297/q300: the collision census is consistent with the " +
     "scorecard's content-hash dup rate assumptions") {
     val census = SparkEntry
