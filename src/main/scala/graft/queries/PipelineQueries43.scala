@@ -37,22 +37,28 @@ object PipelineQueries43 {
 
     QDef("q301_collocation_pmi",
       (s, dir) => {
+        // every token is hashed ONCE (array transform) — the naive
+        // per-bigram md5 triple costs 3× the hashing for the same
+        // stream; the bigram key is the integer pair-combine of the
+        // two token hashes (deterministic in both engines, collisions
+        // = pair collisions only).
         val toks = Tables.documents(s, dir)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(tokens(col("text")).as("toks"))
+          .select(col("toks"), transform(col("toks"),
+            t => tokenHash(t)).as("hs"))
           .localCheckpoint() // unigram counts + bigram counts + surface
         val uni = toks
-          .select(explode(col("toks")).as("tok"))
-          .select(tokenHash(col("tok")).as("h"))
+          .select(explode(col("hs")).as("h"))
           .groupBy("h").agg(count(lit(1)).as("cu"))
         val bi = toks
-          .select(col("toks"), posexplode(col("toks")).as(Seq("i", "w1")))
+          .select(col("toks"), col("hs"),
+            posexplode(col("toks")).as(Seq("i", "w1")))
           .filter(col("i") < size(col("toks")) - 1)
           .select(col("w1"),
-            element_at(col("toks"), col("i") + 2).as("w2"))
-          .select(tokenHash(col("w1")).as("h1"),
-            tokenHash(col("w2")).as("h2"),
-            tokenHash(concat_ws(" ", col("w1"), col("w2"))).as("hb"),
-            col("w1"), col("w2"))
+            element_at(col("toks"), col("i") + 2).as("w2"),
+            element_at(col("hs"), col("i") + 1).as("h1"),
+            element_at(col("hs"), col("i") + 2).as("h2"))
+          .withColumn("hb", expr("h1 * 1048573L + h2"))
           .localCheckpoint() // counts + the surface recovery join
         val bc = bi.groupBy("h1", "h2", "hb")
           .agg(count(lit(1)).as("cb"))
@@ -86,17 +92,19 @@ object PipelineQueries43 {
           .select(col("bigram"), col("cb").as("n_occurrences"),
             col("c1"), col("c2"), col("pmi_micro_nat"))
       },
-      Some(s"""WITH t AS MATERIALIZED (SELECT doc_id, $toksSql AS toks
+      Some(s"""WITH t AS MATERIALIZED (SELECT $toksSql AS toks
               |  FROM documents),
               |u AS (SELECT ${hashSql("tok")} AS h,
               |    CAST(count(*) AS BIGINT) AS cu
               |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
-              |b0 AS MATERIALIZED (SELECT
-              |    ${hashSql("w1")} AS h1, ${hashSql("w2")} AS h2,
-              |    ${hashSql("w1 || ' ' || w2")} AS hb,
+              |b0 AS MATERIALIZED (SELECT h1, h2,
+              |    h1 * 1048573 + h2 AS hb,
               |    w1 || ' ' || w2 AS bigram
-              |  FROM (SELECT toks[i] AS w1, toks[i+1] AS w2
-              |    FROM t, unnest(generate_series(1, len(toks) - 1))
+              |  FROM (SELECT toks[i] AS w1, toks[i+1] AS w2,
+              |      hs[i] AS h1, hs[i+1] AS h2
+              |    FROM (SELECT toks, list_transform(toks,
+              |        tok -> ${hashSql("tok")}) AS hs FROM t) tt,
+              |      unnest(generate_series(1, len(toks) - 1))
               |      AS g(i))),
               |bc AS (SELECT h1, h2, hb, CAST(count(*) AS BIGINT) AS cb
               |  FROM b0 GROUP BY 1, 2, 3
