@@ -30,7 +30,10 @@ object SparkEntry {
       PipelineQueries36.defs ++ PipelineQueries37.defs ++
       PipelineQueries38.defs ++ PipelineQueries39.defs ++
       PipelineQueries40.defs ++ PipelineQueries41.defs ++ PipelineQueries42.defs ++
-      PipelineQueries43.defs ++ VectorQueries2.defs
+      PipelineQueries43.defs ++ PipelineQueries44.defs ++
+      PipelineQueries45.defs ++ PipelineQueries46.defs ++
+      PipelineQueries47.defs ++ PipelineQueries48.defs ++
+      VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 
