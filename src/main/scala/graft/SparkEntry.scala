@@ -33,6 +33,7 @@ object SparkEntry {
       PipelineQueries43.defs ++ PipelineQueries44.defs ++
       PipelineQueries45.defs ++ PipelineQueries46.defs ++
       PipelineQueries47.defs ++ PipelineQueries48.defs ++
+      PipelineQueries49.defs ++ PipelineQueries50.defs ++
       VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
