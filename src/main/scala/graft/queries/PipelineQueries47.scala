@@ -8,20 +8,27 @@ import org.apache.spark.sql.functions._
 /** Forty-seventh pipeline group — weighted near-dup and estimator
   * honesty:
   *
-  *  - q309: WEIGHTED-Jaccard near-duplicate pairs. Set-Jaccard (q25/q66)
-  *    treats "the the the cat" and "the cat cat cat" as identical; the
-  *    weighted measure J_w = Σ min(tf_a,tf_b) / Σ max(tf_a,tf_b) does
-  *    not. MinHash cannot sketch J_w directly, but for INTEGER weights
-  *    it reduces exactly to set-Jaccard over replicated virtual
-  *    elements (token, 1..tf) — so the whole proven q25 LSH stack
-  *    (affine signatures, band keys, bucket join) applies verbatim to
-  *    the virtual-element hashes. Term frequencies are capped at 3
-  *    (the standard sublinear-tf clamp: replication stays O(3·tokens),
-  *    and the capped J_w is itself the advertised, deterministic
-  *    measure — both engines compute it, not an approximation of the
-  *    uncapped one). Candidates come from 12 bands × 2 rows (miss
-  *    probability ≈ 5e-6 at the 0.8 threshold, the q25 analysis);
-  *    the exact capped-tf verification runs on candidate pairs only.
+  *  - q309: WEIGHTED-Jaccard near-duplicate pairs over SHINGLE
+  *    multisets. Set-Jaccard (q25/q66) collapses repeated content: a
+  *    document that loops one paragraph five times has the same
+  *    shingle SET as the single paragraph; the weighted measure
+  *    J_w = Σ min(tf_a,tf_b) / Σ max(tf_a,tf_b) over 3-gram
+  *    multiplicities does not. MinHash cannot sketch J_w directly,
+  *    but for INTEGER weights it reduces exactly to set-Jaccard over
+  *    replicated virtual elements (shingle, 1..tf) — so the whole
+  *    proven q25 LSH stack (affine signatures, band keys, bucket
+  *    join) applies verbatim to the virtual-element hashes. The
+  *    multiset lives on SHINGLES, not tokens, for the same reason
+  *    q313 measures shingle coverage: this corpus has ~31 token
+  *    types, and a 31·cap virtual universe makes every minhash
+  *    bucket Θ(n) — measured as an 85 s/sf0.1 quadratic blowup
+  *    before this was switched (tokens) → after (shingles, 16.5k
+  *    types): bucket joins are q25-bounded again. Multiplicities are
+  *    capped at 3 (sublinear-tf clamp: replication O(3·shingles); the
+  *    capped J_w IS the advertised deterministic measure in both
+  *    engines). 12 bands × 2 rows (miss ≈ 5e-6 at the 0.8 threshold,
+  *    q25's analysis); exact capped-tf verification on candidates
+  *    only.
   *  - q310: sampling-error audit — the honesty check every
   *    sample-based cost estimate needs. A deterministic 1/16 CLUSTER
   *    sample (md5 of l_orderkey, so whole orders survive together —
@@ -46,12 +53,16 @@ object PipelineQueries47 {
 
     QDef("q309_neardup_weighted_jaccard",
       (s, dir) => {
-        // capped per-doc term frequencies — the weighted-set table both
-        // the sketch and the exact verification read.
+        // capped per-doc shingle multiplicities — the weighted-set
+        // table both the sketch and the exact verification read.
+        // gramHashesPositional keeps duplicate shingles (multiset),
+        // unlike q25's distinct shingleHashes.
         val tf = Tables.documents(s, dir)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"), explode(col("toks")).as("tok"))
-          .groupBy(col("doc_id"), tokenHash(col("tok")).as("h"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            explode(gramHashesPositional(col("toks"), 3)).as("h"))
+          .groupBy(col("doc_id"), col("h"))
           .agg(least(count(lit(1)), lit(TfCap.toLong)).as("tf"))
           .localCheckpoint() // feeds signatures AND pair verification
         val sizes = tf.groupBy("doc_id").agg(sum("tf").as("sz"))
@@ -97,9 +108,14 @@ object PipelineQueries47 {
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks
               |  FROM documents),
               |tf AS MATERIALIZED (SELECT doc_id,
-              |    ${tokenHashSql.replace("__T__", "tok")} AS h,
+              |    ${tokenHashSql.replace("__T__", "g")} AS h,
               |    least(CAST(count(*) AS BIGINT), $TfCap) AS tf
-              |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+              |  FROM (SELECT doc_id,
+              |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              |        AS g
+              |    FROM t, unnest(generate_series(1, len(toks) - 2))
+              |      AS gs(i)
+              |    WHERE len(toks) >= 3)
               |  GROUP BY 1, 2),
               |sz AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS sz
               |  FROM tf GROUP BY 1),
