@@ -34,6 +34,7 @@ object SparkEntry {
       PipelineQueries45.defs ++ PipelineQueries46.defs ++
       PipelineQueries47.defs ++ PipelineQueries48.defs ++
       PipelineQueries49.defs ++ PipelineQueries50.defs ++
+      PipelineQueries51.defs ++ PipelineQueries52.defs ++
       VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
