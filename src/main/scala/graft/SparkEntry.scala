@@ -35,6 +35,7 @@ object SparkEntry {
       PipelineQueries47.defs ++ PipelineQueries48.defs ++
       PipelineQueries49.defs ++ PipelineQueries50.defs ++
       PipelineQueries51.defs ++ PipelineQueries52.defs ++
+      PipelineQueries53.defs ++ PipelineQueries54.defs ++
       VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
