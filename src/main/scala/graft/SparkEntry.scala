@@ -36,6 +36,7 @@ object SparkEntry {
       PipelineQueries49.defs ++ PipelineQueries50.defs ++
       PipelineQueries51.defs ++ PipelineQueries52.defs ++
       PipelineQueries53.defs ++ PipelineQueries54.defs ++
+      PipelineQueries55.defs ++ PipelineQueries56.defs ++
       VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
