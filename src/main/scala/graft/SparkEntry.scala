@@ -37,6 +37,8 @@ object SparkEntry {
       PipelineQueries51.defs ++ PipelineQueries52.defs ++
       PipelineQueries53.defs ++ PipelineQueries54.defs ++
       PipelineQueries55.defs ++ PipelineQueries56.defs ++
+      PipelineQueries57.defs ++ PipelineQueries58.defs ++
+      PipelineQueries59.defs ++ PipelineQueries60.defs ++
       VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
