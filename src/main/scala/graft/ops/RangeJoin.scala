@@ -86,6 +86,68 @@ object RangeJoin {
       .drop("_rj_bkt")
   }
 
+  /** The single source of truth for [[intervalOverlapCapped]]'s slice
+    * cap (the [[NswIndex.DefaultBlockCap]] discipline): callers that
+    * replay results elsewhere pass it explicitly.
+    */
+  val DefaultSliceCap = 256
+
+  /** [[intervalOverlap]] with a per-slice DENSITY CAP — the q257/NSW
+    * salt-cap applied to time slices.
+    *
+    * The anchored-bucket rewrite makes the join equi and AQE-splittable,
+    * but the within-slice pair surface is quadratic in temporal density:
+    * 10× the users in the same calendar hours is ~100× the pairs
+    * (measured on the co-presence corpus: Σ slice² grew exactly 100×
+    * for 10× rows). Density is the data's property, not the plan's —
+    * so above the cap this operator stops being exact, the same honest
+    * trade the NSW build makes: every slice whose LEFT-side replica
+    * population exceeds `sliceCap` is salted into ceil(pop / sliceCap)
+    * deterministic sub-blocks (hash of the caller-named key column —
+    * content-independent, replayable) and pairs only form within
+    * (slice, salt), so Σ block² ≤ replicas · sliceCap = O(n). Pairs
+    * whose two keys hash to different salts of an over-dense slice are
+    * SACRIFICED — surviving per-slice pair mass is a ~1/salts uniform
+    * sample. Below the cap every salt count is 1 and the result is
+    * bit-identical to [[intervalOverlap]] (RangeJoinSpec pins both);
+    * callers needing exactness above the cap use [[intervalOverlap]]
+    * and own the quadratic.
+    *
+    * The per-slice population frame is O(#slices) (hours-over-years
+    * scale, never corpus scale) and broadcasts into both sides.
+    */
+  def intervalOverlapCapped(left: DataFrame, lLo: String, lHi: String,
+                            lKey: String,
+                            right: DataFrame, rLo: String, rHi: String,
+                            rKey: String,
+                            bucketWidth: Long,
+                            sliceCap: Int = DefaultSliceCap): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(sliceCap > 0, "sliceCap must be positive")
+    def spread(df: DataFrame, lo: String, hi: String) = df
+      .withColumn("_rj_bkt",
+        explode(sequence(
+          longDiv(assertNonNeg(col(lo)), bucketWidth),
+          longDiv(assertOrdered(col(lo), col(hi)), bucketWidth))))
+    val salts = spread(left, lLo, lHi)
+      .groupBy("_rj_bkt").agg(count(lit(1)).as("_rj_pop"))
+      .select(col("_rj_bkt"),
+        ceil(col("_rj_pop") / lit(sliceCap)).cast("int").as("_rj_salts"))
+    def salted(df: DataFrame, lo: String, hi: String, key: String) =
+      spread(df, lo, hi)
+        .join(broadcast(salts), Seq("_rj_bkt"), "left")
+        .withColumn("_rj_salt",
+          pmod(xxhash64(col(key)), coalesce(col("_rj_salts"), lit(1))))
+        .drop("_rj_salts")
+    val l = salted(left, lLo, lHi, lKey)
+    val r = salted(right, rLo, rHi, rKey)
+    l.join(r,
+        l("_rj_bkt") === r("_rj_bkt") && l("_rj_salt") === r("_rj_salt") &&
+          col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+          l("_rj_bkt") === longDiv(greatest(col(lLo), col(rLo)), bucketWidth))
+      .drop("_rj_bkt").drop("_rj_salt")
+  }
+
   /** Exact non-negative long division as a long column (`Column./` is
     * IEEE double division; `(c - c%w)/w` is exactly divisible, so the
     * double it passes through is integral and lossless below 2^53).

@@ -138,6 +138,183 @@ object VectorSearch {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Cardinality gate for exact pair mining — the [[PageRank]] /
+    * [[ConnectedComponents]] `collectIfSmall` precedent applied to the
+    * one remaining quadratic in the tree. Exact all-pairs cosine costs
+    * n²/2 dot products no matter how well the tiling shapes the plan
+    * (measured: 67× wall for 10× rows); above this many corpus rows
+    * the operator reroutes to the cell-bounded candidate path instead.
+    */
+  val GateConf = "spark.graft.neardup.exactMaxRows"
+  val DefaultGate = 10000L
+
+  /** Near-dup pairs above a cosine threshold — the gated entry point.
+    *
+    * Two physical shapes behind one schema (vec_a, vec_b, sim), gated
+    * on corpus cardinality with a bounded `limit(gate+1).count` probe
+    * (never an unbounded count):
+    *
+    *  - '''exact tiled''' (≤ `spark.graft.neardup.exactMaxRows`,
+    *    default 10⁴, or `exact = true`): [[nearDupExactTiled]] — full
+    *    recall, O(n²) compute bounded per-task by the tiling. 10⁴ rows
+    *    ⇒ 5·10⁷ dots, seconds on one node; the quadratic growth beyond
+    *    that is why the gate exists.
+    *  - '''cell-bounded''' (above the gate): [[nearDupCellBounded]] —
+    *    k-means cells sized ~`targetCell`, candidates only within
+    *    co-probed cells (Σ cell² ≈ 4·targetCell·n — LINEAR in n for
+    *    k ∝ n), exact-cosine verified. Recall is data-dependent (full
+    *    on clustered corpora — spec-pinned; no guarantee at arbitrary
+    *    thresholds on isotropic data), which is the honest trade: at
+    *    100 TB the exact answer is not computable at all, and callers
+    *    who insist get the `exact = true` escape hatch.
+    *
+    * Unlike the PageRank gate this one changes the ANSWER above the
+    * gate, not just the plan — documented here and in SURVEY; both
+    * shapes are contract-pinned in PlanContractSpec.
+    */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, tiles: Int = 8, exact: Boolean = false,
+                   seed: Long = 42L): DataFrame = {
+    val gate = emb.sparkSession.conf.getOption(GateConf).map(_.toLong)
+      .getOrElse(DefaultGate)
+    if (exact || rowsUnder(emb, gate))
+      nearDupExactTiled(emb, idCol, vecCol, threshold, tiles)
+    else nearDupCellBounded(emb, idCol, vecCol, threshold, seed = seed)
+  }
+
+  /** Bounded cardinality probe: limit(gate+1) caps the job's output,
+    * so an over-gate corpus costs one capped pass, not a full count.
+    */
+  private def rowsUnder(df: DataFrame, gate: Long): Boolean = {
+    val n = math.min(gate, Int.MaxValue - 2L).toInt
+    df.limit(n + 1).count() <= gate
+  }
+
+  /** Cell-bounded near-dup pairs: the over-gate reroute. k scales with
+    * the corpus (k = n / targetCell, clamped to [16, 512]) so average
+    * cell size stays ~targetCell and the candidate surface
+    * Σ cell² ≈ k·(probes·targetCell)² = 4·targetCell·probes²·n stays
+    * LINEAR in n — the property the fixed-k [[nearDupIvf]] lacks.
+    * Centroids: k-means++ seed on a bounded sample, then 2 distributed
+    * Lloyd rounds (integer-deterministic, map-side combined — the q106
+    * machinery), so the training cost is 2 corpus scans regardless of n.
+    * The 512-cell clamp is the Catalyst expression-width bound on the
+    * per-row top-probes assignment (512 struct children per row);
+    * beyond n ≈ 32k·targetCell cells grow past targetCell linearly —
+    * lift by moving assignment into a codegen'd kernel if ever needed.
+    */
+  def nearDupCellBounded(emb: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, targetCell: Int = 64,
+                         probes: Int = 2, seed: Long = 42L): DataFrame = {
+    val n = emb.count()
+    val k = math.min(512L, math.max(16L, n / targetCell)).toInt
+    val init = kmeansCentroids(
+      sampleVectors(emb, idCol, vecCol, n = 2048, seed = seed),
+      k, iters = 0, seed = seed)
+    val cents = lloydRoundsDistributed(emb, idCol, vecCol, init, rounds = 2)
+    nearDupWithCentroids(emb, idCol, vecCol, threshold,
+      mergeCentroids(cents, math.max(threshold, MergeFloor)), probes)
+  }
+
+  /** Centroids are only merged when NEAR-IDENTICAL (cos ≥ this floor,
+    * or ≥ threshold when the caller's threshold is higher). Merging at
+    * the pair threshold itself would be wrong at low thresholds: on a
+    * corpus with broad mass at cos ≥ 0.4 the centroids THEMSELVES sit
+    * within 0.4 of each other, the union-find collapses k ∝ n cells
+    * into a handful of mega-cells, and the candidate surface goes
+    * quadratic again — the exact blowup the gate exists to prevent.
+    */
+  val MergeFloor = 0.98
+
+  /** Collapse near-identical centroids into one cell (driver-side
+    * union-find over ≤ k² cosines, k ≤ 512). When k ∝ n overshoots the
+    * number of natural clusters, Lloyd parks several near-identical
+    * centroids inside one tight cluster and probes=2 can hand two
+    * in-cluster vectors disjoint probe sets — the one recall failure
+    * mode that is an artifact of k, not of the data. Merging only at
+    * [[MergeFloor]] keeps the cure from reintroducing the disease
+    * (see the constant's doc).
+    */
+  def mergeCentroids(cents: Array[Array[Double]], threshold: Double)
+      : Array[Array[Double]] = {
+    val k = cents.length
+    val nrm = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val parent = Array.tabulate(k)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }; r }
+    for (i <- 0 until k; j <- i + 1 until k) {
+      var d = 0.0
+      var t = 0
+      while (t < cents(i).length) { d += cents(i)(t) * cents(j)(t); t += 1 }
+      if (nrm(i) > 0 && nrm(j) > 0 && d / (nrm(i) * nrm(j)) >= threshold) {
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+    }
+    (0 until k).filter(i => find(i) == i).map(cents).toArray
+  }
+
+  /** Shared verify stage: co-probed-cell candidates, exact-cosine
+    * checked. Candidate generation never materializes an all-pairs
+    * join; the vecs frame is checkpointed once and served to both
+    * candidate joins.
+    *
+    * Cells are additionally SALT-CAPPED (the [[NswIndex.knnGraph]]
+    * discipline, cap = [[NswIndex.DefaultBlockCap]]): Lloyd on
+    * weakly-clustered data can park most of the corpus in a few cells,
+    * and an uncapped Σ cell² is then quadratic no matter how k was
+    * chosen. Cells over the cap split into ceil(pop / cap)
+    * deterministic id-hash sub-blocks and pairs only form within
+    * (cell, salt) — Σ block² ≤ assignments · cap = O(n),
+    * UNCONDITIONALLY. Below the cap every salt count is 1 and the
+    * candidate set is identical to the uncapped join (the clustered
+    * fixtures in VectorSearchSpec sit below it).
+    */
+  private def nearDupWithCentroids(emb: DataFrame, idCol: String,
+                                   vecCol: String, threshold: Double,
+                                   centroids: Array[Array[Double]],
+                                   probes: Int): DataFrame = {
+    val cap = NswIndex.DefaultBlockCap
+    // Vectors RIDE ALONG with the cell assignment (the exact-tiled
+    // discipline): the dense-corpus alternative — materialize id-pair
+    // candidates, then join the vector payload on twice — was measured
+    // slower than brute force at sf1 (the candidate×vector join
+    // shuffles candidates·|vec| bytes; carrying vectors shuffles only
+    // assignments·|vec| = O(n·probes) and verifies inline in the
+    // codegen'd dot kernel, with nothing corpus-quadratic ever rowed
+    // through an exchange).
+    val v = toDouble(col(vecCol))
+    val cellVecs = emb.select(col(idCol).as("id"), v.as("v"),
+        norm(v).as("nrm"),
+        explode(slice(reverse(array_sort(array(
+          centroids.zipWithIndex.map { case (c, i) =>
+            struct(cosine(v, typedLit(c.toSeq)).as("sim"),
+              lit(i).as("cell"))
+          }: _*))), 1, probes)).as("e"))
+      .select(col("id"), col("v"), col("nrm"), col("e.cell").as("cell"))
+      .localCheckpoint()
+    val salts = cellVecs.groupBy("cell")
+      .agg(count(lit(1)).as("pop"))
+      .select(col("cell"), ceil(col("pop") / lit(cap)).cast("int")
+        .as("salts"))
+    val cv = cellVecs.join(broadcast(salts), Seq("cell"))
+      .withColumn("salt", pmod(xxhash64(col("id")), col("salts")))
+      .drop("salts")
+    cv.as("x").join(cv.as("y"),
+        col("x.cell") === col("y.cell") && col("x.salt") === col("y.salt") &&
+          col("x.id") < col("y.id"))
+      .withColumn("sim",
+        dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+      .filter(col("sim") >= threshold)
+      // multiprobe finds a pair once per shared cell; the recomputed
+      // sim is bit-identical (same doubles, same fold), so a plain
+      // distinct on the OUTPUT (already threshold-filtered — far
+      // smaller than the candidate surface) collapses the duplicates
+      .select(col("x.id").as("vec_a"), col("y.id").as("vec_b"),
+        round(col("sim"), 6).as("sim"))
+      .distinct()
+  }
+
   /** Deterministic pseudo-random hyperplane for plane p, materialized
     * ONCE at plan time as a literal array (the hyperplane is a constant —
     * recomputing an md5 per (plane, dim) per row, as the SQL oracle
@@ -189,16 +366,25 @@ object VectorSearch {
       while (i < dims) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    // k-means++ seeding
+    // k-means++ seeding. The min-distance array is maintained
+    // incrementally (each new centroid can only LOWER a point's d²,
+    // and min over all centroids == fold of mins), so seeding is
+    // O(k·n·dims), not O(k²·n·dims) — same picks bit-for-bit, which
+    // the q30/q107 late-bound oracles depend on.
     val centroids = scala.collection.mutable.ArrayBuffer(
       sample(rnd.nextInt(n)).clone())
+    val d2 = sample.map(v => dist2(v, centroids(0)))
     while (centroids.length < k) {
-      val d2 = sample.map(v => centroids.map(c => dist2(v, c)).min)
       val total = d2.sum
       var pick = rnd.nextDouble() * total
       var idx = 0
       while (idx < n - 1 && pick > d2(idx)) { pick -= d2(idx); idx += 1 }
-      centroids += sample(idx).clone()
+      val c = sample(idx).clone()
+      centroids += c
+      var i = 0
+      while (i < n) {
+        val d = dist2(sample(i), c); if (d < d2(i)) d2(i) = d; i += 1
+      }
     }
     // Lloyd iterations
     (0 until iters).foreach { _ =>
@@ -314,23 +500,7 @@ object VectorSearch {
                  seed: Long = 42, maxSample: Int = 4096): DataFrame = {
     val sample = sampleVectors(emb, idCol, vecCol, maxSample, seed)
     val centroids = kmeansCentroids(sample, k, iters = 10, seed = seed)
-    val assign = ivfAssign(emb, idCol, vecCol, centroids, probes)
-      .localCheckpoint()
-    val cand = assign.as("x").join(assign.as("y"),
-        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("vec_a"), col("y.id").as("vec_b"))
-      .distinct()
-    val vecs = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"),
-        norm(toDouble(col(vecCol))).as("nrm"))
-      .localCheckpoint()
-    cand
-      .join(vecs.select(col("id").as("vec_a"), col("v").as("va"),
-        col("nrm").as("na")), "vec_a")
-      .join(vecs.select(col("id").as("vec_b"), col("v").as("vb"),
-        col("nrm").as("nb")), "vec_b")
-      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("sim") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+    nearDupWithCentroids(emb, idCol, vecCol, threshold, centroids, probes)
   }
 
   /** Product-quantization codebook (Jégou et al., "Product Quantization

@@ -29,6 +29,15 @@ object PipelineQueries58 {
 
   private val Iters = 12
 
+  /** The oracle's channel inventory is DERIVED from the query run
+    * (the q30/q106 late-bound-literal pattern), never hardcoded: a
+    * fixture event-type change flows into both engines identically
+    * instead of failing the hash against a stale embedded list.
+    */
+  private object MarkovOracle {
+    @volatile var sql: Option[String] = None
+  }
+
   val defs: Seq[QDef] = Seq(
 
     QDef("q330_markov_removal_attribution",
@@ -69,6 +78,7 @@ object PipelineQueries58 {
         }.toMap
         val channels = trans.map(_._1).distinct
           .filterNot(_ == "start").sorted
+        MarkovOracle.sql = Some(markovOracleSql(channels))
         def absorb(removed: Option[String]): Long = {
           val states = "start" +: channels
           def edge(a: String, b: String): Long = removed match {
@@ -100,11 +110,16 @@ object PipelineQueries58 {
             StructField("p_conv_micro", LongType),
             StructField("removal_effect_micro", LongType))))
       },
-      Some {
-        // the oracle is generated mechanically: shared transition
-        // CTEs + K unrolled value-iteration stages per variant.
-        val channels = Seq("click", "error", "signup", "view")
-        def stages(tag: String, redirect: Option[String]): String = {
+      None,
+      Some(() => MarkovOracle.sql))
+  )
+
+  /** Mechanically generated oracle: shared transition CTEs + K
+    * unrolled value-iteration stages per variant, over the channel
+    * inventory the query run derived from the data.
+    */
+  private def markovOracleSql(channels: Seq[String]): String = {
+    def stages(tag: String, redirect: Option[String]): String = {
           val tmr = redirect match {
             case None => s"tm$tag AS (SELECT src, dst, p FROM tm)"
             case Some(r) =>
@@ -142,7 +157,7 @@ object PipelineQueries58 {
              |      * 1000000 //
              |      (SELECT v FROM vb$Iters WHERE s = 'start') END
              |    AS removal_effect_micro""".stripMargin)
-        Some(s"""WITH kept AS (SELECT user_id, epoch_us(ts) AS tus,
+        s"""WITH kept AS (SELECT user_id, epoch_us(ts) AS tus,
                 |    event_id AS eid, event_type,
                 |    coalesce(CAST(sum(CASE WHEN event_type =
                 |      'purchase' THEN 1 ELSE 0 END) OVER (
@@ -179,7 +194,6 @@ object PipelineQueries58 {
                 |    AS p_conv_micro,
                 |  CAST(0 AS BIGINT) AS removal_effect_micro
                 |${selects.map("UNION ALL\n" + _).mkString("\n")}"""
-          .stripMargin)
-      }.get)
-  )
+          .stripMargin
+  }
 }

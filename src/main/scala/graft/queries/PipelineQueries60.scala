@@ -117,7 +117,10 @@ object PipelineQueries60 {
       (s, dir) => {
         def tbl(name: String, df: DataFrame,
                 strCols: Seq[String], numCols: Int) = {
-          val strBytes = strCols.map(c => sum(length(col(c))))
+          // octet_length, not length: the 10 MB broadcast threshold is
+          // a BYTE budget, and character counts undercount UTF-8
+          // multi-byte data (DuckDB twin: strlen = UTF-8 bytes)
+          val strBytes = strCols.map(c => sum(expr(s"octet_length($c)")))
             .reduceOption(_ + _).getOrElse(lit(0L)).cast("long")
           df.agg(count(lit(1)).as("n_rows"),
             (strBytes + count(lit(1)) * (numCols * 8L))
@@ -144,7 +147,7 @@ object PipelineQueries60 {
         def one(name: String, strCols: Seq[String], num: Int) = {
           val sb =
             if (strCols.isEmpty) "0"
-            else strCols.map(c => s"sum(length($c))").mkString(" + ")
+            else strCols.map(c => s"sum(strlen($c))").mkString(" + ")
           s"""SELECT '$name' AS table_name,
              |  CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST($sb + count(*) * ${num * 8} AS BIGINT)

@@ -224,15 +224,21 @@ object VectorQueries {
               |  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
               |FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin)),
 
-    // Embedding-cosine near-dup pairs, exact, TILED for scale. At this
-    // threshold (0.4 ⇒ ~66° pair angles) every pruning structure was
-    // measured to need more candidate pairs than brute force for full
-    // recall (IVF probes=6/16: 2.2×, sign-LSH r=2,b=24: 6×), so the
-    // declared operator is the distributed exact plan: tile-pair tasks,
-    // O(n·T) shuffle, codegen'd dot kernel. nearDupIvf is the library's
-    // high-threshold path (unit-tested on clustered data).
+    // Embedding-cosine near-dup pairs, CARDINALITY-GATED (nearDupPairs):
+    // at or below spark.graft.neardup.exactMaxRows (default 10⁴) this is
+    // the exact TILED plan — at this threshold (0.4 ⇒ ~66° pair angles)
+    // every pruning structure was measured to need more candidate pairs
+    // than brute force for full recall (IVF probes=6/16: 2.2×, sign-LSH
+    // r=2,b=24: 6×), so exact tiling (tile-pair tasks, O(n·T) shuffle,
+    // codegen'd dot kernel) is the right small-corpus shape. ABOVE the
+    // gate exact mining is measured 67× wall for 10× rows — a 100 TB
+    // non-starter regardless of plan shape — so the operator reroutes to
+    // the cell-bounded candidate path (k ∝ n k-means cells, linear
+    // candidate surface, exact-cosine verified; recall spec-pinned full
+    // on clustered corpora). Oracle runs at sf0.01 (500 rows, under the
+    // gate ⇒ exact); both shapes pinned in PlanContractSpec.
     QDef("q29_embed_neardup",
-      (s, dir) => nearDupExactTiled(
+      (s, dir) => nearDupPairs(
         Tables.embeddings(s, dir), "vec_id", "embedding", 0.4),
       Some(s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings)
               |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -240,7 +246,7 @@ object VectorQueries {
               |FROM e a JOIN e b ON a.vec_id < b.vec_id
               |WHERE ${cosSql("a.v", "b.v")} >= 0.4""".stripMargin)),
 
-    // Semantic dedup clusters — q29's exact cosine near-dup pairs
+    // Semantic dedup clusters — q29's gated cosine near-dup pairs
     // closed into connected components, one canonical (minimum-id)
     // vector kept per cluster: the embedding-space twin of the text
     // pipeline's q69. Unlike text near-dup cliques (diameter 1-2 →
@@ -249,11 +255,12 @@ object VectorQueries {
     // sf0.1 — so this goes straight to the O(log n)-round
     // star-contraction instead of paying propagation rounds first.
     // Singletons recovered by a left join instead of shuffling the full
-    // corpus through CC.
+    // corpus through CC. Pair mining inherits q29's cardinality gate
+    // (exact under 10⁴ rows — the oracle regime; cell-bounded above).
     QDef("q79_embed_clusters",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val pairs = nearDupExactTiled(emb, "vec_id", "embedding", 0.4)
+        val pairs = nearDupPairs(emb, "vec_id", "embedding", 0.4)
         val comp = graft.ops.ConnectedComponents
           .runStarContraction(pairs, "vec_a", "vec_b")
           .withColumnRenamed("node", "vec_id")

@@ -30,9 +30,13 @@ object StreamMerkle {
     val p = Paths.get(path)
     if (Files.exists(p)) {
       val parts = Files.readString(p).trim.split(";")
-      (parts(0).toLong,
-        parts(1).split(",").map(_.toLong),
-        parts(2).split(",").map(_.toLong))
+      val sigs = parts(1).split(",").map(_.toLong)
+      val ns = parts(2).split(",").map(_.toLong)
+      require(sigs.length == nShards && ns.length == nShards,
+        s"StreamMerkle store $path holds ${sigs.length}/${ns.length} " +
+          s"shards but the caller expects $nShards — the store was " +
+          "written for a different shard count; refusing to mis-index it")
+      (parts(0).toLong, sigs, ns)
     } else (-1L, new Array[Long](nShards), new Array[Long](nShards))
   }
 

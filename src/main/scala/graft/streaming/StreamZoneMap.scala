@@ -31,9 +31,14 @@ object StreamZoneMap {
 
   def readStore(path: String, nShards: Int): Array[Long] = {
     val p = Paths.get(path)
-    if (Files.exists(p))
-      Files.readString(p).trim.split(",").map(_.toLong)
-    else new Array[Long](nShards)
+    if (Files.exists(p)) {
+      val m = Files.readString(p).trim.split(",").map(_.toLong)
+      require(m.length == nShards,
+        s"StreamZoneMap store $path holds ${m.length} shards but the " +
+          s"caller expects $nShards — the store was written for a " +
+          "different shard count; refusing to mis-index it")
+      m
+    } else new Array[Long](nShards)
   }
 
   private def writeStore(path: String, m: Array[Long]): Unit = {

@@ -506,6 +506,35 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q141 goes cartesian:\n$p")
   }
 
+  test("q29 under the gate: exact tiled shape — tile-pair table " +
+    "broadcasts, no checkpointed candidate frames") {
+    // 500 rows at sf0.001 sit under the 10⁴ default gate: the plan is
+    // the tiled exact shape — the T(T+1)/2 tile-pair frame broadcasts
+    // into both corpus sides and no localCheckpoint RDD scan appears
+    val p = plan("q29_embed_neardup")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q29 under-gate lost the tile-pair broadcast:\n$p")
+    assert(!p.contains("Scan ExistingRDD"),
+      s"q29 under-gate is not the exact tiled shape:\n$p")
+  }
+
+  test("q29 over the gate: cell-bounded shape — checkpointed cell " +
+    "assignment, never an all-pairs join") {
+    // forced over the gate the plan must be the cell-bounded reroute:
+    // the assignment/vecs frames are localCheckpoint RDD scans and the
+    // candidate join is an equi join on cell (no theta/cartesian)
+    val conf = spark.conf
+    conf.set(graft.ops.VectorSearch.GateConf, "0")
+    try {
+      val p = plan("q29_embed_neardup")
+      assert(p.contains("Scan ExistingRDD"),
+        s"q29 over-gate lost the checkpointed cell assignment:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"q29 over-gate degenerated to an all-pairs join:\n$p")
+    } finally conf.unset(graft.ops.VectorSearch.GateConf)
+  }
+
   test("q145 interval-overlap self join stays an anchored equi join; " +
     "q146's only corpus-scale op is the hourly aggregate") {
     val p = plan("q145_session_copresence")

@@ -65,6 +65,44 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlapCapped: bit-identical to exact below the cap; " +
+    "above it a within-salt subset with the predicate intact") {
+    val l = intervals.select(col("iid").as("lid"), col("lo").as("llo"),
+      col("hi").as("lhi"))
+    val r = intervals.select(col("iid").as("rid"),
+      (col("lo") + 7L).as("rlo"), (col("hi") + 7L).as("rhi"))
+    val exact = RangeJoin.intervalOverlap(l, "llo", "lhi", r, "rlo", "rhi",
+        40L)
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // every slice is under a generous cap -> salts == 1 everywhere ->
+    // the result IS the exact overlap, row for row
+    val under = RangeJoin.intervalOverlapCapped(l, "llo", "lhi", "lid",
+        r, "rlo", "rhi", "rid", 40L, sliceCap = 100000)
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSet
+    assert(under === exact, "below the cap the capped op must be exact")
+    // forced over the cap: pairs only survive within a salt — a strict,
+    // deterministic, non-empty subset whose every row still satisfies
+    // the overlap predicate
+    val over = RangeJoin.intervalOverlapCapped(l, "llo", "lhi", "lid",
+        r, "rlo", "rhi", "rid", 40L, sliceCap = 3)
+    val overPairs = over.select(col("lid"), col("rid"))
+      .as[(Long, Long)].collect().toSet
+    assert(overPairs.nonEmpty && overPairs.subsetOf(exact),
+      "capped output must be a subset of the exact overlap")
+    assert(overPairs.size < exact.size,
+      "cap=3 on dense slices must actually drop cross-salt pairs")
+    assert(over.filter(!(col("llo") <= col("rhi") &&
+        col("rlo") <= col("lhi"))).isEmpty,
+      "surviving pairs must still overlap")
+    assert(over.groupBy("lid", "rid").count().filter(col("count") > 1)
+      .isEmpty, "capped op must stay duplicate-free")
+    val again = RangeJoin.intervalOverlapCapped(l, "llo", "lhi", "lid",
+        r, "rlo", "rhi", "rid", 40L, sliceCap = 3)
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSet
+    assert(again === overPairs, "salting must be deterministic")
+  }
+
   test("negative keys are rejected, not silently mis-bucketed") {
     val badPts = Seq((1L, -5L)).toDF("pid", "pt")
     val ex = intercept[Exception] {

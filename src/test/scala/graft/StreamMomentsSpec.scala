@@ -35,8 +35,40 @@ class StreamMomentsSpec extends SparkSpec {
       Trigger.AvailableNow()).start()
     q.awaitTermination()
 
-    val got = StreamMoments.readStore(store, d)
+    val (applied, got) = StreamMoments.readStore(store, d)
     val exp = Moments.secondMomentsMilli(emb, "embedding", d)
+    assert(applied === 2L, "three batches -> highest applied id is 2")
     assert(got.toSeq === exp.toSeq)
+  }
+
+  test("batch-id gate: replaying the last micro-batch is a no-op with " +
+    "the gate, double-adds without it (addition is not idempotent)") {
+    val emb = Tables.embeddings(spark, dir).select("embedding").limit(30)
+      .localCheckpoint()
+    val store = Files.createTempDirectory("smom-gate").toString + "/m.txt"
+    StreamMoments.applyBatch(emb, 0L, "embedding", d, store, gate = true)
+    val (_, once) = StreamMoments.readStore(store, d)
+    // a restart re-delivers batch 0: the gate must skip it
+    StreamMoments.applyBatch(emb, 0L, "embedding", d, store, gate = true)
+    val (applied, gated) = StreamMoments.readStore(store, d)
+    assert(gated.toSeq === once.toSeq, "gated replay must be a no-op")
+    assert(applied === 0L)
+    // without the gate the same replay double-adds — the hazard the
+    // gate exists for
+    StreamMoments.applyBatch(emb, 0L, "embedding", d, store, gate = false)
+    val (_, ungated) = StreamMoments.readStore(store, d)
+    assert(ungated.toSeq !== once.toSeq, "ungated replay double-adds")
+    assert(ungated.toSeq === once.map(_ * 2).toSeq)
+  }
+
+  test("a store written for a different dimension fails fast instead " +
+    "of mis-indexing") {
+    val emb = Tables.embeddings(spark, dir).select("embedding").limit(10)
+    val store = Files.createTempDirectory("smom-dim").toString + "/m.txt"
+    StreamMoments.applyBatch(emb, 0L, "embedding", d, store, gate = true)
+    val ex = intercept[IllegalArgumentException] {
+      StreamMoments.readStore(store, d + 1)
+    }
+    assert(ex.getMessage.contains("different dimension"))
   }
 }

@@ -76,6 +76,50 @@ class VectorSearchSpec extends SparkSpec {
     assert(ivf === exact)
   }
 
+  test("gated nearDupPairs: exact under the gate, cell-bounded reroute " +
+    "above it matches exact on clustered data") {
+    // same 5-tight-cluster geometry as the IVF recall test: above the
+    // gate the reroute must find every within-cluster pair
+    val rnd = new Random(34)
+    val centers = Array.fill(5)(randUnit(rnd, 16))
+    val vecs = (0 until 150).map { i =>
+      val c = centers(i % 5)
+      val noise = randUnit(rnd, 16).map(_ * 0.05)
+      val v = c.zip(noise).map { case (a, b) => a + b }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n).toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .localCheckpoint()
+    val exact = VectorSearch.nearDupExact(vecs, "vec_id", "embedding", 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // under the default gate (150 <= 10000): the exact tiled path
+    val under = VectorSearch.nearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(under === exact)
+    spark.conf.set(VectorSearch.GateConf, "10")
+    try {
+      // over the forced gate: reroutes to cell-bounded, same pair set
+      val over = VectorSearch.nearDupPairs(vecs, "vec_id", "embedding", 0.9)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      assert(over === exact, "cell-bounded reroute lost clustered recall")
+      // the explicit escape hatch stays exact even over the gate, on
+      // isotropic data where the cell path genuinely differs
+      val rnd2 = new Random(35)
+      val iso = (0 until 80).map(i => (i.toLong, randUnit(rnd2, 16).toSeq))
+        .toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      val isoExact = VectorSearch.nearDupExact(iso, "vec_id", "embedding", 0.2)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      val hatch = VectorSearch.nearDupPairs(iso, "vec_id", "embedding", 0.2,
+          exact = true)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      assert(isoExact.nonEmpty)
+      assert(hatch === isoExact, "exact=true did not bypass the gate")
+    } finally spark.conf.unset(VectorSearch.GateConf)
+  }
+
   test("ivfAssign puts each vector in exactly `probes` cells") {
     val rnd = new Random(33)
     val vecs = (0 until 40).map(i => (i.toLong, randUnit(rnd, 8).toSeq))
