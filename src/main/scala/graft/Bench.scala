@@ -7,6 +7,28 @@ import org.apache.spark.sql.SparkSession
   * regression must never masquerade as a speedup.
   */
 object Bench {
+
+  /** Queries lying in probe windows touched by contention. Probe i
+    * brackets window i's END (probes(0) is the sweep start); window i
+    * covers names in (windowEnds(i-1), windowEnds(i)]. A window is
+    * suspect when its OPENING or CLOSING probe exceeds `thr` — a
+    * transient co-tenant burst mid-run inflates only the windows it
+    * overlaps, so the rest of the sweep stays usable (the r11 lesson:
+    * a start/end-only bracket stamped q70's 10.7 s as `contended:
+    * false` and cost the judge a full re-run).
+    */
+  def suspectQueries(names: Seq[String], windowEnds: Seq[Int],
+                     probes: Seq[Double], thr: Double): Seq[String] = {
+    require(probes.length == windowEnds.length + 1,
+      "one probe per window boundary plus the sweep start")
+    val bad = windowEnds.indices.filter(i =>
+      probes(i) > thr || probes(i + 1) > thr)
+    bad.flatMap { i =>
+      val from = if (i == 0) 0 else windowEnds(i - 1) + 1
+      (from to windowEnds(i)).map(names)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -46,8 +68,14 @@ object Bench {
     }
     probeSec() // codegen warm-up; floor below is a warm number
     val probeStart = probeSec()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
-      .map { case ((name, fn), qi) =>
+    // per-WINDOW probes (every 16 queries, the GC cadence): a probe
+    // runs at each window boundary so a transient co-tenant burst
+    // flags the window it overlapped instead of poisoning the whole
+    // line invisibly. ~0.17 s warm × ~21 windows ≈ 1% of the sweep.
+    val windowProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    val windowEnds = scala.collection.mutable.ArrayBuffer[Int]()
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = ordered.zipWithIndex.map { case ((name, fn), qi) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
@@ -71,7 +99,13 @@ object Bench {
       // (unregister broadcasts, remove shuffles) runs inside the NEXT
       // query's timed section. Every 16 queries bounds accumulation
       // at ~1/16th of the sweep's broadcasts with 1/16th the bursts.
-      if (qi % 16 == 15) System.gc()
+      // The window probe runs BEFORE the GC so it measures co-tenancy,
+      // not our own cleanup burst.
+      if (qi % 16 == 15) {
+        windowProbes += probeSec()
+        windowEnds += qi
+        System.gc()
+      }
       name -> dt
     }
     // The driver captures only the last ~2000 chars of output; with 89
@@ -91,20 +125,32 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val probeEnd = probeSec()
+    // close the final (possibly short) window with the end probe
+    if (windowEnds.isEmpty || windowEnds.last != results.size - 1) {
+      windowProbes += probeEnd
+      windowEnds += results.size - 1
+    }
     // Warm floor measured on this machine idle (local[32], 8 warm
     // reps: 0.24-0.37 s — per-core work is constant so the floor
     // barely moves with N). 2.5x leaves room for run variance and
     // end-of-run JVM state; the documented contention episodes inflate
     // unchanged queries 13-29x, far past this line.
     val probeFloor = 0.25
-    val contended = math.max(probeStart, probeEnd) > probeFloor * 2.5
+    val probeThr = probeFloor * 2.5
+    val allProbes = probeStart +: windowProbes.toSeq
+    val suspects = suspectQueries(results.map(_._1), windowEnds.toSeq,
+      allProbes, probeThr)
+    val contended = allProbes.exists(_ > probeThr)
+    val suspectJson = suspects.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
+      .mkString("[", ",", "]")
+    val probesJson = allProbes.map(ms).mkString("[", ",", "]")
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("target/bench_full.json")
-      try w.println(s"""{"total":${ms(total)},"queries":$fullQs,"sf":"$sfDir"}""") finally w.close()
+      try w.println(s"""{"total":${ms(total)},"queries":$fullQs,"window_probes":$probesJson,"suspect":${suspects.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""") finally w.close()
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","contended":$contended,"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","contended":$contended,"n_suspect":${suspects.size},"suspect":$suspectJson,"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     // The driver captures only the TAIL of stdout; with 250+ queries
     // the full line above overflows that window and is cut mid-map
     // FROM THE HEAD — BENCH_r09's committed artifact lost the total
@@ -113,7 +159,7 @@ object Bench {
     // lives in the full line above and in target/bench_full.json.
     // Distinct metric name: a consumer grepping "metric":"total" must
     // not double-count or land on the truncatable per-query line.
-    println(s"""{"metric":"total_summary","value":${ms(total)},"unit":"sec","contended":$contended,"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","queries_file":"target/bench_full.json"}""")
+    println(s"""{"metric":"total_summary","value":${ms(total)},"unit":"sec","contended":$contended,"n_suspect":${suspects.size},"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","queries_file":"target/bench_full.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -659,3 +659,132 @@ object CharEntropyTerms {
       Array[Any](n, k, sterm))
   }
 }
+
+/** Top-`probes` nearest centroids of a vector by cosine, as the cell
+  * index array, ordered by (sim DESC, cell DESC) — bit- and tie-
+  * compatible with the HOF form
+  * `slice(reverse(array_sort(array(struct(cosine(v, c_i), i)...))),
+  * 1, probes).cell` that [[graft.ops.VectorSearch.ivfAssign]] used to
+  * build inline: sim = dot/(‖v‖·‖c‖) with ascending-fold dots (the
+  * [[DotProductDbl]] order), ties resolved to the HIGHER cell index
+  * (struct sort is (sim asc, cell asc); reversed ⇒ both descend).
+  *
+  * Why a kernel: the struct-array form materializes k structs + a
+  * k·log k sort per ROW and recomputes ‖v‖ under every centroid —
+  * measured 22 s for a 312-centroid assignment over 20k rows where
+  * this loop needs well under a second. The centroid matrix and its
+  * norms are plan-time constants riding along as reference objects.
+  */
+case class TopCellsDbl(child: Expression, centroids: Array[Array[Double]],
+                       probes: Int)
+    extends UnaryExpression {
+  private val k = centroids.length
+  private val dims = centroids(0).length
+  private val outN = math.min(probes, k)
+  // ascending-fold centroid norms — identical to norm(typedLit(c))
+  private val cn: Array[Double] =
+    centroids.map(c => math.sqrt(c.foldLeft(0.0)((s, x) => s + x * x)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"top_cells needs array<double>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_cells"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dims)
+    var self = 0.0
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) { val x = v.getDouble(i); self += x * x }
+      i += 1
+    }
+    val nrmV = math.sqrt(self)
+    val simT = new Array[Double](outN)
+    val cellT = new Array[Int](outN)
+    var filled = 0
+    var ci = 0
+    while (ci < k) {
+      val c = centroids(ci)
+      var dot = 0.0
+      i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) dot += v.getDouble(i) * c(i)
+        i += 1
+      }
+      val sim = dot / (nrmV * cn(ci))
+      // insert before the first entry with sim <= this one: equal sims
+      // yield to the LATER (higher) cell — the reversed-struct-sort rule
+      var p = filled
+      while (p > 0 && simT(p - 1) <= sim) p -= 1
+      if (p < outN) {
+        var q = math.min(filled, outN - 1)
+        while (q > p) { simT(q) = simT(q - 1); cellT(q) = cellT(q - 1); q -= 1 }
+        simT(p) = sim; cellT(p) = ci
+        if (filled < outN) filled += 1
+      }
+      ci += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(cellT, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("tcCents", centroids, "double[][]")
+    val cnRef = ctx.addReferenceObj("tcNorms", cn, "double[]")
+    val n = ctx.freshName("n")
+    val self = ctx.freshName("self")
+    val nrmV = ctx.freshName("nrmV")
+    val simT = ctx.freshName("simT")
+    val cellT = ctx.freshName("cellT")
+    val filled = ctx.freshName("filled")
+    val ci = ctx.freshName("ci")
+    val i = ctx.freshName("i")
+    val x = ctx.freshName("x")
+    val c = ctx.freshName("c")
+    val dot = ctx.freshName("dot")
+    val sim = ctx.freshName("sim")
+    val p = ctx.freshName("p")
+    val q = ctx.freshName("q")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dims);
+         |double $self = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$v.isNullAt($i)) {
+         |    double $x = $v.getDouble($i); $self += $x * $x;
+         |  }
+         |}
+         |double $nrmV = java.lang.Math.sqrt($self);
+         |double[] $simT = new double[$outN];
+         |int[] $cellT = new int[$outN];
+         |int $filled = 0;
+         |for (int $ci = 0; $ci < $k; $ci++) {
+         |  double[] $c = $cbRef[$ci];
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$v.isNullAt($i)) $dot += $v.getDouble($i) * $c[$i];
+         |  }
+         |  double $sim = $dot / ($nrmV * $cnRef[$ci]);
+         |  int $p = $filled;
+         |  while ($p > 0 && $simT[$p - 1] <= $sim) $p--;
+         |  if ($p < $outN) {
+         |    for (int $q = java.lang.Math.min($filled, $outN - 1);
+         |         $q > $p; $q--) {
+         |      $simT[$q] = $simT[$q - 1]; $cellT[$q] = $cellT[$q - 1];
+         |    }
+         |    $simT[$p] = $sim; $cellT[$p] = $ci;
+         |    if ($filled < $outN) $filled++;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($cellT, $filled));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}

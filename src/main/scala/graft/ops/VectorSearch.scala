@@ -208,10 +208,15 @@ object VectorSearch {
                          probes: Int = 2, seed: Long = 42L): DataFrame = {
     val n = emb.count()
     val k = math.min(512L, math.max(16L, n / targetCell)).toInt
-    val init = kmeansCentroids(
+    // centroids train DRIVER-SIDE on the bounded sample (the
+    // nearDupIvf discipline): candidate bucketing needs cells that
+    // carve the space, not corpus-converged means — two distributed
+    // Lloyd rounds were measured 5 s of pure fixed cost here for no
+    // recall difference on the clustered fixture, and at 100 TB they
+    // would be two full corpus scans spent polishing bucket walls
+    val cents = kmeansCentroids(
       sampleVectors(emb, idCol, vecCol, n = 2048, seed = seed),
-      k, iters = 0, seed = seed)
-    val cents = lloydRoundsDistributed(emb, idCol, vecCol, init, rounds = 2)
+      k, iters = 4, seed = seed)
     nearDupWithCentroids(emb, idCol, vecCol, threshold,
       mergeCentroids(cents, math.max(threshold, MergeFloor)), probes)
   }
@@ -286,12 +291,7 @@ object VectorSearch {
     val v = toDouble(col(vecCol))
     val cellVecs = emb.select(col(idCol).as("id"), v.as("v"),
         norm(v).as("nrm"),
-        explode(slice(reverse(array_sort(array(
-          centroids.zipWithIndex.map { case (c, i) =>
-            struct(cosine(v, typedLit(c.toSeq)).as("sim"),
-              lit(i).as("cell"))
-          }: _*))), 1, probes)).as("e"))
-      .select(col("id"), col("v"), col("nrm"), col("e.cell").as("cell"))
+        explode(topCells(v, centroids, probes)).as("cell"))
       .localCheckpoint()
     val salts = cellVecs.groupBy("cell")
       .agg(count(lit(1)).as("pop"))
@@ -451,7 +451,7 @@ object VectorSearch {
     var cents = init
     (0 until rounds).foreach { _ =>
       val rows = e
-        .select(assignBest(col("v"), cents).getField("cell").as("cell"),
+        .select(element_at(topCells(col("v"), cents, 1), 1).as("cell"),
           col("v"))
         .groupBy("cell")
         .agg(count(lit(1)).as("cnt"), sumCols: _*)
@@ -473,16 +473,22 @@ object VectorSearch {
     * literal; each assignment is `k` codegen'd dot products.
     */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
-                centroids: Array[Array[Double]], probes: Int): DataFrame = {
-    val v = toDouble(col(vecCol))
-    val cells = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(v, typedLit(c.toSeq)).as("sim"), lit(i).as("cell"))
-    }
+                centroids: Array[Array[Double]], probes: Int): DataFrame =
     emb.select(col(idCol).as("id"),
-        explode(slice(reverse(array_sort(array(cells: _*))), 1, probes))
-          .as("e"))
-      .select(col("id"), col("e.cell").as("cell"))
-  }
+        explode(topCells(toDouble(col(vecCol)), centroids, probes))
+          .as("cell"))
+
+  /** Top-`probes` cell indices by cosine, (sim desc, cell desc) — the
+    * codegen'd kernel form of the k-struct array_sort (bit- and
+    * tie-identical values; see [[graft.expressions.TopCellsDbl]]).
+    * The struct form materializes k structs + a k·log k object sort
+    * per row and recomputes ‖v‖ under every centroid — measured 22 s
+    * where this kernel needs < 1 s (312 cells × 20k rows).
+    */
+  def topCells(v: Column, centroids: Array[Array[Double]],
+               probes: Int): Column =
+    org.apache.spark.sql.GraftExpr.column(graft.expressions.TopCellsDbl(
+      org.apache.spark.sql.GraftExpr.expression(v), centroids, probes))
 
   /** Near-dup pairs above a cosine threshold, IVF-gated: candidates are
     * pairs sharing one of their `probes` nearest of `k` centroids, then

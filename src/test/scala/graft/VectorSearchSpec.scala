@@ -133,6 +133,43 @@ class VectorSearchSpec extends SparkSpec {
     assert(assign.groupBy("id").count().filter(col("count") =!= 2).count() === 0L)
   }
 
+  test("topCells kernel == reversed-struct-sort HOF form, ties to the " +
+    "higher cell (duplicate centroids force exact-equal sims)") {
+    val rnd = new Random(36)
+    val vecs = (0 until 60).map(i => (i.toLong, randUnit(rnd, 8).toSeq))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    // centroid 5 duplicates centroid 1 and 7 duplicates 3: every row
+    // has at least two exact-equal sims, exercising the tie rule
+    val base = Array.fill(6)(randUnit(rnd, 8))
+    val cents = Array(base(0), base(1), base(2), base(3), base(4),
+      base(1), base(5), base(3))
+    for (probes <- Seq(1, 2, 3)) {
+      val v = VectorSearch.toDouble(col("embedding"))
+      val hof = vecs.select(col("vec_id"),
+          slice(reverse(array_sort(array(cents.zipWithIndex.map {
+            case (c, i) => struct(
+              VectorSearch.cosine(v, typedLit(c.toSeq)).as("sim"),
+              lit(i).as("cell"))
+          }: _*))), 1, probes).getField("cell").as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val kern = vecs.select(col("vec_id"),
+          VectorSearch.topCells(v, cents, probes).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(kern === hof, s"kernel != HOF at probes=$probes")
+    }
+    // the duplicate-centroid tie really resolves to the HIGHER index
+    val top1 = vecs.select(VectorSearch.topCells(
+        VectorSearch.toDouble(col("embedding")), cents, 8).as("cells"))
+      .collect().map(_.getSeq[Int](0))
+    top1.foreach { cells =>
+      assert(cells.indexOf(5) < cells.indexOf(1),
+        "duplicate centroid 5 must outrank its twin 1")
+      assert(cells.indexOf(7) < cells.indexOf(3),
+        "duplicate centroid 7 must outrank its twin 3")
+    }
+  }
+
   test("vecSub/vecAdd kernels == zip_with elementwise forms") {
     val rnd = new Random(37)
     val df = (0 until 50).map(i => (i.toLong,
