@@ -46,6 +46,13 @@ object PipelineQueries61 {
   private val MinPts = 4
   private val DbProbes = 2
   private val DbM = 6
+  /** DBSCAN's eps, in rounded-cosine units: a neighbor counts toward
+    * core density only at round(sim, 6) ≥ this. Without the radius,
+    * a symmetrized top-m graph gives EVERY node degree ≥ m and the
+    * role split degenerates to all-core (measured at sf0.01). 0.30 on
+    * this corpus: ~55% cores, ~3% zero-neighbor noise at both SFs.
+    */
+  private val EpsMilli = 300L
 
   /** Late-bound centroid oracle for q335 (the NswOracle pattern). */
   private object DbscanOracle {
@@ -142,9 +149,24 @@ object PipelineQueries61 {
           n = 512, seed = 42)
         val cents = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
         DbscanOracle.sql = Some(dbscanOracleSql(cents))
+        // eps radius on the symmetrized kNN edges: recompute the
+        // rounded cosine per edge (2·m·n edges, one kernel dot each)
+        // and keep only neighbors inside eps — the density definition;
+        // the kNN cap (m) bounds per-node work, eps bounds the RADIUS
+        val vecs = emb.select(col("vec_id").as("id"),
+            toDouble(col("embedding")).as("v"))
+          .withColumn("nrm", norm(col("v")))
+          .localCheckpoint()
         val edges = NswIndex.knnGraph(emb, "vec_id", "embedding",
             cents, probes = DbProbes, m = DbM,
             blockCap = NswIndex.DefaultBlockCap)
+          .join(vecs.select(col("id").as("src"), col("v").as("sv"),
+            col("nrm").as("sn")), "src")
+          .join(vecs.select(col("id").as("dst"), col("v").as("dv"),
+            col("nrm").as("dn")), "dst")
+          .filter(round(dot(col("sv"), col("dv")) /
+            (col("sn") * col("dn")), 6) >= lit(EpsMilli / 1000.0))
+          .select(col("src"), col("dst"))
           .localCheckpoint() // degrees + core filter + border attach
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         val core = deg.filter(col("deg") >= MinPts)
@@ -203,7 +225,7 @@ object PipelineQueries61 {
         s"(sqrt(${dotSelf("v")}) * $n), 'cell': $i}"
     }.mkString("[", ",\n", "]")
     val cap = NswIndex.DefaultBlockCap
-    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+    s"""WITH RECURSIVE e AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |a AS (SELECT vec_id, list_reverse_sort($cells) AS cs FROM e),
@@ -227,12 +249,19 @@ object PipelineQueries61 {
        |       sqrt(${dotSelf("dv.v")})), 6) AS sim
        |  FROM cand JOIN e sv ON sv.vec_id = cand.src
        |    JOIN e dv ON dv.vec_id = cand.dst),
-       |tm AS (SELECT src, dst FROM (
-       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |tm AS (SELECT src, dst, sim FROM (
+       |    SELECT src, dst, sim, row_number() OVER (PARTITION BY src
        |      ORDER BY sim DESC, dst ASC) AS rn FROM sc) z
        |  WHERE rn <= $DbM),
        |edges AS MATERIALIZED (
-       |  SELECT src, dst FROM tm UNION SELECT dst, src FROM tm),
+       |  -- explicit DISTINCT over UNION ALL: under WITH RECURSIVE,
+       |  -- DuckDB 1.0 does NOT dedup a plain UNION inside a named
+       |  -- CTE (measured: 6000 rows where the same inline union
+       |  -- yields 3722) — the one duckdbism this oracle must dodge
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst, sim FROM tm
+       |    UNION ALL SELECT dst, src, sim FROM tm) z
+       |  WHERE sim >= ${EpsMilli / 1000.0}),
        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
        |core AS MATERIALIZED (SELECT src AS vec_id FROM deg
        |  WHERE deg >= $MinPts),
