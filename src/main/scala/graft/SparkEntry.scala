@@ -39,7 +39,8 @@ object SparkEntry {
       PipelineQueries55.defs ++ PipelineQueries56.defs ++
       PipelineQueries57.defs ++ PipelineQueries58.defs ++
       PipelineQueries59.defs ++ PipelineQueries60.defs ++
-      PipelineQueries61.defs ++
+      PipelineQueries61.defs ++ PipelineQueries62.defs ++
+      PipelineQueries63.defs ++
       VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
