@@ -40,7 +40,7 @@ object SparkEntry {
       PipelineQueries57.defs ++ PipelineQueries58.defs ++
       PipelineQueries59.defs ++ PipelineQueries60.defs ++
       PipelineQueries61.defs ++ PipelineQueries62.defs ++
-      PipelineQueries63.defs ++
+      PipelineQueries63.defs ++ PipelineQueries64.defs ++
       VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
