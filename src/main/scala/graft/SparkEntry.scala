@@ -41,7 +41,7 @@ object SparkEntry {
       PipelineQueries59.defs ++ PipelineQueries60.defs ++
       PipelineQueries61.defs ++ PipelineQueries62.defs ++
       PipelineQueries63.defs ++ PipelineQueries64.defs ++
-      PipelineQueries65.defs ++
+      PipelineQueries65.defs ++ PipelineQueries66.defs ++
       VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
