@@ -1104,4 +1104,46 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"q278 projection shuffles:\n$p")
   }
+
+  test("q336/q337: the two-sample grid windows partition by source " +
+    "or run on the bounded value domain — never a corpus partition") {
+    Seq("q336_ks_source_drift", "q337_auc_mann_whitney").foreach { q =>
+      val p = plan(q)
+      // every Window is over the O(S·V) grid: either partitioned by
+      // source or ordered over the distinct-value domain after an
+      // aggregate — the plan must not sort raw document rows
+      assert(p.contains("Window"), s"$q lost its cumulative windows")
+      assert(p.contains("HashAggregate"), s"$q lost the histogram agg")
+    }
+  }
+
+  test("q341: corpus stats broadcast into the docs x terms grid (cf " +
+    "and |C| never shuffle-join)") {
+    val p = plan("q341_qlm_dirichlet")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"q341 lost the tiny-side broadcasts:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q341 lost the bounded top-k:\n$p")
+  }
+
+  test("q343: the per-source KMV sketch is the partial/final TopK — " +
+    "no per-source sort window over the vocabulary") {
+    val p = plan("q343_kmv_set_ops")
+    // the only row_number windows allowed are over the O(S²·K)
+    // pair-sketch frame (partitioned by the source PAIR)
+    val windowArgs = p.linesIterator
+      .filter(_.contains("Arguments")).mkString("\n")
+    assert(!windowArgs.contains("windowspecdefinition(source#") ||
+      windowArgs.contains("source_a"),
+      s"q343 windows a per-source vocabulary partition:\n$p")
+    assert(p.contains("HashAggregate"), s"q343 lost the TopK aggs:\n$p")
+  }
+
+  test("q350: the ring is the broadcast side of the owner probe") {
+    val p = plan("q350_resharding_audit")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"q350 shuffles keys against the O(nodes·vnodes) ring:\n$p")
+  }
 }
