@@ -42,7 +42,7 @@ object SparkEntry {
       PipelineQueries61.defs ++ PipelineQueries62.defs ++
       PipelineQueries63.defs ++ PipelineQueries64.defs ++
       PipelineQueries65.defs ++ PipelineQueries66.defs ++
-      PipelineQueries67.defs ++
+      PipelineQueries67.defs ++ PipelineQueries68.defs ++
       VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
