@@ -1146,4 +1146,15 @@ class PlanContractSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"),
       s"q350 shuffles keys against the O(nodes·vnodes) ring:\n$p")
   }
+
+  test("q355: split ranks come from the two-level bucket construction " +
+    "— every doc-level window partitions by (source, bkt)") {
+    val p = plan("q355_split_manifest")
+    val windowArgs = p.linesIterator
+      .filter(_.contains("Arguments")).mkString("\n")
+    assert(windowArgs.contains("bkt"),
+      s"q355 lost the bucketed rank partition:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q355 shuffle-joins the O(S·256) offsets:\n$p")
+  }
 }
