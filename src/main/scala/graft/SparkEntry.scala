@@ -43,7 +43,7 @@ object SparkEntry {
       PipelineQueries63.defs ++ PipelineQueries64.defs ++
       PipelineQueries65.defs ++ PipelineQueries66.defs ++
       PipelineQueries67.defs ++ PipelineQueries68.defs ++
-      PipelineQueries69.defs ++
+      PipelineQueries69.defs ++ PipelineQueries70.defs ++
       VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
