@@ -674,6 +674,21 @@ object CharEntropyTerms {
   * measured 22 s for a 312-centroid assignment over 20k rows where
   * this loop needs well under a second. The centroid matrix and its
   * norms are plan-time constants riding along as reference objects.
+  *
+  * Bit-compat CARVE-OUTS (r12 advice — the equivalence is conditional
+  * and callers own the preconditions, both asserted by every graft
+  * call site's ingest filters):
+  *  - '''zero-norm''' vector or centroid ⇒ sim = NaN. All insertion
+  *    comparisons `simT(p-1) <= NaN` are false, so NaN cells sink to
+  *    the END here, whereas Spark's struct sort orders NaN GREATEST
+  *    (reversed: first). Exclude zero vectors (and never train a
+  *    zero centroid — k-means++ on non-zero data cannot) or the two
+  *    forms disagree.
+  *  - '''length mismatch''': this kernel folds dots AND ‖v‖ over
+  *    min(v.length, dims), while the HOF form's `norm(v)` spans the
+  *    full vector — a v longer than the centroid dims produces a
+  *    smaller self-norm here (larger sims). Require
+  *    v.numElements == dims for the equivalence to hold.
   */
 case class TopCellsDbl(child: Expression, centroids: Array[Array[Double]],
                        probes: Int)

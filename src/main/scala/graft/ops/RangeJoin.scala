@@ -148,6 +148,64 @@ object RangeJoin {
       .drop("_rj_bkt").drop("_rj_salt")
   }
 
+  /** [[intervalOverlap]] with per-slice SKEW BLOCKING — exact output,
+    * bounded tasks. The r12 advice fix: [[intervalOverlapCapped]]
+    * SAMPLES over-dense slices (cross-salt pairs are sacrificed),
+    * which is the wrong contract for a query that advertises the
+    * exact co-presence graph. This variant keeps every pair: the LEFT
+    * side of an over-dense slice splits into ceil(pop / sliceCap)
+    * deterministic key-hash blocks exactly as in the capped op, but
+    * the RIGHT side REPLICATES to every block of the slice, so each
+    * overlapping pair still meets in (anchor bucket, left block) —
+    * exactly once, because the left row carries one block and the
+    * right row is present in all of them. Bit-identical to
+    * [[intervalOverlap]] at every density (RangeJoinSpec pins an
+    * over-cap slice).
+    *
+    * Cost model, honestly: the exact answer's within-slice pair
+    * surface Σ |L_b|·|R_b| is the data's property and no plan avoids
+    * paying it — what blocking buys is SKEW, not work: one mega-slice
+    * becomes `salts` independent tasks of ≤ sliceCap·|R_b| comparisons
+    * each instead of one straggler task of |L_b|·|R_b|, and the right
+    * replication factor (= salts, only in over-dense slices) is the
+    * pair surface divided by sliceCap — always ≤ the comparisons the
+    * task must do anyway. Callers that would rather sample than pay
+    * the quadratic use [[intervalOverlapCapped]] and own the recall.
+    */
+  def intervalOverlapBlocked(left: DataFrame, lLo: String, lHi: String,
+                             lKey: String,
+                             right: DataFrame, rLo: String, rHi: String,
+                             bucketWidth: Long,
+                             sliceCap: Int = DefaultSliceCap): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(sliceCap > 0, "sliceCap must be positive")
+    def spread(df: DataFrame, lo: String, hi: String) = df
+      .withColumn("_rj_bkt",
+        explode(sequence(
+          longDiv(assertNonNeg(col(lo)), bucketWidth),
+          longDiv(assertOrdered(col(lo), col(hi)), bucketWidth))))
+    val salts = spread(left, lLo, lHi)
+      .groupBy("_rj_bkt").agg(count(lit(1)).as("_rj_pop"))
+      .select(col("_rj_bkt"),
+        ceil(col("_rj_pop") / lit(sliceCap)).cast("int").as("_rj_salts"))
+    val l = spread(left, lLo, lHi)
+      .join(broadcast(salts), Seq("_rj_bkt"), "left")
+      .withColumn("_rj_salt",
+        pmod(xxhash64(col(lKey)), coalesce(col("_rj_salts"), lit(1))))
+      .drop("_rj_salts")
+    val r = spread(right, rLo, rHi)
+      .join(broadcast(salts), Seq("_rj_bkt"), "left")
+      .withColumn("_rj_salt",
+        explode(sequence(lit(0L),
+          coalesce(col("_rj_salts"), lit(1)).cast("long") - 1)))
+      .drop("_rj_salts")
+    l.join(r,
+        l("_rj_bkt") === r("_rj_bkt") && l("_rj_salt") === r("_rj_salt") &&
+          col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+          l("_rj_bkt") === longDiv(greatest(col(lLo), col(rLo)), bucketWidth))
+      .drop("_rj_bkt").drop("_rj_salt")
+  }
+
   /** Exact non-negative long division as a long column (`Column./` is
     * IEEE double division; `(c - c%w)/w` is exactly divisible, so the
     * double it passes through is integral and lossless below 2^53).

@@ -278,8 +278,10 @@ object VectorSearch {
   private def nearDupWithCentroids(emb: DataFrame, idCol: String,
                                    vecCol: String, threshold: Double,
                                    centroids: Array[Array[Double]],
-                                   probes: Int): DataFrame = {
-    val cap = NswIndex.DefaultBlockCap
+                                   probes: Int,
+                                   blockCap: Int = NswIndex.DefaultBlockCap)
+      : DataFrame = {
+    val cap = if (blockCap > 0) blockCap else Int.MaxValue
     // Vectors RIDE ALONG with the cell assignment (the exact-tiled
     // discipline): the dense-corpus alternative — materialize id-pair
     // candidates, then join the vector payload on twice — was measured
@@ -497,16 +499,31 @@ object VectorSearch {
     * all-pairs join ever materializes. Sign-bit LSH is NOT usable here:
     * at thresholds this low (0.4) the per-bit agreement probability is
     * ~0.63, so any banding with usable recall generates more candidate
-    * pairs than brute force. Recall is data-dependent (no theoretical
-    * guarantee at arbitrary thresholds) — the exact-pairs DuckDB oracle
-    * gates it per corpus.
+    * pairs than brute force.
+    *
+    * RECALL CONTRACT (changed in r12, documented per r12 advice): this
+    * is exact-over-candidates, and since r12 the candidate cells are
+    * additionally SALT-CAPPED at `blockCap` (default
+    * [[NswIndex.DefaultBlockCap]]) — a cell denser than the cap splits
+    * into id-hash sub-blocks and co-cell pairs landing in different
+    * sub-blocks are NOT candidates. Below the cap (every cell ≤
+    * blockCap assignments) the result is identical to the historical
+    * uncapped enumeration; above it recall over dense cells drops to
+    * a ~1/salts per-pair sample of the within-cell surface. Overall
+    * recall is data-dependent either way (no theoretical guarantee at
+    * arbitrary thresholds) — the exact-pairs DuckDB oracle gates it
+    * per corpus. Callers that need the historical all-co-cell-pairs
+    * behavior and own the density quadratic pass `blockCap <= 0` (the
+    * uncapped escape hatch).
     */
   def nearDupIvf(emb: DataFrame, idCol: String, vecCol: String,
                  threshold: Double, k: Int = 16, probes: Int = 2,
-                 seed: Long = 42, maxSample: Int = 4096): DataFrame = {
+                 seed: Long = 42, maxSample: Int = 4096,
+                 blockCap: Int = NswIndex.DefaultBlockCap): DataFrame = {
     val sample = sampleVectors(emb, idCol, vecCol, maxSample, seed)
     val centroids = kmeansCentroids(sample, k, iters = 10, seed = seed)
-    nearDupWithCentroids(emb, idCol, vecCol, threshold, centroids, probes)
+    nearDupWithCentroids(emb, idCol, vecCol, threshold, centroids, probes,
+      blockCap)
   }
 
   /** Product-quantization codebook (Jégou et al., "Product Quantization

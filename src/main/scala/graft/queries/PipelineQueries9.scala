@@ -367,14 +367,18 @@ object PipelineQueries9 {
           col("hi").as("hi_a"))
         val b = iv.select(col("iu").as("iu_b"), col("lo").as("lo_b"),
           col("hi").as("hi_b"))
-        // Density-capped overlap: within-slice pair surface is the
-        // corpus density's quadratic (measured 100× pairs for 10×
-        // rows); above DefaultSliceCap replicas/slice the op salts the
-        // slice and samples cross pairs — at oracle/bench scale every
-        // slice is under the cap (max 168 replicas at sf0.1) so the
-        // result is bit-identical to the exact overlap (spec-pinned).
-        RangeJoin.intervalOverlapCapped(a, "lo_a", "hi_a", "iu_a",
-            b, "lo_b", "hi_b", "iu_b", bucketWidth = 3600L * 1000000L)
+        // Skew-BLOCKED overlap (r12 advice fix): the within-slice pair
+        // surface is the corpus density's quadratic (measured 100×
+        // pairs for 10× rows) and this query advertises the EXACT
+        // co-presence graph, so it must pay that surface at every
+        // scale — the capped op would silently sample cross pairs
+        // once a slice exceeds the cap (sf1's key-replicated slices
+        // reach ~1680 replicas). Blocking keeps the answer
+        // bit-identical to intervalOverlap while splitting each dense
+        // slice into ≤cap-sized left blocks so no straggler task owns
+        // a whole mega-slice.
+        RangeJoin.intervalOverlapBlocked(a, "lo_a", "hi_a", "iu_a",
+            b, "lo_b", "hi_b", bucketWidth = 3600L * 1000000L)
           .filter(col("iu_a") < col("iu_b"))
           .groupBy("iu_a", "iu_b")
           .agg(count(lit(1)).as("n_overlapping_sessions"))

@@ -123,11 +123,19 @@ object StreamIvfRefresh {
       new Array[Long](centroids.length), Vector.empty))
 
   /** One map-side pass over the batch: (cell → count) under the
-    * CURRENT centroids plus the batch's bottom-`sampleK` sample. */
+    * CURRENT centroids plus the batch's bottom-`sampleK` sample.
+    * Null or wrong-dimension vectors are DROPPED here (r12 advice): a
+    * null vector makes [[VectorSearch.topCells]] return null and the
+    * occupancy `getInt` throw mid-batch, and an over-long vector
+    * stored into the sample would overrun the retrain dot loop — a
+    * poison row must not kill the stream. */
   private def batchStats(batch: DataFrame, idCol: String, vecCol: String,
                          centroids: Array[Array[Double]], sampleK: Int)
       : (Array[Row], Array[Row]) = {
-    val cached = batch.select(col(idCol).cast("long").as("id"),
+    val dims = centroids(0).length
+    val cached = batch
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(idCol).cast("long").as("id"),
         VectorSearch.toDouble(col(vecCol)).as("v"))
       .localCheckpoint() // occupancy agg + sample TopK share one scan
     val occ = cached
@@ -165,9 +173,12 @@ object StreamIvfRefresh {
     val cur = st.curOcc.clone()
     occ.foreach(r => cur(r.getInt(0)) += r.getLong(1))
     // merge law: bottom-K of (stored ∪ batch bottom-K) == bottom-K of
-    // the union of all arrivals so far, independent of batch slicing
+    // the union of all arrivals so far, independent of batch slicing.
+    // distinct on (hash, id) FIRST (r12 advice): the same id re-sent
+    // in a later batch must occupy one sample slot, not two.
     val merged = (st.sample ++ smp.map(r => (r.getLong(0), r.getLong(1),
         r.getSeq[Double](2).toArray)))
+      .distinctBy(t => (t._1, t._2))
       .sortBy(t => (t._1, t._2)).take(sampleK).toVector
     val psi = psiMilli(st.refOcc, cur)
     if (psi > psiThresholdMilli && merged.nonEmpty) {
@@ -182,8 +193,12 @@ object StreamIvfRefresh {
         var ci = 0
         while (ci < k) {
           val c = cents(ci)
+          // min-bound: a legacy store written before the ingest-side
+          // dims filter may hold an over-long sample vector — clamp
+          // rather than overrun c (r12 advice)
+          val m = math.min(v.length, c.length)
           var d = 0.0; var i = 0
-          while (i < v.length) { d += v(i) * c(i); i += 1 }
+          while (i < m) { d += v(i) * c(i); i += 1 }
           val s = d / (nv * math.sqrt(c.map(x => x * x).sum))
           if (s > bestSim || (s == bestSim && ci > best)) {
             bestSim = s; best = ci

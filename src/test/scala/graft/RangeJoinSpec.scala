@@ -103,6 +103,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(again === overPairs, "salting must be deterministic")
   }
 
+  test("intervalOverlapBlocked: bit-identical to exact intervalOverlap " +
+    "at EVERY density — including slices forced far over the cap") {
+    val l = intervals.select(col("iid").as("lid"), col("lo").as("llo"),
+      col("hi").as("lhi"))
+    val r = intervals.select(col("iid").as("rid"),
+      (col("lo") + 7L).as("rlo"), (col("hi") + 7L).as("rhi"))
+    val exact = RangeJoin.intervalOverlap(l, "llo", "lhi", r, "rlo", "rhi",
+        40L)
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // cap=3 forces multi-block slices (the same setting under which the
+    // CAPPED op provably drops pairs, pinned above) — the blocked op
+    // must still return every pair exactly once
+    for (cap <- Seq(3, 100000)) {
+      val out = RangeJoin.intervalOverlapBlocked(l, "llo", "lhi", "lid",
+        r, "rlo", "rhi", 40L, sliceCap = cap)
+      assert(out.groupBy("lid", "rid").count().filter(col("count") > 1)
+        .isEmpty, s"duplicate pairs at cap $cap")
+      assert(out.select(col("lid"), col("rid")).as[(Long, Long)]
+        .collect().toSet == exact,
+        s"blocked op must be exact at cap $cap")
+    }
+  }
+
   test("negative keys are rejected, not silently mis-bucketed") {
     val badPts = Seq((1L, -5L)).toDF("pid", "pt")
     val ex = intercept[Exception] {

@@ -143,4 +143,33 @@ class StreamIvfRefreshSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("refusing to mis-index"))
   }
+
+  test("poison rows are dropped, not batch-killers: null and " +
+    "wrong-dims vectors are filtered, and a re-sent id holds ONE " +
+    "sample slot (r12 advice)") {
+    val rnd = new Random(53)
+    val corpus = (0 until 40).map(i => (i.toLong, randUnit(rnd, dims)))
+    val store = initStore(corpus)
+    val good = (100 until 110).map(i => (i.toLong, randUnit(rnd, dims)))
+    // batch 0: good rows + a null vector + a wrong-dims vector
+    val poisoned = df(good)
+      .unionByName(Seq((900L, None: Option[Seq[Double]]))
+        .toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>")))
+      .unionByName(df(Seq((901L, randUnit(rnd, dims + 3)))))
+    StreamIvfRefresh.applyBatch(poisoned, 0L, "vec_id", "embedding",
+      k, dims, K, 100000L, store) // must not throw
+    val st = StreamIvfRefresh.readStore(store, k, dims, K)
+    assert(st.curOcc.sum === good.size,
+      "only the well-formed rows may enter the occupancy")
+    assert(!st.sample.exists(s => s._2 == 900L || s._2 == 901L),
+      "poison rows must not enter the sample")
+    // batch 1 re-sends the SAME good ids: sample slots must not double
+    StreamIvfRefresh.applyBatch(df(good), 1L, "vec_id", "embedding",
+      k, dims, K, 100000L, store)
+    val st2 = StreamIvfRefresh.readStore(store, k, dims, K)
+    val keys = st2.sample.map(s => (s._1, s._2))
+    assert(keys.distinct.size === keys.size,
+      "a re-sent (hash, id) must occupy one sample slot")
+  }
 }
