@@ -41,6 +41,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // write-once index/model artifacts (ops/ArtifactStore): the first
+    // query touching an index pays the build + commit, its serving
+    // twin (q358/q359) reads the parquet artifact — the bench line
+    // shows both regimes side by side
+    spark.conf.set(graft.ops.ArtifactStore.RootConf,
+      new java.io.File("target/artifacts").getAbsolutePath)
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""
@@ -140,17 +146,41 @@ object Bench {
     val allProbes = probeStart +: windowProbes.toSeq
     val suspects = suspectQueries(results.map(_._1), windowEnds.toSeq,
       allProbes, probeThr)
-    val contended = allProbes.exists(_ > probeThr)
+    // probeEnd participates in `contended` UNCONDITIONALLY: when the
+    // query count is an exact multiple of 16 the final window closed
+    // on its own probe and probeEnd is not in allProbes — a burst
+    // during the tail JSON/teardown phase must still flip the flag
+    // (r12 advice; it can't mark a window suspect, no query runs
+    // after it).
+    val contended = (allProbes :+ probeEnd).exists(_ > probeThr)
     val suspectJson = suspects.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
       .mkString("[", ",", "]")
     val probesJson = allProbes.map(ms).mkString("[", ",", "]")
+    // Which queries ran an APPROXIMATE gated shape at this corpus
+    // cardinality (r12 advice: the artifact must say so, not leave the
+    // reader assuming every number is the exact-oracle regime). Today
+    // the only answer-changing gate is the near-dup exact-pairs gate
+    // (ops/VectorSearch.nearDupPairs): above
+    // spark.graft.neardup.exactMaxRows rows the q29/q79 family
+    // reroutes to cell-bounded candidates (full recall on clustered
+    // corpora, no guarantee in general).
+    val approxShape: Seq[String] = try {
+      val gate = spark.conf.getOption(graft.ops.VectorSearch.GateConf)
+        .map(_.toLong).getOrElse(graft.ops.VectorSearch.DefaultGate)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      if (emb.limit(math.min(gate, Int.MaxValue - 2L).toInt + 1).count() > gate)
+        Seq("q29_neardup_cosine", "q79_neardup_components")
+      else Seq.empty
+    } catch { case _: Throwable => Seq.empty }
+    val approxJson = approxShape.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
+      .mkString("[", ",", "]")
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("target/bench_full.json")
-      try w.println(s"""{"total":${ms(total)},"queries":$fullQs,"window_probes":$probesJson,"suspect":${suspects.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""") finally w.close()
+      try w.println(s"""{"total":${ms(total)},"queries":$fullQs,"window_probes":$probesJson,"suspect":${suspects.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"approx_shape":$approxJson,"sf":"$sfDir"}""") finally w.close()
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","contended":$contended,"n_suspect":${suspects.size},"suspect":$suspectJson,"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","contended":$contended,"n_suspect":${suspects.size},"suspect":$suspectJson,"approx_shape":$approxJson,"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     // The driver captures only the TAIL of stdout; with 250+ queries
     // the full line above overflows that window and is cut mid-map
     // FROM THE HEAD — BENCH_r09's committed artifact lost the total
@@ -159,7 +189,7 @@ object Bench {
     // lives in the full line above and in target/bench_full.json.
     // Distinct metric name: a consumer grepping "metric":"total" must
     // not double-count or land on the truncatable per-query line.
-    println(s"""{"metric":"total_summary","value":${ms(total)},"unit":"sec","contended":$contended,"n_suspect":${suspects.size},"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","queries_file":"target/bench_full.json"}""")
+    println(s"""{"metric":"total_summary","value":${ms(total)},"unit":"sec","contended":$contended,"n_suspect":${suspects.size},"approx_shape":$approxJson,"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","queries_file":"target/bench_full.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -19,6 +19,11 @@ object TimeQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same artifact regime as Bench: set SPARK_GRAFT_NO_ARTIFACTS=1 to
+    // time the pure inline-build shape
+    if (!sys.env.contains("SPARK_GRAFT_NO_ARTIFACTS"))
+      spark.conf.set(graft.ops.ArtifactStore.RootConf,
+        new java.io.File("target/artifacts").getAbsolutePath)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val names = if (nameArgs.nonEmpty) nameArgs.toSet else SparkEntry.queries.keySet
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

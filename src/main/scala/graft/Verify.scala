@@ -20,6 +20,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // write-once index/model artifacts (ops/ArtifactStore): within the
+    // dump the first builder commits, later queries serve; fingerprint
+    // addressing keeps results identical to the inline build
+    spark.conf.set(graft.ops.ArtifactStore.RootConf,
+      new java.io.File("target/artifacts").getAbsolutePath)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -62,6 +62,40 @@ object NswIndex {
     * ~60-250 assignments/cell) every salt count is 1 and the graph is
     * bit-identical to the uncapped build.
     */
+  /** [[knnGraph]] behind the [[ArtifactStore]]: the edge table is a
+    * write-once artifact addressed by the CORPUS CONTENT fingerprint
+    * and the build params, so within a sweep (and across sweeps over
+    * the same corpus) the graph builds once and every later caller
+    * serves a plain parquet scan — identical rows either way, since
+    * the build is integer-deterministic and (src,dst) longs round-trip
+    * parquet exactly. With no artifact root configured this IS
+    * [[knnGraph]] (the spec-pinned inline shape).
+    *
+    * `fpKey` names the physical corpus (dir + table + filter tag) for
+    * the session fingerprint memo — distinct corpora must use
+    * distinct keys.
+    */
+  def knnGraphArtifact(emb: DataFrame, idCol: String, vecCol: String,
+                       centroids: Array[Array[Double]], probes: Int,
+                       m: Int, blockCap: Int, fpKey: String,
+                       assignOpt: Option[DataFrame] = None): DataFrame = {
+    val spark = emb.sparkSession
+    if (ArtifactStore.root(spark).isEmpty)
+      knnGraph(emb, idCol, vecCol, centroids, probes, m, blockCap,
+        assignOpt)
+    else {
+      val fp = ArtifactStore.fingerprint(
+        emb.select(col(idCol), col(vecCol)), fpKey)
+      val ch = centroids.map(_.mkString(",")).mkString("|").hashCode
+      val params =
+        s"k=${centroids.length},ch=$ch,probes=$probes,m=$m,cap=$blockCap"
+      ArtifactStore.buildOrServe(spark, "nsw_knn_graph", fp, params,
+        sourceKey = fpKey)(
+        knnGraph(emb, idCol, vecCol, centroids, probes, m, blockCap,
+          assignOpt))
+    }
+  }
+
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
                centroids: Array[Array[Double]], probes: Int,
                m: Int, blockCap: Int = DefaultBlockCap,

@@ -55,6 +55,12 @@ object PipelineQueries61 {
   private val EpsMilli = 300L
 
   /** Late-bound centroid oracle for q335 (the NswOracle pattern). */
+  /** q359's late-bound oracle — its own slot (a filtered Verify run
+    * must not depend on q335 having populated anything). */
+  private object DbscanServedOracle {
+    @volatile var sql: Option[String] = None
+  }
+
   private object DbscanOracle {
     @volatile var sql: Option[String] = None
   }
@@ -157,9 +163,14 @@ object PipelineQueries61 {
             toDouble(col("embedding")).as("v"))
           .withColumn("nrm", norm(col("v")))
           .localCheckpoint()
-        val edges = NswIndex.knnGraph(emb, "vec_id", "embedding",
+        // artifact-addressed kNN graph (r12 verdict #1/#4): the most
+        // expensive sf1 build in the tree becomes a one-time commit;
+        // q359's serving twin (and any re-sweep over the same corpus)
+        // reads the parquet artifact instead of rebuilding
+        val edges = NswIndex.knnGraphArtifact(emb, "vec_id", "embedding",
             cents, probes = DbProbes, m = DbM,
-            blockCap = NswIndex.DefaultBlockCap)
+            blockCap = NswIndex.DefaultBlockCap,
+            fpKey = s"$dir#embeddings#all")
           .join(vecs.select(col("id").as("src"), col("v").as("sv"),
             col("nrm").as("sn")), "src")
           .join(vecs.select(col("id").as("dst"), col("v").as("dv"),
@@ -168,41 +179,102 @@ object PipelineQueries61 {
             (col("sn") * col("dn")), 6) >= lit(EpsMilli / 1000.0))
           .select(col("src"), col("dst"))
           .localCheckpoint() // degrees + core filter + border attach
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        val core = deg.filter(col("deg") >= MinPts)
-          .select(col("src").as("vec_id")).localCheckpoint()
-        val coreEdges = edges
-          .join(core.withColumnRenamed("vec_id", "src"), "src")
-          .join(core.withColumnRenamed("vec_id", "dst"), "dst")
-          .filter(col("src") < col("dst"))
-          .select(col("src"), col("dst"))
-        val comp = ConnectedComponents
-          .runStarContraction(coreEdges, "src", "dst")
-          .withColumnRenamed("node", "vec_id")
-        val coreLabel = core.join(comp, Seq("vec_id"), "left")
-          .select(col("vec_id"),
-            coalesce(col("component"), col("vec_id")).as("cluster_id"))
-          .localCheckpoint() // border attach reads it twice
-        // border: non-core adjacent to a core — attach to the MIN
-        // adjacent core cluster (deterministic)
-        val border = edges
-          .join(coreLabel.select(col("vec_id").as("dst"),
-            col("cluster_id")), "dst")
-          .join(core.withColumnRenamed("vec_id", "src"), Seq("src"),
-            "left_anti")
-          .groupBy(col("src").as("vec_id"))
-          .agg(min("cluster_id").as("cluster_id"))
-        val labeled = coreLabel.withColumn("role", lit("core"))
-          .unionByName(border.withColumn("role", lit("border")))
-        emb.select(col("vec_id"))
-          .join(labeled, Seq("vec_id"), "left")
-          .select(col("vec_id"),
-            coalesce(col("role"), lit("noise")).as("role"),
-            coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"))
+        dbscanLabel(emb, edges)
       },
       None,
-      Some(() => DbscanOracle.sql))
+      Some(() => DbscanOracle.sql)),
+
+    // q335's DBSCAN in its STEADY-STATE serving shape (r12 verdict
+    // #1/#4): the eps-neighborhood graph itself — kNN edges, cosine
+    // re-checked, eps-filtered — is a write-once ARTIFACT. On a cold
+    // root it derives once from the kNN-graph artifact q335 committed
+    // earlier in the sweep (the 2·m·n dots, paid once); every later
+    // sweep over the same corpus serves the parquet and spends its
+    // whole budget on the core/border/noise labeling. Same rows as
+    // q335 (Pipeline71Spec pins it); bench shows build vs serve side
+    // by side. Falls back to the inline build with no root.
+    QDef("q359_dbscan_served",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val sample = sampleVectors(emb, "vec_id", "embedding",
+          n = 512, seed = 42)
+        val cents = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
+        DbscanServedOracle.sql = Some(dbscanOracleSql(cents))
+        val fpKey = s"$dir#embeddings#all"
+        val ch = cents.map(_.mkString(",")).mkString("|").hashCode
+        def epsEdges = {
+          val vecs = emb.select(col("vec_id").as("id"),
+              toDouble(col("embedding")).as("v"))
+            .withColumn("nrm", norm(col("v")))
+            .localCheckpoint()
+          NswIndex.knnGraphArtifact(emb, "vec_id", "embedding",
+              cents, probes = DbProbes, m = DbM,
+              blockCap = NswIndex.DefaultBlockCap, fpKey = fpKey)
+            .join(vecs.select(col("id").as("src"), col("v").as("sv"),
+              col("nrm").as("sn")), "src")
+            .join(vecs.select(col("id").as("dst"), col("v").as("dv"),
+              col("nrm").as("dn")), "dst")
+            .filter(round(dot(col("sv"), col("dv")) /
+              (col("sn") * col("dn")), 6) >= lit(EpsMilli / 1000.0))
+            .select(col("src"), col("dst"))
+        }
+        // the artifact IS durable storage — only the no-root inline
+        // shape needs the checkpoint (degrees + core + border attach
+        // all re-read the eps graph)
+        val edges = if (graft.ops.ArtifactStore.root(s).isEmpty)
+          epsEdges.localCheckpoint()
+          else graft.ops.ArtifactStore.buildOrServe(s, "dbscan_eps_edges",
+            graft.ops.ArtifactStore.fingerprint(
+              emb.select(col("vec_id"), col("embedding")), fpKey),
+            s"k=${cents.length},ch=$ch,probes=$DbProbes,m=$DbM," +
+              s"eps=$EpsMilli", fpKey)(epsEdges)
+        dbscanLabel(emb, edges)
+      },
+      None,
+      Some(() => DbscanServedOracle.sql))
   )
+
+  /** The DBSCAN labeling downstream of the eps-neighborhood graph —
+    * shared verbatim by q335 (builds the graph) and q359 (serves it):
+    * degree → core points, star-contraction components over the
+    * core-core subgraph, border attach to the MIN adjacent core
+    * cluster (deterministic), noise fill.
+    */
+  private def dbscanLabel(emb: org.apache.spark.sql.DataFrame,
+                          edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val core = deg.filter(col("deg") >= MinPts)
+      .select(col("src").as("vec_id")).localCheckpoint()
+    val coreEdges = edges
+      .join(core.withColumnRenamed("vec_id", "src"), "src")
+      .join(core.withColumnRenamed("vec_id", "dst"), "dst")
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+    val comp = ConnectedComponents
+      .runStarContraction(coreEdges, "src", "dst")
+      .withColumnRenamed("node", "vec_id")
+    val coreLabel = core.join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster_id"))
+      .localCheckpoint() // border attach reads it twice
+    // border: non-core adjacent to a core — attach to the MIN
+    // adjacent core cluster (deterministic)
+    val border = edges
+      .join(coreLabel.select(col("vec_id").as("dst"),
+        col("cluster_id")), "dst")
+      .join(core.withColumnRenamed("vec_id", "src"), Seq("src"),
+        "left_anti")
+      .groupBy(col("src").as("vec_id"))
+      .agg(min("cluster_id").as("cluster_id"))
+    val labeled = coreLabel.withColumn("role", lit("core"))
+      .unionByName(border.withColumn("role", lit("border")))
+    emb.select(col("vec_id"))
+      .join(labeled, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("role"), lit("noise")).as("role"),
+        coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"))
+  }
 
   /** DuckDB replay of q335 with literal centroids: the q257 salted
     * kNN-graph CTEs (multiprobe cells → salt cap → top-m symmetrized

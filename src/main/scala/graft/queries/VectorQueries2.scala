@@ -515,10 +515,17 @@ object VectorQueries2 {
         val corpus = emb.filter(col("vec_id") =!= 0)
         val assign = ivfAssign(corpus, "vec_id", "embedding", cents,
           probes = NswProbes).localCheckpoint() // graph build + entries
-        val edges = NswIndex.knnGraph(corpus, "vec_id", "embedding",
-          cents, probes = NswProbes, m = NswM,
+        // artifact-addressed: with a configured root (Verify/Bench)
+        // the first builder commits the edge table and later callers
+        // over the same corpus (q358's serving twin) read parquet —
+        // already materialized, so only the inline shape checkpoints
+        val edgesRaw = NswIndex.knnGraphArtifact(corpus, "vec_id",
+          "embedding", cents, probes = NswProbes, m = NswM,
           blockCap = NswIndex.DefaultBlockCap,
-          assignOpt = Some(assign)).localCheckpoint()
+          fpKey = s"$dir#embeddings#ne0",
+          assignOpt = Some(assign))
+        val edges = if (graft.ops.ArtifactStore.root(s).isEmpty)
+          edgesRaw.localCheckpoint() else edgesRaw
         val vecs = corpus
           .select(col("vec_id").cast("long").as("id"),
             toDouble(col("embedding")).as("v"))
@@ -570,10 +577,14 @@ object VectorQueries2 {
         val corpus = emb.filter(!isQ)
         val assign = ivfAssign(corpus, "vec_id", "embedding", cents,
           probes = NswProbes).localCheckpoint() // graph build + entries
-        val edges = NswIndex.knnGraph(corpus, "vec_id", "embedding",
-          cents, probes = NswProbes, m = NswM,
+        // artifact-addressed (see q257): q358 serves what this commits
+        val edgesRaw = NswIndex.knnGraphArtifact(corpus, "vec_id",
+          "embedding", cents, probes = NswProbes, m = NswM,
           blockCap = NswIndex.DefaultBlockCap,
-          assignOpt = Some(assign)).localCheckpoint()
+          fpKey = s"$dir#embeddings#mod100ne0",
+          assignOpt = Some(assign))
+        val edges = if (graft.ops.ArtifactStore.root(s).isEmpty)
+          edgesRaw.localCheckpoint() else edgesRaw
         val vecs = corpus
           .select(col("vec_id").cast("long").as("id"),
             toDouble(col("embedding")).as("v"))
@@ -604,7 +615,86 @@ object VectorQueries2 {
             col("rank"))
       },
       None,
-      Some(() => NswBatchOracle.sql))
+      Some(() => NswBatchOracle.sql)),
+
+    // q259's batch ANN in its STEADY-STATE serving shape (r12 verdict
+    // #1): the kNN edge table and the entry cell map are write-once
+    // ARTIFACTS (ops/ArtifactStore) — with a configured root this
+    // query never runs a graph-build stage: it fingerprints the corpus
+    // (one column-pruned scan, session-memoized), reads the committed
+    // parquet q259 wrote earlier in the sweep, and spends its whole
+    // budget on the beam rounds. Same rows as q259 bit-for-bit
+    // (Pipeline71Spec pins it); the bench line therefore shows build
+    // (q259) and serve (this) side by side at every SF — the
+    // operating-model split the 100 TB brief asks for. With no root
+    // configured it falls back to the inline build, output unchanged.
+    QDef("q358_ann_nsw_served",
+      (s, dir) => {
+        import graft.ops.VectorSearch._
+        import graft.ops.{ArtifactStore, NswIndex}
+        val emb = Tables.embeddings(s, dir)
+        val sample = sampleVectors(emb, "vec_id", "embedding",
+          n = 512, seed = 42)
+        val cents = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
+        NswServedOracle.sql = Some(nswBatchOracleSql(cents,
+          probes = NswProbes, m = NswM, beam = NswBeam,
+          rounds = NswRounds, topK = 10))
+        val isQ = col("vec_id") % 100 === 0
+        val corpus = emb.filter(!isQ)
+        val fpKey = s"$dir#embeddings#mod100ne0"
+        def artifactOr(name: String, params: String)
+                      (b: => org.apache.spark.sql.DataFrame) =
+          if (ArtifactStore.root(s).isEmpty) b
+          else ArtifactStore.buildOrServe(s, name,
+            ArtifactStore.fingerprint(
+              corpus.select(col("vec_id"), col("embedding")), fpKey),
+            params, fpKey)(b)
+        val edges = NswIndex.knnGraphArtifact(corpus, "vec_id",
+          "embedding", cents, probes = NswProbes, m = NswM,
+          blockCap = NswIndex.DefaultBlockCap, fpKey = fpKey)
+        // entry map: cell → min corpus id, O(k) rows — an artifact
+        // too, so the served plan has NO corpus-wide assignment stage
+        val ch = cents.map(_.mkString(",")).mkString("|").hashCode
+        val cellMin0 = artifactOr("nsw_entry_cells",
+          s"k=${cents.length},ch=$ch,probes=$NswProbes")(
+          ivfAssign(corpus, "vec_id", "embedding", cents,
+            probes = NswProbes)
+            .groupBy("cell").agg(min("id").as("id")))
+        // entries + globalMin both read the tiny map: served it's an
+        // O(k)-row parquet (re-scan is free); inline it's a corpus
+        // pass, so only that shape checkpoints
+        val cellMin = if (ArtifactStore.root(s).isEmpty)
+          cellMin0.localCheckpoint() else cellMin0
+        val vecs = corpus
+          .select(col("vec_id").cast("long").as("id"),
+            toDouble(col("embedding")).as("v"))
+          .withColumn("nrm", graft.ops.VectorSearch.norm(col("v")))
+          .localCheckpoint() // every beam round reads it
+        val queries = emb.filter(isQ)
+          .select(col("vec_id").cast("long").as("qid"),
+            toDouble(col("embedding")).as("qv"))
+          .withColumn("qn", graft.ops.VectorSearch.norm(col("qv")))
+          .localCheckpoint()
+        val qAssign = ivfAssign(emb.filter(isQ), "vec_id", "embedding",
+          cents, probes = NswProbes)
+        val globalMin = cellMin.agg(min("id").as("id"))
+        val entries = qAssign.select(col("id").as("qid"), col("cell"))
+          .join(broadcast(cellMin), "cell")
+          .select(col("qid"), col("id"))
+          .unionByName(queries.select(col("qid"))
+            .crossJoin(broadcast(globalMin)))
+          .distinct()
+        NswIndex.beamSearchBatch(vecs, edges, queries, entries,
+            beamWidth = NswBeam, rounds = NswRounds)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("sim").desc, col("id").asc)))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("id").as("vec_id"), col("sim"),
+            col("rank"))
+      },
+      None,
+      Some(() => NswServedOracle.sql))
   )
 
   private val NswProbes = 2
@@ -617,6 +707,12 @@ object VectorQueries2 {
 
   /** q259's late-bound oracle (trained-centroid literals). */
   private object NswBatchOracle {
+    @volatile var sql: Option[String] = None
+  }
+
+  /** q358's late-bound oracle — its own slot (a filtered Verify run
+    * must not depend on q259 having populated anything). */
+  private object NswServedOracle {
     @volatile var sql: Option[String] = None
   }
 

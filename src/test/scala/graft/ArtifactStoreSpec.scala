@@ -1,0 +1,136 @@
+package graft
+
+import graft.ops.ArtifactStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** The build-vs-serve contract: build once, serve parquet, rebuild on
+  * content change (fingerprint addressing), survive torn builds,
+  * vacuum superseded fingerprints — and be a no-op with no root.
+  */
+class ArtifactStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-art").toString
+
+  private def withRoot[A](root: String)(f: => A): A = {
+    spark.conf.set(ArtifactStore.RootConf, root)
+    try f finally spark.conf.unset(ArtifactStore.RootConf)
+  }
+
+  private def corpus(n: Int): DataFrame =
+    (1 to n).map(i => (i.toLong, s"doc$i")).toDF("id", "body")
+
+  private def listNames(dir: String): Seq[String] = {
+    val s = Files.list(Paths.get(dir))
+    try {
+      val b = Seq.newBuilder[String]
+      s.iterator().forEachRemaining(p => b += p.getFileName.toString)
+      b.result()
+    } finally s.close()
+  }
+
+  /** All committed fp leaves under root/name (layout: name/scope/fp). */
+  private def fpLeaves(nameDir: String): Seq[java.nio.file.Path] =
+    listNames(nameDir).flatMap(scope =>
+      listNames(s"$nameDir/$scope").map(fp =>
+        Paths.get(s"$nameDir/$scope/$fp")))
+
+  test("no root configured: buildOrServe is identity on the builder " +
+    "(invoked every call — the historical inline shape)") {
+    var builds = 0
+    def run() = ArtifactStore.buildOrServe(spark, "t_noroot", "fp0", "p", "src:x") {
+      builds += 1; corpus(5)
+    }.count()
+    assert(run() === 5 && run() === 5)
+    assert(builds === 2, "without a root every call must build inline")
+  }
+
+  test("with a root: first call builds + commits, second SERVES " +
+    "(builder not invoked), identical rows, manifest written last") {
+    val root = freshRoot()
+    var builds = 0
+    def run(): Set[(Long, String)] = withRoot(root) {
+      ArtifactStore.buildOrServe(spark, "t_serve", "fpA", "k=3", "src:x") {
+        builds += 1; corpus(7)
+      }.as[(Long, String)].collect().toSet
+    }
+    val first = run()
+    assert(builds === 1)
+    val second = run()
+    assert(builds === 1, "second call must serve, not rebuild")
+    assert(second === first)
+    assert(Files.exists(Paths.get(s"$root/t_serve")), "artifact dir")
+    val Seq(leaf) = fpLeaves(s"$root/t_serve")
+    assert(Files.exists(leaf.resolve("manifest.json")), "commit manifest")
+    assert(Files.exists(leaf.resolve("data/_SUCCESS")), "payload marker")
+  }
+
+  test("a changed fingerprint rebuilds AND vacuums the superseded " +
+    "artifact (retention); a changed params string is a distinct " +
+    "artifact") {
+    val root = freshRoot()
+    var builds = 0
+    def run(fp: String, params: String, src: String = "src:x") = withRoot(root) {
+      ArtifactStore.buildOrServe(spark, "t_vac", fp, params, src) {
+        builds += 1; corpus(3)
+      }.count()
+    }
+    run("fp1", "p")
+    run("fp2", "p") // corpus changed → new address, old one vacuumed
+    assert(builds === 2)
+    val leaves = fpLeaves(s"$root/t_vac").map(_.getFileName.toString)
+    assert(leaves === Seq("fp2"),
+      s"superseded fingerprint must vacuum within its scope: $leaves")
+    run("fp2", "q") // same corpus, different build params → new artifact
+    assert(builds === 3)
+    // a DIFFERENT LOGICAL SOURCE must coexist, not evict (the q257
+    // `ne0` vs q335 `all` corpus variants share the artifact name)
+    run("fp9", "p", src = "src:y")
+    assert(builds === 4)
+    val after = fpLeaves(s"$root/t_vac").map(_.getFileName.toString).sorted
+    assert(after === Seq("fp2", "fp2", "fp9"),
+      s"distinct (source, params) scopes must coexist: $after")
+  }
+
+  test("a torn build (manifest missing) is invisible and rebuilds " +
+    "idempotently") {
+    val root = freshRoot()
+    var builds = 0
+    def run() = withRoot(root) {
+      ArtifactStore.buildOrServe(spark, "t_torn", "fpT", "p", "src:x") {
+        builds += 1; corpus(4)
+      }.count()
+    }
+    run()
+    assert(builds === 1)
+    // simulate a crash between payload write and manifest commit
+    val Seq(leaf) = fpLeaves(s"$root/t_torn")
+    Files.delete(leaf.resolve("manifest.json"))
+    assert(run() === 4)
+    assert(builds === 2, "a manifest-less payload must rebuild")
+  }
+
+  test("fingerprint is order-independent, duplicate-sensitive, and " +
+    "memoized per key") {
+    ArtifactStore.clearFingerprintMemo()
+    val a = corpus(20)
+    val b = corpus(20).orderBy(col("id").desc) // same rows, new order
+    val fpA = ArtifactStore.fingerprint(a, "fs:a")
+    val fpB = ArtifactStore.fingerprint(b, "fs:b")
+    assert(fpA === fpB, "row order must not change the fingerprint")
+    // xor alone cancels a duplicated PAIR — the row count must catch it
+    val dup = a.unionAll(corpus(2))
+    assert(ArtifactStore.fingerprint(dup, "fs:dup") !== fpA)
+    val changed = corpus(19).unionAll(Seq((20L, "DOCX")).toDF("id", "body"))
+    assert(ArtifactStore.fingerprint(changed, "fs:chg") !== fpA,
+      "content change must change the fingerprint")
+    // memo: same KEY returns the cached fp without rescanning (the
+    // frame is different but the key pins the physical source)
+    assert(ArtifactStore.fingerprint(changed, "fs:a") === fpA,
+      "memo key must win within a session")
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.ops.ArtifactStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import java.nio.file.Files
+
+/** The build-vs-serve operating model on the real queries (r12
+  * verdict #1): the served twins return BIT-IDENTICAL rows to their
+  * builders, and their plans read the committed artifacts — no graph
+  * build stages. Also pins the fallback: with no artifact root the
+  * twins run the inline build and no artifact path appears anywhere.
+  */
+class Pipeline71Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String): Set[String] =
+    SparkEntry.queries(name)(spark, dir)
+      .collect().map(_.toString).toSet
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  private def withFreshRoot[A](f: String => A): A = {
+    val root = Files.createTempDirectory("graft-art71").toString
+    spark.conf.set(ArtifactStore.RootConf, root)
+    ArtifactStore.clearFingerprintMemo()
+    try f(root) finally spark.conf.unset(ArtifactStore.RootConf)
+  }
+
+  private def committed(root: String, name: String): Boolean = {
+    val d = java.nio.file.Paths.get(s"$root/$name")
+    Files.isDirectory(d) && {
+      val s = Files.walk(d)
+      try s.anyMatch(p => p.getFileName.toString == "manifest.json")
+      finally s.close()
+    }
+  }
+
+  test("q358 == q259 and q359 == q335 bit-for-bit under a cold " +
+    "artifact root (build sweep, then serve)") {
+    withFreshRoot { _ =>
+      val built259 = run("q259_ann_nsw_batch") // commits nsw_knn_graph
+      val served358 = run("q358_ann_nsw_served")
+      assert(served358 === built259, "q358 must serve q259's answer")
+      val built335 = run("q335_dbscan_clusters")
+      val served359 = run("q359_dbscan_served")
+      assert(served359 === built335, "q359 must serve q335's answer")
+    }
+  }
+
+  test("served plans READ the artifacts: q358's final plan scans the " +
+    "nsw_knn_graph parquet (and its entry map is committed), q359's " +
+    "scans dbscan_eps_edges") {
+    withFreshRoot { root =>
+      run("q259_ann_nsw_batch") // commit the graph artifact
+      run("q358_ann_nsw_served") // commit the entry-cell artifact
+      val p358 = plan("q358_ann_nsw_served")
+      assert(p358.contains("nsw_knn_graph"),
+        s"q358 must read the committed edge artifact:\n$p358")
+      // the entry beam is eagerly materialized inside beamSearchBatch,
+      // so its scan can't appear in the FINAL plan — pin the artifact
+      // commit itself (builder-not-reinvoked is ArtifactStoreSpec's)
+      assert(committed(root, "nsw_entry_cells"),
+        "q358 must commit the entry map artifact")
+      run("q335_dbscan_clusters")
+      run("q359_dbscan_served") // commits dbscan_eps_edges
+      val p359 = plan("q359_dbscan_served")
+      assert(p359.contains("dbscan_eps_edges"),
+        s"q359 must read the committed eps graph:\n$p359")
+      assert(committed(root, "dbscan_eps_edges"))
+    }
+  }
+
+  test("no artifact root: the twins fall back to the inline build — " +
+    "same rows, no artifact scan in the plan") {
+    // (the shared-session conf has no root by default in specs)
+    assert(ArtifactStore.root(spark).isEmpty, "spec session must be rootless")
+    val p = plan("q358_ann_nsw_served")
+    assert(!p.contains("nsw_knn_graph") && !p.contains("nsw_entry_cells"),
+      s"rootless q358 must not reference artifacts:\n$p")
+    assert(run("q358_ann_nsw_served") === run("q259_ann_nsw_batch"),
+      "rootless fallback must still match the builder")
+  }
+}
