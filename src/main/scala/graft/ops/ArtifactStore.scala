@@ -130,6 +130,29 @@ object ArtifactStore {
         spark.read.parquet(data)
     }
 
+  /** (address → decoded model) — small driver-side models (a trained
+    * merge list, a vocab) memoize in-JVM on top of the parquet
+    * artifact, so serving costs zero scans after first touch. Keyed on
+    * the full content address: a changed corpus or params misses. */
+  private val modelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** [[buildOrServe]] for DRIVER-SIDE models: the model round-trips
+    * the store as a tiny DataFrame (`enc`/`dec` must be inverses up to
+    * row order — `dec` owns any ordering). With no root configured
+    * this is identity on `build` — no fingerprint scan, no memo (the
+    * historical inline shape, unchanged for unit specs). */
+  def buildOrServeModel[T <: AnyRef](spark: SparkSession, name: String,
+                                     fp: String, params: String,
+                                     sourceKey: String)
+                                    (build: => T)
+                                    (enc: T => DataFrame,
+                                     dec: DataFrame => T): T =
+    if (root(spark).isEmpty) build
+    else modelMemo.computeIfAbsent(s"$name|$sourceKey|$params|$fp", _ =>
+      dec(buildOrServe(spark, name, fp, params, sourceKey)(enc(build)))
+    ).asInstanceOf[T]
+
   /** An artifact exists iff its manifest does AND the payload's
     * _SUCCESS marker survived (manifest is written last, so this is
     * belt-and-braces against a manually half-deleted dir). */

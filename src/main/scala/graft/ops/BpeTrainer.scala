@@ -101,6 +101,33 @@ object BpeTrainer {
     merges.result()
   }
 
+  /** [[train]] behind the [[ArtifactStore]] (r12 verdict #1): the
+    * trained merge list is a write-once MODEL addressed by the corpus
+    * text fingerprint + k — within a sweep the first query touching
+    * the tokenizer pays the k driver rounds, every later query (q99/
+    * q119/q136 share one model) decodes the committed table, and an
+    * in-JVM memo makes repeat serves free. Identical merges either way
+    * (training is integer-deterministic and the table round-trips
+    * exactly). No artifact root → plain [[train]].
+    */
+  def trainArtifact(docs: DataFrame, textCol: String, k: Int,
+                    fpKey: String): Seq[Merge] = {
+    val s = docs.sparkSession
+    if (ArtifactStore.root(s).isEmpty) train(docs, textCol, k)
+    else {
+      val fp = ArtifactStore.fingerprint(docs.select(col(textCol)), fpKey)
+      ArtifactStore.buildOrServeModel(s, "bpe_merges", fp, s"k=$k", fpKey)(
+        train(docs, textCol, k))(
+        ms => {
+          import s.implicits._
+          ms.map(m => (m.iter, m.pair, m.cnt, m.merged))
+            .toDF("iter", "pair", "cnt", "merged")
+        },
+        df => df.orderBy("iter").collect().toSeq.map(r =>
+          Merge(r.getInt(0), r.getString(1), r.getLong(2), r.getString(3))))
+    }
+  }
+
   /** Above this merge count, [[applyMerges]] switches from the literal
     * replace chain to the one-pass kernel: a real 32k-merge vocabulary
     * as a 32k-deep replace tree is 32k scans per document and an

@@ -92,4 +92,27 @@ object WordPieceTrainer {
     }
     merges.result()
   }
+
+  /** [[train]] behind the [[ArtifactStore]] — the
+    * [[BpeTrainer.trainArtifact]] contract for the likelihood-scored
+    * family (q163/q196 share one model per (corpus, k)). */
+  def trainArtifact(docs: DataFrame, textCol: String, k: Int,
+                    fpKey: String): Seq[Merge] = {
+    val s = docs.sparkSession
+    if (ArtifactStore.root(s).isEmpty) train(docs, textCol, k)
+    else {
+      val fp = ArtifactStore.fingerprint(docs.select(col(textCol)), fpKey)
+      ArtifactStore.buildOrServeModel(s, "wordpiece_merges", fp,
+        s"k=$k", fpKey)(
+        train(docs, textCol, k))(
+        ms => {
+          import s.implicits._
+          ms.map(m => (m.iter, m.pair, m.cnt, m.scoreNano, m.merged))
+            .toDF("iter", "pair", "cnt", "score_nano", "merged")
+        },
+        df => df.orderBy("iter").collect().toSeq.map(r =>
+          Merge(r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+            r.getString(4))))
+    }
+  }
 }

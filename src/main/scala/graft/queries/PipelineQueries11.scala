@@ -284,7 +284,8 @@ object PipelineQueries11 {
       (s, dir) => {
         import s.implicits._
         graft.ops.WordPieceTrainer
-          .train(Tables.documents(s, dir), "text", k = 4)
+          .trainArtifact(Tables.documents(s, dir), "text", k = 4,
+            fpKey = s"$dir#documents#text")
           .map(m => (m.iter, m.pair, m.cnt, m.scoreNano, m.merged))
           .toDF("iter", "pair", "cnt", "score_nano", "merged")
       },

@@ -224,8 +224,10 @@ object PipelineQueries12 {
         val valToks = t.filter(col("b") === 18)
           .select(tokens(col("text")).as("toks"))
           .localCheckpoint() // two apply scans share it
-        val bpe = BpeTrainer.train(train, "text", k = 3)
-        val wp = WordPieceTrainer.train(train, "text", k = 3)
+        val bpe = BpeTrainer.trainArtifact(train, "text", k = 3,
+          fpKey = s"$dir#documents#text#b_lt18")
+        val wp = WordPieceTrainer.trainArtifact(train, "text", k = 3,
+          fpKey = s"$dir#documents#text#b_lt18")
           .map(m => BpeTrainer.Merge(m.iter, m.pair, m.cnt, m.merged))
         def comp(family: String, merges: Seq[BpeTrainer.Merge]) =
           valToks.select(size(col("toks")).cast("long").as("nb"),

@@ -489,7 +489,8 @@ object PipelineQueries19 {
     QDef("q196_wordpiece_apply",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val wp = graft.ops.WordPieceTrainer.train(docs, "text", k = 4)
+        val wp = graft.ops.WordPieceTrainer.trainArtifact(docs, "text",
+          k = 4, fpKey = s"$dir#documents#text")
         val merges = wp.map(m =>
           graft.ops.BpeTrainer.Merge(m.iter, m.pair, m.cnt, m.merged))
         docs.select(col("doc_id"), tokens(col("text")).as("toks"))

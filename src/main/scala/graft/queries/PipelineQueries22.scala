@@ -37,6 +37,27 @@ object PipelineQueries22 {
   private val P = UnigramTrainer.MaxPieceLen
   private val M = UnigramTrainer.SeedMulti
 
+  /** The (word, piece) Viterbi segmentation behind the
+    * [[graft.ops.ArtifactStore]] (r12 verdict #1): the L-stage DP is
+    * the expensive half of the trainer, and its output is a
+    * vocab-sized write-once table — q212 commits it, q213 (and every
+    * later sweep over the same corpus) serves the parquet without
+    * touching the builder, whose word/piece inputs then never
+    * materialize. No root → inline build + checkpoint (est counts +
+    * per-word piece counts share it), as before.
+    */
+  private def segArtifact(s: SparkSession, dir: String)
+                         (build: => DataFrame): DataFrame =
+    graft.ops.ArtifactStore.root(s) match {
+      case None => build.localCheckpoint()
+      case Some(_) => graft.ops.ArtifactStore.buildOrServe(
+        s, "unigram_segments",
+        graft.ops.ArtifactStore.fingerprint(
+          Tables.documents(s, dir).select(col("text")),
+          s"$dir#documents#text"),
+        s"L=$L,P=$P,M=$M", s"$dir#documents#text")(build)
+    }
+
   /** Shared train pipeline: (words, pieces, word → n_pieces). */
   private def train(s: SparkSession, dir: String)
   : (DataFrame, DataFrame, DataFrame) = {
@@ -44,10 +65,20 @@ object PipelineQueries22 {
       .wordCounts(Tables.documents(s, dir), tokens(col("text")))
       .localCheckpoint() // seed freq join + est join + apply share it
     val pieces = UnigramTrainer.seedPieces(words).localCheckpoint()
-    val seg = UnigramTrainer.segment(words, pieces)
-      .localCheckpoint() // est counts + per-word piece counts share it
+    val seg = segArtifact(s, dir)(UnigramTrainer.segment(words, pieces))
     (words, pieces, seg)
   }
+
+  /** q213's serve path: only the segmentation table — on a warm
+    * artifact no corpus-side train work runs at all. */
+  private def segOnly(s: SparkSession, dir: String): DataFrame =
+    segArtifact(s, dir) {
+      val words = UnigramTrainer
+        .wordCounts(Tables.documents(s, dir), tokens(col("text")))
+        .localCheckpoint()
+      val pieces = UnigramTrainer.seedPieces(words).localCheckpoint()
+      UnigramTrainer.segment(words, pieces)
+    }
 
   /** The DuckDB replay of the whole trainer: word counts → seed
     * costing → L Viterbi stages → L backtrack stages → `paths`
@@ -136,7 +167,7 @@ object PipelineQueries22 {
 
     QDef("q213_unigram_fertility",
       (s, dir) => {
-        val (_, _, seg) = train(s, dir)
+        val seg = segOnly(s, dir)
         val np = seg.groupBy("word").agg(count(lit(1)).as("np"))
         Tables.documents(s, dir)
           .select(col("source"), explode(tokens(col("text"))).as("word"))

@@ -436,7 +436,8 @@ object PipelineQueries4 {
     QDef("q99_bpe_train",
       (s, dir) => {
         import s.implicits._
-        graft.ops.BpeTrainer.train(Tables.documents(s, dir), "text", k = 5)
+        graft.ops.BpeTrainer.trainArtifact(Tables.documents(s, dir), "text",
+          k = 5, fpKey = s"$dir#documents#text")
           .map(m => (m.iter, m.pair, m.cnt, m.merged))
           .toDF("iter", "pair", "cnt", "merged")
       },

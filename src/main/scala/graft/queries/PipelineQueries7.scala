@@ -262,7 +262,8 @@ object PipelineQueries7 {
     QDef("q119_bpe_apply",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val merges = BpeTrainer.train(docs, "text", k = 5)
+        val merges = BpeTrainer.trainArtifact(docs, "text", k = 5,
+          fpKey = s"$dir#documents#text")
         docs.select(col("doc_id"), tokens(col("text")).as("toks"))
           .select(col("doc_id"),
             size(col("toks")).cast("long").as("n_tokens_raw"),

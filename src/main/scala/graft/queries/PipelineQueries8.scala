@@ -507,7 +507,8 @@ object PipelineQueries8 {
     QDef("q136_bpe_fertility",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val merges = BpeTrainer.train(docs, "text", k = 5)
+        val merges = BpeTrainer.trainArtifact(docs, "text", k = 5,
+          fpKey = s"$dir#documents#text")
         docs.select(col("source"), tokens(col("text")).as("toks"))
           .select(col("source"), size(col("toks")).cast("long").as("nw"),
             size(BpeTrainer.applyMerges(col("toks"), merges))

@@ -76,6 +76,24 @@ class Pipeline71Spec extends SparkSpec {
     }
   }
 
+  test("tokenizer models round-trip the store exactly: trainArtifact " +
+    "== train under a root, and the committed table serves repeats") {
+    val docs = Tables.documents(spark, dir)
+    val inlineBpe = graft.ops.BpeTrainer.train(docs, "text", k = 3)
+    val inlineWp = graft.ops.WordPieceTrainer.train(docs, "text", k = 3)
+    withFreshRoot { root =>
+      val key = s"$dir#documents#text#p71"
+      val a1 = graft.ops.BpeTrainer.trainArtifact(docs, "text", 3, key)
+      val a2 = graft.ops.BpeTrainer.trainArtifact(docs, "text", 3, key)
+      assert(a1 === inlineBpe, "artifact-trained BPE must equal inline")
+      assert(a2 === inlineBpe, "served BPE must equal inline")
+      assert(committed(root, "bpe_merges"))
+      val w1 = graft.ops.WordPieceTrainer.trainArtifact(docs, "text", 3, key)
+      assert(w1 === inlineWp, "artifact-trained WordPiece must equal inline")
+      assert(committed(root, "wordpiece_merges"))
+    }
+  }
+
   test("no artifact root: the twins fall back to the inline build — " +
     "same rows, no artifact scan in the plan") {
     // (the shared-session conf has no root by default in specs)
