@@ -446,39 +446,57 @@ object PipelineQueries31 {
       None,
       Some(() => SilOracle.sql)),
 
-    // Distinct-n-gram diversity per source. One tagged explode feeds
-    // all three gram orders; (source, n) grouping keeps a single
-    // distinct-aggregate per group (no Expand plan from stacked
-    // count-distincts); the shuffle carries 8-byte gram hashes only.
+    // Distinct-n-gram diversity per source, flattened per the r12
+    // verdict (#3 — the old single tagged explode fed 3n rows into a
+    // mixed count/count-distinct agg, whose Expand rewrite doubled
+    // them again; 7.0× at sf1). Two independent corpus passes, both
+    // strictly cheaper:
+    //  - TOTALS are pure arithmetic: an L-token doc has exactly
+    //    max(L-k+1, 0) order-k grams — no hashing, no explode, one
+    //    map-side agg on (source, L).
+    //  - UNIQUES dedup per doc FIRST (array_distinct — within-doc
+    //    1-gram repeats are the heavy mass), then one tagged explode
+    //    of the deduped arrays into a single-distinct agg (plain
+    //    two-stage rewrite, no Expand); the shuffle carries
+    //    (source, n, hash) partials only.
+    // Sources whose docs have no tokens drop out (tot1 > 0), matching
+    // the explode semantics the oracle replays.
     QDef("q268_ngram_diversity",
       (s, dir) => {
-        val t = Tables.documents(s, dir)
-          .select(col("source"), tokens(col("text")).as("toks"))
-        def tagged(k: Int) = transform(gramHashesPositional(col("toks"), k),
+        val docs = Tables.documents(s, dir)
+        val tots = docs
+          .select(col("source"),
+            size(tokens(col("text"))).cast("long").as("len"))
+          .groupBy("source")
+          .agg(sum(col("len")).as("tot1"),
+            sum(greatest(col("len") - 1, lit(0L))).as("tot2"),
+            sum(greatest(col("len") - 2, lit(0L))).as("tot3"))
+          .filter(col("tot1") > 0)
+        def tagged(k: Int) = transform(
+          array_distinct(gramHashesPositional(col("toks"), k)),
           h => struct(lit(k).as("n"), h.as("h")))
-        val per = t
+        val uq = docs
+          .select(col("source"), tokens(col("text")).as("toks"))
           .select(col("source"), explode(concat(tagged(1), tagged(2),
             tagged(3))).as("g"))
           .select(col("source"), col("g.n").as("n"), col("g.h").as("h"))
           .groupBy("source", "n")
-          .agg(count(lit(1)).as("tot"), count_distinct(col("h")).as("uq"))
-        per.groupBy("source")
-          .agg(coalesce(max(when(col("n") === 1, col("tot"))), lit(0L))
-              .as("tot1"),
-            coalesce(max(when(col("n") === 2, col("tot"))), lit(0L))
-              .as("tot2"),
-            coalesce(max(when(col("n") === 3, col("tot"))), lit(0L))
-              .as("tot3"),
-            coalesce(max(when(col("n") === 1, col("uq"))), lit(0L))
+          .agg(count_distinct(col("h")).as("uq"))
+          .groupBy("source")
+          .agg(coalesce(max(when(col("n") === 1, col("uq"))), lit(0L))
               .as("u1"),
             coalesce(max(when(col("n") === 2, col("uq"))), lit(0L))
               .as("u2"),
             coalesce(max(when(col("n") === 3, col("uq"))), lit(0L))
               .as("u3"))
+        tots.join(uq, Seq("source"), "left")
           .selectExpr("source", "tot1", "tot2", "tot3",
-            "(1000000 * u1) div greatest(tot1, 1L) AS uniq1_micro",
-            "(1000000 * u2) div greatest(tot2, 1L) AS uniq2_micro",
-            "(1000000 * u3) div greatest(tot3, 1L) AS uniq3_micro")
+            "(1000000 * coalesce(u1, 0L)) div greatest(tot1, 1L)" +
+              " AS uniq1_micro",
+            "(1000000 * coalesce(u2, 0L)) div greatest(tot2, 1L)" +
+              " AS uniq2_micro",
+            "(1000000 * coalesce(u3, 0L)) div greatest(tot3, 1L)" +
+              " AS uniq3_micro")
       },
       Some(s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
               |g AS (
