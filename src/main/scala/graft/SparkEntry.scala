@@ -44,6 +44,7 @@ object SparkEntry {
       PipelineQueries65.defs ++ PipelineQueries66.defs ++
       PipelineQueries67.defs ++ PipelineQueries68.defs ++
       PipelineQueries69.defs ++ PipelineQueries70.defs ++
+      PipelineQueries71.defs ++
       VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap

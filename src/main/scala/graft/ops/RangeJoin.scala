@@ -133,11 +133,17 @@ object RangeJoin {
       .groupBy("_rj_bkt").agg(count(lit(1)).as("_rj_pop"))
       .select(col("_rj_bkt"),
         ceil(col("_rj_pop") / lit(sliceCap)).cast("int").as("_rj_salts"))
+    // the salt is ANSWER-VISIBLE here (over-cap slices keep only
+    // within-salt pairs), so it uses the house md5 hash — the only
+    // hash both engines can replay — never xxhash64 (q361's DuckDB
+    // oracle replays this op literally, salts included)
     def salted(df: DataFrame, lo: String, hi: String, key: String) =
       spread(df, lo, hi)
         .join(broadcast(salts), Seq("_rj_bkt"), "left")
         .withColumn("_rj_salt",
-          pmod(xxhash64(col(key)), coalesce(col("_rj_salts"), lit(1))))
+          pmod(graft.functions.TextAnalysis.tokenHash(
+            concat(lit("rj:"), col(key).cast("string"))),
+            coalesce(col("_rj_salts"), lit(1))))
         .drop("_rj_salts")
     val l = salted(left, lLo, lHi, lKey)
     val r = salted(right, rLo, rHi, rKey)

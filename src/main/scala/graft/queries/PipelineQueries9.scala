@@ -390,6 +390,64 @@ object PipelineQueries9 {
              |  ON a.lo <= b.hi AND b.lo <= a.hi AND a.iu < b.iu
              |GROUP BY 1, 2""".stripMargin)),
 
+    // The SAMPLED co-presence graph — q145's capped sibling, now a
+    // first-class oracle-checked query (r12 advice follow-through:
+    // the capped op's recall trade must be a tested contract, not a
+    // silent property). sliceCap = 8 forces real salting at every SF
+    // (sf0.01 slices reach ~17 left replicas), and the DuckDB oracle
+    // replays the op LITERALLY — bucket spread, per-slice population,
+    // ceil quota, md5 salt, anchor dedup — so which pairs survive is
+    // pinned bit-for-bit, not just "some subset". Callers needing the
+    // exact graph use q145 (intervalOverlapBlocked) and pay the
+    // density quadratic; this shape is the bounded-budget audit that
+    // scales as O(cap · replicas).
+    QDef("q361_copresence_sampled",
+      (s, dir) => {
+        val iv = sessionIntervals(s, dir).localCheckpoint() // self-join
+        val a = iv.select(col("iu").as("iu_a"), col("lo").as("lo_a"),
+          col("hi").as("hi_a"))
+        val b = iv.select(col("iu").as("iu_b"), col("lo").as("lo_b"),
+          col("hi").as("hi_b"))
+        RangeJoin.intervalOverlapCapped(a, "lo_a", "hi_a", "iu_a",
+            b, "lo_b", "hi_b", "iu_b",
+            bucketWidth = 3600L * 1000000L, sliceCap = 8)
+          .filter(col("iu_a") < col("iu_b"))
+          .groupBy("iu_a", "iu_b")
+          .agg(count(lit(1)).as("n_overlapping_sessions"))
+      },
+      Some {
+        val W = 3600L * 1000000L
+        val cap = 8
+        def mdh(t: String) =
+          s"CAST('0x' || substr(md5($t), 1, 8) AS BIGINT)"
+        s"""WITH $sessionIvSql,
+           |sa AS (SELECT iu AS iu_a, lo AS lo_a, hi AS hi_a,
+           |    unnest(generate_series(lo // $W, hi // $W)) AS bkt
+           |  FROM iv),
+           |sl AS (SELECT bkt,
+           |    (count(*) + ${cap - 1}) // $cap AS salts
+           |  FROM sa GROUP BY 1),
+           |aa AS (SELECT sa.iu_a, sa.lo_a, sa.hi_a, sa.bkt,
+           |    ${mdh(s"'rj:' || CAST(iu_a AS VARCHAR)")} %
+           |      coalesce(sl.salts, 1) AS salt
+           |  FROM sa LEFT JOIN sl USING (bkt)),
+           |sb AS (SELECT iu AS iu_b, lo AS lo_b, hi AS hi_b,
+           |    unnest(generate_series(lo // $W, hi // $W)) AS bkt
+           |  FROM iv),
+           |bb AS (SELECT sb.iu_b, sb.lo_b, sb.hi_b, sb.bkt,
+           |    ${mdh(s"'rj:' || CAST(iu_b AS VARCHAR)")} %
+           |      coalesce(sl.salts, 1) AS salt
+           |  FROM sb LEFT JOIN sl USING (bkt)),
+           |j AS (SELECT iu_a, iu_b
+           |  FROM aa JOIN bb USING (bkt, salt)
+           |  WHERE lo_a <= hi_b AND lo_b <= hi_a
+           |    AND bkt = greatest(lo_a, lo_b) // $W
+           |    AND iu_a < iu_b)
+           |SELECT iu_a, iu_b,
+           |  CAST(count(*) AS BIGINT) AS n_overlapping_sessions
+           |FROM j GROUP BY 1, 2""".stripMargin
+      }),
+
     // Lag-k autocorrelation of the hourly event-count series (k =
     // 1..24): the rhythm audit that separates organic traffic from
     // replayed/synthetic firehoses (flat or period-24-spiked ACF).

@@ -610,19 +610,22 @@ object BlockIngest {
     }
   }
 
+  /** Data files under `p` (skipping `_`/`.` markers) — the driver-side
+    * java.nio walk the store's listing helpers share. */
+  private def filesUnder(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (!Files.exists(p)) Seq.empty
+    else graft.ops.Fs.walk(p)
+      .filter(f => Files.isRegularFile(f) && {
+        val n = f.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+
   /** List a table's live data files as of `height`, relative to
     * `sinkDir` (driver-side java.nio walk — the local stand-in for the
     * Hadoop FileSystem listing a cluster deployment would use).
     */
   private def liveFiles(sinkDir: String, height: Long): Map[String, Seq[String]] = {
     import scala.jdk.CollectionConverters._
-    def filesUnder(p: java.nio.file.Path): Seq[java.nio.file.Path] =
-      if (!Files.exists(p)) Seq.empty
-      else graft.ops.Fs.walk(p)
-        .filter(f => Files.isRegularFile(f) && {
-          val n = f.getFileName.toString
-          !n.startsWith("_") && !n.startsWith(".")
-        })
     def rel(f: java.nio.file.Path): String =
       Paths.get(sinkDir).relativize(f).toString
     val facts = factTables.map { case (table, partCol) =>
@@ -679,6 +682,83 @@ object BlockIngest {
       StandardOpenOption.WRITE)
     Files.move(tmp, commitsDir.resolve(s"$height.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Every file a commit manifest references (all tables), sink-dir
+    * relative. */
+  private def manifestFiles(spark: SparkSession, sinkDir: String,
+                            h: Long): Seq[String] = {
+    val manifest = new String(Files.readAllBytes(
+      Paths.get(s"$sinkDir/_commits/$h.json")), "UTF-8")
+    val schema = StructType(Seq(
+      StructField("height", LongType),
+      StructField("tables", MapType(StringType, ArrayType(StringType)))))
+    import spark.implicits._
+    spark.read.schema(schema).json(Seq(manifest).toDS()).head()
+      .getAs[Map[String, scala.collection.Seq[String]]]("tables")
+      .values.flatten.toSeq
+  }
+
+  /** Orphan-file AUDIT — the VACUUM story for the commit-manifest
+    * store (r12 verdict frontier (c)): classify every data file under
+    * the sink against the retained manifests.
+    *
+    *  - '''live''': referenced by at least one existing commit
+    *    manifest — load-bearing for [[readCommitted]] /
+    *    [[readCommittedAt]] time travel. Never touched.
+    *  - '''pending''': referenced by NO manifest, but its version
+    *    segment (fact partition / inventory bucket version / stats
+    *    version) is ABOVE the committed watermark — an in-flight or
+    *    torn LATER batch. The next successful commit will reference
+    *    or supersede it; deleting it under a concurrent writer would
+    *    corrupt that batch, so the audit only reports it.
+    *  - '''orphan''': referenced by no manifest and at-or-below the
+    *    watermark — torn writes whose batch later replayed into fresh
+    *    files, superseded versions a crashed vacuum missed, manual
+    *    debris. Invisible to every manifest-resolving reader, hence
+    *    safe to delete ([[vacuumOrphans]]).
+    *
+    * Returns (sink-relative path, table, status).
+    */
+  def auditOrphans(spark: SparkSession, sinkDir: String)
+      : Seq[(String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val watermark = committedHeight(sinkDir)
+    val referenced: Set[String] = manifestHeights(sinkDir)
+      .flatMap(h => manifestFiles(spark, sinkDir, h)).toSet
+    val versionPrefixes =
+      (factTables.map(_._2) ++ Seq("merged_height", "h")).distinct
+        .map(_ + "=")
+    val allTables =
+      factTables.map(_._1) ++ inventoryTables :+ "stats_inventory"
+    allTables.flatMap { table =>
+      filesUnder(Paths.get(s"$sinkDir/$table")).map { f =>
+        val rel = Paths.get(sinkDir).relativize(f).toString
+        val status =
+          if (referenced(rel)) "live"
+          else {
+            val segs = Paths.get(s"$sinkDir/$table").relativize(f)
+              .iterator().asScala.map(_.toString).toSeq
+            val ver = segs.reverse.collectFirst {
+              case s if versionPrefixes.exists(s.startsWith) =>
+                s.substring(s.indexOf('=') + 1)
+            }.flatMap(v => scala.util.Try(v.toLong).toOption)
+            if (ver.exists(_ > watermark)) "pending" else "orphan"
+          }
+        (rel, table, status)
+      }
+    }
+  }
+
+  /** Delete what [[auditOrphans]] marks `orphan` and return the
+    * deleted paths. `live` and `pending` are never touched — the spec
+    * pins that every committed snapshot (including time travel across
+    * the retained window) reads identically after the vacuum. */
+  def vacuumOrphans(spark: SparkSession, sinkDir: String): Seq[String] = {
+    val orphans = auditOrphans(spark, sinkDir)
+      .collect { case (f, _, "orphan") => f }
+    orphans.foreach(f => Files.deleteIfExists(Paths.get(s"$sinkDir/$f")))
+    orphans
   }
 
   /** Reader view over the committed snapshot: resolve `table`'s file

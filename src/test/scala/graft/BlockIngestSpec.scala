@@ -351,4 +351,65 @@ class BlockIngestSpec extends SparkSpec {
       BlockIngest.processBatch(spark, batch, sink))
     assert(e.getMessage.contains("non-consecutive"))
   }
+
+  test("orphan-file audit + vacuum: torn files above the watermark " +
+    "are pending (untouched), unmanifested debris below it is orphan " +
+    "(deleted), and every committed read — time travel included — is " +
+    "byte-identical after the vacuum") {
+    val sink = Files.createTempDirectory("ingest_vac").toString
+    val blocks = spark.read.schema(BlockIngest.blockSchema)
+      .json(s"$streamDir/blocks.jsonl")
+    // two retained commits so readCommittedAt time-travels the window
+    BlockIngest.processBatch(spark,
+      blocks.filter(col("height").between(1L, 40L)), sink,
+      retainCommits = 2)
+    BlockIngest.processBatch(spark,
+      blocks.filter(col("height").between(41L, 50L)), sink,
+      retainCommits = 2)
+    // torn LATER batch: facts for 51..60 land, no manifest
+    intercept[IllegalStateException](BlockIngest.processBatch(spark,
+      blocks.filter(col("height").between(51L, 60L)), sink,
+      crashAt = Some("after-facts"), retainCommits = 2))
+    // manual debris in a COMMITTED partition: a copied, unmanifested
+    // part file (the crashed-vacuum / stray-writer class)
+    val part1 = java.nio.file.Paths.get(s"$sink/blocks/height=1")
+    val src = graft.ops.Fs.ls(part1)
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val junk = part1.resolve("part-99999-planted-junk.parquet")
+    java.nio.file.Files.copy(src, junk)
+
+    val audit = BlockIngest.auditOrphans(spark, sink)
+    val byStatus = audit.groupBy(_._3).view.mapValues(_.map(_._1)).toMap
+    assert(byStatus("orphan") ===
+      Seq(s"blocks/height=1/${junk.getFileName}"),
+      s"exactly the planted junk is orphan: ${byStatus.get("orphan")}")
+    val pending = byStatus.getOrElse("pending", Seq.empty)
+    assert(pending.nonEmpty &&
+      pending.forall(_.matches(".*(height|block)=(5[1-9]|60)/.*")),
+      s"the torn 51..60 files are pending, nothing else: $pending")
+    assert(byStatus("live").nonEmpty)
+
+    def snap() = (
+      BlockIngest.readCommitted(spark, sink, "blocks").count(),
+      BlockIngest.readCommittedAt(spark, sink, "blocks", 40L).count(),
+      BlockIngest.readCommitted(spark, sink, "account_inventory")
+        .drop("bucket", "merged_height").orderBy("address").collect().toSeq)
+    val before = snap()
+    val deleted = BlockIngest.vacuumOrphans(spark, sink)
+    assert(deleted === byStatus("orphan"))
+    assert(!java.nio.file.Files.exists(junk), "orphan must be deleted")
+    assert(snap() === before,
+      "committed snapshots must be byte-identical after the vacuum")
+    // pending files survived — the replay completes the torn batch
+    assert(spark.read.parquet(s"$sink/blocks").count() === 60L)
+    BlockIngest.processBatch(spark,
+      blocks.filter(col("height").between(51L, 60L)), sink,
+      retainCommits = 2)
+    assert(BlockIngest.committedHeight(sink) === 60L)
+    // post-replay the store is fully clean: nothing orphan, nothing
+    // pending (dynamic overwrite superseded the torn files in place)
+    val after = BlockIngest.auditOrphans(spark, sink)
+    assert(after.forall(_._3 == "live"),
+      s"non-live after replay: ${after.filter(_._3 != "live").take(5)}")
+  }
 }

@@ -541,6 +541,11 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"q145 fell back to a nested-loop theta join:\n$p")
     assert(!p.contains("CartesianProduct"), s"q145 goes cartesian:\n$p")
+    // the sampled sibling keeps the same anchored equi shape
+    val p361 = plan("q361_copresence_sampled")
+    assert(!p361.contains("BroadcastNestedLoopJoin") &&
+      !p361.contains("CartesianProduct"),
+      s"q361 lost the anchored equi join:\n$p361")
     val p146 = plan("q146_hourly_autocorrelation")
     assert(p146.contains("BroadcastHashJoin"),
       s"q146 shuffle-joins the tiny hourly series:\n$p146")

@@ -73,6 +73,77 @@ class StreamSplitSpec extends SparkSpec {
     val after = spark.read.parquet(store).count()
     assert(after === all.size.toLong,
       s"replay appended rows: $after != ${all.size}")
+
+    // --- compaction/retention (r12 verdict #6) ---
+    def nParts = {
+      val d = java.nio.file.Paths.get(store)
+      val s = java.nio.file.Files.list(d)
+      try {
+        var n = 0
+        s.iterator().forEachRemaining { p =>
+          val nm = p.getFileName.toString
+          if (nm.startsWith("part-") && nm.endsWith(".parquet")) n += 1
+        }
+        n
+      } finally s.close()
+    }
+    assert(nParts > 1, "fixture must be fragmented before compaction")
+    val beforeMap = assigned
+    assert(StreamSplit.compact(spark, store), "compaction must rewrite")
+    val compacted = spark.read.parquet(store)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(compacted === beforeMap,
+      "compaction must preserve every (doc_id -> split) label")
+    assert(nParts === 1,
+      s"store this small must compact to one file, got $nParts")
+    // a store already at its quota refuses to rewrite
+    assert(!StreamSplit.compact(spark, store), "second compact is a no-op")
+  }
+
+  test("store stays bounded under a long fragmented replay: the " +
+    "in-loop trigger compacts and labels never move") {
+    val docs = (0 until 12).map(i =>
+      (i.toLong, (0 until 20).map(j => s"t${i}_$j").mkString(" ")))
+    val src = Files.createTempDirectory("ssplit2-src").toString
+    val store = Files.createTempDirectory("ssplit2-store").toString + "/st"
+    docs.zipWithIndex.foreach { case (d, i) =>
+      Seq(d).toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$src/b$i.parquet")
+    }
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*.parquet")
+      val q = StreamSplit.run(stream, store, Trigger.AvailableNow(),
+        compactAfterFiles = 4).start()
+      q.awaitTermination()
+    }
+    drain()
+    val first = spark.read.parquet(store)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(first.size === docs.size)
+    // replay the whole stream twice more: every batch appends zero
+    // rows but still writes files — the trigger must keep the store's
+    // part count bounded near the trigger line, and labels must not
+    // move across the repeated compactions
+    drain(); drain()
+    def nParts = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(store))
+      try {
+        var n = 0
+        s.iterator().forEachRemaining { p =>
+          val nm = p.getFileName.toString
+          if (nm.startsWith("part-") && nm.endsWith(".parquet")) n += 1
+        }
+        n
+      } finally s.close()
+    }
+    assert(nParts <= 5,
+      s"36 appends must not fragment past the trigger: $nParts files")
+    val after = spark.read.parquet(store)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(after === first, "labels moved across compactions")
   }
 
   test("per-batch cleanup frees only this batch's blocks: a foreign " +

@@ -47,4 +47,34 @@ class TopKSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(got === Set(("a", 0L, 2L), ("a", 1L, 1L), ("b", 0L, 3L)))
   }
+
+  test("global top-k: equals orderBy(key).limit(k) ROW FOR ROW under " +
+    "a total key, on every partitioning — including heavy score ties") {
+    val df = mkDf(7)
+      // force massive score ties: the id tiebreak is what keeps the
+      // key total and the answer partitioning-independent
+      .withColumn("score", col("score") % 3)
+    val k = 9
+    val want = df.orderBy((-col("score")).asc, col("id").asc).limit(k)
+      .select(col("id"), col("score"))
+      .as[(Long, Long)].collect().toSeq.zipWithIndex
+      .map { case ((id, sc), r) => (r.toLong, id, sc) }.toSet
+    Seq(df, df.repartition(1), df.repartition(32, col("id")),
+      df.repartition(3, col("grp"))).foreach { d =>
+      val got = TopK.global(d,
+          struct((-col("score")).as("ns"), col("id").as("id")), k)
+        .select(col("rank"), col("key.id"), (-col("key.ns")).as("score"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === want, s"global top-k drifted on a repartitioning")
+    }
+  }
+
+  test("global top-k with k past the frame returns everything, ranked") {
+    val df = Seq((1L, 10L), (2L, 30L), (3L, 5L)).toDF("id", "score")
+    val got = TopK.global(df,
+        struct((-col("score")).as("ns"), col("id").as("id")), k = 10)
+      .select(col("rank"), col("key.id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 2L), (1L, 1L), (2L, 3L)))
+  }
 }
