@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import VectorSearch._
@@ -140,6 +140,22 @@ object NswIndex {
         col("src").as("dst")))
       .distinct()
   }
+
+  /** HNSW-style deterministic layer membership: node `id` belongs to
+    * layer `l` iff tokenHash("lvl:" ++ id) ≡ 0 (mod 4^l) — the house-
+    * hash twin of HNSW's geometric level draw (Malkov & Yashunin,
+    * TPAMI 2018), P(level ≥ l) = 4^-l, replayable bit-for-bit by the
+    * DuckDB oracle (md5 prefix both sides). Layer 0 is everyone;
+    * each higher layer is a ~4× sparser subset whose salt-capped
+    * [[knnGraph]] is correspondingly cheaper — the coarse-to-fine
+    * entry ladder that replaces q257's flat per-cell entry election
+    * with O(log n) descent at query time.
+    */
+  def atLevel(id: Column, l: Int): Column =
+    if (l <= 0) lit(true)
+    else pmod(graft.functions.TextAnalysis.tokenHash(
+      concat(lit("lvl:"), id.cast("string"))),
+      lit(math.pow(4, l).toLong)) === 0L
 
   /** Fixed-beam, fixed-round search. `vecs` is (id, v, nrm) for the
     * corpus (localCheckpointed by the caller), `edges` the

@@ -694,8 +694,72 @@ object VectorQueries2 {
             col("rank"))
       },
       None,
-      Some(() => NswServedOracle.sql))
+      Some(() => NswServedOracle.sql)),
+
+    // HNSW-style LAYERED graph ANN (r12 verdict frontier (b)): q257's
+    // flat NSW graph gains a coarse top layer — a deterministic ~25%
+    // node subset (geometric level by the house hash, the Malkov &
+    // Yashunin draw made replayable) with its own salt-capped kNN
+    // graph. Search descends: beam over the top layer from its min-id
+    // entry (2 rounds over a 4× sparser graph), then the surviving
+    // beam SEEDS the full layer-0 search — the coarse-to-fine entry
+    // ladder that replaces per-cell entry election and is how graph
+    // ANN keeps round counts flat as n grows (more layers, not more
+    // rounds). Both layer graphs are artifact-addressed; layer 0 is
+    // the SAME artifact q257 commits. Oracle: the full two-layer
+    // replay from centroid literals — membership hash, both salted
+    // builds, every beam stage MATERIALIZED.
+    QDef("q362_ann_hnsw",
+      (s, dir) => {
+        import graft.ops.VectorSearch._
+        import graft.ops.{ArtifactStore, NswIndex}
+        val emb = Tables.embeddings(s, dir)
+        val sample = sampleVectors(emb, "vec_id", "embedding",
+          n = 512, seed = 42)
+        val cents = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
+        NswHnswOracle.sql = Some(hnswOracleSql(cents, probes = NswProbes,
+          m = NswM, beam = NswBeam, topRounds = HnswTopRounds,
+          rounds = NswRounds, topK = 10))
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val lvl1 = corpus.filter(NswIndex.atLevel(col("vec_id"), 1))
+        def cp(df: org.apache.spark.sql.DataFrame) =
+          if (ArtifactStore.root(s).isEmpty) df.localCheckpoint() else df
+        val edges1 = cp(NswIndex.knnGraphArtifact(lvl1, "vec_id",
+          "embedding", cents, probes = NswProbes, m = NswM,
+          blockCap = NswIndex.DefaultBlockCap,
+          fpKey = s"$dir#embeddings#ne0lvl1"))
+        val edges0 = cp(NswIndex.knnGraphArtifact(corpus, "vec_id",
+          "embedding", cents, probes = NswProbes, m = NswM,
+          blockCap = NswIndex.DefaultBlockCap,
+          fpKey = s"$dir#embeddings#ne0")) // q257's artifact, shared
+        val vecs = corpus
+          .select(col("vec_id").cast("long").as("id"),
+            toDouble(col("embedding")).as("v"))
+          .withColumn("nrm", graft.ops.VectorSearch.norm(col("v")))
+          .localCheckpoint() // both layers' scoring reads it
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(toDouble(col("embedding")).as("qv"))
+          .withColumn("qn", graft.ops.VectorSearch.norm(col("qv")))
+        val entry1 = lvl1.agg(min(col("vec_id")).cast("long").as("id"))
+        val beam1 = NswIndex.beamSearch(vecs, edges1, qv, entry1,
+          beamWidth = NswBeam, rounds = HnswTopRounds)
+        NswIndex.beamSearch(vecs, edges0, qv, beam1.select(col("id")),
+            beamWidth = NswBeam, rounds = NswRounds)
+          .orderBy(col("sim").desc, col("id").asc).limit(10)
+          .select(col("id").as("vec_id"), col("sim"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("sim").desc, col("vec_id").asc)))
+      },
+      None,
+      Some(() => NswHnswOracle.sql))
   )
+
+  private val HnswTopRounds = 2
+
+  /** q362's late-bound oracle (trained-centroid literals). */
+  private object NswHnswOracle {
+    @volatile var sql: Option[String] = None
+  }
 
   private val NswProbes = 2
   private val NswM = 6
@@ -735,18 +799,97 @@ object VectorQueries2 {
     * candidates pair only within (cell, salt), replaying
     * [[graft.ops.NswIndex.knnGraph]]'s blockCap exactly.
     * `corpusPred` filters query rows out of the graph. */
-  private def nswCandCtes(corpusPred: String): String =
-    s"""csz AS (SELECT cell, count(*) AS cn FROM cells
+  private def nswCandCtes(corpusPred: String, sfx: String = ""): String =
+    s"""csz$sfx AS (SELECT cell, count(*) AS cn FROM cells
        |  WHERE $corpusPred GROUP BY cell),
-       |sal AS MATERIALIZED (SELECT c.vec_id, c.cell,
+       |sal$sfx AS MATERIALIZED (SELECT c.vec_id, c.cell,
        |    ${hashSql("'nsw:' || CAST(c.vec_id AS VARCHAR)")}
        |      % greatest(1, (cn + ${NswBlockCap - 1}) // $NswBlockCap)
        |      AS salt
-       |  FROM cells c JOIN csz USING (cell) WHERE $corpusPred),
-       |cand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
-       |  FROM sal x JOIN sal y
+       |  FROM cells c JOIN csz$sfx USING (cell) WHERE $corpusPred),
+       |cand$sfx AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |  FROM sal$sfx x JOIN sal$sfx y
        |    ON x.cell = y.cell AND x.salt = y.salt
        |      AND x.vec_id <> y.vec_id)""".stripMargin
+
+  /** One layer's full graph replay (candidates → exact-cosine scored →
+    * per-src top-m → symmetrized edges), CTE names suffixed so the
+    * HNSW oracle can instantiate two layers side by side. */
+  private def nswGraphCtes(corpusPred: String, m: Int, sfx: String)
+      : String =
+    s"""${nswCandCtes(corpusPred, sfx)},
+       |sc$sfx AS MATERIALIZED (SELECT cand$sfx.src, cand$sfx.dst,
+       |    round(${cosSql("sv.v", "dv.v")}, 6) AS sim
+       |  FROM cand$sfx JOIN e sv ON sv.vec_id = cand$sfx.src
+       |    JOIN e dv ON dv.vec_id = cand$sfx.dst),
+       |tm$sfx AS (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY sim DESC, dst ASC) AS rn FROM sc$sfx) z
+       |  WHERE rn <= $m),
+       |edges$sfx AS MATERIALIZED (
+       |  SELECT src, dst FROM tm$sfx
+       |  UNION SELECT dst, src FROM tm$sfx)""".stripMargin
+
+  /** `rounds` unrolled beam stages over `edges$sfx`, beams named
+    * `${pfx}b0..${pfx}b$rounds` (${pfx}b0 supplied by the caller). */
+  private def nswBeamStages(sfx: String, pfx: String, rounds: Int,
+                            beam: Int): String =
+    (1 to rounds).map { r =>
+      s"""${pfx}c$r AS MATERIALIZED (SELECT DISTINCT vec_id FROM (
+         |    SELECT ed.dst AS vec_id FROM edges$sfx ed
+         |    JOIN ${pfx}b${r - 1} b ON ed.src = b.vec_id
+         |    UNION SELECT vec_id FROM ${pfx}b${r - 1}) z),
+         |${pfx}b$r AS MATERIALIZED (
+         |  SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+         |  FROM e JOIN ${pfx}c$r USING (vec_id), q
+         |  ORDER BY sim DESC, vec_id ASC LIMIT $beam)""".stripMargin
+    }.mkString(",\n")
+
+  /** DuckDB replay of q362's two-layer HNSW descent: the level-1
+    * membership hash, BOTH layers' salted graph builds, the top-layer
+    * beam from the min-id entry, and the layer-0 beam seeded by the
+    * top layer's final beam — every stage MATERIALIZED and
+    * bit-replayed from centroid literals.
+    */
+  private def hnswOracleSql(centroids: Array[Array[Double]], probes: Int,
+                            m: Int, beam: Int, topRounds: Int,
+                            rounds: Int, topK: Int): String = {
+    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      val n = dbl(math.sqrt(c.map(x => x * x).sum))
+      s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), " +
+        s"'cell': $i}"
+    }.mkString("[",
+      ",\n", "]")
+    val lvl1Pred = "vec_id <> 0 AND " +
+      s"${hashSql("'lvl:' || CAST(vec_id AS VARCHAR)")} % 4 = 0"
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, $vSql AS v
+       |  FROM embeddings),
+       |a AS (SELECT vec_id, list_reverse_sort($cells) AS cs FROM e),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, unnest(list_transform(list_slice(cs, 1, $probes),
+       |    x -> x.cell)) AS cell
+       |  FROM a),
+       |${nswGraphCtes(lvl1Pred, m, "1")},
+       |${nswGraphCtes("vec_id <> 0", m, "0")},
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |tb0 AS MATERIALIZED (
+       |  SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+       |  FROM e JOIN (SELECT min(vec_id) AS vec_id FROM sal1) en
+       |    USING (vec_id), q
+       |  ORDER BY sim DESC, vec_id ASC LIMIT $beam),
+       |${nswBeamStages("1", "t", topRounds, beam)},
+       |zb0 AS MATERIALIZED (
+       |  SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+       |  FROM e JOIN (SELECT DISTINCT vec_id FROM tb$topRounds) en
+       |    USING (vec_id), q
+       |  ORDER BY sim DESC, vec_id ASC LIMIT $beam),
+       |${nswBeamStages("0", "z", rounds, beam)}
+       |SELECT vec_id, sim,
+       |  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+       |FROM zb$rounds ORDER BY sim DESC, vec_id ASC LIMIT $topK"""
+      .stripMargin
+  }
 
   /** DuckDB replay of [[graft.ops.NswIndex]] build + search with
     * literal centroids: multiprobe assignment (the ivfOracleSql cell

@@ -40,4 +40,17 @@ class AnnRecallSpec extends SparkSpec {
     // and every multi-bit rung beats the 1-bit signature
     assert(ivf >= pq && pq >= ivfpq && sq8 >= pq && sq8 >= bin)
   }
+
+  test("layered HNSW descent holds the graph-ANN recall floor") {
+    val exact = ids("q28_ann_bruteforce")
+    val nsw = (exact & ids("q257_ann_nsw")).size
+    val hnsw = (exact & ids("q362_ann_hnsw")).size
+    info(s"measured recall@10: nsw=$nsw hnsw=$hnsw")
+    // the top layer replaces q257's per-cell entry election with a
+    // coarse-graph descent; on this corpus the seeded layer-0 beam
+    // must stay within one hit of the flat NSW search
+    assert(hnsw >= nsw - 1,
+      s"q362 layered descent degraded vs flat NSW: $hnsw < $nsw - 1")
+    assert(hnsw >= 4, s"q362 HNSW recall@10 floor broken: $hnsw")
+  }
 }
