@@ -1,10 +1,13 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.TextAnalysis._
 import graft.ops.TopK
+import graft.ops.VectorSearch.{kmeansCentroids, sampleVectors, toDouble, topCells}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Seventy-first pipeline group — exact global ranking at scale:
+/** Seventy-first pipeline group — global ranking + corpus-health audits:
   *
   *  - q360: exact global top-k through [[graft.ops.TopK.global]] (r12
   *    verdict frontier (a)) — per-partition partial top-k, then ONE
@@ -17,8 +20,57 @@ import org.apache.spark.sql.functions._
   *    ranking key is TOTAL (chars desc, doc_id asc) so the answer is
   *    partitioning-independent — TopKSpec pins that law; the oracle
   *    pins this instance.
+  *  - q363: intra-doc repetition audit — the degenerate-text screen
+  *    (looping generators, boilerplate mills) that length/entropy
+  *    gates miss: a doc whose single most frequent 3-gram carries
+  *    ≥ 30% of its 3-gram mass is flagged; per-source rates roll up.
+  *  - q364: Cohen's kappa between two independent heuristic quality
+  *    labelers (length gate vs lexical-diversity gate) — the label-
+  *    quality audit run before trusting any single curation rule;
+  *    chance-corrected agreement in exact integer milli with the
+  *    house sign-split division (kappa is legitimately negative when
+  *    labelers anti-correlate).
+  *  - q365: IVF cell-occupancy Gini — the index-balance audit behind
+  *    every IVF-family query: Lloyd on skewed corpora parks mass in
+  *    few cells and probe-limited recall collapses; the Gini of the
+  *    occupancy histogram is the one-number early warning. O(k) rows
+  *    after one kernel-assignment scan; oracle replays assignment
+  *    from centroid literals (late-bound, the q30 pattern).
+  *  - q366: difficulty-banded curriculum manifest — fixed lexical-
+  *    diversity bands (NOT corpus-sorted quantiles: band membership is
+  *    a pure per-row function, so the manifest is stable under corpus
+  *    growth and needs no global sort), with per-band doc/token
+  *    budgets for the training scheduler.
+  *  - q367: hash-split balance audit — the q258 split rule is
+  *    uniform over doc hashes, not over strata; this measures the
+  *    actual per-(split, language) allocation against the 90/5/5
+  *    quota in exact centi-doc deviations (the chi-square ingredient
+  *    that decides whether stratified re-splitting is warranted).
   */
 object PipelineQueries71 {
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+  private def hashSql(t: String) =
+    s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
+  private def gramHashSql(k: Int): String = {
+    val cat = (0 until k).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(toks) >= $k THEN
+       |  list_transform(generate_series(1, len(toks) - ${k - 1}),
+       |    i -> ${hashSql(s"($cat)")})
+       |ELSE [] END""".stripMargin
+  }
+  private def dbl(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+  private val vSql = "list_transform(embedding, x -> x::DOUBLE)"
+
+  /** q365's late-bound oracle (trained-centroid literals). */
+  private object GiniOracle {
+    @volatile var sql: Option[String] = None
+  }
 
   val defs: Seq[QDef] = Seq(
 
@@ -37,6 +89,277 @@ object PipelineQueries71 {
              |    doc_id, n_chars
              |  FROM documents
              |  ORDER BY n_chars DESC, doc_id ASC LIMIT 100)
-             |ORDER BY rank""".stripMargin))
+             |ORDER BY rank""".stripMargin)),
+
+    // Per-doc top-3-gram mass: one explode, per-(doc, gram) counts
+    // (map-side combined), per-doc max/total, per-source rollup —
+    // corpus-linear, shuffle carries 8-byte hashes.
+    QDef("q363_repetition_audit",
+      (s, dir) => {
+        val per = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            explode(gramHashesPositional(tokens(col("text")), 3)).as("h"))
+          .groupBy("doc_id", "source", "h")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "source")
+          .agg(max("c").as("mx"), sum("c").as("tot"))
+          .select(col("source"),
+            expr("(1000 * mx) div tot").as("rep_milli"))
+        per.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sum(rep_milli) div count(1)").as("mean_rep_milli"),
+            max("rep_milli").as("max_rep_milli"),
+            sum(when(col("rep_milli") >= 300, 1L).otherwise(0L))
+              .as("n_degenerate"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks
+              |    FROM documents),
+              |g AS (SELECT doc_id, source, unnest(${gramHashSql(3)}) AS h
+              |  FROM t),
+              |pc AS (SELECT doc_id, source, h, count(*) AS c
+              |  FROM g GROUP BY 1, 2, 3),
+              |d AS (SELECT doc_id, source,
+              |    (1000 * max(c)) // sum(c) AS rep_milli
+              |  FROM pc GROUP BY 1, 2)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(rep_milli) // count(*) AS BIGINT)
+              |    AS mean_rep_milli,
+              |  CAST(max(rep_milli) AS BIGINT) AS max_rep_milli,
+              |  CAST(sum(CASE WHEN rep_milli >= 300 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_degenerate
+              |FROM d GROUP BY source""".stripMargin)),
+
+    // Both labels are pure per-row functions (cross-multiplied — no
+    // division at the boundary); the contingency table is one
+    // map-side agg per lang, kappa is O(#langs) arithmetic after it.
+    QDef("q364_label_kappa",
+      (s, dir) => {
+        val lab = Tables.documents(s, dir)
+          .select(col("lang"), col("n_chars"),
+            tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("lang"),
+            when(col("n_chars") >= 300, 1L).otherwise(0L).as("a"),
+            when(size(array_distinct(col("toks"))).cast("long") * 1000L >=
+              size(col("toks")).cast("long") * 460L, 1L).otherwise(0L)
+              .as("b"))
+        lab.groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("a") === col("b"), 1L).otherwise(0L))
+              .as("agree"),
+            sum("a").as("a1"), sum("b").as("b1"))
+          .withColumn("po_milli", expr("(1000 * agree) div n"))
+          .withColumn("pe_milli", expr(
+            "(1000 * (a1 * b1 + (n - a1) * (n - b1))) div (n * n)"))
+          // house sign-split div: kappa is legitimately negative when
+          // the labelers anti-correlate, and div/floor-div disagree on
+          // negative numerators across engines
+          .withColumn("kappa_milli", expr(
+            """CASE WHEN po_milli >= pe_milli
+              |THEN (1000 * (po_milli - pe_milli))
+              |  div greatest(1000 - pe_milli, 1L)
+              |ELSE -((1000 * (pe_milli - po_milli))
+              |  div greatest(1000 - pe_milli, 1L)) END""".stripMargin))
+          .select(col("lang"), col("n"), col("po_milli"),
+            col("pe_milli"), col("kappa_milli"))
+      },
+      Some(s"""WITH t AS (SELECT lang, n_chars, $toksSql AS toks
+              |    FROM documents),
+              |l AS (SELECT lang,
+              |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+              |    CASE WHEN len(list_distinct(toks)) * 1000 >=
+              |        len(toks) * 460 THEN 1 ELSE 0 END AS b
+              |  FROM t WHERE len(toks) > 0),
+              |c AS (SELECT lang, count(*) AS n,
+              |    sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
+              |    sum(a) AS a1, sum(b) AS b1 FROM l GROUP BY 1),
+              |k AS (SELECT lang, n, agree, a1, b1,
+              |    (1000 * agree) // n AS po_milli,
+              |    (1000 * (a1 * b1 + (n - a1) * (n - b1))) // (n * n)
+              |      AS pe_milli
+              |  FROM c)
+              |SELECT lang, CAST(n AS BIGINT) AS n,
+              |  CAST(po_milli AS BIGINT) AS po_milli,
+              |  CAST(pe_milli AS BIGINT) AS pe_milli,
+              |  CAST(CASE WHEN po_milli >= pe_milli
+              |    THEN (1000 * (po_milli - pe_milli)) //
+              |      greatest(1000 - pe_milli, 1)
+              |    ELSE -((1000 * (pe_milli - po_milli)) //
+              |      greatest(1000 - pe_milli, 1)) END AS BIGINT)
+              |    AS kappa_milli
+              |FROM k""".stripMargin)),
+
+    // One kernel-assignment scan → O(k) occupancy rows; the rank
+    // window runs over ≤ k rows (bounded frame, the q322 class).
+    QDef("q365_ivf_cell_gini",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = kmeansCentroids(
+          sampleVectors(emb, "vec_id", "embedding", n = 512, seed = 42),
+          k = 16, iters = 10, seed = 42)
+        GiniOracle.sql = Some(giniOracleSql(cents))
+        val occ = emb
+          .select(element_at(topCells(
+            toDouble(col("embedding")), cents, 1), 1).as("cell"))
+          .groupBy("cell").agg(count(lit(1)).as("occ"))
+        val ranked = occ.withColumn("i", row_number().over(
+          Window.orderBy(col("occ").asc, col("cell").asc)))
+        ranked
+          .agg(count(lit(1)).as("n_cells"), sum("occ").as("n_vecs"),
+            sum(expr("i * occ")).as("s1"),
+            min("occ").as("min_occ"), max("occ").as("max_occ"))
+          .select(col("n_cells"), col("n_vecs"),
+            expr("""(1000 * (2 * s1 - (n_cells + 1) * n_vecs))
+                   | div (n_cells * n_vecs)""".stripMargin)
+              .as("gini_milli"),
+            col("min_occ"), col("max_occ"))
+      },
+      None,
+      Some(() => GiniOracle.sql)),
+
+    // Band membership is a pure per-row function of the doc — no
+    // global sort, no quantile pass — so the manifest is stable under
+    // corpus growth; one map-side agg to the 4 band rows.
+    QDef("q366_curriculum_bands",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(expr(
+            "(1000 * size(array_distinct(toks))) div size(toks)")
+            .as("dr"), size(col("toks")).cast("long").as("nt"))
+          .select(least(expr("dr div 250"), lit(3L)).as("band"),
+            col("dr"), col("nt"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+            min("dr").as("min_dr_milli"), max("dr").as("max_dr_milli"))
+      },
+      Some(s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+              |d AS (SELECT
+              |    (1000 * len(list_distinct(toks))) // len(toks) AS dr,
+              |    len(toks) AS nt
+              |  FROM t WHERE len(toks) > 0),
+              |b AS (SELECT least(dr // 250, 3) AS band, dr, nt FROM d)
+              |SELECT CAST(band AS BIGINT) AS band,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+              |  CAST(min(dr) AS BIGINT) AS min_dr_milli,
+              |  CAST(max(dr) AS BIGINT) AS max_dr_milli
+              |FROM b GROUP BY band""".stripMargin)),
+
+    // The split hash and the quota table are per-row functions; the
+    // audit is one (split, lang) agg joined to the O(#langs) totals.
+    QDef("q367_split_balance",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("lang"),
+            pmod(tokenHash(concat(lit("split:"),
+              col("doc_id").cast("string"))), lit(100L)).as("hb"))
+          .select(col("lang"),
+            when(col("hb") < 90, lit("train"))
+              .when(col("hb") < 95, lit("val"))
+              .otherwise(lit("test")).as("split"))
+        val totals = docs.groupBy("lang").agg(count(lit(1)).as("tl"))
+        docs.groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .join(broadcast(totals), "lang")
+          .withColumn("quota",
+            when(col("split") === "train", 90L)
+              .when(col("split") === "val", 5L).otherwise(5L))
+          .select(col("split"), col("lang"), col("n_docs"),
+            expr("tl * quota").as("expected_centi"),
+            abs(expr("100 * n_docs - tl * quota")).as("abs_dev_centi"))
+      },
+      Some(s"""WITH d AS (SELECT lang,
+              |    CASE
+              |      WHEN ${hashSql("'split:' || CAST(doc_id AS VARCHAR)")}
+              |        % 100 < 90 THEN 'train'
+              |      WHEN ${hashSql("'split:' || CAST(doc_id AS VARCHAR)")}
+              |        % 100 < 95 THEN 'val'
+              |      ELSE 'test' END AS split
+              |  FROM documents),
+              |t AS (SELECT lang, count(*) AS tl FROM d GROUP BY 1),
+              |c AS (SELECT split, lang, count(*) AS n_docs
+              |  FROM d GROUP BY 1, 2)
+              |SELECT c.split, c.lang, CAST(n_docs AS BIGINT) AS n_docs,
+              |  CAST(tl * (CASE c.split WHEN 'train' THEN 90
+              |    ELSE 5 END) AS BIGINT) AS expected_centi,
+              |  CAST(abs(100 * n_docs - tl * (CASE c.split
+              |    WHEN 'train' THEN 90 ELSE 5 END)) AS BIGINT)
+              |    AS abs_dev_centi
+              |FROM c JOIN t USING (lang)""".stripMargin)),
+
+    q368Def
   )
+
+  /** q368 inline below uses the same hash as [[graft.ops.NswIndex
+    * .atLevel]] — the census is the audit that the deterministic
+    * geometric draw actually decays 4× per layer on real ids. */
+  // lazy: declared below `defs`, which references it at class init
+  private lazy val q368Def = QDef("q368_hnsw_layer_census",
+    (s, dir) => {
+      val ids = Tables.embeddings(s, dir)
+        .select(col("vec_id"), tokenHash(concat(lit("lvl:"),
+          col("vec_id").cast("string"))).as("h"))
+      val levels = (0 to 3).map { l =>
+        val mod = math.pow(4, l).toLong
+        ids.filter(pmod(col("h"), lit(mod)) === 0L)
+          .agg(lit(l.toLong).as("level"), count(lit(1)).as("n_nodes"))
+      }.reduce(_ unionByName _)
+      // expected occupancy halves twice per layer: n_0 div 4^level —
+      // deviations audit the hash's geometric decay on REAL ids
+      val n0 = levels.filter(col("level") === 0L)
+        .select(col("n_nodes").as("n0"))
+      levels.crossJoin(broadcast(n0))
+        .select(col("level"), col("n_nodes"),
+          expr("n0 div cast(pow(4, level) as long)").as("expected_n"),
+          abs(col("n_nodes") -
+            expr("n0 div cast(pow(4, level) as long)")).as("abs_dev"))
+    },
+    Some(s"""WITH i AS (SELECT vec_id,
+            |    ${hashSql("'lvl:' || CAST(vec_id AS VARCHAR)")} AS h
+            |  FROM embeddings),
+            |l AS (SELECT level, count(*) AS n_nodes
+            |  FROM i, (SELECT unnest([0, 1, 2, 3]) AS level)
+            |  WHERE h % CAST(pow(4, level) AS BIGINT) = 0
+            |  GROUP BY 1),
+            |n AS (SELECT n_nodes AS n0 FROM l WHERE level = 0)
+            |SELECT CAST(level AS BIGINT) AS level,
+            |  CAST(n_nodes AS BIGINT) AS n_nodes,
+            |  CAST(n0 // CAST(pow(4, level) AS BIGINT) AS BIGINT)
+            |    AS expected_n,
+            |  CAST(abs(n_nodes - n0 // CAST(pow(4, level) AS BIGINT))
+            |    AS BIGINT) AS abs_dev
+            |FROM l, n""".stripMargin))
+
+  /** DuckDB replay of q365: nearest-cell assignment from centroid
+    * literals (probes = 1 — the reversed struct sort's head), the
+    * occupancy histogram, and the exact-integer Gini over the ≤ k
+    * present cells (ascending (occ, cell) rank).
+    */
+  private def giniOracleSql(centroids: Array[Array[Double]]): String = {
+    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      val n = dbl(math.sqrt(c.map(x => x * x).sum))
+      s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), " +
+        s"'cell': $i}"
+    }.mkString("[", ",\n", "]")
+    s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+       |a AS (SELECT vec_id,
+       |    list_transform(list_slice(list_reverse_sort($cells), 1, 1),
+       |      x -> x.cell)[1] AS cell FROM e),
+       |o AS (SELECT cell, count(*) AS occ FROM a GROUP BY 1),
+       |r AS (SELECT occ, row_number() OVER (
+       |    ORDER BY occ ASC, cell ASC) AS i FROM o),
+       |g AS (SELECT count(*) AS n_cells, sum(occ) AS n_vecs,
+       |    sum(i * occ) AS s1, min(occ) AS min_occ,
+       |    max(occ) AS max_occ FROM r)
+       |SELECT CAST(n_cells AS BIGINT) AS n_cells,
+       |  CAST(n_vecs AS BIGINT) AS n_vecs,
+       |  CAST((1000 * (2 * s1 - (n_cells + 1) * n_vecs)) //
+       |    (n_cells * n_vecs) AS BIGINT) AS gini_milli,
+       |  CAST(min_occ AS BIGINT) AS min_occ,
+       |  CAST(max_occ AS BIGINT) AS max_occ
+       |FROM g""".stripMargin
+  }
 }
