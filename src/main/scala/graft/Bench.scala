@@ -44,9 +44,18 @@ object Bench {
     // write-once index/model artifacts (ops/ArtifactStore): the first
     // query touching an index pays the build + commit, its serving
     // twin (q358/q359) reads the parquet artifact — the bench line
-    // shows both regimes side by side
+    // shows both regimes side by side. The root is WIPED first so
+    // every bench line is a reproducible COLD run: build rows measure
+    // builds, serve rows measure serves, and no prior round's state
+    // leaks into the numbers.
+    val artRoot = new java.io.File("target/artifacts")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(); ()
+    }
+    if (artRoot.exists) wipe(artRoot)
     spark.conf.set(graft.ops.ArtifactStore.RootConf,
-      new java.io.File("target/artifacts").getAbsolutePath)
+      artRoot.getAbsolutePath)
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""

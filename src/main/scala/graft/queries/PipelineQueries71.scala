@@ -91,18 +91,41 @@ object PipelineQueries71 {
              |  ORDER BY n_chars DESC, doc_id ASC LIMIT 100)
              |ORDER BY rank""".stripMargin)),
 
-    // Per-doc top-3-gram mass: one explode, per-(doc, gram) counts
-    // (map-side combined), per-doc max/total, per-source rollup —
-    // corpus-linear, shuffle carries 8-byte hashes.
+    // Per-doc top-3-gram mass WITHOUT a shuffle: the max multiplicity
+    // of a gram within one doc is the longest equal run of its SORTED
+    // hash array — a per-row array_sort + one aggregate fold, all
+    // codegen'd, so the only shuffle is the O(#sources) rollup. (The
+    // explode + per-(doc, gram) groupBy form was this bench's single
+    // heaviest query at 7 s; this shape is map-only.) The oracle keeps
+    // the unnest/GROUP BY spelling — same answer, DuckDB's plan is its
+    // own business.
     QDef("q363_repetition_audit",
       (s, dir) => {
+        val runBest = aggregate(array_sort(col("g")),
+          struct(lit(0L).as("prev"), lit(0L).as("run"),
+            lit(0L).as("best"), lit(false).as("has")),
+          (acc, x) => {
+            val run = when(acc("has") && acc("prev") === x,
+              acc("run") + 1L).otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc("best"), run).as("best"),
+              lit(true).as("has"))
+          }).getField("best")
         val per = Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"),
-            explode(gramHashesPositional(tokens(col("text")), 3)).as("h"))
-          .groupBy("doc_id", "source", "h")
-          .agg(count(lit(1)).as("c"))
-          .groupBy("doc_id", "source")
-          .agg(max("c").as("mx"), sum("c").as("tot"))
+          // the tot > 0 guard is phrased on the RAW row (an L-token
+          // doc has L-2 3-grams, so tot > 0 ⇔ L ≥ 3) and sits BELOW
+          // the projections: a filter on the derived `tot` alias gets
+          // pushdown-rewritten through the projection and the whole
+          // gram pipeline re-inlines into the predicate — measured
+          // 5.0 s vs 0.9 s. toks/g stay multi-referenced attributes so
+          // CollapseProject cannot re-split the text per gram position
+          // (the house re-evaluation trap).
+          .filter(size(tokens(col("text"))) >= 3)
+          .select(col("source"), tokens(col("text")).as("toks"))
+          .select(col("source"),
+            gramHashesPositional(col("toks"), 3).as("g"))
+          .select(col("source"), runBest.as("mx"),
+            size(col("g")).cast("long").as("tot"))
           .select(col("source"),
             expr("(1000 * mx) div tot").as("rep_milli"))
         per.groupBy("source")

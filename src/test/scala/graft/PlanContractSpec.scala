@@ -552,6 +552,17 @@ class PlanContractSpec extends SparkSpec {
     assert(!p146.contains("Window"), s"q146 uses a window:\n$p146")
   }
 
+  test("q363's only shuffle is the O(#sources) rollup: the per-doc " +
+    "max-run is a per-row fold — no explode, no per-gram exchange") {
+    val p = plan("q363_repetition_audit")
+    assert(!p.contains("Generate"),
+      s"q363 regressed to the explode shape:\n$p")
+    // formatted plans print each node twice (tree + detail): one
+    // exchange = two occurrences
+    val nEx = "Exchange".r.findAllIn(p).length
+    assert(nEx <= 2, s"q363 grew a second shuffle ($nEx):\n$p")
+  }
+
   test("q147 novelty curve windows only the O(#checkpoints) bucket " +
     "table (both window inputs are aggregate outputs, joined broadcast)") {
     val p = plan("q147_gram_novelty_curve")
