@@ -1,0 +1,176 @@
+package graft
+
+import graft.ops.{NswIndex, VectorSearch}
+import graft.streaming.StreamNswInsert
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+import scala.util.Random
+
+/** The maintained NSW graph: search recall over the incrementally
+  * inserted graph matches the statically rebuilt graph, replay is a
+  * no-op (per-batch partition overwrite + meta gate), poison rows are
+  * dropped, and per-insert degree growth is bounded. Slicing
+  * invariance is NOT claimed (insertion order matters for every
+  * incremental graph index — documented in the module).
+  */
+class StreamNswInsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 8
+  private val m = 4
+  private val beam = 8
+  private val rounds = 3
+  private val probes = 2
+
+  private def randUnit(rnd: Random, d: Int): Array[Double] = {
+    val v = Array.fill(d)(rnd.nextGaussian())
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
+
+  private def df(rows: Seq[(Long, Array[Double])]): DataFrame =
+    rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+
+  // clustered corpus: 5 tight clusters × 24 members, ids interleaved
+  // so every batch touches every cluster
+  private val rnd = new Random(61)
+  private val centers = Array.fill(5)(randUnit(rnd, dims))
+  private val corpus: Seq[(Long, Array[Double])] =
+    (0 until 120).map { i =>
+      val c = centers(i % 5)
+      val noise = randUnit(rnd, dims).map(_ * 0.15)
+      val v = c.zip(noise).map { case (a, b) => a + b }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n))
+    }
+  private val cents = VectorSearch.kmeansCentroids(
+    corpus.map(_._2).toArray, k = 8, iters = 6, seed = 42L)
+
+  private def freshStore(): String =
+    Files.createTempDirectory("nswins").toString + "/g"
+
+  private def insertAll(store: String, nBatches: Int): Unit =
+    (0 until nBatches).foreach { b =>
+      StreamNswInsert.applyBatch(
+        df(corpus.filter(_._1 % nBatches == b)), b.toLong,
+        "vec_id", "embedding", cents, probes, m, beam, rounds, store)
+    }
+
+  /** Exact top-k neighbor ids of `q` by cosine over the corpus. */
+  private def exactTop(q: Array[Double], k: Int): Set[Long] = {
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    corpus.map { case (id, v) =>
+      val d = v.zip(q).map { case (a, b) => a * b }.sum
+      (-d / (qn * math.sqrt(v.map(x => x * x).sum)), id)
+    }.sorted.take(k).map(_._2).toSet
+  }
+
+  private def searchTop(store: String, q: Array[Double], k: Int)
+      : Set[Long] = {
+    val vecs = StreamNswInsert.nodes(spark, store)
+      .withColumn("nrm", VectorSearch.norm(col("v")))
+      .localCheckpoint()
+    val qdf = Seq(q.toSeq).toDF("qv")
+      .withColumn("qn", VectorSearch.norm(col("qv")))
+    val entries = vecs.agg(min("id").as("id"))
+    NswIndex.beamSearch(vecs, StreamNswInsert.edges(spark, store),
+        qdf, entries, beamWidth = beam, rounds = rounds)
+      .orderBy(col("sim").desc, col("id").asc).limit(k)
+      .select("id").as[Long].collect().toSet
+  }
+
+  test("recall over the incrementally maintained graph matches the " +
+    "statically rebuilt graph; replay of any batch is a no-op") {
+    val store = freshStore()
+    insertAll(store, nBatches = 4)
+    assert(StreamNswInsert.nodes(spark, store).count() === 120L)
+
+    // static twin: one knnGraph over the full corpus
+    val staticEdges = NswIndex.knnGraph(
+      df(corpus).select(col("vec_id").as("id"),
+        VectorSearch.toDouble(col("embedding")).as("v")),
+      "id", "v", cents, probes, m, NswIndex.DefaultBlockCap)
+      .localCheckpoint()
+    val vecsAll = df(corpus).select(col("vec_id").cast("long").as("id"),
+        VectorSearch.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorSearch.norm(col("v")))
+      .localCheckpoint()
+    val queries = (0 until 8).map(_ => randUnit(new Random(77), dims))
+      .zipWithIndex.map { case (q, i) =>
+        val c = centers(i % 5)
+        val v = c.zip(q.map(_ * 0.2)).map { case (a, b) => a + b }
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+    var incHits = 0
+    var staticHits = 0
+    queries.foreach { q =>
+      val exact = exactTop(q, 10)
+      incHits += (exact & searchTop(store, q, 10)).size
+      val qdf = Seq(q.toSeq).toDF("qv")
+        .withColumn("qn", VectorSearch.norm(col("qv")))
+      val st = NswIndex.beamSearch(vecsAll, staticEdges, qdf,
+          vecsAll.agg(min("id").as("id")), beamWidth = beam,
+          rounds = rounds)
+        .orderBy(col("sim").desc, col("id").asc).limit(10)
+        .select("id").as[Long].collect().toSet
+      staticHits += (exact & st).size
+    }
+    info(s"recall@10 over 8 queries: incremental=$incHits static=$staticHits")
+    assert(incHits >= staticHits - 8,
+      s"maintained graph lost more than 1 hit/query vs static: " +
+        s"$incHits vs $staticHits")
+    assert(incHits >= 40, s"absolute recall floor broken: $incHits/80")
+
+    // replay: re-apply an old batch — gated, nothing changes
+    val edgesBefore = StreamNswInsert.edges(spark, store).count()
+    StreamNswInsert.applyBatch(df(corpus.filter(_._1 % 4 == 1)), 1L,
+      "vec_id", "embedding", cents, probes, m, beam, rounds, store)
+    assert(StreamNswInsert.edges(spark, store).count() === edgesBefore)
+    assert(StreamNswInsert.nodes(spark, store).count() === 120L)
+  }
+
+  test("poison rows are dropped; per-batch degree growth is bounded; " +
+    "the streaming wiring drains the same store the batch API builds") {
+    val store = freshStore()
+    // batch 0 via the real stream wiring
+    val src = Files.createTempDirectory("nswins-src").toString
+    (0 until 3).foreach { b =>
+      df(corpus.filter(_._1 % 3 == b)).coalesce(1)
+        .write.parquet(s"$src/b$b.parquet")
+    }
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*.parquet")
+    val q = StreamNswInsert.run(stream, "vec_id", "embedding", cents,
+      probes, m, beam, rounds, store, Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(StreamNswInsert.nodes(spark, store).count() === 120L)
+
+    // poison batch: null vector, wrong dims, and a duplicate id —
+    // must not throw, must not add nodes beyond the one valid new row
+    val poison = df(Seq((500L, randUnit(rnd, dims))))
+      .unionByName(Seq((501L, None: Option[Seq[Double]]))
+        .toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>")))
+      .unionByName(df(Seq((0L, randUnit(rnd, dims))))) // dup of node 0
+    StreamNswInsert.applyBatch(poison, 99L, "vec_id", "embedding",
+      cents, probes, m, beam, rounds, store)
+    val n = StreamNswInsert.nodes(spark, store)
+    assert(n.count() === 121L, "only the valid new row may insert")
+    assert(n.filter(col("id") === 0L).count() === 1L,
+      "a re-sent id must not duplicate")
+
+    // degree bound: node 500 joined via ≤ m intra (none: alone in its
+    // batch) + m cross out-edges, symmetrized
+    val deg500 = StreamNswInsert.edges(spark, store)
+      .filter(col("src") === 500L).count()
+    assert(deg500 >= 1L && deg500 <= 2L * m,
+      s"insert degree out of bounds: $deg500")
+  }
+}
