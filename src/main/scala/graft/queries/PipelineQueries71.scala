@@ -312,7 +312,119 @@ object PipelineQueries71 {
               |    AS abs_dev_centi
               |FROM c JOIN t USING (lang)""".stripMargin)),
 
-    q368Def
+    q368Def,
+
+    // Token-budget source selection: rank sources by lexical-diversity
+    // density and admit in rank order while the CUMULATIVE token cost
+    // fits half the corpus budget — the greedy budget-prefix rule a
+    // mixture planner runs before q232/q247 reweighting. The ranking
+    // and cumulative window run over O(#sources) rows (bounded frame);
+    // the corpus-side work is one agg. Total order: (density desc,
+    // source asc).
+    QDef("q369_budget_selection",
+      (s, dir) => {
+        val src = Tables.documents(s, dir)
+          .select(col("source"), tokens(col("text")).as("toks"))
+          .select(col("source"), size(col("toks")).cast("long").as("nt"),
+            size(array_distinct(col("toks"))).cast("long").as("nu"))
+          .groupBy("source")
+          .agg(sum("nt").as("n_tokens"), sum("nu").as("n_uniq"))
+          .withColumn("density_micro",
+            expr("(1000000 * n_uniq) div n_tokens"))
+        val budget = src.agg((sum("n_tokens") / 2).cast("long")
+          .as("budget"))
+        val w = Window.orderBy(col("density_micro").desc,
+          col("source").asc)
+        src.crossJoin(broadcast(budget))
+          .withColumn("cum_tokens",
+            sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .select(col("source"), col("n_tokens"), col("density_micro"),
+            col("cum_tokens"),
+            when(col("cum_tokens") <= col("budget"), 1L).otherwise(0L)
+              .as("selected"))
+      },
+      Some(s"""WITH t AS (SELECT source, $toksSql AS toks
+              |    FROM documents),
+              |p AS (SELECT source, len(toks) AS nt,
+              |    len(list_distinct(toks)) AS nu FROM t),
+              |a AS (SELECT source, sum(nt) AS n_tokens,
+              |    sum(nu) AS n_uniq FROM p GROUP BY 1),
+              |d AS (SELECT source, n_tokens,
+              |    (1000000 * n_uniq) // n_tokens AS density_micro
+              |  FROM a),
+              |b AS (SELECT sum(n_tokens) // 2 AS budget FROM d),
+              |c AS (SELECT source, n_tokens, density_micro,
+              |    sum(n_tokens) OVER (ORDER BY density_micro DESC,
+              |      source ASC ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              |  FROM d)
+              |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  CAST(density_micro AS BIGINT) AS density_micro,
+              |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+              |  CAST(CASE WHEN cum_tokens <= budget THEN 1 ELSE 0 END
+              |    AS BIGINT) AS selected
+              |FROM c, b""".stripMargin)),
+
+    // Semantic drift per source: cosine between the source's and the
+    // corpus's embedding SUM vectors (cos is scale-invariant, so sums
+    // == means with ZERO divisions — no per-component sign-split).
+    // Components are micro-quantized per ROW (the q108 rule) so the
+    // sums are exact integers in both engines; the one mirrored float
+    // stage is the final dot/sqrt fold over 64 INTEGER-valued terms,
+    // spelled in the identical left-fold order. Corpus-side work is
+    // one map-side agg to O(#sources) rows of 64 sums.
+    QDef("q370_centroid_shift",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .join(Tables.documents(s, dir).select(
+            col("doc_id").as("vec_id"), col("source")), "vec_id")
+          .select(col("source"), toDouble(col("embedding")).as("v"))
+        val sums = (1 to 64).map(d =>
+          sum(round(element_at(col("v"), d) * 1e6, 0).cast("long"))
+            .as(s"s$d"))
+        val perSrc = emb.groupBy("source").agg(sums.head, sums.tail: _*)
+          .localCheckpoint() // corpus totals + the cos join share it
+        val corpus = perSrc.agg(
+          (1 to 64).map(d => sum(col(s"s$d")).as(s"c$d")).head,
+          (1 to 64).map(d => sum(col(s"s$d")).as(s"c$d")).tail: _*)
+        def fold(f: Int => org.apache.spark.sql.Column) =
+          (1 to 64).map(f).reduce(_ + _) // left fold, mirrored in SQL
+        perSrc.crossJoin(broadcast(corpus))
+          .select(col("source"),
+            round(lit(1e6) *
+              fold(d => col(s"s$d").cast("double") *
+                col(s"c$d").cast("double")) /
+              (sqrt(fold(d => col(s"s$d").cast("double") *
+                col(s"s$d").cast("double"))) *
+               sqrt(fold(d => col(s"c$d").cast("double") *
+                col(s"c$d").cast("double")))), 0)
+              .cast("long").as("cos_micro"))
+      },
+      Some {
+        val sSums = (1 to 64).map(d =>
+          s"sum(CAST(round(v[$d] * 1000000.0, 0) AS BIGINT)) AS s$d")
+          .mkString(",\n    ")
+        val cSums = (1 to 64).map(d => s"sum(s$d) AS c$d")
+          .mkString(",\n    ")
+        def fold(f: Int => String) = (1 to 64).map(f)
+          .reduce((a, b) => s"($a + $b)") // same left fold as Spark
+        s"""WITH e AS (SELECT d.source, $vSql AS v
+           |  FROM embeddings JOIN documents d
+           |    ON embeddings.vec_id = d.doc_id),
+           |p AS (SELECT source,
+           |    $sSums
+           |  FROM e GROUP BY source),
+           |c AS (SELECT
+           |    $cSums
+           |  FROM p)
+           |SELECT source,
+           |  CAST(round(1000000.0 *
+           |    ${fold(d => s"CAST(s$d AS DOUBLE) * CAST(c$d AS DOUBLE)")} /
+           |    (sqrt(${fold(d => s"CAST(s$d AS DOUBLE) * CAST(s$d AS DOUBLE)")}) *
+           |     sqrt(${fold(d => s"CAST(c$d AS DOUBLE) * CAST(c$d AS DOUBLE)")})),
+           |    0) AS BIGINT) AS cos_micro
+           |FROM p, c""".stripMargin
+      })
   )
 
   /** q368 inline below uses the same hash as [[graft.ops.NswIndex
