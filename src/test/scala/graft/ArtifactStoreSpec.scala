@@ -114,6 +114,32 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(builds === 2, "a manifest-less payload must rebuild")
   }
 
+  test("two threads racing the same artifact build it ONCE (the " +
+    "per-directory lock) and both serve identical rows") {
+    val root = freshRoot()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // both threads must see the conf — withRoot sets/unsets the shared
+    // session conf, so set it around BOTH futures instead
+    spark.conf.set(ArtifactStore.RootConf, root)
+    try {
+      val (a, b) = (Future(ArtifactStore.buildOrServe(spark, "t_race",
+          "fpR", "p", "src:x") {
+          builds.incrementAndGet(); Thread.sleep(200); corpus(6)
+        }.count()),
+        Future(ArtifactStore.buildOrServe(spark, "t_race",
+          "fpR", "p", "src:x") {
+          builds.incrementAndGet(); Thread.sleep(200); corpus(6)
+        }.count()))
+      assert(Await.result(a, 120.seconds) === 6L)
+      assert(Await.result(b, 120.seconds) === 6L)
+      assert(builds.get() === 1,
+        s"racing threads built ${builds.get()} times, not once")
+    } finally spark.conf.unset(ArtifactStore.RootConf)
+  }
+
   test("fingerprint is order-independent, duplicate-sensitive, and " +
     "memoized per key") {
     ArtifactStore.clearFingerprintMemo()

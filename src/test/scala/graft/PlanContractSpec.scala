@@ -552,6 +552,16 @@ class PlanContractSpec extends SparkSpec {
     assert(!p146.contains("Window"), s"q146 uses a window:\n$p146")
   }
 
+  test("q360 global top-k merges executor-side: two-phase aggregate, " +
+    "never a driver-funnel TakeOrdered") {
+    val p = plan("q360_global_topk")
+    assert(!p.contains("TakeOrderedAndProject"),
+      s"q360 regressed to the driver-funnel shape:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate") ||
+      p.contains("ObjectHashAggregate"),
+      s"q360 lost the two-phase aggregate merge:\n$p")
+  }
+
   test("q363's only shuffle is the O(#sources) rollup: the per-doc " +
     "max-run is a per-row fold — no explode, no per-gram exchange") {
     val p = plan("q363_repetition_audit")
