@@ -44,7 +44,7 @@ object SparkEntry {
       PipelineQueries65.defs ++ PipelineQueries66.defs ++
       PipelineQueries67.defs ++ PipelineQueries68.defs ++
       PipelineQueries69.defs ++ PipelineQueries70.defs ++
-      PipelineQueries71.defs ++
+      PipelineQueries71.defs ++ PipelineQueries72.defs ++
       VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
@@ -62,4 +62,25 @@ object SparkEntry {
     * centroid literals) are visible — Verify dumps this AFTER running
     * the queries. */
   def oracleSql: Map[String, String] = QDef.oracleMap(allDefs)
+
+  /** Queries whose ANSWER passes through a cardinality gate or salt
+    * cap — the capped-verify lane (r13 verdict #3, the q145 lesson
+    * generalized): the sf0.01 oracle gate cannot see a recall change
+    * that only binds above a cap, so these re-verify at sf0.1 with
+    * the caps FORCED TO BIND via conf (`scripts/verify_capped.sh`:
+    * `spark.graft.nsw.blockCap=32`,
+    * `spark.graft.neardup.exactMaxRows=500`) and the oracle replaying
+    * the bound cap literally (the q361 pattern). Verify expands the
+    * filter token `@capped` to this list. */
+  val cappedQueries: Seq[String] = Seq(
+    "q29_embed_neardup",        // neardup exact-pairs gate
+    "q79_embed_clusters",       //   (cell-bounded reroute above it)
+    "q145_session_copresence",  // blocked interval overlap (exact op)
+    "q361_copresence_sampled",  // salt-capped sampling, replayed
+    "q257_ann_nsw",             // NSW blockCap family: the salt
+    "q259_ann_nsw_batch",       //   binds and the oracle replays it
+    "q358_ann_nsw_served",
+    "q362_ann_hnsw",
+    "q335_dbscan_clusters",
+    "q359_dbscan_served")
 }

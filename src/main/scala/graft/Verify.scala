@@ -7,9 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query-name filter (local
-    // iteration on a few queries without paying the full dump)
+    // iteration on a few queries without paying the full dump);
+    // `@capped` expands to SparkEntry.cappedQueries (the sf0.1 lane)
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2)
+        Some(args(2).split(",").toSet.flatMap((t: String) =>
+          if (t == "@capped") SparkEntry.cappedQueries.toSet else Set(t)))
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,6 +24,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional conf overrides ("k=v,k=v" — the capped-verify lane
+    // forces salt caps / cardinality gates to BIND at sf0.1)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     // write-once index/model artifacts (ops/ArtifactStore): within the
     // dump the first builder commits, later queries serve; fingerprint
     // addressing keeps results identical to the inline build

@@ -45,6 +45,18 @@ object NswIndex {
     * two engines. */
   val DefaultBlockCap = 256
 
+  /** Conf override for the cap — the capped-verify lane (r13 verdict
+    * #3) lowers it at sf0.1 so the salt BINDS at a scale the DuckDB
+    * oracle can still replay (the default only binds at sf1+, which
+    * the sf0.01 gate never sees: exactly how q145's undercount hid
+    * for a round). Query sites read this ONCE per run and pass the
+    * same value to both the Spark build and the oracle generator. */
+  val BlockCapConf = "spark.graft.nsw.blockCap"
+
+  def effectiveBlockCap(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption(BlockCapConf).map(_.toInt)
+      .getOrElse(DefaultBlockCap)
+
   /** The symmetrized cell-bounded k-NN edge table: (src, dst) longs.
     * `emb` must already exclude any query-only rows.
     *
@@ -86,7 +98,11 @@ object NswIndex {
     else {
       val fp = ArtifactStore.fingerprint(
         emb.select(col(idCol), col(vecCol)), fpKey)
-      val ch = centroids.map(_.mkString(",")).mkString("|").hashCode
+      // FULL digest of the centroid literals (r13 advice: a 32-bit
+      // String.hashCode collision would silently serve an edge table
+      // built from different centroids, with no staleness signal)
+      val ch = ArtifactStore.contentHash(
+        centroids.map(_.mkString(",")).mkString("|"))
       val params =
         s"k=${centroids.length},ch=$ch,probes=$probes,m=$m,cap=$blockCap"
       ArtifactStore.buildOrServe(spark, "nsw_knn_graph", fp, params,

@@ -179,13 +179,18 @@ object VectorSearch {
       .getOrElse(DefaultGate)
     if (exact || rowsUnder(emb, gate))
       nearDupExactTiled(emb, idCol, vecCol, threshold, tiles)
-    else nearDupCellBounded(emb, idCol, vecCol, threshold, seed = seed)
+    else nearDupCellBounded(emb, idCol, vecCol, threshold, seed = seed,
+      blockCap = NswIndex.effectiveBlockCap(emb.sparkSession))
   }
 
   /** Bounded cardinality probe: limit(gate+1) caps the job's output,
     * so an over-gate corpus costs one capped pass, not a full count.
+    * Exposed within graft so q29/q79's LATE-BOUND oracles can emit the
+    * SQL of whichever regime actually ran (the capped-verify-lane
+    * contract: the oracle replays the gated shape literally, it never
+    * assumes the exact one).
     */
-  private def rowsUnder(df: DataFrame, gate: Long): Boolean = {
+  private[graft] def rowsUnder(df: DataFrame, gate: Long): Boolean = {
     val n = math.min(gate, Int.MaxValue - 2L).toInt
     df.limit(n + 1).count() <= gate
   }
@@ -205,20 +210,32 @@ object VectorSearch {
     */
   def nearDupCellBounded(emb: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, targetCell: Int = 64,
-                         probes: Int = 2, seed: Long = 42L): DataFrame = {
+                         probes: Int = 2, seed: Long = 42L,
+                         blockCap: Int = NswIndex.DefaultBlockCap)
+      : DataFrame =
+    nearDupWithCentroids(emb, idCol, vecCol, threshold,
+      cellCentroids(emb, idCol, vecCol, threshold, targetCell, seed),
+      probes, blockCap)
+
+  /** The cell-bounded path's trained-and-merged centroids — the ONE
+    * derivation shared by the operator and q29/q79's late-bound
+    * oracle builders (duplicating it would let the replay silently
+    * drift from the op). Centroids train DRIVER-SIDE on the bounded
+    * sample (the nearDupIvf discipline): candidate bucketing needs
+    * cells that carve the space, not corpus-converged means — two
+    * distributed Lloyd rounds were measured 5 s of pure fixed cost
+    * here for no recall difference on the clustered fixture, and at
+    * 100 TB they would be two full corpus scans spent polishing
+    * bucket walls. */
+  def cellCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, targetCell: Int = 64,
+                    seed: Long = 42L): Array[Array[Double]] = {
     val n = emb.count()
     val k = math.min(512L, math.max(16L, n / targetCell)).toInt
-    // centroids train DRIVER-SIDE on the bounded sample (the
-    // nearDupIvf discipline): candidate bucketing needs cells that
-    // carve the space, not corpus-converged means — two distributed
-    // Lloyd rounds were measured 5 s of pure fixed cost here for no
-    // recall difference on the clustered fixture, and at 100 TB they
-    // would be two full corpus scans spent polishing bucket walls
     val cents = kmeansCentroids(
       sampleVectors(emb, idCol, vecCol, n = 2048, seed = seed),
       k, iters = 4, seed = seed)
-    nearDupWithCentroids(emb, idCol, vecCol, threshold,
-      mergeCentroids(cents, math.max(threshold, MergeFloor)), probes)
+    mergeCentroids(cents, math.max(threshold, MergeFloor))
   }
 
   /** Centroids are only merged when NEAR-IDENTICAL (cos ≥ this floor,
@@ -299,8 +316,15 @@ object VectorSearch {
       .agg(count(lit(1)).as("pop"))
       .select(col("cell"), ceil(col("pop") / lit(cap)).cast("int")
         .as("salts"))
+    // the salt is ANSWER-VISIBLE above the cap (over-cap cells keep
+    // only within-salt pairs), so it uses the house md5 hash — the
+    // only hash the DuckDB oracle can replay (the q361 rule; the
+    // first cut's xxhash64 here was un-replayable and shipped only
+    // because no fixture bound the cap)
     val cv = cellVecs.join(broadcast(salts), Seq("cell"))
-      .withColumn("salt", pmod(xxhash64(col("id")), col("salts")))
+      .withColumn("salt",
+        pmod(graft.functions.TextAnalysis.tokenHash(
+          concat(lit("nd:"), col("id").cast("string"))), col("salts")))
       .drop("salts")
     cv.as("x").join(cv.as("y"),
         col("x.cell") === col("y.cell") && col("x.salt") === col("y.salt") &&

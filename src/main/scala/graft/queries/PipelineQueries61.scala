@@ -154,7 +154,8 @@ object PipelineQueries61 {
         val sample = sampleVectors(emb, "vec_id", "embedding",
           n = 512, seed = 42)
         val cents = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
-        DbscanOracle.sql = Some(dbscanOracleSql(cents))
+        val cap = NswIndex.effectiveBlockCap(s)
+        DbscanOracle.sql = Some(dbscanOracleSql(cents, cap))
         // eps radius on the symmetrized kNN edges: recompute the
         // rounded cosine per edge (2·m·n edges, one kernel dot each)
         // and keep only neighbors inside eps — the density definition;
@@ -169,8 +170,7 @@ object PipelineQueries61 {
         // reads the parquet artifact instead of rebuilding
         val edges = NswIndex.knnGraphArtifact(emb, "vec_id", "embedding",
             cents, probes = DbProbes, m = DbM,
-            blockCap = NswIndex.DefaultBlockCap,
-            fpKey = s"$dir#embeddings#all")
+            blockCap = cap, fpKey = s"$dir#embeddings#all")
           .join(vecs.select(col("id").as("src"), col("v").as("sv"),
             col("nrm").as("sn")), "src")
           .join(vecs.select(col("id").as("dst"), col("v").as("dv"),
@@ -199,9 +199,11 @@ object PipelineQueries61 {
         val sample = sampleVectors(emb, "vec_id", "embedding",
           n = 512, seed = 42)
         val cents = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
-        DbscanServedOracle.sql = Some(dbscanOracleSql(cents))
+        val cap = NswIndex.effectiveBlockCap(s)
+        DbscanServedOracle.sql = Some(dbscanOracleSql(cents, cap))
         val fpKey = s"$dir#embeddings#all"
-        val ch = cents.map(_.mkString(",")).mkString("|").hashCode
+        val ch = graft.ops.ArtifactStore.contentHash(
+          cents.map(_.mkString(",")).mkString("|"))
         def epsEdges = {
           val vecs = emb.select(col("vec_id").as("id"),
               toDouble(col("embedding")).as("v"))
@@ -209,7 +211,7 @@ object PipelineQueries61 {
             .localCheckpoint()
           NswIndex.knnGraphArtifact(emb, "vec_id", "embedding",
               cents, probes = DbProbes, m = DbM,
-              blockCap = NswIndex.DefaultBlockCap, fpKey = fpKey)
+              blockCap = cap, fpKey = fpKey)
             .join(vecs.select(col("id").as("src"), col("v").as("sv"),
               col("nrm").as("sn")), "src")
             .join(vecs.select(col("id").as("dst"), col("v").as("dv"),
@@ -227,7 +229,7 @@ object PipelineQueries61 {
             graft.ops.ArtifactStore.fingerprint(
               emb.select(col("vec_id"), col("embedding")), fpKey),
             s"k=${cents.length},ch=$ch,probes=$DbProbes,m=$DbM," +
-              s"eps=$EpsMilli", fpKey)(epsEdges)
+              s"eps=$EpsMilli,cap=$cap", fpKey)(epsEdges)
         dbscanLabel(emb, edges)
       },
       None,
@@ -282,7 +284,9 @@ object PipelineQueries61 {
     * core-core subgraph with min-id labels (the q79 pattern), border
     * attach, noise fill.
     */
-  private def dbscanOracleSql(centroids: Array[Array[Double]]): String = {
+  private def dbscanOracleSql(centroids: Array[Array[Double]],
+                              cap: Int = NswIndex.DefaultBlockCap)
+      : String = {
     def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
     // the house sequential-left-fold dot (bit-identical to the
     // DotProductDbl kernel's ascending accumulation)
@@ -296,7 +300,6 @@ object PipelineQueries61 {
       s"{'sim': ${dotSql("v", vlit(c))} / " +
         s"(sqrt(${dotSelf("v")}) * $n), 'cell': $i}"
     }.mkString("[", ",\n", "]")
-    val cap = NswIndex.DefaultBlockCap
     s"""WITH RECURSIVE e AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),

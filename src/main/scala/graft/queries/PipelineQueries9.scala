@@ -103,16 +103,21 @@ object PipelineQueries9 {
     // (co-activity audit). The naive `ts BETWEEN lo AND hi` theta join
     // is O(|events|·|sessions|) and plans as BroadcastNestedLoop;
     // RangeJoin buckets both sides on hour-wide keys so the work is
-    // |P_b|·|I_b| per time slice and the join is a plain equi join
-    // (AQE-splittable, never driver-bound). Bucket width 1 h ≈ the
-    // max observed session span, so intervals replicate ≤ 2×.
+    // |P_b|·|I_b| per time slice and the join is a plain equi join.
+    // Bucket width 1 h ≈ the max observed session span, so intervals
+    // replicate ≤ 2×. The BLOCKED variant is the default path (r13
+    // verdict 7c): a flash-crowd hour's quadratic re-check splits
+    // into deterministic ≤sliceCap point blocks instead of relying on
+    // AQE's size-based (not density-based) skew split — exact at
+    // every density, bit-identical to the plain bucketized join.
     QDef("q141_session_overlap_rangejoin",
       (s, dir) => {
         val pts = Tables.events(s, dir).select(col("user_id").as("pu"),
           unix_micros(col("ts")).as("pt"))
         val iv = sessionIntervals(s, dir)
           .localCheckpoint() // probed by the range join + session count
-        val ov = RangeJoin.pointInInterval(pts, "pt", iv, "lo", "hi",
+        val ov = RangeJoin.pointInIntervalBlocked(pts, "pt",
+            ptKey = struct(col("pu"), col("pt")), iv, "lo", "hi",
             bucketWidth = 3600L * 1000000L)
           .filter(col("pu") =!= col("iu"))
           .groupBy("iu").agg(count(lit(1)).as("n_overlap"))

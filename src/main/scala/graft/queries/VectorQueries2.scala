@@ -510,8 +510,12 @@ object VectorQueries2 {
         val sample = sampleVectors(emb, "vec_id", "embedding",
           n = 512, seed = 42)
         val cents = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
+        // ONE cap value feeds build AND oracle (conf-overridable so
+        // the capped-verify lane can make the salt bind at sf0.1)
+        val cap = NswIndex.effectiveBlockCap(s)
         NswOracle.sql = Some(nswOracleSql(cents, probes = NswProbes,
-          m = NswM, beam = NswBeam, rounds = NswRounds, topK = 10))
+          m = NswM, beam = NswBeam, rounds = NswRounds, topK = 10,
+          cap = cap))
         val corpus = emb.filter(col("vec_id") =!= 0)
         val assign = ivfAssign(corpus, "vec_id", "embedding", cents,
           probes = NswProbes).localCheckpoint() // graph build + entries
@@ -521,8 +525,7 @@ object VectorQueries2 {
         // already materialized, so only the inline shape checkpoints
         val edgesRaw = NswIndex.knnGraphArtifact(corpus, "vec_id",
           "embedding", cents, probes = NswProbes, m = NswM,
-          blockCap = NswIndex.DefaultBlockCap,
-          fpKey = s"$dir#embeddings#ne0",
+          blockCap = cap, fpKey = s"$dir#embeddings#ne0",
           assignOpt = Some(assign))
         val edges = if (graft.ops.ArtifactStore.root(s).isEmpty)
           edgesRaw.localCheckpoint() else edgesRaw
@@ -570,9 +573,10 @@ object VectorQueries2 {
         val sample = sampleVectors(emb, "vec_id", "embedding",
           n = 512, seed = 42)
         val cents = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
+        val cap = NswIndex.effectiveBlockCap(s)
         NswBatchOracle.sql = Some(nswBatchOracleSql(cents,
           probes = NswProbes, m = NswM, beam = NswBeam,
-          rounds = NswRounds, topK = 10))
+          rounds = NswRounds, topK = 10, cap = cap))
         val isQ = col("vec_id") % 100 === 0
         val corpus = emb.filter(!isQ)
         val assign = ivfAssign(corpus, "vec_id", "embedding", cents,
@@ -580,8 +584,7 @@ object VectorQueries2 {
         // artifact-addressed (see q257): q358 serves what this commits
         val edgesRaw = NswIndex.knnGraphArtifact(corpus, "vec_id",
           "embedding", cents, probes = NswProbes, m = NswM,
-          blockCap = NswIndex.DefaultBlockCap,
-          fpKey = s"$dir#embeddings#mod100ne0",
+          blockCap = cap, fpKey = s"$dir#embeddings#mod100ne0",
           assignOpt = Some(assign))
         val edges = if (graft.ops.ArtifactStore.root(s).isEmpty)
           edgesRaw.localCheckpoint() else edgesRaw
@@ -636,9 +639,10 @@ object VectorQueries2 {
         val sample = sampleVectors(emb, "vec_id", "embedding",
           n = 512, seed = 42)
         val cents = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
+        val cap = NswIndex.effectiveBlockCap(s)
         NswServedOracle.sql = Some(nswBatchOracleSql(cents,
           probes = NswProbes, m = NswM, beam = NswBeam,
-          rounds = NswRounds, topK = 10))
+          rounds = NswRounds, topK = 10, cap = cap))
         val isQ = col("vec_id") % 100 === 0
         val corpus = emb.filter(!isQ)
         val fpKey = s"$dir#embeddings#mod100ne0"
@@ -651,10 +655,11 @@ object VectorQueries2 {
             params, fpKey)(b)
         val edges = NswIndex.knnGraphArtifact(corpus, "vec_id",
           "embedding", cents, probes = NswProbes, m = NswM,
-          blockCap = NswIndex.DefaultBlockCap, fpKey = fpKey)
+          blockCap = cap, fpKey = fpKey)
         // entry map: cell → min corpus id, O(k) rows — an artifact
         // too, so the served plan has NO corpus-wide assignment stage
-        val ch = cents.map(_.mkString(",")).mkString("|").hashCode
+        val ch = graft.ops.ArtifactStore.contentHash(
+          cents.map(_.mkString(",")).mkString("|"))
         val cellMin0 = artifactOr("nsw_entry_cells",
           s"k=${cents.length},ch=$ch,probes=$NswProbes")(
           ivfAssign(corpus, "vec_id", "embedding", cents,
@@ -717,20 +722,20 @@ object VectorQueries2 {
         val sample = sampleVectors(emb, "vec_id", "embedding",
           n = 512, seed = 42)
         val cents = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
+        val cap = NswIndex.effectiveBlockCap(s)
         NswHnswOracle.sql = Some(hnswOracleSql(cents, probes = NswProbes,
           m = NswM, beam = NswBeam, topRounds = HnswTopRounds,
-          rounds = NswRounds, topK = 10))
+          rounds = NswRounds, topK = 10, cap = cap))
         val corpus = emb.filter(col("vec_id") =!= 0)
         val lvl1 = corpus.filter(NswIndex.atLevel(col("vec_id"), 1))
         def cp(df: org.apache.spark.sql.DataFrame) =
           if (ArtifactStore.root(s).isEmpty) df.localCheckpoint() else df
         val edges1 = cp(NswIndex.knnGraphArtifact(lvl1, "vec_id",
           "embedding", cents, probes = NswProbes, m = NswM,
-          blockCap = NswIndex.DefaultBlockCap,
-          fpKey = s"$dir#embeddings#ne0lvl1"))
+          blockCap = cap, fpKey = s"$dir#embeddings#ne0lvl1"))
         val edges0 = cp(NswIndex.knnGraphArtifact(corpus, "vec_id",
           "embedding", cents, probes = NswProbes, m = NswM,
-          blockCap = NswIndex.DefaultBlockCap,
+          blockCap = cap,
           fpKey = s"$dir#embeddings#ne0")) // q257's artifact, shared
         val vecs = corpus
           .select(col("vec_id").cast("long").as("id"),
@@ -751,7 +756,99 @@ object VectorQueries2 {
             Window.orderBy(col("sim").desc, col("vec_id").asc)))
       },
       None,
-      Some(() => NswHnswOracle.sql))
+      Some(() => NswHnswOracle.sql)),
+
+    // Graph ANN served from a PQ-COMPRESSED vector artifact (r13
+    // verdict frontier (b)): q358's serve path still re-reads the raw
+    // doubles every beam round; here the round-scoring corpus is a
+    // write-once `nsw_pq_codes` artifact — vec_id + 8 one-byte codes,
+    // ~32× smaller than the embeddings — reconstructed ON THE FLY
+    // (per-row codegen arithmetic) inside each round's bounded
+    // broadcast lookup, and only the FINAL beam pays raw-vector point
+    // lookups for the exact cosine re-rank (the q85 two-stage shape
+    // grafted onto the q257 traversal). At 100 TB that is the
+    // difference between a serve tier whose working set fits in RAM
+    // and one that pages the full fp64 corpus every query. Graph +
+    // entry map + codes are all artifacts (the graph is q257's,
+    // shared); with no root everything builds inline, rows unchanged.
+    // Oracle: full replay — salted graph build from centroid
+    // literals, PQ encode from codebook literals (bit-identical codes,
+    // the q85 contract), every beam stage scored on RECONSTRUCTED
+    // vectors, exact re-rank from raw.
+    QDef("q372_ann_nsw_pq_served",
+      (s, dir) => {
+        import graft.ops.VectorSearch._
+        import graft.ops.{ArtifactStore, NswIndex}
+        val emb = Tables.embeddings(s, dir)
+        val sample = sampleVectors(emb, "vec_id", "embedding",
+          n = 512, seed = 42)
+        val cents = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
+        val codebook = pqTrain(sample, m = 8, k = 16, iters = 10,
+          seed = 42)
+        val cap = NswIndex.effectiveBlockCap(s)
+        PqNswOracle.sql = Some(pqNswOracleSql(cents, codebook,
+          probes = NswProbes, m = NswM, beam = NswBeam,
+          rounds = NswRounds, topK = 10, cap = cap))
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val fpKey = s"$dir#embeddings#ne0"
+        def cp(df: DataFrame) =
+          if (ArtifactStore.root(s).isEmpty) df.localCheckpoint() else df
+        def artifactOr(name: String, params: String)(b: => DataFrame) =
+          if (ArtifactStore.root(s).isEmpty) cp(b)
+          else ArtifactStore.buildOrServe(s, name,
+            ArtifactStore.fingerprint(
+              corpus.select(col("vec_id"), col("embedding")), fpKey),
+            params, fpKey)(b)
+        val edges = cp(NswIndex.knnGraphArtifact(corpus, "vec_id",
+          "embedding", cents, probes = NswProbes, m = NswM,
+          blockCap = cap, fpKey = fpKey)) // q257's artifact, shared
+        val cbh = ArtifactStore.contentHash(
+          codebook.map(_.map(_.mkString(",")).mkString(";")).mkString("|"))
+        val codes = artifactOr("nsw_pq_codes", s"cb=$cbh,m=8,k=16")(
+          corpus.select(col("vec_id"),
+              pqEncodeKernel(toDouble(col("embedding")), codebook)
+                .as("codes"))
+            .select(col("vec_id") +: (0 until 8)
+              .map(i => element_at(col("codes"), i + 1).as(s"c$i")): _*))
+        val ch = ArtifactStore.contentHash(
+          cents.map(_.mkString(",")).mkString("|"))
+        val cellMin = artifactOr("nsw_entry_cells",
+          s"k=${cents.length},ch=$ch,probes=$NswProbes")(
+          ivfAssign(corpus, "vec_id", "embedding", cents,
+            probes = NswProbes).groupBy("cell").agg(min("id").as("id")))
+        // traversal frame: reconstructed per round FROM THE CODES SCAN
+        // (declarative when served — each round re-reads the small
+        // artifact; only the inline shape checkpoints, else the encode
+        // kernel would re-run per round)
+        val recon = pqRecon((0 until 8).map(i => col(s"c$i")), codebook)
+        val vecs = cp(codes
+          .select(col("vec_id").cast("long").as("id"), recon.as("v"))
+          .withColumn("nrm", graft.ops.VectorSearch.norm(col("v"))))
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(toDouble(col("embedding")).as("qv"))
+          .withColumn("qn", graft.ops.VectorSearch.norm(col("qv")))
+        val qCells = ivfAssign(emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", cents, probes = NswProbes)
+          .select(col("cell")).distinct()
+        val entries = cellMin.join(broadcast(qCells), "cell")
+          .select(col("id"))
+          .unionByName(cellMin.agg(min("id").as("id")))
+          .distinct()
+        val beam = NswIndex.beamSearch(vecs, edges, qv, entries,
+          beamWidth = NswBeam, rounds = NswRounds)
+        // exact re-rank: raw-vector point lookups for the beam ONLY
+        val raw = corpus.select(col("vec_id").cast("long").as("id"),
+          toDouble(col("embedding")).as("v"))
+        raw.join(broadcast(beam.select(col("id"))), "id")
+          .crossJoin(broadcast(qv))
+          .select(col("id").as("vec_id"),
+            round(cosine(col("v"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("sim").desc, col("vec_id").asc)))
+      },
+      None,
+      Some(() => PqNswOracle.sql))
   )
 
   private val HnswTopRounds = 2
@@ -780,6 +877,82 @@ object VectorQueries2 {
     @volatile var sql: Option[String] = None
   }
 
+  /** q372's late-bound oracle (centroid + PQ-codebook literals). */
+  private object PqNswOracle {
+    @volatile var sql: Option[String] = None
+  }
+
+  /** DuckDB replay of q372: the [[nswOracleSql]] build (raw-vector
+    * salted graph) + the q85 PQ encode replay, beam stages scored on
+    * the RECONSTRUCTED vectors, final exact re-rank from raw. */
+  private def pqNswOracleSql(centroids: Array[Array[Double]],
+                             codebook: Array[Array[Array[Double]]],
+                             probes: Int, m: Int, beam: Int,
+                             rounds: Int, topK: Int, cap: Int): String = {
+    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      val n = dbl(math.sqrt(c.map(x => x * x).sum))
+      s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), " +
+        s"'cell': $i}"
+    }.mkString("[", ",\n", "]")
+    val codeCols = codebook.indices
+      .map(mi => s"${VectorQueries.pqEncSql(codebook, mi, "v")} AS c$mi")
+      .mkString(",\n  ")
+    val reconSql = VectorQueries.pqReconSql(codebook)
+    val beamStages = (1 to rounds).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT DISTINCT vec_id FROM (
+         |    SELECT ed.dst AS vec_id FROM edges ed
+         |    JOIN b${r - 1} b ON ed.src = b.vec_id
+         |    UNION SELECT vec_id FROM b${r - 1}) z),
+         |b$r AS MATERIALIZED (
+         |  SELECT rr.vec_id, round(${cosSql("rr.rv", "qv")}, 6) AS sim
+         |  FROM rec rr JOIN c$r USING (vec_id), q
+         |  ORDER BY sim DESC, vec_id ASC LIMIT $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, $vSql AS v
+       |  FROM embeddings),
+       |a AS (SELECT vec_id, list_reverse_sort($cells) AS cs FROM e),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, unnest(list_transform(list_slice(cs, 1, $probes),
+       |    x -> x.cell)) AS cell
+       |  FROM a),
+       |${nswCandCtes("vec_id <> 0", cap)},
+       |sc AS MATERIALIZED (SELECT cand.src, cand.dst,
+       |    round(${cosSql("sv.v", "dv.v")}, 6) AS sim
+       |  FROM cand JOIN e sv ON sv.vec_id = cand.src
+       |    JOIN e dv ON dv.vec_id = cand.dst),
+       |tm AS (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY sim DESC, dst ASC) AS rn FROM sc) z
+       |  WHERE rn <= $m),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM tm UNION SELECT dst, src FROM tm),
+       |enc AS MATERIALIZED (
+       |  SELECT vec_id, $codeCols FROM e WHERE vec_id <> 0),
+       |rec AS MATERIALIZED (SELECT vec_id, $reconSql AS rv FROM enc),
+       |qc AS (SELECT DISTINCT cell FROM cells WHERE vec_id = 0),
+       |ent AS (
+       |  SELECT min(c.vec_id) AS vec_id FROM cells c
+       |    JOIN qc ON c.cell = qc.cell WHERE c.vec_id <> 0
+       |  GROUP BY c.cell
+       |  UNION
+       |  SELECT min(vec_id) FROM cells WHERE vec_id <> 0),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |b0 AS MATERIALIZED (
+       |  SELECT rr.vec_id, round(${cosSql("rr.rv", "qv")}, 6) AS sim
+       |  FROM rec rr JOIN (SELECT DISTINCT vec_id FROM ent) en
+       |    USING (vec_id), q
+       |  ORDER BY sim DESC, vec_id ASC LIMIT $beam),
+       |$beamStages,
+       |x AS (SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
+       |  FROM e JOIN (SELECT DISTINCT vec_id FROM b$rounds) fb
+       |    USING (vec_id), q)
+       |SELECT vec_id, sim,
+       |  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+       |FROM x ORDER BY sim DESC, vec_id ASC LIMIT $topK"""
+      .stripMargin
+  }
+
   /** Shortest-safe double literal (the VectorQueries.dbl rule). */
   private def dbl(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
@@ -788,23 +961,18 @@ object VectorQueries2 {
   private def hashSql(t: String) =
     s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
 
-  /** NswIndex.knnGraph's blockCap — the build's linearity bound.
-    * Single-sourced from the op so the Spark build and this DuckDB
-    * replay cannot silently diverge (q257/q259 also pass it
-    * explicitly at their knnGraph call sites). */
-  private val NswBlockCap = graft.ops.NswIndex.DefaultBlockCap
-
   /** The salted candidate CTEs shared by both NSW oracles:
     * corpus-only cell sizes → per-assignment deterministic salt →
     * candidates pair only within (cell, salt), replaying
     * [[graft.ops.NswIndex.knnGraph]]'s blockCap exactly.
     * `corpusPred` filters query rows out of the graph. */
-  private def nswCandCtes(corpusPred: String, sfx: String = ""): String =
+  private def nswCandCtes(corpusPred: String, cap: Int,
+                          sfx: String = ""): String =
     s"""csz$sfx AS (SELECT cell, count(*) AS cn FROM cells
        |  WHERE $corpusPred GROUP BY cell),
        |sal$sfx AS MATERIALIZED (SELECT c.vec_id, c.cell,
        |    ${hashSql("'nsw:' || CAST(c.vec_id AS VARCHAR)")}
-       |      % greatest(1, (cn + ${NswBlockCap - 1}) // $NswBlockCap)
+       |      % greatest(1, (cn + ${cap - 1}) // $cap)
        |      AS salt
        |  FROM cells c JOIN csz$sfx USING (cell) WHERE $corpusPred),
        |cand$sfx AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
@@ -815,9 +983,9 @@ object VectorQueries2 {
   /** One layer's full graph replay (candidates → exact-cosine scored →
     * per-src top-m → symmetrized edges), CTE names suffixed so the
     * HNSW oracle can instantiate two layers side by side. */
-  private def nswGraphCtes(corpusPred: String, m: Int, sfx: String)
-      : String =
-    s"""${nswCandCtes(corpusPred, sfx)},
+  private def nswGraphCtes(corpusPred: String, m: Int, cap: Int,
+                           sfx: String): String =
+    s"""${nswCandCtes(corpusPred, cap, sfx)},
        |sc$sfx AS MATERIALIZED (SELECT cand$sfx.src, cand$sfx.dst,
        |    round(${cosSql("sv.v", "dv.v")}, 6) AS sim
        |  FROM cand$sfx JOIN e sv ON sv.vec_id = cand$sfx.src
@@ -853,7 +1021,7 @@ object VectorQueries2 {
     */
   private def hnswOracleSql(centroids: Array[Array[Double]], probes: Int,
                             m: Int, beam: Int, topRounds: Int,
-                            rounds: Int, topK: Int): String = {
+                            rounds: Int, topK: Int, cap: Int): String = {
     def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
     val cells = centroids.zipWithIndex.map { case (c, i) =>
       val n = dbl(math.sqrt(c.map(x => x * x).sum))
@@ -870,8 +1038,8 @@ object VectorQueries2 {
        |  SELECT vec_id, unnest(list_transform(list_slice(cs, 1, $probes),
        |    x -> x.cell)) AS cell
        |  FROM a),
-       |${nswGraphCtes(lvl1Pred, m, "1")},
-       |${nswGraphCtes("vec_id <> 0", m, "0")},
+       |${nswGraphCtes(lvl1Pred, m, cap, "1")},
+       |${nswGraphCtes("vec_id <> 0", m, cap, "0")},
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
        |tb0 AS MATERIALIZED (
        |  SELECT e.vec_id, round(${cosSql("e.v", "qv")}, 6) AS sim
@@ -901,7 +1069,7 @@ object VectorQueries2 {
     */
   private def nswOracleSql(centroids: Array[Array[Double]], probes: Int,
                            m: Int, beam: Int, rounds: Int,
-                           topK: Int): String = {
+                           topK: Int, cap: Int): String = {
     def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
     val cells = centroids.zipWithIndex.map { case (c, i) =>
       val n = dbl(math.sqrt(c.map(x => x * x).sum))
@@ -925,7 +1093,7 @@ object VectorQueries2 {
        |  SELECT vec_id, unnest(list_transform(list_slice(cs, 1, $probes),
        |    x -> x.cell)) AS cell
        |  FROM a),
-       |${nswCandCtes("vec_id <> 0")},
+       |${nswCandCtes("vec_id <> 0", cap)},
        |sc AS MATERIALIZED (SELECT cand.src, cand.dst,
        |    round(${cosSql("sv.v", "dv.v")}, 6) AS sim
        |  FROM cand JOIN e sv ON sv.vec_id = cand.src
@@ -964,7 +1132,8 @@ object VectorQueries2 {
     */
   private def nswBatchOracleSql(centroids: Array[Array[Double]],
                                 probes: Int, m: Int, beam: Int,
-                                rounds: Int, topK: Int): String = {
+                                rounds: Int, topK: Int,
+                                cap: Int): String = {
     def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
     val cells = centroids.zipWithIndex.map { case (c, i) =>
       val n = dbl(math.sqrt(c.map(x => x * x).sum))
@@ -992,7 +1161,7 @@ object VectorQueries2 {
        |  SELECT vec_id, unnest(list_transform(list_slice(cs, 1, $probes),
        |    x -> x.cell)) AS cell
        |  FROM a),
-       |${nswCandCtes("vec_id % 100 <> 0")},
+       |${nswCandCtes("vec_id % 100 <> 0", cap)},
        |sc AS MATERIALIZED (SELECT cand.src, cand.dst,
        |    round(${cosSql("sv.v", "dv.v")}, 6) AS sim
        |  FROM cand JOIN e sv ON sv.vec_id = cand.src

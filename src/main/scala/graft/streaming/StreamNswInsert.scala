@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.{NswIndex, TopK, VectorSearch}
+import graft.ops.{ArtifactStore, NswIndex, TopK, VectorSearch}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
@@ -10,12 +10,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType,
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-/** Streaming NSW graph maintenance — the MAINTAIN leg of the artifact
-  * lifecycle (build: [[graft.ops.NswIndex.knnGraph]] / serve: q358 /
-  * maintain: this): new vectors are INSERTED into the standing graph
-  * the way HNSW inserts (Malkov & Yashunin, TPAMI 2018) — beam-search
-  * the existing graph for each arrival's neighbors, link symmetric
-  * edges — instead of rebuilding the O(n) graph per batch.
+/** Streaming NSW/HNSW graph maintenance — the MAINTAIN leg of the
+  * artifact lifecycle (build: [[graft.ops.NswIndex.knnGraph]] / serve:
+  * q358 / maintain: this): new vectors are INSERTED into the standing
+  * graph the way HNSW inserts (Malkov & Yashunin, TPAMI 2018) —
+  * beam-search the existing graph for each arrival's neighbors, link
+  * symmetric edges — instead of rebuilding the O(n) graph per batch.
   *
   * Per micro-batch, all bounded by the BATCH, never the corpus:
   *  - arrivals are guarded (null / wrong-dims dropped — the
@@ -27,11 +27,34 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *    standing graph with the whole batch as the query set (the q259
   *    serving shape: `rounds` joins for the whole batch), keeping each
   *    new node's top-`m` discovered neighbors, symmetrized;
+  *  - the TOP LAYER is maintained the same way one level up (r13
+  *    verdict #5): arrivals whose deterministic level draw
+  *    ([[NswIndex.atLevel]] — pure id hash, so membership is
+  *    insert-order-free) reaches layer 1 also link into the standing
+  *    layer-1 graph (`edges1/`), preserving q362's coarse-entry
+  *    ladder as n grows — [[searchLadder]] descends exactly like the
+  *    static two-layer build;
   *  - the batch's vectors and edges land in PER-BATCH partitions
-  *    (`vecs/bid=N/`, `edges/bid=N/`, overwrite mode), so a replayed
-  *    or crash-resumed batch OVERWRITES ITSELF — idempotence by
-  *    construction, no anti-join against the corpus-sized edge store;
-  *    the commit point is the meta file, written last via atomic move.
+  *    (`vecs/bid=N/`, `edges/bid=N/`, `edges1/bid=N/`, overwrite
+  *    mode), so a replayed or crash-resumed batch OVERWRITES ITSELF —
+  *    idempotence by construction, no anti-join against the
+  *    corpus-sized edge store; the commit point is the meta file,
+  *    written last via atomic move;
+  *  - each committed partition also records its content identity
+  *    ([[graft.ops.ArtifactStore.writeFpPart]] INSIDE the sub-store,
+  *    `<sub>/_fp/bid=N.json` — underscore-prefixed, invisible to the
+  *    parquet reader): [[serveGraph]] folds them in O(#batches)
+  *    metadata reads to address the served artifact, so the 100 TB
+  *    staleness check never re-scans the store (r13 verdict #1);
+  *  - [[compact]] bounds the one-dir-per-batch growth (r13 verdict
+  *    #4a): committed partitions rewrite into a single partition via
+  *    the StreamSplit two-atomic-rename discipline, and because the
+  *    sidecars live inside the renamed dir, data and fingerprint
+  *    metadata swap ATOMICALLY together — a crash at any point leaves
+  *    either the fragmented store or the compacted one, never a
+  *    mixture, and compaction moves bytes, never rows, so the folded
+  *    fingerprint (and therefore the served artifact address) is
+  *    UNCHANGED across it.
   *
   * Honest caveat (inherent to every incremental graph index, HNSW
   * included): the result depends on ARRIVAL ORDER — early nodes were
@@ -40,9 +63,14 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * spec pins instead: determinism for a fixed slicing, replay
   * idempotence, bounded per-node degree growth, and the contract that
   * matters — SEARCH RECALL over the incrementally maintained graph
-  * matches the statically rebuilt graph's on the same corpus.
+  * (flat and two-layer) matches the statically rebuilt graph's on the
+  * same corpus.
   */
 object StreamNswInsert {
+
+  /** Compaction rewrite quota: one output file per this many input
+    * bytes (the StreamSplit/q322 grouping). */
+  val CompactTargetBytes: Long = 128L * 1024 * 1024
 
   val vecSchema: StructType = StructType(Seq(
     StructField("id", LongType),
@@ -76,9 +104,15 @@ object StreamNswInsert {
   def edges(spark: SparkSession, storeDir: String): DataFrame =
     readCommitted(spark, s"$storeDir/edges", edgeSchema, storeDir)
 
+  /** The maintained LAYER-1 edge table (membership: [[NswIndex
+    * .atLevel]](id, 1)). */
+  def edges1(spark: SparkSession, storeDir: String): DataFrame =
+    readCommitted(spark, s"$storeDir/edges1", edgeSchema, storeDir)
+
   private def readCommitted(spark: SparkSession, dir: String,
                             schema: StructType, storeDir: String)
       : DataFrame = {
+    recoverCompaction(dir)
     val applied = appliedBid(storeDir)
     if (applied < 0 || !Files.exists(Paths.get(dir)))
       return spark.createDataFrame(
@@ -88,8 +122,40 @@ object StreamNswInsert {
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
-  /** Apply one batch: guard, dedup, link, commit. Exposed for the
-    * spec's replay/recall experiments. */
+  /** Committed-sidecar filter: parts written per batch (`bid=N`, N ≤
+    * applied) plus the compaction rollup (`base`). */
+  private def committedPart(applied: Long)(part: String): Boolean =
+    part == "base" || (part.startsWith("bid=") &&
+      part.drop(4).toLong <= applied)
+
+  /** Content fingerprint of one committed sub-store (`vecs` / `edges`
+    * / `edges1`) from its write-time sidecars — O(#batches) metadata
+    * reads, NO data scan, equal to `ArtifactStore.fingerprint` of a
+    * full scan over the committed rows (spec-pinned), and invariant
+    * across [[compact]] (bytes move, rows don't). */
+  def storeFingerprint(storeDir: String, sub: String): String =
+    ArtifactStore.fingerprintFromParts(s"$storeDir/$sub",
+      committedPart(appliedBid(storeDir)))
+
+  /** Serve the maintained edge tables through the [[ArtifactStore]]
+    * (r13 verdict #4b): the artifact address derives from the store's
+    * own commit-time sidecars, so q358's serving path reads the
+    * MAINTAINED graph exactly like a batch-built one — build-once,
+    * serve-parquet, rebuild only when the maintained content actually
+    * changed. With no artifact root, falls back to the committed view.
+    */
+  def serveGraph(spark: SparkSession, storeDir: String,
+                 layer: Int = 0): DataFrame = {
+    val sub = if (layer == 0) "edges" else "edges1"
+    val view = readCommitted(spark, s"$storeDir/$sub", edgeSchema, storeDir)
+    if (ArtifactStore.root(spark).isEmpty) view
+    else ArtifactStore.buildOrServe(spark, "nsw_maintained_edges",
+      storeFingerprint(storeDir, sub), params = s"layer=$layer",
+      sourceKey = storeDir)(view)
+  }
+
+  /** Apply one batch: guard, dedup, link (both layers), commit.
+    * Exposed for the spec's replay/recall experiments. */
   private[graft] def applyBatch(batch: DataFrame, bid: Long,
                                 idCol: String, vecCol: String,
                                 centroids: Array[Array[Double]],
@@ -111,54 +177,195 @@ object StreamNswInsert {
       .join(existing.select("id"), Seq("id"), "left_anti")
       .localCheckpoint() // intra-build + cross-search + write share it
     if (fresh.isEmpty) { writeMeta(storeDir, bid); return }
-    // intra-batch edges: the batch-sized salt-capped build
-    val intra = NswIndex.knnGraph(fresh, "id", "v", centroids, probes,
-      m, NswIndex.DefaultBlockCap)
-    // cross edges: beam-search the STANDING graph with the batch as
-    // the query set; keep each arrival's top-m discovered neighbors
-    val cross =
-      if (existing.isEmpty) intra.limit(0)
-      else {
-        val vecs = existing
-          .withColumn("nrm", VectorSearch.norm(col("v")))
-          .localCheckpoint()
-        val queries = fresh
-          .select(col("id").as("qid"), col("v").as("qv"))
-          .withColumn("qn", VectorSearch.norm(col("qv")))
-        val entries = queries.select(col("qid"))
-          .crossJoin(broadcast(existing.agg(min("id").as("id"))))
-        val beam = NswIndex.beamSearchBatch(vecs,
-          edges(spark, storeDir), queries, entries, beamWidth, rounds)
-        val topm = TopK.perGroup(beam, "qid",
-            struct((-col("sim")).as("ns"), col("id").as("id")), m)
-          .select(col("qid").cast("long").as("src"),
-            col("key.id").as("dst"))
-        topm.unionByName(
-          topm.select(col("dst").as("src"), col("src").as("dst")))
-      }
-    val newEdges = intra.unionByName(cross).distinct()
+
+    /** Link `arrivals` into the standing (`standNodes`, `standEdges`)
+      * graph: intra-batch salt-capped build + ONE whole-batch beam
+      * search for cross edges, both sides symmetrized. */
+    def link(arrivals: DataFrame, standNodes: DataFrame,
+             standEdges: DataFrame): DataFrame = {
+      val intra = NswIndex.knnGraph(arrivals, "id", "v", centroids,
+        probes, m, NswIndex.DefaultBlockCap)
+      val cross =
+        if (standNodes.isEmpty || arrivals.isEmpty) intra.limit(0)
+        else {
+          val vecs = standNodes
+            .withColumn("nrm", VectorSearch.norm(col("v")))
+            .localCheckpoint()
+          val queries = arrivals
+            .select(col("id").as("qid"), col("v").as("qv"))
+            .withColumn("qn", VectorSearch.norm(col("qv")))
+          val entries = queries.select(col("qid"))
+            .crossJoin(broadcast(standNodes.agg(min("id").as("id"))))
+          val beam = NswIndex.beamSearchBatch(vecs, standEdges,
+            queries, entries, beamWidth, rounds)
+          val topm = TopK.perGroup(beam, "qid",
+              struct((-col("sim")).as("ns"), col("id").as("id")), m)
+            .select(col("qid").cast("long").as("src"),
+              col("key.id").as("dst"))
+          topm.unionByName(
+            topm.select(col("dst").as("src"), col("src").as("dst")))
+        }
+      intra.unionByName(cross).distinct()
+    }
+
+    val newEdges = link(fresh, existing, edges(spark, storeDir))
+    // layer 1: the deterministic ~25% subset keeps its own graph so
+    // the coarse-entry ladder survives incremental growth
+    val fresh1 = fresh.where(NswIndex.atLevel(col("id"), 1))
+      .localCheckpoint()
+    val existing1 = existing.where(NswIndex.atLevel(col("id"), 1))
+    val newEdges1 = link(fresh1, existing1, edges1(spark, storeDir))
+
     // per-batch partitions, overwrite mode: a replayed batch
-    // overwrites ITSELF — idempotent with no corpus-sized anti-join
-    fresh.select(col("id"), col("v"))
-      .write.mode("overwrite").parquet(s"$storeDir/vecs/bid=$bid")
-    newEdges.write.mode("overwrite")
-      .parquet(s"$storeDir/edges/bid=$bid")
+    // overwrites ITSELF (data AND sidecar) — idempotent with no
+    // corpus-sized anti-join
+    def commitPart(sub: String, df: DataFrame,
+                   cols: Seq[String]): Unit = {
+      val dir = s"$storeDir/$sub"
+      df.write.mode("overwrite").parquet(s"$dir/bid=$bid")
+      // fingerprint the rows AS WRITTEN (one batch-sized file scan):
+      // the sidecar must reproduce exactly what a reader would hash
+      ArtifactStore.writeFpPart(dir, s"bid=$bid",
+        ArtifactStore.partFingerprint(
+          spark.read.parquet(s"$dir/bid=$bid")
+            .select(cols.map(col).toIndexedSeq: _*)))
+    }
+    commitPart("vecs", fresh.select(col("id"), col("v")), Seq("id", "v"))
+    commitPart("edges", newEdges, Seq("src", "dst"))
+    commitPart("edges1", newEdges1, Seq("src", "dst"))
     writeMeta(storeDir, bid) // commit point, strictly last
   }
 
-  /** Wire an (id, vector) stream into the maintained graph. */
+  /** Two-layer search over the MAINTAINED store — q362's descent on
+    * the streaming-built ladder: beam over the maintained layer-1
+    * graph from its min-id entry, then the surviving beam seeds the
+    * full layer-0 search. `query` is a one-row (qv, qn) frame; returns
+    * the final beam (id, sim). */
+  def searchLadder(spark: SparkSession, storeDir: String,
+                   query: DataFrame, beamWidth: Int, topRounds: Int,
+                   rounds: Int): DataFrame = {
+    val vecs = nodes(spark, storeDir)
+      .withColumn("nrm", VectorSearch.norm(col("v")))
+      .localCheckpoint() // both layers' scoring reads it
+    val entry1 = vecs.where(NswIndex.atLevel(col("id"), 1))
+      .agg(min("id").as("id"))
+    val beam1 = NswIndex.beamSearch(vecs, edges1(spark, storeDir),
+      query, entry1, beamWidth, topRounds)
+    NswIndex.beamSearch(vecs, edges(spark, storeDir), query,
+      beam1.select(col("id")), beamWidth, rounds)
+  }
+
+  /** One-dir-per-batch growth bound (r13 verdict #4a, the StreamSplit
+    * discipline): rewrite every COMMITTED partition of each sub-store
+    * into a single `bid=<applied>` partition + one rolled-up `base`
+    * sidecar, built in a temp dir and swapped in with two atomic
+    * renames — readers never see a partial store, a crash leaves
+    * either the fragmented or the compacted state
+    * ([[recoverCompaction]] heals the in-between), and because the
+    * `_fp` sidecars ride inside the renamed dir, data and fingerprint
+    * metadata can never diverge. Rows are PRESERVED EXACTLY, so
+    * [[storeFingerprint]] — and the served artifact address — is
+    * unchanged. Torn partitions above the watermark are dropped; their
+    * batches are gate-replayed anyway. Returns true if any sub-store
+    * was rewritten. */
+  def compact(spark: SparkSession, storeDir: String,
+              minDirs: Int = 2): Boolean = {
+    val applied = appliedBid(storeDir)
+    if (applied < 0) return false
+    var any = false
+    Seq(("vecs", vecSchema), ("edges", edgeSchema),
+      ("edges1", edgeSchema)).foreach { case (sub, schema) =>
+      val dir = s"$storeDir/$sub"
+      recoverCompaction(dir)
+      val d = Paths.get(dir)
+      if (Files.isDirectory(d)) {
+        val committedDirs = listDir(d).count { p =>
+          val n = p.getFileName.toString
+          Files.isDirectory(p) && n.startsWith("bid=") &&
+            n.drop(4).toLong <= applied
+        }
+        if (committedDirs >= minDirs) {
+          val tmp = s"$dir.compact.tmp"
+          val old = s"$dir.compact.old"
+          deleteRec(Paths.get(tmp)); deleteRec(Paths.get(old))
+          // rewritten file count = the cumulative byte quota's group
+          // count (the q322/StreamSplit plan): never one giant file at
+          // scale, never one file per historical batch either
+          val bytes = listDir(d).filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith("bid="))
+            .flatMap(listDir).filter(_.getFileName.toString
+              .endsWith(".parquet"))
+            .map(Files.size(_)).sum
+          val k = math.max(1L,
+            (bytes + CompactTargetBytes - 1) / CompactTargetBytes).toInt
+          readCommitted(spark, dir, schema, storeDir)
+            .coalesce(k).write.parquet(s"$tmp/bid=$applied")
+          val parts = ArtifactStore
+            .readFpParts(dir, committedPart(applied)).map(_._2)
+          ArtifactStore.writeFpPart(tmp, "base",
+            (parts.map(_._1).sum, parts.map(_._2).sum))
+          Files.move(Paths.get(dir), Paths.get(old),
+            StandardCopyOption.ATOMIC_MOVE)
+          Files.move(Paths.get(tmp), Paths.get(dir),
+            StandardCopyOption.ATOMIC_MOVE)
+          deleteRec(Paths.get(old))
+          any = true
+        }
+      }
+    }
+    any
+  }
+
+  /** Crash recovery: a compaction that died between its two renames
+    * leaves the sub-store at `<dir>.compact.old` — restore it. A
+    * leftover `.tmp` (died mid-rewrite) is garbage and is dropped. */
+  private def recoverCompaction(dir: String): Unit = {
+    val d = Paths.get(dir)
+    val old = Paths.get(dir + ".compact.old")
+    if (!Files.exists(d) && Files.exists(old))
+      Files.move(old, d, StandardCopyOption.ATOMIC_MOVE)
+    deleteRec(Paths.get(dir + ".compact.tmp"))
+  }
+
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try {
+      val b = Seq.newBuilder[java.nio.file.Path]
+      s.iterator().forEachRemaining(c => b += c)
+      b.result()
+    } finally s.close()
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRec)
+    Files.deleteIfExists(p)
+  }
+
+  /** Wire an (id, vector) stream into the maintained graph. Compaction
+    * auto-triggers once the per-batch partition count passes
+    * `compactAfterBatches` — OUTSIDE the batch commit, so a compaction
+    * failure never loses a batch. */
   def run(stream: DataFrame, idCol: String, vecCol: String,
           centroids: Array[Array[Double]], probes: Int, m: Int,
           beamWidth: Int, rounds: Int, storeDir: String,
-          trigger: Trigger): DataStreamWriter[Row] =
+          trigger: Trigger, compactAfterBatches: Int = 48)
+      : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val spark = batch.sparkSession
         val before = spark.sparkContext.getPersistentRDDs.keySet
-        try applyBatch(batch, bid, idCol, vecCol, centroids, probes,
-          m, beamWidth, rounds, storeDir)
-        finally spark.sparkContext.getPersistentRDDs.iterator
+        try {
+          applyBatch(batch, bid, idCol, vecCol, centroids, probes,
+            m, beamWidth, rounds, storeDir)
+          val vdir = Paths.get(s"$storeDir/vecs")
+          if (Files.isDirectory(vdir) &&
+              listDir(vdir).count(_.getFileName.toString
+                .startsWith("bid=")) > compactAfterBatches) {
+            compact(spark, storeDir)
+            ()
+          }
+        } finally spark.sparkContext.getPersistentRDDs.iterator
           .filter { case (id, _) => !before.contains(id) }
           .foreach { case (_, rdd) => rdd.unpersist(blocking = false) }
       }

@@ -66,7 +66,12 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$root/t_serve")), "artifact dir")
     val Seq(leaf) = fpLeaves(s"$root/t_serve")
     assert(Files.exists(leaf.resolve("manifest.json")), "commit manifest")
-    assert(Files.exists(leaf.resolve("data/_SUCCESS")), "payload marker")
+    val payload = ArtifactStore.livePayload(leaf.toString)
+    assert(payload.isDefined, "manifest must reference a live payload")
+    assert(Files.exists(leaf.resolve(payload.get).resolve("_SUCCESS")),
+      "payload marker")
+    // exactly ONE payload dir: the committer vacuums its orphans
+    assert(listNames(leaf.toString).count(_.startsWith("payload-")) === 1)
   }
 
   test("a changed fingerprint rebuilds AND vacuums the superseded " +
@@ -148,9 +153,18 @@ class ArtifactStoreSpec extends SparkSpec {
     val fpA = ArtifactStore.fingerprint(a, "fs:a")
     val fpB = ArtifactStore.fingerprint(b, "fs:b")
     assert(fpA === fpB, "row order must not change the fingerprint")
-    // xor alone cancels a duplicated PAIR — the row count must catch it
+    // a duplicated pair at a changed count must miss
     val dup = a.unionAll(corpus(2))
     assert(ArtifactStore.fingerprint(dup, "fs:dup") !== fpA)
+    // the r13 advice hole: an XOR fingerprint self-cancels duplicate
+    // pairs, so {A,A,B} and {C,C,B} collided at EQUAL counts and could
+    // serve a stale artifact for a changed corpus — the sum
+    // fingerprint must distinguish them
+    val aab = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "body")
+    val ccb = Seq((3L, "c"), (3L, "c"), (2L, "b")).toDF("id", "body")
+    assert(ArtifactStore.fingerprint(aab, "fs:aab") !==
+      ArtifactStore.fingerprint(ccb, "fs:ccb"),
+      "a swapped duplicate pair must change the fingerprint")
     val changed = corpus(19).unionAll(Seq((20L, "DOCX")).toDF("id", "body"))
     assert(ArtifactStore.fingerprint(changed, "fs:chg") !== fpA,
       "content change must change the fingerprint")
@@ -158,5 +172,32 @@ class ArtifactStoreSpec extends SparkSpec {
     // frame is different but the key pins the physical source)
     assert(ArtifactStore.fingerprint(changed, "fs:a") === fpA,
       "memo key must win within a session")
+  }
+
+  test("write-time part fingerprints fold to the scan fingerprint — " +
+    "the O(#parts) managed-store staleness path (r13 verdict #1) — " +
+    "and a one-row change rebuilds") {
+    ArtifactStore.clearFingerprintMemo()
+    val scanned = ArtifactStore.fingerprint(corpus(30), "fs:parts:whole")
+    val p1 = ArtifactStore.partFingerprint(corpus(30).where(col("id") <= 13))
+    val p2 = ArtifactStore.partFingerprint(corpus(30).where(col("id") > 13))
+    assert(ArtifactStore.combineParts(Seq(p1, p2)) === scanned,
+      "part sums must combine to the full-scan fingerprint")
+    // sidecar round-trip: the store's commit-time metadata alone
+    // reproduces the fingerprint — no data scan
+    val store = Files.createTempDirectory("graft-fp").toString
+    ArtifactStore.writeFpPart(store, "vecs-bid=0", p1)
+    ArtifactStore.writeFpPart(store, "vecs-bid=1", p2)
+    assert(ArtifactStore.fingerprintFromParts(store) === scanned)
+    // a one-row content change in one part → different address →
+    // the artifact REBUILDS (overwrite-idempotent sidecar, the
+    // replayed-batch shape)
+    val p2b = ArtifactStore.partFingerprint(corpus(30).where(col("id") > 14))
+    ArtifactStore.writeFpPart(store, "vecs-bid=1", p2b)
+    assert(ArtifactStore.fingerprintFromParts(store) !== scanned,
+      "a changed part must change the folded fingerprint")
+    // the include filter scopes the fold (committed-only reads)
+    assert(ArtifactStore.fingerprintFromParts(store, _ == "vecs-bid=0")
+      === ArtifactStore.combineParts(Seq(p1)))
   }
 }

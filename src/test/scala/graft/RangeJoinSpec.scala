@@ -46,6 +46,24 @@ class RangeJoinSpec extends SparkSpec {
       assert(bucketized(w) == expect, s"mismatch at bucket width $w")
   }
 
+  test("pointInIntervalBlocked == pointInInterval BIT-IDENTICAL at " +
+    "every density: under-cap (salts=1) and a sliceCap that salts " +
+    "EVERY populated bucket (the flash-crowd shape)") {
+    val expect = naive
+    // width 5000 puts all 400 points in ONE bucket — cap 16 forces 25
+    // blocks; width 3 leaves most buckets under any cap
+    for ((w, cap) <- Seq((3L, 1000), (3L, 2), (5000L, 16))) {
+      val out = RangeJoin.pointInIntervalBlocked(points, "pt",
+        ptKey = struct(col("pid"), col("pt")), intervals, "lo", "hi",
+        w, sliceCap = cap)
+      assert(out.groupBy("pid", "iid").count().filter(col("count") > 1)
+        .isEmpty, s"duplicate pairs at width $w cap $cap")
+      assert(out.select(col("pid"), col("iid"))
+        .as[(Long, Long)].collect().toSet === expect,
+        s"blocked range join drifted at width $w cap $cap")
+    }
+  }
+
   test("intervalOverlap == naive theta join, duplicate-free, at " +
     "width << span, ~span, >> span") {
     val l = intervals.select(col("iid").as("lid"), col("lo").as("llo"),

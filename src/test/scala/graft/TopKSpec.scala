@@ -69,6 +69,36 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("the aggregation buffer is k-capped DURING the fold (r13 " +
+    "verdict #2): 1000 inserts into k=5 never grow state past 5, and " +
+    "eval returns the 5 smallest ascending") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference,
+      GenericInternalRow}
+    import org.apache.spark.sql.types.IntegerType
+    val agg = new CollectTopK(
+      BoundReference(0, IntegerType, nullable = false), 5, true, 0, 0)
+    val buf = agg.createAggregationBuffer()
+    val row = new GenericInternalRow(1)
+    // adversarial ascending order: every later element is WORSE, so a
+    // naive unbounded collect would hold all 1000
+    var b = buf
+    (0 until 1000).foreach { i => row.update(0, Int.box(i)); b = agg.update(b, row) }
+    assert(b.size === 5, s"buffer grew to ${b.size} — state is not O(k)")
+    val out = agg.eval(b)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toSeq
+    assert(out === Seq(0, 1, 2, 3, 4),
+      "eval must return the k smallest in ascending key order")
+    // and descending input (every later element BETTER) stays capped
+    var b2 = agg.createAggregationBuffer()
+    (0 until 1000).foreach { i =>
+      row.update(0, Int.box(1000 - i)); b2 = agg.update(b2, row) }
+    assert(b2.size === 5 && agg.eval(b2)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toSeq === Seq(1, 2, 3, 4, 5))
+  }
+
   test("global top-k with k past the frame returns everything, ranked") {
     val df = Seq((1L, 10L), (2L, 30L), (3L, 5L)).toDF("id", "score")
     val got = TopK.global(df,
