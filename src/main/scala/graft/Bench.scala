@@ -171,8 +171,12 @@ object Bench {
     // the only answer-changing gate is the near-dup exact-pairs gate
     // (ops/VectorSearch.nearDupPairs): above
     // spark.graft.neardup.exactMaxRows rows the q29/q79 family
-    // reroutes to cell-bounded candidates (full recall on clustered
-    // corpora, no guarantee in general).
+    // reroutes to cell-bounded candidates. Since r14 that regime is
+    // ORACLE-REPLAYED (regime-aware late oracles + the house-hash
+    // salt), so "approx" here means approximate RELATIVE TO the
+    // exact all-pairs answer — measured ~50% pair recall on this
+    // near-isotropic corpus — while still bit-pinned against DuckDB
+    // (q29 verified at sf1's real gated regime: 3,431,841 pairs).
     val approxShape: Seq[String] = try {
       val gate = spark.conf.getOption(graft.ops.VectorSearch.GateConf)
         .map(_.toLong).getOrElse(graft.ops.VectorSearch.DefaultGate)

@@ -104,6 +104,24 @@ object ArtifactStore {
     (s.mod(Mod64), r.getLong(1))
   }
 
+  /** Per-partition [[partFingerprint]]s in ONE grouped scan — for
+    * partitioned sinks (ShardWriter) that commit many parts at once:
+    * (partCol=value → (sum, count)), hashing ALL of `df`'s columns
+    * (including the partition column) so the fold equals
+    * [[fingerprint]] of the whole read-back frame. The collect is
+    * O(#parts) rows. */
+  def partFingerprints(df: DataFrame, partCol: String)
+      : Seq[(String, (BigInt, Long))] =
+    df.groupBy(col(partCol))
+      .agg(sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)
+          .cast(DecimalType(38, 0))).as("s"),
+        count(lit(1)).as("n"))
+      .collect().toSeq.map { r =>
+        val s = if (r.isNullAt(1)) BigInt(0)
+          else BigInt(r.getDecimal(1).toBigInteger)
+        s"$partCol=${r.get(0)}" -> (s.mod(Mod64), r.getLong(2))
+      }.sortBy(_._1)
+
   /** Fold part sums into the canonical fingerprint string
     * `<16-hex sum mod 2^64>_<row count>`. */
   def combineParts(parts: Iterable[(BigInt, Long)]): String = {

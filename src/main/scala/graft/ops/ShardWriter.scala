@@ -56,6 +56,20 @@ object ShardWriter {
       expr("bit_xor(xxhash64(doc_id))").as("checksum"))
     manifest.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/manifest")
+    // write-time content identity (the ArtifactStore managed-store
+    // protocol, second integrated store after StreamNswInsert): one
+    // grouped scan of the rows AS WRITTEN records each shard's
+    // (Σ row-hash, count) sidecar, so an artifact built over this
+    // shard store fingerprints its staleness in O(#shards) metadata
+    // reads — never a corpus re-scan. Hashed from the READ-BACK frame
+    // (column order + partition-column type exactly as a consumer's
+    // `spark.read.parquet` sees them), so the fold equals the scan
+    // fingerprint bit-for-bit (ShardWriterSpec pins it).
+    val spark = docs.sparkSession
+    val back = spark.read.parquet(s"$outDir/shards")
+    ArtifactStore.partFingerprints(back, "shard_id")
+      .foreach { case (part, fp) =>
+        ArtifactStore.writeFpPart(s"$outDir/shards", part, fp) }
     manifest
   }
 }

@@ -162,11 +162,15 @@ object VectorSearch {
     *  - '''cell-bounded''' (above the gate): [[nearDupCellBounded]] —
     *    k-means cells sized ~`targetCell`, candidates only within
     *    co-probed cells (Σ cell² ≈ 4·targetCell·n — LINEAR in n for
-    *    k ∝ n), exact-cosine verified. Recall is data-dependent (full
-    *    on clustered corpora — spec-pinned; no guarantee at arbitrary
-    *    thresholds on isotropic data), which is the honest trade: at
-    *    100 TB the exact answer is not computable at all, and callers
-    *    who insist get the `exact = true` escape hatch.
+    *    k ∝ n), exact-cosine verified. Recall is data-dependent: full
+    *    on clustered corpora (spec-pinned), MEASURED ~50% of pairs
+    *    (456/920) on the near-isotropic sf0.1 embeddings at
+    *    threshold 0.4 under a forced gate — the capped-verify lane's
+    *    number, not a guess. The honest trade stands: at 100 TB the
+    *    exact answer is not computable at all, callers who insist get
+    *    the `exact = true` escape hatch, and since r14 the oracle
+    *    REPLAYS this regime literally (which pairs survive is
+    *    bit-pinned even where recall is partial).
     *
     * Unlike the PageRank gate this one changes the ANSWER above the
     * gate, not just the plan — documented here and in SURVEY; both

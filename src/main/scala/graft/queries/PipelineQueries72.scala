@@ -84,6 +84,54 @@ object PipelineQueries72 {
               .partitionBy(col("name"))).as("n_live"))
       },
       None,
-      Some(() => GovOracle.sql))
+      Some(() => GovOracle.sql)),
+
+    // q373: shard-store fingerprint audit — the managed-store
+    // protocol's governance twin (q371 audits the artifact root; this
+    // audits a SINK's write-time content identity). ShardWriter
+    // commits per-shard `_fp` sidecars alongside its manifest; a
+    // reader deciding whether a downstream artifact is stale trusts
+    // the sidecars INSTEAD of re-scanning the shards — so the audit
+    // that cross-checks sidecar row counts against the independently
+    // aggregated manifest (and both against each other per shard) is
+    // the integrity gate of the whole O(#shards) staleness path. Both
+    // engines read the same files: Spark joins the manifest parquet
+    // to the sidecar JSON; DuckDB replays with read_parquet +
+    // read_json_auto.
+    QDef("q373_shard_fp_audit",
+      (s, dir) => {
+        val out = new java.io.File("target/shards_gov").getAbsolutePath
+        def wipe(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(wipe)
+          f.delete(); ()
+        }
+        wipe(new java.io.File(out))
+        graft.ops.ShardWriter.write(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          nShards = 8, out)
+        ShardFpOracle.sql = Some(
+          s"""WITH m AS (SELECT shard_id, n_docs
+             |  FROM read_parquet('$out/manifest/*.parquet')),
+             |f AS (SELECT CAST(replace(part, 'shard_id=', '')
+             |    AS BIGINT) AS shard_id, n AS sidecar_n
+             |  FROM read_json_auto('$out/shards/_fp/*.json'))
+             |SELECT m.shard_id, m.n_docs, f.sidecar_n,
+             |  m.n_docs = f.sidecar_n AS agree
+             |FROM m JOIN f USING (shard_id)""".stripMargin)
+        val manifest = s.read.parquet(s"$out/manifest")
+        val fp = s.read.schema("part STRING, sum STRING, n LONG")
+          .json(s"$out/shards/_fp/*.json")
+          .select(regexp_replace(col("part"), "shard_id=", "")
+            .cast("long").as("shard_id"), col("n").as("sidecar_n"))
+        manifest.select(col("shard_id"), col("n_docs"))
+          .join(fp, "shard_id")
+          .select(col("shard_id"), col("n_docs"), col("sidecar_n"),
+            (col("n_docs") === col("sidecar_n")).as("agree"))
+      },
+      None,
+      Some(() => ShardFpOracle.sql))
   )
+
+  /** q373's late-bound oracle (embeds the shard-store path). */
+  private object ShardFpOracle { @volatile var sql: Option[String] = None }
 }

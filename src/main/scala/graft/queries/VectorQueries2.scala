@@ -848,8 +848,71 @@ object VectorQueries2 {
             Window.orderBy(col("sim").desc, col("vec_id").asc)))
       },
       None,
-      Some(() => PqNswOracle.sql))
+      Some(() => PqNswOracle.sql)),
+
+    // PQ reconstruction-fidelity audit — the governance leg of the
+    // q372 compressed serve tier: BEFORE routing a corpus's serving
+    // through 32×-compressed codes, measure what the compression
+    // loses, per label stratum (a skewed stratum quantizing worse
+    // than the mean is exactly what a global average hides). One
+    // encode scan (the codegen kernel), per-row micro-quantized
+    // cosine(v, recon(v)) (the q108 rule: quantize each term, THEN
+    // integer-sum — bit-stable under any partitioning), one map-side
+    // agg to O(#labels) rows. Mean via sign-split integer division
+    // (house rule — Spark `div` truncates, DuckDB `//` floors; the
+    // split makes both truncate). Oracle replays encode + recon +
+    // quantize from codebook literals.
+    QDef("q374_pq_recon_fidelity",
+      (s, dir) => {
+        import graft.ops.VectorSearch._
+        val emb = Tables.embeddings(s, dir)
+        val sample = sampleVectors(emb, "vec_id", "embedding",
+          n = 512, seed = 42)
+        val codebook = pqTrain(sample, m = 8, k = 16, iters = 10,
+          seed = 42)
+        PqFidelityOracle.sql = Some {
+          val codeCols = codebook.indices
+            .map(mi => s"${VectorQueries.pqEncSql(codebook, mi, "v")} AS c$mi")
+            .mkString(",\n  ")
+          val reconSql = VectorQueries.pqReconSql(codebook)
+          s"""WITH e AS (SELECT label, $vSql AS v FROM embeddings),
+             |enc AS (SELECT label, v, $codeCols FROM e),
+             |r AS (SELECT label,
+             |    CAST(floor(${cosSql("v", s"($reconSql)")} * 1000000.0)
+             |      AS BIGINT) AS fid
+             |  FROM enc),
+             |g AS (SELECT label, count(*) AS n,
+             |    CAST(sum(fid) AS BIGINT) AS sf
+             |  FROM r GROUP BY label)
+             |SELECT label, n,
+             |  CASE WHEN sf >= 0 THEN sf // n
+             |       ELSE -((-sf) // n) END AS mean_fid_micro
+             |FROM g""".stripMargin
+        }
+        val e = emb.select(col("label"),
+          toDouble(col("embedding")).as("v"))
+        val enc = e.select(col("label"), col("v"),
+            pqEncodeKernel(col("v"), codebook).as("codes"))
+          .select(Seq(col("label"), col("v")) ++ (0 until 8)
+            .map(i => element_at(col("codes"), i + 1).as(s"c$i")): _*)
+        val recon = pqRecon((0 until 8).map(i => col(s"c$i")), codebook)
+        enc
+          .select(col("label"),
+            floor(cosine(col("v"), recon) * lit(1000000.0)).as("fid"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), sum(col("fid")).as("sf"))
+          .select(col("label"), col("n"),
+            when(col("sf") >= 0, expr("sf div n"))
+              .otherwise(-expr("(-sf) div n")).as("mean_fid_micro"))
+      },
+      None,
+      Some(() => PqFidelityOracle.sql))
   )
+
+  /** q374's late-bound oracle (codebook literals). */
+  private object PqFidelityOracle {
+    @volatile var sql: Option[String] = None
+  }
 
   private val HnswTopRounds = 2
 

@@ -44,6 +44,15 @@ class ShardWriterSpec extends SparkSpec {
     assert(manifest.count() == recomputed.count())
     assert(manifest.except(recomputed).isEmpty)
 
+    // write-time fingerprint sidecars: the sidecar fold answers the
+    // staleness question in O(#shards) metadata reads and must equal
+    // the full-scan fingerprint of the read-back store exactly (the
+    // ArtifactStore managed-store protocol)
+    graft.ops.ArtifactStore.clearFingerprintMemo()
+    assert(graft.ops.ArtifactStore.fingerprintFromParts(s"$out/shards")
+      === graft.ops.ArtifactStore.fingerprint(back, s"sws:$out"),
+      "shard sidecar fold must equal the scan fingerprint")
+
     // balance: no shard above 2× the ideal token budget (assignment
     // property carried through the writer)
     val total = manifest.agg(sum("n_tokens")).head.getLong(0)
