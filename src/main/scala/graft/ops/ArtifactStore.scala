@@ -217,33 +217,110 @@ object ArtifactStore {
     root(spark) match {
       case None => build
       case Some(r) =>
-        val scope = s"s${paramsHash(sourceKey)}_p${paramsHash(params)}"
-        val scopeDir = s"$r/$name/$scope"
-        val dir = s"$scopeDir/$fp"
-        val lock = locks.computeIfAbsent(dir, _ => new Object)
-        lock.synchronized {
-          if (livePayload(dir).isEmpty) {
-            // build into a process-UNIQUE payload dir, then publish it
-            // by the atomic manifest replace (strictly last). No
-            // process ever writes inside a directory another process
-            // may be reading (the r13 advice torn-read hole): a
-            // concurrent JVM commits its own payload dir and the last
-            // manifest wins — both payloads hold identical rows (same
-            // content address), readers of either see complete data,
-            // and a crash at any point leaves either the old commit or
-            // the new one, never a torn state.
-            val payload = s"payload-${java.util.UUID.randomUUID}"
-            build.write.mode("overwrite").parquet(s"$dir/$payload")
-            writeManifest(dir, name, fp, params, payload)
-            // only a COMMITTER vacuums, and only what its own commit
-            // superseded: orphan payloads of this address (dead temps /
-            // lost same-address races) and sibling fingerprints
-            vacuumOrphanPayloads(dir, keep = payload)
-            vacuumSiblings(scopeDir, keep = fp)
-          }
-        }
-        spark.read.parquet(s"$dir/${livePayload(dir).get}")
+        val scopeDir = s"$r/$name/${scope(sourceKey, params)}"
+        spark.read.parquet(
+          ensureCommitted(scopeDir, fp, name, params)(build))
     }
+
+  private def scope(sourceKey: String, params: String): String =
+    s"s${paramsHash(sourceKey)}_p${paramsHash(params)}"
+
+  /** Commit `(scopeDir, fp)` if absent and return the live payload
+    * path. The commit discipline (shared by [[buildOrServe]] and
+    * [[buildOrServeParts]]): build into a process-UNIQUE payload dir,
+    * then publish it by the atomic manifest replace (strictly last).
+    * No process ever writes inside a directory another process may be
+    * reading (the r13 advice torn-read hole): a concurrent JVM commits
+    * its own payload dir and the last manifest wins — both payloads
+    * hold identical rows (same content address), readers of either see
+    * complete data, and a crash at any point leaves either the old
+    * commit or the new one, never a torn state. Only a COMMITTER
+    * vacuums, and only what its own commit superseded: orphan payloads
+    * of this address (dead temps / lost same-address races) and
+    * sibling fingerprints of the same scope. */
+  private def ensureCommitted(scopeDir: String, fp: String, name: String,
+                              params: String)
+                             (build: => DataFrame): String = {
+    val dir = s"$scopeDir/$fp"
+    val lock = locks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      if (livePayload(dir).isEmpty) {
+        val payload = s"payload-${java.util.UUID.randomUUID}"
+        build.write.mode("overwrite").parquet(s"$dir/$payload")
+        writeManifest(dir, name, fp, params, payload)
+        vacuumOrphanPayloads(dir, keep = payload)
+        vacuumSiblings(scopeDir, keep = fp)
+      }
+    }
+    s"$dir/${livePayload(dir).get}"
+  }
+
+  /** PART-ADDRESSED artifact — the delta-rebuild path (the r14 step
+    * past [[fingerprintFromParts]]: once staleness is known per part,
+    * REBUILD should be per part too). For artifacts that decompose
+    * over a partition of the corpus (per-source count tables, posting
+    * lists, per-shard sketches: anything where
+    * `build(corpus) == union over parts of build(part)`), each part
+    * commits under its OWN content address `(partId, partFp)`:
+    *
+    *  - a corpus change that touches one part rebuilds ONE part —
+    *    `buildPart` runs only for (partId, partFp) addresses with no
+    *    live commit; at 100 TB an appended shard costs a shard-sized
+    *    build, not a corpus-sized one;
+    *  - serving is ONE multi-path parquet scan over the live payload
+    *    dirs (not a union of #parts plans);
+    *  - retention: a rebuilt part vacuums its superseded fingerprints
+    *    (the [[ensureCommitted]] sibling rule, scoped to the part),
+    *    and partIds that left the part set vacuum on the next serve —
+    *    the store holds exactly the live partition;
+    *  - `parts` is the CALLER's (partId → partFp) map, which a managed
+    *    store answers from its write-time `_fp` sidecars
+    *    ([[readFpParts]]) in O(#parts) metadata reads — end to end,
+    *    neither the staleness check nor the delta rebuild re-scans
+    *    unchanged data.
+    *
+    * With no artifact root, evaluates the parts inline and unions them
+    * (the historical shape). The same decomposition instinct as the
+    * reference's per-block ledger folds (src/be_db_follower.erl) —
+    * never recompute the world to absorb a delta.
+    */
+  def buildOrServeParts(spark: SparkSession, name: String,
+                        parts: Seq[(String, String)], params: String,
+                        sourceKey: String)
+                       (buildPart: String => DataFrame): DataFrame = {
+    require(parts.nonEmpty, s"artifact $name: empty part set")
+    root(spark) match {
+      case None =>
+        parts.map(p => buildPart(p._1)).reduce(_.unionByName(_))
+      case Some(r) =>
+        val partsDir = s"$r/$name/${scope(sourceKey, params)}/parts"
+        val keep = parts.map(p => s"part-${contentHash(p._1)}").toSet
+        // committer-only vacuum, part-set edition: only a caller that
+        // actually commits (= observed the newest corpus state) may
+        // drop departed partIds — a serve-only reader with a stale
+        // part map must never delete under a fresher process
+        val willCommit = parts.exists { case (pid, pfp) =>
+          livePayload(s"$partsDir/part-${contentHash(pid)}/$pfp").isEmpty }
+        val paths = parts.map { case (pid, pfp) =>
+          ensureCommitted(s"$partsDir/part-${contentHash(pid)}", pfp,
+            s"$name#$pid", params)(buildPart(pid))
+        }
+        if (willCommit) vacuumDeparted(partsDir, keep)
+        spark.read.parquet(paths: _*)
+    }
+  }
+
+  /** Drop part dirs whose partId left the caller's part set — only
+    * ever touches `<scope>/parts/part-*`, so other corpora/params of
+    * the same artifact name are untouched. */
+  private def vacuumDeparted(partsDir: String, keep: Set[String]): Unit = {
+    val d = Paths.get(partsDir)
+    if (Files.isDirectory(d)) children(d).foreach { p =>
+      val n = p.getFileName.toString
+      if (Files.isDirectory(p) && n.startsWith("part-") && !keep(n))
+        deleteRecursively(p)
+    }
+  }
 
   /** (address → decoded model) — small driver-side models (a trained
     * merge list, a vocab) memoize in-JVM on top of the parquet

@@ -357,14 +357,50 @@ object VectorSearch {
     Seq.tabulate(dims)(d =>
       (graft.functions.TextAnalysis.md5Hex8(s"$p:$d") % 2001 - 1000) / 1000.0)
 
+  /** Raw projection vector · hyperplane p — the SIGNED margin, exposed
+    * for multi-probe LSH, whose flip-bit choice needs the magnitude,
+    * not just the sign. Same left-fold as the SQL oracle's list_reduce
+    * (0.0 seed, in-order), so the doubles are bit-identical. */
+  def planeProj(vec: Column, p: Int, dims: Int): Column =
+    aggregate(
+      zip_with(vec, typedLit(planeVector(p, dims)), (x, w) => x * w),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Sign bit of vector · hyperplane p (1 when positive): one zip_with
     * dot against the broadcast literal plane.
     */
-  def signBit(vec: Column, p: Int, dims: Int): Column = {
-    val proj = aggregate(
-      zip_with(vec, typedLit(planeVector(p, dims)), (x, w) => x * w),
-      lit(0.0), (acc, x) => acc + x)
-    when(proj > 0, lit(1)).otherwise(lit(0))
+  def signBit(vec: Column, p: Int, dims: Int): Column =
+    when(planeProj(vec, p, dims) > 0, lit(1)).otherwise(lit(0))
+
+  /** Multi-probe LSH query keys (Lv et al., VLDB 2007): per band, the
+    * base signature PLUS `extraProbes` perturbed signatures, each
+    * flipping one of the band's lowest-|margin| bits — the bits most
+    * likely to disagree for a true near neighbor. The CORPUS keeps one
+    * key per band ([[lshCandidates]] unchanged — no extra storage, no
+    * extra tables); only the query fans out, so recall rises at the
+    * price of `1 + extraProbes` bucket lookups per band instead of
+    * more index replicas. Returns an array of (band, key) structs —
+    * every expression is a Column over the query row (no driver math),
+    * and the flip choice is a deterministic array_sort on
+    * (|margin|, bit) pairs, replayable literally in SQL. */
+  def multiProbeKeys(vec: Column, bands: Int, bitsPerBand: Int,
+                     dims: Int, extraProbes: Int): Column = {
+    require(extraProbes < bitsPerBand, "at most bits-1 single-bit probes")
+    val perBand = (0 until bands).flatMap { b =>
+      val projs = (0 until bitsPerBand)
+        .map(i => planeProj(vec, b * bitsPerBand + i, dims))
+      val base = projs.zipWithIndex
+        .map { case (p, i) => when(p > 0, lit(1 << i)).otherwise(lit(0)) }
+        .reduce(_ + _)
+      val margins = array_sort(array(projs.zipWithIndex.map {
+        case (p, i) => struct(abs(p).as("a"), lit(i).as("i")) }: _*))
+      val probes = base +: (0 until extraProbes).map { j =>
+        val bit = element_at(margins, j + 1).getField("i")
+        base.bitwiseXOR(pow(lit(2.0), bit).cast("int"))
+      }
+      probes.map(k => struct(lit(b).as("band"), k.as("key")))
+    }
+    array(perBand: _*)
   }
 
   /** Seeded bounded sample of vectors for centroid training: order the

@@ -200,4 +200,71 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(ArtifactStore.fingerprintFromParts(store, _ == "vecs-bid=0")
       === ArtifactStore.combineParts(Seq(p1)))
   }
+
+  test("part-addressed artifact: a one-part corpus change rebuilds " +
+    "ONE part (delta rebuild), result == inline union, superseded " +
+    "part content vacuums, departed partIds vacuum on the next " +
+    "committing serve") {
+    val root = freshRoot()
+    val built = scala.collection.mutable.ArrayBuffer.empty[String]
+    def slice(pid: String, hi: Int): DataFrame =
+      corpus(hi).withColumn("pid", lit(pid))
+    // (partId → (fp, builder)) for a given "corpus state"
+    def run(parts: Seq[(String, Int)]): Set[(Long, String, String)] =
+      withRoot(root) {
+        val fps = parts.map { case (pid, hi) =>
+          pid -> ArtifactStore.combineParts(
+            Seq(ArtifactStore.partFingerprint(slice(pid, hi))))
+        }
+        val byPid = parts.toMap
+        ArtifactStore.buildOrServeParts(spark, "t_parts", fps, "p=1",
+          "src:x") { pid => built += pid; slice(pid, byPid(pid)) }
+          .as[(Long, String, String)].collect().toSet
+      }
+    // initial: both parts build once
+    val first = run(Seq("a" -> 3, "b" -> 4))
+    assert(built.sorted == Seq("a", "b"))
+    assert(first === (corpus(3).withColumn("pid", lit("a"))
+      .unionByName(corpus(4).withColumn("pid", lit("b")))
+      .as[(Long, String, String)].collect().toSet))
+    // unchanged corpus: pure serve, no builds
+    assert(run(Seq("a" -> 3, "b" -> 4)) === first)
+    assert(built.sorted == Seq("a", "b"), "re-serve must not rebuild")
+    // part b grows one row: ONLY b rebuilds (the delta contract)
+    val second = run(Seq("a" -> 3, "b" -> 5))
+    assert(built.sorted == Seq("a", "b", "b"),
+      s"a one-part change must rebuild one part: $built")
+    assert(second === (corpus(3).withColumn("pid", lit("a"))
+      .unionByName(corpus(5).withColumn("pid", lit("b")))
+      .as[(Long, String, String)].collect().toSet))
+    // retention within the part: b's superseded fp vacuumed
+    val partsDir = listNames(s"$root/t_parts").map(scope =>
+      s"$root/t_parts/$scope/parts").head
+    listNames(partsDir).foreach { pd =>
+      assert(listNames(s"$partsDir/$pd").count(!_.startsWith(".")) === 1,
+        s"one live fingerprint per part, got ${listNames(s"$partsDir/$pd")}")
+    }
+    assert(listNames(partsDir).size === 2)
+    // part a departs + c arrives: c builds, a's dir vacuums (the
+    // committing call owns the departed-part vacuum)
+    val third = run(Seq("b" -> 5, "c" -> 2))
+    assert(built.sorted == Seq("a", "b", "b", "c"))
+    assert(third === (corpus(5).withColumn("pid", lit("b"))
+      .unionByName(corpus(2).withColumn("pid", lit("c")))
+      .as[(Long, String, String)].collect().toSet))
+    assert(listNames(partsDir).size === 2,
+      "a departed partId must vacuum on the next committing serve")
+  }
+
+  test("part-addressed artifact with no root: inline union, builder " +
+    "invoked per part every call") {
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    def run() = ArtifactStore.buildOrServeParts(spark, "t_parts_nr",
+      Seq("a" -> "fpa", "b" -> "fpb"), "p", "src:x") { pid =>
+      built.incrementAndGet()
+      corpus(2).withColumn("pid", lit(pid))
+    }.count()
+    assert(run() === 4L && run() === 4L)
+    assert(built.get() === 4, "no root: every call builds inline")
+  }
 }

@@ -275,6 +275,39 @@ class StreamNswInsertSpec extends SparkSpec {
       assert(served2 === want2,
         "a maintained-content change must re-address and rebuild")
       assert(served2 !== served, "the insert must be visible")
+      // PART-ADDRESSED serve (r14): each committed batch is its own
+      // artifact part, so the append above rebuilt ONE new part and
+      // every original payload was reused verbatim (same payload dir)
+      def payloads(): Map[String, String] = {
+        def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+          val s = Files.list(p)
+          try { val b = Seq.newBuilder[java.nio.file.Path]
+            s.iterator().forEachRemaining(c => b += c); b.result() }
+          finally s.close()
+        }
+        val name = java.nio.file.Paths.get(s"$root/nsw_maintained_edges")
+        ls(name).flatMap(scope => ls(scope.resolve("parts")))
+          .flatMap { part => ls(part).map { fp =>
+            part.getFileName.toString ->
+              ls(fp).map(_.getFileName.toString)
+                .filter(_.startsWith("payload-")).head } }
+          .toMap
+      }
+      val after = payloads()
+      assert(after.size === 4,
+        s"3 batch parts + 1 appended part expected: ${after.keys}")
+      // serve once more: pure part-cache hit, payload dirs unchanged
+      assert(StreamNswInsert.serveGraph(spark, store)
+        .as[(Long, Long)].collect().toSet === served2)
+      assert(payloads() === after, "a re-serve must not rebuild parts")
+      // compaction collapses the part set; the next committing serve
+      // rebuilds ONE rollup part and vacuums the departed batch parts
+      assert(StreamNswInsert.compact(spark, store), "must rewrite")
+      assert(StreamNswInsert.serveGraph(spark, store)
+        .as[(Long, Long)].collect().toSet === want2,
+        "compaction moves bytes, never rows")
+      assert(payloads().size === 1,
+        "departed batch parts must vacuum after the rollup serve")
     } finally spark.conf.unset(ArtifactStore.RootConf)
   }
 
