@@ -45,7 +45,8 @@ object SparkEntry {
       PipelineQueries67.defs ++ PipelineQueries68.defs ++
       PipelineQueries69.defs ++ PipelineQueries70.defs ++
       PipelineQueries71.defs ++ PipelineQueries72.defs ++
-      PipelineQueries73.defs ++ VectorQueries2.defs
+      PipelineQueries73.defs ++ PipelineQueries74.defs ++
+      VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
 

@@ -53,47 +53,54 @@ import org.apache.spark.sql.functions._
   *    replays margin sort, bit flips, probe join, and exact re-rank
   *    literally in SQL (the q31 hyperplane formula, one level up).
   */
-object PipelineQueries73 {
+/** Shared DuckDB fragments for the sign-LSH oracle family (q31's
+  * hyperplane formula + the multi-probe margin machinery) — used by
+  * q376's exact replay and q379's recall curve. */
+private[queries] object LshSql {
 
-  private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
-
-  // ---- q376 SQL fragments (the q31 oracle's formulas, plus margins) --
-
-  private def dotSql(a: String, b: String): String =
+  def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, " +
       s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
 
-  private def cosSql(a: String, b: String): String =
+  def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
-  private val vSql = "list_transform(embedding, x -> x::DOUBLE)"
+  val vSql = "list_transform(embedding, x -> x::DOUBLE)"
 
-  /** DuckDB fragment: SIGNED projection of v onto hyperplane p — the
-    * md5-derived plane formula shared with q31 (and with
+  /** SIGNED projection of v onto hyperplane p — the md5-derived plane
+    * formula shared with q31 (and with
     * [[graft.ops.VectorSearch.planeVector]], bit-identically). */
-  private def projSql(v: String, p: Int): String =
+  def projSql(v: String, p: Int): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, " +
       s"list_transform(list_zip($v, generate_series(0, len($v) - 1)), " +
       s"x -> x[1] * ((cast('0x' || substr(md5('$p:' || x[2]), 1, 8) as bigint) " +
       s"% 2001 - 1000) / 1000.0))), (p, q) -> p + q)"
 
-  private def baseKeySql(v: String, band: Int, bits: Int): String =
+  def baseKeySql(v: String, band: Int, bits: Int): String =
     (0 until bits).map(i =>
       s"(CASE WHEN ${projSql(v, band * bits + i)} > 0 " +
         s"THEN ${1 << i} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
-  /** DuckDB fragment: the band's probe list — base key + the two
-    * lowest-|margin| single-bit flips, exactly [[graft.ops
-    * .VectorSearch.multiProbeKeys]]'s arithmetic. */
-  private def probeListSql(v: String, band: Int, bits: Int): String = {
+  /** The band's probe list — base key + the `nFlips` lowest-|margin|
+    * single-bit flips, exactly [[graft.ops.VectorSearch
+    * .multiProbeKeys]]'s arithmetic. */
+  def probeListSql(v: String, band: Int, bits: Int,
+                   nFlips: Int = 2): String = {
     val base = s"CAST(${baseKeySql(v, band, bits)} AS BIGINT)"
     val margins = (0 until bits)
       .map(i => s"{'a': abs(${projSql(v, band * bits + i)}), 'i': $i}")
       .mkString("list_sort([", ", ", "])")
-    s"[$base, xor($base, 1::BIGINT << ($margins)[1].i), " +
-      s"xor($base, 1::BIGINT << ($margins)[2].i)]"
+    val flips = (1 to nFlips).map(j =>
+      s"xor($base, 1::BIGINT << ($margins)[$j].i)")
+    (base +: flips).mkString("[", ", ", "]")
   }
+}
+
+object PipelineQueries73 {
+  import LshSql._
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
 
   /** q377's late-bound oracle (embeds the shard-store path). */
   private object ShardStatsOracle {

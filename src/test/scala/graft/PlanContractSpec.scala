@@ -1183,4 +1183,26 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"q355 shuffle-joins the O(S·256) offsets:\n$p")
   }
+
+  test("q376: the 12-row probe-key set is the BROADCAST side of the " +
+    "bucket join (the corpus index never shuffles for a query) and " +
+    "the re-rank stays TakeOrdered") {
+    val p = plan("q376_ann_lsh_multiprobe")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q376 must broadcast the probe keys:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q376 re-rank must stay a bounded TakeOrdered:\n$p")
+  }
+
+  test("q375: the final ranking reads the SERVED delta-part artifact " +
+    "(multi-path parquet scan of delta_tokcounts payloads), not a " +
+    "recomputation of the corpus") {
+    val p = plan("q375_delta_token_counts")
+    assert(p.contains("delta_tokcounts"),
+      s"q375 must serve the committed parts:\n$p")
+    // the counts were built at commit time — the returned plan ranks
+    // the artifact and never scans the documents table
+    assert(!p.contains("documents.parquet"),
+      s"q375's serve path must not rescan the corpus:\n$p")
+  }
 }
