@@ -224,23 +224,19 @@ object PipelineQueries73 {
           }
           ArtifactStore.buildOrServeParts(s, "shard_stats", parts,
             "stats=v1", s"$out#shards") { pid =>
-            // one shard directory per part build (basePath keeps the
-            // partition column visible)
+            // ONE pass over the shard directory (basePath keeps the
+            // partition column visible): explode_outer keeps zero-token
+            // docs in the doc count, count(token) counts only real
+            // tokens, countDistinct(token) ignores the null
             s.read.option("basePath", s"$out/shards")
               .parquet(s"$out/shards/$pid")
-              .groupBy(col("shard_id").cast("long").as("shard_id"))
-              .agg(count(lit(1)).as("n_docs"),
-                sum(size(tokens(col("text")))).cast("long")
-                  .as("total_tokens"))
-              .join(
-                s.read.option("basePath", s"$out/shards")
-                  .parquet(s"$out/shards/$pid")
-                  .select(col("shard_id").cast("long").as("shard_id"),
-                    explode(tokens(col("text"))).as("token"))
-                  .groupBy("shard_id")
-                  .agg(countDistinct(col("token"))
-                    .as("n_distinct_tokens")),
-                "shard_id")
+              .select(col("shard_id").cast("long").as("shard_id"),
+                col("doc_id"),
+                explode_outer(tokens(col("text"))).as("token"))
+              .groupBy("shard_id")
+              .agg(countDistinct(col("doc_id")).as("n_docs"),
+                count(col("token")).as("total_tokens"),
+                countDistinct(col("token")).as("n_distinct_tokens"))
           }
         } finally prev match {
           case Some(r) => s.conf.set(ArtifactStore.RootConf, r)
