@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   *    The query drives the lifecycle end to end: build the
   *    (source, token) counts artifact in 4 source-bucket parts, then
   *    APPEND a deterministic batch to exactly one source (the min —
-  *    the corpus change), re-derive the part fingerprints (one grouped
-  *    scan; a managed store answers this from sidecars with no scan at
-  *    all), and serve — only the touched bucket rebuilds, every other
+  *    the corpus change), update the part map in O(delta) — the sum
+  *    fingerprint COMPOSES, so the touched bucket's identity is
+  *    old ⊕ partFingerprint(appended rows); no second corpus scan
+  *    (a managed store's sidecars make even the first scan free) —
+  *    and serve: only the touched bucket rebuilds, every other
   *    part serves its first build
   *    (ArtifactStoreSpec pins the one-part-rebuild count; this query
   *    pins that the SERVED union equals the recomputed truth). The
@@ -133,15 +135,16 @@ object PipelineQueries73 {
             def bucketOf = pmod(
               graft.functions.TextAnalysis.tokenHash(col("source")),
               lit(4))
-            // (bucket → part fingerprint), ONE grouped scan — a
-            // managed store answers this from `_fp` sidecars instead
-            // (q377 is that end of the protocol)
-            def partsOf(df: DataFrame): Seq[(String, String)] =
-              ArtifactStore.partFingerprints(
-                  df.withColumn("bucket", bucketOf), "bucket").map {
-                case (pid, fp) => pid.stripPrefix("bucket=") ->
-                  ArtifactStore.combineParts(Seq(fp))
-              }
+            // (bucket → (sum, count)), ONE grouped scan — a managed
+            // store answers this from `_fp` sidecars instead (q377 is
+            // that end of the protocol)
+            val rawParts = ArtifactStore.partFingerprints(
+              docs.withColumn("bucket", bucketOf), "bucket")
+            def fold(ps: Seq[(String, (BigInt, Long))])
+                : Seq[(String, String)] =
+              ps.map { case (pid, fp) =>
+                pid.stripPrefix("bucket=") ->
+                  ArtifactStore.combineParts(Seq(fp)) }
             // the decomposable build: counts over ONE bucket's slice
             // (filter pushed to the scan; on a bucket-partitioned
             // store this is partition pruning)
@@ -153,14 +156,26 @@ object PipelineQueries73 {
                 .agg(count(lit(1)).as("n"))
             // initial state: every part builds once
             ArtifactStore.buildOrServeParts(s, "delta_tokcounts",
-              partsOf(docs), "tok=v1", key)(counts(docs))
+              fold(rawParts), "tok=v1", key)(counts(docs))
             // the corpus change: the min source's docs arrive again
-            // (deterministic append); ONLY that part's address moves
+            // (deterministic append); ONLY that part's address moves —
+            // and the NEW part map costs O(delta), not a second corpus
+            // scan: the sum fingerprint COMPOSES, so the touched
+            // bucket's (sum, count) is old ⊕ partFingerprint(appended)
             val minSrc = docs.agg(min("source")).head().getString(0)
-            val docs2 = docs.unionByName(
-              docs.where(col("source") === minSrc))
+            val appended = docs.where(col("source") === minSrc)
+            val docs2 = docs.unionByName(appended)
+            val touched = (graft.functions.TextAnalysis
+              .md5Hex8(minSrc) % 4).toString
+            val appFp = ArtifactStore.partFingerprint(
+              appended.withColumn("bucket", bucketOf))
+            val rawParts2 = rawParts.map { case (pid, fp) =>
+              if (pid.stripPrefix("bucket=") == touched)
+                pid -> (fp._1 + appFp._1, fp._2 + appFp._2)
+              else pid -> fp
+            }
             ArtifactStore.buildOrServeParts(s, "delta_tokcounts",
-              partsOf(docs2), "tok=v1", key)(counts(docs2))
+              fold(rawParts2), "tok=v1", key)(counts(docs2))
           } finally prev match {
             case Some(r) => s.conf.set(ArtifactStore.RootConf, r)
             case None => s.conf.unset(ArtifactStore.RootConf)

@@ -102,6 +102,57 @@ object PipelineQueries74 {
       None,
       Some(() => PartsGovOracle.sql)),
 
+    // q380: the streaming count store under an ORACLE — the batch
+    // lanes (q375/q377) check the delta-artifact layer; this drives
+    // the STREAMING leg's semantics end to end: three interleaved
+    // arrival slices + a mid-life compaction (rows merge), and the
+    // folded view must still equal the single-shot corpus counts —
+    // additivity is what makes an incremental materialized view a
+    // view and not an approximation. Output: per-source vocabulary
+    // size, token mass, and the top token (ties broken high).
+    QDef("q380_stream_counts_audit",
+      (s, dir) => {
+        val store = new java.io.File(
+          "target/stream_counts_gov").getAbsolutePath
+        def wipe(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(wipe)
+          f.delete(); ()
+        }
+        wipe(new java.io.File(store))
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+        (0 until 3).foreach { b =>
+          graft.streaming.StreamTokenCounts.applyBatch(
+            docs.where(pmod(col("doc_id"), lit(3)) === b), b.toLong,
+            "source", "text", store)
+        }
+        // merge-compaction mid-audit: the fold must not notice
+        graft.streaming.StreamTokenCounts.compact(s, store)
+        graft.streaming.StreamTokenCounts.counts(s, store)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_distinct_tokens"),
+            sum(col("n")).as("total_tokens"),
+            max_by(col("token"), struct(col("n"), col("token")))
+              .as("top_token"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT source, unnest(
+              |    list_filter(string_split(text, ' '), x -> x != ''))
+              |    AS token
+              |  FROM documents),
+              |c AS (SELECT source, token, count(*) AS n
+              |      FROM t GROUP BY 1, 2),
+              |top AS (SELECT source, token AS top_token, row_number()
+              |          OVER (PARTITION BY source
+              |                ORDER BY n DESC, token DESC) AS rk
+              |        FROM c)
+              |SELECT c.source,
+              |  CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+              |  CAST(sum(n) AS BIGINT) AS total_tokens,
+              |  any_value(top.top_token) AS top_token
+              |FROM c JOIN top ON c.source = top.source AND top.rk = 1
+              |GROUP BY 1""".stripMargin)),
+
     QDef("q379_multiprobe_recall_curve",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
