@@ -82,6 +82,7 @@ object SparkEntry {
     "q259_ann_nsw_batch",       //   binds and the oracle replays it
     "q358_ann_nsw_served",
     "q362_ann_hnsw",
-    "q335_dbscan_clusters",
+    "q372_ann_nsw_pq_served",   //   (the PQ-served traversal too —
+    "q335_dbscan_clusters",     //    its beam walks the capped graph)
     "q359_dbscan_served")
 }

@@ -5,8 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths,
-  StandardCopyOption}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** Persisted write-once artifacts for built indexes and trained models
   * — the build-vs-serve split that is the real operating model at
@@ -136,6 +135,13 @@ object ArtifactStore {
 
   // ---- write-time fingerprint sidecars (the managed-store path) ----
 
+  /** Part ids are path components AND regex-parsed JSON values, so
+    * they are restricted to a charset that is safe as both — a part id
+    * with a quote would write a sidecar the reader cannot parse, and a
+    * silently unparseable sidecar is a silently stale fingerprint.
+    * Rejected LOUDLY at write time instead. */
+  private val SafePartId = """[A-Za-z0-9=_.\-]+""".r
+
   /** Record one committed part's (sum, count) under `storeDir/_fp/
     * <part>.json` — atomic (temp + move), overwrite-idempotent (a
     * replayed batch that overwrites its data partition overwrites its
@@ -143,6 +149,8 @@ object ArtifactStore {
     * write, with the (sum, count) of exactly the rows written. */
   def writeFpPart(storeDir: String, part: String,
                   fp: (BigInt, Long)): Unit = {
+    require(SafePartId.matches(part),
+      s"unsafe sidecar part id '$part' — allowed: [A-Za-z0-9=_.-]+")
     val d = Paths.get(s"$storeDir/_fp")
     Files.createDirectories(d)
     val body = s"""{"part":"$part","sum":"${fp._1}","n":${fp._2}}"""
@@ -156,16 +164,27 @@ object ArtifactStore {
     """\{"part":"([^"]*)","sum":"(\d+)","n":(\d+)\}""".r
 
   /** Read back every sidecar part under `storeDir/_fp` whose part id
-    * passes `include` — an O(#parts) METADATA read, no data scan. */
+    * passes `include` — an O(#parts) METADATA read, no data scan. A
+    * sidecar that exists but cannot be parsed fails LOUDLY: dropping
+    * it would fold a fingerprint over a subset of the store's content,
+    * and a subset fingerprint serves stale artifacts silently — the
+    * exact failure the protocol exists to prevent. */
   def readFpParts(storeDir: String, include: String => Boolean = _ => true)
       : Seq[(String, (BigInt, Long))] = {
     val d = Paths.get(s"$storeDir/_fp")
     if (!Files.isDirectory(d)) Seq.empty
-    else children(d)
+    else Fs.ls(d)
       .filter(_.getFileName.toString.endsWith(".json"))
-      .map(p => new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-      .collect { case FpPartRe(part, s, n) if include(part) =>
-        part -> (BigInt(s).mod(Mod64), n.toLong) }
+      .map { p =>
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8) match {
+          case FpPartRe(part, s, n) =>
+            part -> (BigInt(s).mod(Mod64), n.toLong)
+          case body => throw new IllegalStateException(
+            s"unparseable fingerprint sidecar $p: '$body' — a dropped " +
+              "part would make the folded fingerprint silently stale")
+        }
+      }
+      .filter { case (part, _) => include(part) }
       .sortBy(_._1)
   }
 
@@ -229,7 +248,7 @@ object ArtifactStore {
     * path. The commit discipline (shared by [[buildOrServe]] and
     * [[buildOrServeParts]]): build into a process-UNIQUE payload dir,
     * then publish it by the atomic manifest replace (strictly last).
-    * No process ever writes inside a directory another process may be
+    * No process ever writes INSIDE a directory another process may be
     * reading (the r13 advice torn-read hole): a concurrent JVM commits
     * its own payload dir and the last manifest wins — both payloads
     * hold identical rows (same content address), readers of either see
@@ -237,22 +256,36 @@ object ArtifactStore {
     * commit or the new one, never a torn state. Only a COMMITTER
     * vacuums, and only what its own commit superseded: orphan payloads
     * of this address (dead temps / lost same-address races) and
-    * sibling fingerprints of the same scope. */
+    * sibling fingerprints of the same scope.
+    *
+    * Retention trade, stated honestly: vacuuming superseded content
+    * can DELETE a payload that a cross-JVM reader of the superseded
+    * address is still scanning — retention and long-lived readers of
+    * stale corpora are fundamentally at odds. A reader holding a
+    * current address is safe (its content is never vacuumed); a reader
+    * that loses this race fails its scan loudly and re-serves the
+    * current address. Within one JVM the per-directory lock makes
+    * resolve-then-read atomic with commits. */
   private def ensureCommitted(scopeDir: String, fp: String, name: String,
                               params: String)
                              (build: => DataFrame): String = {
     val dir = s"$scopeDir/$fp"
     val lock = locks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
-      if (livePayload(dir).isEmpty) {
-        val payload = s"payload-${java.util.UUID.randomUUID}"
-        build.write.mode("overwrite").parquet(s"$dir/$payload")
-        writeManifest(dir, name, fp, params, payload)
-        vacuumOrphanPayloads(dir, keep = payload)
-        vacuumSiblings(scopeDir, keep = fp)
+      livePayload(dir) match {
+        case Some(p) => s"$dir/$p"
+        case None =>
+          val payload = s"payload-${java.util.UUID.randomUUID}"
+          build.write.mode("overwrite").parquet(s"$dir/$payload")
+          writeManifest(dir, name, fp, params, payload)
+          vacuumOrphanPayloads(dir, keep = payload)
+          vacuumSiblings(scopeDir, keep = fp)
+          // return OUR commit directly — a post-lock re-resolve could
+          // race a concurrent cross-JVM committer's manifest replace
+          // mid-swap and observe a torn instant
+          s"$dir/$payload"
       }
     }
-    s"$dir/${livePayload(dir).get}"
   }
 
   /** PART-ADDRESSED artifact — the delta-rebuild path (the r14 step
@@ -271,8 +304,14 @@ object ArtifactStore {
     *    dirs (not a union of #parts plans);
     *  - retention: a rebuilt part vacuums its superseded fingerprints
     *    (the [[ensureCommitted]] sibling rule, scoped to the part),
-    *    and partIds that left the part set vacuum on the next serve —
-    *    the store holds exactly the live partition;
+    *    and partIds that left the part set vacuum on the next
+    *    COMMITTING serve. Honest limit: a REMOVAL-ONLY part-set change
+    *    (every surviving part already live, nothing to build) leaves
+    *    the departed dir until the next serve that commits — a
+    *    serve-only caller cannot distinguish "this part departed" from
+    *    "my part map is stale and a fresher process added it", and
+    *    deleting on a stale map would vacuum live data out from under
+    *    a fresher process (spec-pinned both ways);
     *  - `parts` is the CALLER's (partId → partFp) map, which a managed
     *    store answers from its write-time `_fp` sidecars
     *    ([[readFpParts]]) in O(#parts) metadata reads — end to end,
@@ -312,13 +351,14 @@ object ArtifactStore {
 
   /** Drop part dirs whose partId left the caller's part set — only
     * ever touches `<scope>/parts/part-*`, so other corpora/params of
-    * the same artifact name are untouched. */
+    * the same artifact name are untouched. Called only from a
+    * COMMITTING serve (see [[buildOrServeParts]]'s retention note). */
   private def vacuumDeparted(partsDir: String, keep: Set[String]): Unit = {
     val d = Paths.get(partsDir)
-    if (Files.isDirectory(d)) children(d).foreach { p =>
+    if (Files.isDirectory(d)) Fs.ls(d).foreach { p =>
       val n = p.getFileName.toString
       if (Files.isDirectory(p) && n.startsWith("part-") && !keep(n))
-        deleteRecursively(p)
+        Fs.deleteRec(p)
     }
   }
 
@@ -382,10 +422,10 @@ object ArtifactStore {
     * addressing, so nothing live is lost). */
   private def vacuumOrphanPayloads(dir: String, keep: String): Unit = {
     val d = Paths.get(dir)
-    if (Files.isDirectory(d)) children(d).foreach { p =>
+    if (Files.isDirectory(d)) Fs.ls(d).foreach { p =>
       val n = p.getFileName.toString
       if (Files.isDirectory(p) && n.startsWith("payload-") && n != keep)
-        deleteRecursively(p)
+        Fs.deleteRec(p)
     }
   }
 
@@ -394,24 +434,10 @@ object ArtifactStore {
   private def vacuumSiblings(nameDir: String, keep: String): Unit = {
     val d = Paths.get(nameDir)
     if (Files.isDirectory(d)) {
-      children(d).foreach { p =>
+      Fs.ls(d).foreach { p =>
         if (Files.isDirectory(p) && p.getFileName.toString != keep)
-          deleteRecursively(p)
+          Fs.deleteRec(p)
       }
     }
-  }
-
-  private def children(p: Path): Seq[Path] = {
-    val s = Files.list(p)
-    try {
-      val b = Seq.newBuilder[Path]
-      s.iterator().forEachRemaining(c => b += c)
-      b.result()
-    } finally s.close()
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) children(p).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
   }
 }

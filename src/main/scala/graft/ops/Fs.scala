@@ -26,4 +26,19 @@ object Fs {
     try s.iterator().asScala.toSeq
     finally s.close()
   }
+
+  /** Recursive delete; no-op on a missing path. The ONE copy of the
+    * recursive-delete protocol — the stores (ArtifactStore,
+    * StreamNswInsert, StreamTokenCounts) and the governance queries
+    * all share it, so a hardening lands everywhere at once. */
+  def deleteRec(p: Path): Unit = {
+    if (Files.isDirectory(p)) ls(p).foreach(deleteRec)
+    Files.deleteIfExists(p)
+    ()
+  }
+
+  /** Wipe a directory by path string (the governance queries' fixture
+    * reset). */
+  def wipe(dir: String): Unit =
+    deleteRec(java.nio.file.Paths.get(dir))
 }

@@ -194,9 +194,30 @@ object VectorSearch {
     * contract: the oracle replays the gated shape literally, it never
     * assumes the exact one).
     */
-  private[graft] def rowsUnder(df: DataFrame, gate: Long): Boolean = {
-    val n = math.min(gate, Int.MaxValue - 2L).toInt
-    df.limit(n + 1).count() <= gate
+  private[graft] def rowsUnder(df: DataFrame, gate: Long): Boolean =
+    regimeMemo.computeIfAbsent(
+      s"${df.queryExecution.analyzed.semanticHash()}|$gate",
+      _ => {
+        val n = math.min(gate, Int.MaxValue - 2L).toInt
+        java.lang.Boolean.valueOf(df.limit(n + 1).count() <= gate)
+      }).booleanValue()
+
+  /** Session memos for the gated-regime derivation, keyed on the
+    * SEMANTIC hash of the input plan (same source + projection = same
+    * key): within one sweep, q29's oracle builder, q29's operator, and
+    * q79's both run the identical probe + centroid training — memoized
+    * they cost ONE bounded count and ONE sample/train per corpus
+    * (r14 review: the duplication was 2-3 redundant actions per gated
+    * run). Keys are plan-shaped, so distinct corpora never collide; a
+    * spec that rewrites its fixture in place must [[clearRegimeMemo]]
+    * (the ArtifactStore.clearFingerprintMemo rule). */
+  private val regimeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val centMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Double]]]()
+
+  private[graft] def clearRegimeMemo(): Unit = {
+    regimeMemo.clear(); centMemo.clear()
   }
 
   /** Cell-bounded near-dup pairs: the over-gate reroute. k scales with
@@ -233,14 +254,18 @@ object VectorSearch {
     * bucket walls. */
   def cellCentroids(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, targetCell: Int = 64,
-                    seed: Long = 42L): Array[Array[Double]] = {
-    val n = emb.count()
-    val k = math.min(512L, math.max(16L, n / targetCell)).toInt
-    val cents = kmeansCentroids(
-      sampleVectors(emb, idCol, vecCol, n = 2048, seed = seed),
-      k, iters = 4, seed = seed)
-    mergeCentroids(cents, math.max(threshold, MergeFloor))
-  }
+                    seed: Long = 42L): Array[Array[Double]] =
+    centMemo.computeIfAbsent(
+      s"${emb.queryExecution.analyzed.semanticHash()}|$idCol|$vecCol|" +
+        s"$threshold|$targetCell|$seed",
+      _ => {
+        val n = emb.count()
+        val k = math.min(512L, math.max(16L, n / targetCell)).toInt
+        val cents = kmeansCentroids(
+          sampleVectors(emb, idCol, vecCol, n = 2048, seed = seed),
+          k, iters = 4, seed = seed)
+        mergeCentroids(cents, math.max(threshold, MergeFloor))
+      })
 
   /** Centroids are only merged when NEAR-IDENTICAL (cos ≥ this floor,
     * or ≥ threshold when the caller's threshold is higher). Merging at

@@ -41,11 +41,7 @@ object PipelineQueries72 {
         // repeatable under Verify, Bench, and bare specs alike)
         val govRoot = new java.io.File(
           "target/artifacts_gov").getAbsolutePath
-        def wipe(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(wipe)
-          f.delete(); ()
-        }
-        wipe(new java.io.File(govRoot))
+        graft.ops.Fs.wipe(govRoot)
         val prev = s.conf.getOption(ArtifactStore.RootConf)
         try {
           s.conf.set(ArtifactStore.RootConf, govRoot)
@@ -101,11 +97,7 @@ object PipelineQueries72 {
     QDef("q373_shard_fp_audit",
       (s, dir) => {
         val out = new java.io.File("target/shards_gov").getAbsolutePath
-        def wipe(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(wipe)
-          f.delete(); ()
-        }
-        wipe(new java.io.File(out))
+        graft.ops.Fs.wipe(out)
         graft.ops.ShardWriter.write(
           Tables.documents(s, dir).select(col("doc_id"), col("text")),
           nShards = 8, out)

@@ -117,11 +117,7 @@ object PipelineQueries73 {
         // is deterministic under Verify, Bench, and bare specs alike
         val deltaRoot = new java.io.File(
           "target/artifacts_delta").getAbsolutePath
-        def wipe(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(wipe)
-          f.delete(); ()
-        }
-        wipe(new java.io.File(deltaRoot))
+        graft.ops.Fs.wipe(deltaRoot)
         val prev = s.conf.getOption(ArtifactStore.RootConf)
         val served =
           try {
@@ -203,11 +199,7 @@ object PipelineQueries73 {
     QDef("q377_shard_delta_stats",
       (s, dir) => {
         val out = new java.io.File("target/shards_delta").getAbsolutePath
-        def wipe(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(wipe)
-          f.delete(); ()
-        }
-        wipe(new java.io.File(out))
+        graft.ops.Fs.wipe(out)
         graft.ops.ShardWriter.write(
           Tables.documents(s, dir).select(col("doc_id"), col("text")),
           nShards = 8, out)

@@ -46,11 +46,7 @@ object PipelineQueries74 {
       (s, dir) => {
         val govRoot = new java.io.File(
           "target/artifacts_gov_parts").getAbsolutePath
-        def wipe(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(wipe)
-          f.delete(); ()
-        }
-        wipe(new java.io.File(govRoot))
+        graft.ops.Fs.wipe(govRoot)
         val prev = s.conf.getOption(ArtifactStore.RootConf)
         try {
           s.conf.set(ArtifactStore.RootConf, govRoot)
@@ -114,11 +110,7 @@ object PipelineQueries74 {
       (s, dir) => {
         val store = new java.io.File(
           "target/stream_counts_gov").getAbsolutePath
-        def wipe(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(wipe)
-          f.delete(); ()
-        }
-        wipe(new java.io.File(store))
+        graft.ops.Fs.wipe(store)
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("source"), col("text"))
         (0 until 3).foreach { b =>

@@ -179,19 +179,12 @@ object StreamTokenCounts {
     deleteRec(Paths.get(dir + ".compact.tmp"))
   }
 
-  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    val s = Files.list(p)
-    try {
-      val b = Seq.newBuilder[java.nio.file.Path]
-      s.iterator().forEachRemaining(c => b += c)
-      b.result()
-    } finally s.close()
-  }
+  // one shared copy of the list/delete protocol (ops/Fs)
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+    graft.ops.Fs.ls(p)
 
-  private def deleteRec(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) listDir(p).foreach(deleteRec)
-    Files.deleteIfExists(p)
-  }
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    graft.ops.Fs.deleteRec(p)
 
   /** Wire a (source, text) document stream into the maintained count
     * store. Compaction auto-triggers past `compactAfterBatches`

@@ -245,6 +245,19 @@ class ArtifactStoreSpec extends SparkSpec {
         s"one live fingerprint per part, got ${listNames(s"$partsDir/$pd")}")
     }
     assert(listNames(partsDir).size === 2)
+    // REMOVAL-ONLY part-set change: a departs, b unchanged — nothing
+    // to commit, so the honest contract (doc-pinned) is that a
+    // serve-only caller does NOT vacuum: it cannot distinguish "a
+    // departed" from "my part map is stale and a fresher process
+    // added a" — deleting on a stale map would vacuum live data
+    val removalOnly = run(Seq("b" -> 5))
+    assert(removalOnly === (corpus(5).withColumn("pid", lit("b"))
+      .as[(Long, String, String)].collect().toSet),
+      "the served rows must follow the caller's part set immediately")
+    assert(built.sorted == Seq("a", "b", "b"),
+      "a removal-only change must not build")
+    assert(listNames(partsDir).size === 2,
+      "a serve-only caller must NOT vacuum the departed part")
     // part a departs + c arrives: c builds, a's dir vacuums (the
     // committing call owns the departed-part vacuum)
     val third = run(Seq("b" -> 5, "c" -> 2))
@@ -254,6 +267,22 @@ class ArtifactStoreSpec extends SparkSpec {
       .as[(Long, String, String)].collect().toSet))
     assert(listNames(partsDir).size === 2,
       "a departed partId must vacuum on the next committing serve")
+  }
+
+  test("sidecar protocol fails LOUDLY: an unsafe part id is rejected " +
+    "at write time, a corrupt sidecar throws at read time — a " +
+    "silently dropped part would fold a silently stale fingerprint") {
+    val store = Files.createTempDirectory("graft-fp-loud").toString
+    intercept[IllegalArgumentException] {
+      ArtifactStore.writeFpPart(store, """bad"quote""", (BigInt(1), 1L))
+    }
+    ArtifactStore.writeFpPart(store, "bid=0", (BigInt(7), 2L))
+    Files.write(java.nio.file.Paths.get(s"$store/_fp/bid=1.json"),
+      "{truncated".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      ArtifactStore.readFpParts(store)
+    }
+    assert(e.getMessage.contains("unparseable"))
   }
 
   test("part-addressed artifact with no root: inline union, builder " +
