@@ -285,6 +285,67 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("unparseable"))
   }
 
+  test("part-addressed lifecycle PROPERTY: under a seeded random " +
+    "sequence of part maps, every serve equals the inline union, a " +
+    "build runs only for a never-before-seen (partId, fp) address, " +
+    "and the final committing state holds exactly its live parts") {
+    val rnd = new scala.util.Random(1409)
+    val root = freshRoot()
+    val built = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val everCommitted = scala.collection.mutable.Set.empty[(String, Int)]
+    def slice(pid: String, v: Int): DataFrame =
+      corpus(v).withColumn("pid", lit(pid))
+    var lastCommitted = Map.empty[String, Int]
+    (1 to 12).foreach { _ =>
+      // a random part map over a 4-letter alphabet: subset of parts,
+      // each with a random small "corpus version"
+      val state = Seq("a", "b", "c", "d")
+        .filter(_ => rnd.nextBoolean()).map(p => p -> (rnd.nextInt(3) + 1))
+      if (state.nonEmpty) {
+        val fps = state.map { case (pid, v) =>
+          pid -> ArtifactStore.combineParts(
+            Seq(ArtifactStore.partFingerprint(slice(pid, v)))) }
+        val byPid = state.toMap
+        val served = withRoot(root) {
+          ArtifactStore.buildOrServeParts(spark, "t_prop", fps, "p",
+            "src:prop") { pid =>
+            built += (pid -> byPid(pid)); slice(pid, byPid(pid))
+          }.as[(Long, String, String)].collect().toSet
+        }
+        val want = state.map { case (pid, v) =>
+          slice(pid, v).as[(Long, String, String)].collect().toSet }
+          .reduce(_ ++ _)
+        assert(served === want, s"serve must equal inline for $state")
+        // builds this step == exactly the not-currently-live addresses
+        val newBuilds = built.drop(built.length -
+          state.count(s => !everCommitted(s)))
+        assert(newBuilds.toSet ===
+          state.filter(s => !everCommitted(s)).toSet,
+          s"step must build exactly the missing addresses for $state")
+        // note: an address can REBUILD after departing (its dir was
+        // vacuumed) — so track "committed and still live", not "ever"
+        if (state.exists(s => !everCommitted(s))) {
+          // a commit happened: only current pids remain on disk
+          lastCommitted = byPid
+          everCommitted.clear()
+          everCommitted ++= state
+        } else {
+          // serve-only: previously-live parts stay (no vacuum)
+          everCommitted ++= state
+        }
+      }
+    }
+    // the last committing state's pids are exactly the dirs on disk
+    val partsDir = listNames(s"$root/t_prop").map(scope =>
+      s"$root/t_prop/$scope/parts").head
+    assert(lastCommitted.nonEmpty)
+    assert(listNames(partsDir).toSet ===
+      lastCommitted.keySet.map(p =>
+        s"part-${ArtifactStore.contentHash(p)}"),
+      "disk must hold the last committing serve's part set " +
+        "(plus nothing a later serve-only call touched)")
+  }
+
   test("part-addressed artifact with no root: inline union, builder " +
     "invoked per part every call") {
     val built = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -43,6 +43,40 @@ class Pipeline73Spec extends SparkSpec {
     }
   }
 
+  test("multiProbeKeys == a plain-Scala reimplementation on real " +
+    "corpus vectors (margins, sort, flips — the whole arithmetic)") {
+    val rows = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorSearch.toDouble(col("embedding")).as("v"))
+      .orderBy(col("vec_id")).limit(5)
+      .as[(Long, Seq[Double])].collect()
+    val planes = (0 until 16).map(p =>
+      VectorSearch.planeVector(p, 64).toArray)
+    def scalaKeys(v: Seq[Double]): Seq[(Int, Int)] =
+      (0 until 4).flatMap { b =>
+        // same left-fold as the Column aggregate (seed 0.0, in order)
+        val projs = (0 until 4).map { i =>
+          v.zip(planes(b * 4 + i)).foldLeft(0.0) {
+            case (acc, (x, w)) => acc + x * w }
+        }
+        val base = projs.zipWithIndex
+          .map { case (p, i) => if (p > 0) 1 << i else 0 }.sum
+        val order = projs.zipWithIndex
+          .map { case (p, i) => (math.abs(p), i) }.sorted
+        Seq((b, base),
+          (b, base ^ (1 << order(0)._2)),
+          (b, base ^ (1 << order(1)._2)))
+      }
+    rows.foreach { case (id, v) =>
+      val got = graft.Tables.embeddings(spark, dir)
+        .where(col("vec_id") === id)
+        .select(explode(VectorSearch.multiProbeKeys(
+          VectorSearch.toDouble(col("embedding")), 4, 4, 64, 2)).as("pk"))
+        .select(col("pk.band"), col("pk.key"))
+        .as[(Int, Int)].collect().toSeq
+      assert(got === scalaKeys(v), s"vector $id probe keys diverge")
+    }
+  }
+
   test("multi-probe candidates are a SUPERSET of the single-probe " +
     "(q31) candidates, and q376's top-5 re-rank is exact over them") {
     val emb = graft.Tables.embeddings(spark, dir)
