@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** The maintained DELTA-PARTS store protocol, factored out of
+  * [[graft.streaming.StreamTokenCounts]] so its third user does not
+  * become a third copy: one `bid=N` parquet partition plus an `_fp`
+  * content sidecar per applied micro-batch, a meta-file watermark
+  * written strictly LAST (torn later batches are invisible — the
+  * BlockIngest reader rule), a sidecar-folded store fingerprint
+  * (O(#batches) metadata reads, never a data scan), and a
+  * two-atomic-rename compaction with crash recovery.
+  *
+  * Row semantics stay with the caller:
+  *
+  *  - the caller transforms its micro-batch into part ROWS
+  *    (pre-aggregated counts, per-doc index entries, ...) and hands
+  *    them to [[applyPart]] — the store never sees raw documents;
+  *  - `compactRewrite` states what compaction does to the folded rows.
+  *    `identity` REPACKS: bytes move, rows don't, so the store
+  *    fingerprint is INVARIANT across compaction (the winnow index's
+  *    spec-pinned property — the sum-of-row-hashes fold cannot see a
+  *    repartition). A merging rewrite (group-sum) CHANGES rows — and
+  *    so the fingerprint, deliberately: a downstream part-addressed
+  *    artifact built over these rows must re-address, because its
+  *    input rows really did change (the token count store's documented
+  *    trade).
+  *
+  * Same commit instinct as the reference's follower (payload first,
+  * watermark strictly last — src/be_db_follower.erl:215-260), here as
+  * a reusable storage primitive rather than per-op plumbing.
+  */
+final class DeltaPartsStore(
+    storeDir: String,
+    schema: StructType,
+    compactRewrite: DataFrame => DataFrame) {
+
+  private val cols = schema.fieldNames.toIndexedSeq
+
+  private def metaPath = Paths.get(s"$storeDir/meta.txt")
+
+  /** Applied-through batch id (-1 = empty store). */
+  def appliedBid: Long =
+    if (Files.exists(metaPath))
+      new String(Files.readAllBytes(metaPath),
+        StandardCharsets.UTF_8).trim.toLong
+    else -1L
+
+  private def writeMeta(bid: Long): Unit = {
+    Files.createDirectories(Paths.get(storeDir))
+    val tmp = Paths.get(s"$storeDir/meta.txt.tmp")
+    Files.write(tmp, bid.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, metaPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The parts root — exposed so callers can address downstream
+    * part-artifacts by this store's sidecars
+    * ([[graft.ops.ArtifactStore.readFpParts]]). */
+  def partsDir: String = s"$storeDir/parts"
+
+  /** Is `part` a committed `bid=N` partition at the current
+    * watermark? Callers pass this to `readFpParts` so a torn later
+    * batch's sidecar never folds into the store fingerprint. */
+  def committedPart(part: String): Boolean = {
+    val applied = appliedBid
+    part.startsWith("bid=") && part.drop(4).toLong <= applied
+  }
+
+  /** Committed part rows: partitions at or below the meta watermark. */
+  def parts(spark: SparkSession): DataFrame = {
+    recoverCompaction()
+    val applied = appliedBid
+    if (applied < 0 || !Files.exists(Paths.get(partsDir)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    spark.read.option("basePath", partsDir).parquet(partsDir)
+      .where(col("bid") <= applied)
+      .select(cols.map(col): _*)
+  }
+
+  /** Content fingerprint of the committed part rows from the
+    * write-time sidecars — O(#batches) metadata, no scan; equal to a
+    * full-scan fingerprint of [[parts]] (spec-pinned by both stores).
+    */
+  def storeFingerprint: String =
+    ArtifactStore.fingerprintFromParts(partsDir, committedPart)
+
+  /** Commit one batch's pre-transformed part rows: write the `bid=N`
+    * partition (overwrite mode — a replayed batch overwrites ITSELF,
+    * idempotence with no anti-join against the standing store), record
+    * the `_fp` sidecar from the rows AS WRITTEN, then move the
+    * watermark strictly last. A bid at or below the watermark is a
+    * replayed batch: no-op. */
+  def applyPart(part: DataFrame, bid: Long): Unit = {
+    if (bid <= appliedBid) return
+    val spark = part.sparkSession
+    part.select(cols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$partsDir/bid=$bid")
+    // sidecar from the rows AS WRITTEN (a part-sized re-read): the
+    // fingerprint must reproduce exactly what a reader would hash
+    ArtifactStore.writeFpPart(partsDir, s"bid=$bid",
+      ArtifactStore.partFingerprint(
+        spark.read.parquet(s"$partsDir/bid=$bid")
+          .select(cols.map(col): _*)))
+    writeMeta(bid) // commit point, strictly last
+  }
+
+  /** Rewrite every committed part into ONE partition behind the
+    * two-atomic-rename discipline (crash at any point leaves the
+    * fragmented or the rewritten store, never a mixture). What the
+    * rewrite means for rows — and so for the fingerprint — is
+    * `compactRewrite`'s contract (see the class doc). Returns true if
+    * the store was rewritten. */
+  def compact(spark: SparkSession, minDirs: Int = 2): Boolean = {
+    val applied = appliedBid
+    if (applied < 0) return false
+    recoverCompaction()
+    val d = Paths.get(partsDir)
+    if (!Files.isDirectory(d)) return false
+    val committedDirs = Fs.ls(d).count { p =>
+      val n = p.getFileName.toString
+      Files.isDirectory(p) && n.startsWith("bid=") &&
+        n.drop(4).toLong <= applied
+    }
+    if (committedDirs < minDirs) return false
+    val tmp = s"$partsDir.compact.tmp"
+    val old = s"$partsDir.compact.old"
+    Fs.deleteRec(Paths.get(tmp)); Fs.deleteRec(Paths.get(old))
+    compactRewrite(parts(spark))
+      .coalesce(1).write.parquet(s"$tmp/bid=$applied")
+    // fingerprint the rewritten rows as written (never fold the old
+    // sidecars: a MERGING rewrite changed the rows they hashed)
+    ArtifactStore.writeFpPart(tmp, s"bid=$applied",
+      ArtifactStore.partFingerprint(
+        spark.read.parquet(s"$tmp/bid=$applied")
+          .select(cols.map(col): _*)))
+    Files.move(Paths.get(partsDir), Paths.get(old),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(partsDir),
+      StandardCopyOption.ATOMIC_MOVE)
+    Fs.deleteRec(Paths.get(old))
+    true
+  }
+
+  /** Count of committed `bid=N` part directories (the auto-compaction
+    * trigger input). */
+  def partDirCount: Int = {
+    val d = Paths.get(partsDir)
+    if (!Files.isDirectory(d)) 0
+    else Fs.ls(d).count(_.getFileName.toString.startsWith("bid="))
+  }
+
+  /** Crash recovery: a compaction that died between its two renames
+    * leaves the store at `<parts>.compact.old` — restore it; a
+    * leftover `.tmp` is garbage. */
+  def recoverCompaction(): Unit = {
+    val d = Paths.get(partsDir)
+    val old = Paths.get(partsDir + ".compact.old")
+    if (!Files.exists(d) && Files.exists(old))
+      Files.move(old, d, StandardCopyOption.ATOMIC_MOVE)
+    Fs.deleteRec(Paths.get(partsDir + ".compact.tmp"))
+  }
+}

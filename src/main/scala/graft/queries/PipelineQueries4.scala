@@ -237,12 +237,15 @@ object PipelineQueries4 {
     // One scan + explode; fingerprints are already distinct per doc.
     QDef("q92_winnow_fingerprints",
       (s, dir) => {
-        Tables.documents(s, dir)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"),
-            gramHashesPositional(col("toks"), 5).as("gh"))
-          .select(col("doc_id"),
-            explode(winnowFingerprints(col("gh"), 4)).as("fp"))
+        // the decon family's corpus-side index, routed through the
+        // write-once artifact store (the tokenizer precedent): with a
+        // root configured the corpus-wide tokenize+winnow pass runs
+        // ONCE per corpus and every later decon query (q381's flag,
+        // scorecards) serves a (doc_id, fp) parquet scan; inline
+        // otherwise — identical rows either way (Pipeline75Spec pins)
+        graft.ops.Decontaminate.fingerprintsArtifact(
+          Tables.documents(s, dir), "doc_id", "text",
+          fpKey = s"$dir#documents#id_text")
       },
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
               |g AS (SELECT doc_id, ${gramHashSql(5)} AS gh FROM t),

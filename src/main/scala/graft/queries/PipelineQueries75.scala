@@ -1,0 +1,302 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextAnalysis.{gramHashesPositional, tokenHash, tokens}
+import graft.ops.{ArtifactStore, Decontaminate}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Seventy-fifth pipeline group — the write-once artifact operating
+  * model extended to the two families that still re-derived their
+  * corpus-side state inside every query: decontamination (the winnow
+  * index) and LM scoring (the n-gram count tables). The same
+  * build-vs-serve split the r13 layer gave ANN graphs and tokenizers
+  * (maintain once, serve many — the reference's trigger-maintained
+  * inventory instinct, migrations/1590689602-gateway_inventory.sql:64).
+  *
+  *  - q381: q93's decontamination flags SERVED from the `winnow_fps`
+  *    artifact (q92's rows, which now commit through
+  *    [[graft.ops.Decontaminate.fingerprintsArtifact]]): both the
+  *    bench fingerprint set and the corpus probe side read the
+  *    committed (doc_id, fp) parquet — with a root configured the
+  *    query never tokenizes the corpus. Same rows as q93 bit-for-bit
+  *    (Pipeline75Spec pins it).
+  *
+  *  - q382: q108's bigram-LM mean NLL with the MODEL served: the
+  *    bigram and prefix count tables are write-once artifacts
+  *    addressed by the corpus content fingerprint, and the smoothing
+  *    vocabulary size is the prefix table's row count (no third
+  *    artifact). The probe side still streams the corpus — scoring IS
+  *    per-token work — but the two count-table shuffles and the
+  *    distinct are gone from the steady state. Same rows as q108
+  *    (spec-pinned).
+  *
+  *  - q383: the maintained winnow index under an ORACLE (q380's
+  *    pattern, index edition): three interleaved arrival slices + a
+  *    mid-life repack compaction, and the folded view must equal
+  *    DuckDB's single-shot winnow of the corpus — per-doc fingerprint
+  *    count and extremes. Exactness is structural: fingerprints are
+  *    per-doc, so the union fold is slicing-invariant (the property
+  *    the NSW store honestly cannot claim).
+  *
+  *  - q384: the full loop — decontamination flags computed from the
+  *    MAINTAINED index served through the part-addressed artifact path
+  *    ([[graft.streaming.StreamWinnowIndex.servedFps]]): batches
+  *    arrive, the store compacts mid-life, a later batch appends, and
+  *    the decon answer over the served index must equal q93's
+  *    single-shot answer. Streaming maintenance, artifact serving, and
+  *    the decon probe audited as one contract.
+  *
+  *  - q385: the maintained count store as the unigram LM — q78's
+  *    frequency table derived from [[graft.streaming
+  *    .StreamTokenCounts]]'s folded view (arrivals + mid-life merge
+  *    compaction), scored against q78's oracle verbatim: the
+  *    materialized view feeds the model, additivity makes it exact.
+  */
+object PipelineQueries75 {
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+  private def hashSql(t: String) =
+    s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
+
+  /** DuckDB fragment: positional k-gram hashes (lockstep with
+    * [[graft.functions.TextAnalysis.gramHashesPositional]]). */
+  private def gramHashSql(k: Int): String = {
+    val cat = (0 until k).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(toks) >= $k THEN
+       |  list_transform(generate_series(1, len(toks) - ${k - 1}),
+       |    i -> ${hashSql(s"($cat)")})
+       |ELSE [] END""".stripMargin
+  }
+
+  /** DuckDB fragment: winnowing fingerprint selection (lockstep with
+    * TextAnalysis.winnowFingerprints). */
+  private def winnowSql(w: Int): String =
+    s"""list_distinct(list_transform(
+       |  CASE WHEN len(gh) >= 1
+       |    THEN generate_series(1, greatest(len(gh) - ${w - 1}, 1))
+       |    ELSE [] END,
+       |  j -> list_min(list_slice(gh, j, j + ${w - 1}))))""".stripMargin
+
+  /** q93's oracle, verbatim — q381 and q384 must produce exactly the
+    * inline probe's answer, whatever path served the index. */
+  private val winnowDeconSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, ${gramHashSql(5)} AS gh FROM t),
+       |f AS (SELECT doc_id, unnest(${winnowSql(4)}) AS fp FROM g),
+       |b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 31 = 0),
+       |h AS (SELECT doc_id, count(*) AS n_shared
+       |      FROM f JOIN b USING (fp) WHERE doc_id % 31 <> 0
+       |      GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+       |  coalesce(h.n_shared, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN h USING (doc_id)
+       |WHERE d.doc_id % 31 <> 0""".stripMargin
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef("q381_winnow_decon_served",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val fps0 = Decontaminate.fingerprintsArtifact(docs, "doc_id",
+          "text", fpKey = s"$dir#documents#id_text")
+        // served: a parquet scan — re-reading twice is free; inline:
+        // the tokenize+winnow subtree feeds bench AND probe, so cut it
+        val fps = if (ArtifactStore.root(s).isEmpty) fps0.localCheckpoint()
+          else fps0
+        val bench = fps.filter(col("doc_id") % 31 === 0)
+          .select(col("fp")).distinct()
+        Decontaminate.flagFromIndex(
+          docs.filter(col("doc_id") % 31 =!= 0).select(col("doc_id")),
+          fps.filter(col("doc_id") % 31 =!= 0), bench)
+      },
+      Some(winnowDeconSql)),
+
+    QDef("q382_bigram_nll_served",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val stream = docs
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            gramHashesPositional(col("toks"), 2).as("g2arr"))
+          .select(col("doc_id"), col("toks"),
+            posexplode_outer(col("g2arr")).as(Seq("pos", "g2")))
+          .filter(col("g2").isNotNull)
+          .select(col("doc_id"), col("g2"),
+            tokenHash(element_at(col("toks"), col("pos") + 1)).as("h1"))
+          .localCheckpoint() // the probe side; inline it also feeds both tables
+        val fpKey = s"$dir#documents#id_text"
+        def artifactOr(name: String)(b: => DataFrame) =
+          if (ArtifactStore.root(s).isEmpty) b
+          else ArtifactStore.buildOrServe(s, name,
+            ArtifactStore.fingerprint(
+              docs.select(col("doc_id"), col("text")), fpKey),
+            "n=2,add1", fpKey)(b)
+        val c2 = artifactOr("bigram_lm_c2")(
+          stream.groupBy("g2").agg(count(lit(1)).as("c2")))
+        val c1 = artifactOr("bigram_lm_c1")(
+          stream.groupBy("h1").agg(count(lit(1)).as("c1")))
+        // |V| = the prefix table's cardinality — served it's a
+        // parquet-count over the artifact, never a corpus distinct
+        val vDf = c1.agg(count(lit(1)).as("v"))
+        val scored = stream
+          .join(c2, "g2").join(c1, "h1")
+          .crossJoin(broadcast(vDf))
+          .withColumn("mnat", floor(lit(1000.0) * log(
+            (col("c2").cast("double") + 1.0) /
+              (col("c1").cast("double") + col("v").cast("double"))))
+            .cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("mnat")).as("smnat"))
+          .withColumn("mean_nll",
+            round((-col("smnat")).cast("double") /
+              col("n_bigrams").cast("double") / lit(1000.0), 6))
+        docs.select(col("doc_id"))
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |gp AS (SELECT doc_id, toks, ${gramHashSql(2)} AS gh FROM t),
+              |s0 AS (SELECT doc_id, toks,
+              |         unnest(generate_series(1, len(gh))) AS i,
+              |         unnest(gh) AS g2
+              |       FROM gp),
+              |s AS (SELECT doc_id, g2, ${hashSql("toks[i]")} AS h1 FROM s0),
+              |c2 AS (SELECT g2, count(*) AS c2 FROM s GROUP BY g2),
+              |c1 AS (SELECT h1, count(*) AS c1 FROM s GROUP BY h1),
+              |vv AS (SELECT count(DISTINCT h1) AS v FROM s),
+              |sc AS (SELECT s.doc_id, count(*) AS n_bigrams,
+              |         sum(CAST(floor(1000.0 * ln(
+              |           (CAST(c2.c2 AS DOUBLE) + 1.0) /
+              |           (CAST(c1.c1 AS DOUBLE) + CAST(vv.v AS DOUBLE))))
+              |           AS BIGINT)) AS smnat
+              |       FROM s JOIN c2 USING (g2) JOIN c1 USING (h1)
+              |       CROSS JOIN vv
+              |       GROUP BY s.doc_id)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              |  coalesce(round(CAST(-sc.smnat AS DOUBLE) /
+              |    CAST(sc.n_bigrams AS DOUBLE) / 1000.0, 6), 0.0) AS mean_nll
+              |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin)),
+
+    QDef("q383_stream_winnow_audit",
+      (s, dir) => {
+        val store = new java.io.File(
+          "target/stream_winnow_audit").getAbsolutePath
+        graft.ops.Fs.wipe(store)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        (0 until 3).foreach { b =>
+          graft.streaming.StreamWinnowIndex.applyBatch(
+            docs.where(pmod(col("doc_id"), lit(3)) === b), b.toLong,
+            "doc_id", "text", store)
+        }
+        // repack-compaction mid-audit: the fold must not notice
+        graft.streaming.StreamWinnowIndex.compact(s, store)
+        graft.streaming.StreamWinnowIndex.fps(s, store)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_fps"),
+            min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |g AS (SELECT doc_id, ${gramHashSql(5)} AS gh FROM t),
+              |f AS (SELECT doc_id, unnest(${winnowSql(4)}) AS fp FROM g)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+              |  min(fp) AS min_fp, max(fp) AS max_fp
+              |FROM f GROUP BY doc_id""".stripMargin)),
+
+    QDef("q384_decon_maintained_served",
+      (s, dir) => {
+        val store = new java.io.File(
+          "target/stream_winnow_serve").getAbsolutePath
+        graft.ops.Fs.wipe(store)
+        val docs = Tables.documents(s, dir)
+        val slim = docs.select(col("doc_id"), col("text"))
+        // arrive in three batches with a mid-life compaction BETWEEN
+        // appends — the served index must see pre-compaction rollup
+        // parts and the post-compaction append as one part set
+        graft.streaming.StreamWinnowIndex.applyBatch(
+          slim.where(pmod(col("doc_id"), lit(3)) === 0), 0L,
+          "doc_id", "text", store)
+        graft.streaming.StreamWinnowIndex.applyBatch(
+          slim.where(pmod(col("doc_id"), lit(3)) === 1), 1L,
+          "doc_id", "text", store)
+        graft.streaming.StreamWinnowIndex.compact(s, store)
+        graft.streaming.StreamWinnowIndex.applyBatch(
+          slim.where(pmod(col("doc_id"), lit(3)) === 2), 2L,
+          "doc_id", "text", store)
+        val fps = graft.streaming.StreamWinnowIndex.servedFps(s, store)
+        val bench = fps.filter(col("doc_id") % 31 === 0)
+          .select(col("fp")).distinct()
+        Decontaminate.flagFromIndex(
+          docs.filter(col("doc_id") % 31 =!= 0).select(col("doc_id")),
+          fps.filter(col("doc_id") % 31 =!= 0), bench)
+      },
+      Some(winnowDeconSql)),
+
+    // The maintained count store IS the unigram LM: q78's frequency
+    // table is exactly [[graft.streaming.StreamTokenCounts]]'s folded
+    // view summed over sources, so the scorer can run off the
+    // incrementally maintained store instead of re-counting the corpus
+    // — the materialized-view-to-model hop, audited end to end: three
+    // arrival slices + a mid-life merge compaction feed the store, and
+    // the per-doc mean NLL must equal q78's single-shot answer (the
+    // q78 oracle verbatim). The probe side still explodes the corpus —
+    // scoring IS per-token work; what the store replaces is the
+    // model-side count shuffle.
+    QDef("q385_unigram_maintained_served",
+      (s, dir) => {
+        val store = new java.io.File(
+          "target/stream_counts_lm").getAbsolutePath
+        graft.ops.Fs.wipe(store)
+        val docs = Tables.documents(s, dir)
+        (0 until 3).foreach { b =>
+          graft.streaming.StreamTokenCounts.applyBatch(
+            docs.where(pmod(col("doc_id"), lit(3)) === b), b.toLong,
+            "source", "text", store)
+        }
+        graft.streaming.StreamTokenCounts.compact(s, store)
+        val freq = graft.streaming.StreamTokenCounts.counts(s, store)
+          .groupBy(col("token")).agg(sum(col("n")).as("cnt"))
+          .select(col("token").as("tok"), col("cnt"))
+        val totalDf = freq.agg(sum("cnt").as("total"))
+        val vocab = freq.orderBy(col("cnt").desc, col("tok")).limit(50000)
+        val toksDf = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val p = when(col("cnt").isNotNull,
+          col("total").cast("double") / col("cnt").cast("double"))
+          .otherwise(col("total").cast("double") * 2.0) // OOV: p = 1/(2N)
+        val scored = toksDf
+          .join(broadcast(vocab), Seq("tok"), "left")
+          .crossJoin(broadcast(totalDf))
+          .withColumn("mnat", floor(lit(1000.0) * log(p)).cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("mnat")).cast("double") /
+              count(lit(1)).cast("double") / 1000.0, 6).as("mean_nll"))
+        docs.select(col("doc_id"))
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+              |f AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok),
+              |tot AS (SELECT sum(cnt) AS total FROM f),
+              |v AS (SELECT tok, cnt FROM f ORDER BY cnt DESC, tok LIMIT 50000),
+              |s AS (SELECT e.doc_id, count(*) AS n_tokens,
+              |  round(sum(CAST(floor(1000.0 * ln(CASE
+              |      WHEN v.cnt IS NOT NULL THEN tot.total::DOUBLE / v.cnt
+              |      ELSE tot.total::DOUBLE * 2.0 END)) AS BIGINT))::DOUBLE
+              |    / count(*) / 1000.0, 6) AS mean_nll
+              |  FROM e LEFT JOIN v USING (tok) CROSS JOIN tot
+              |  GROUP BY e.doc_id)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+              |  coalesce(s.mean_nll, 0.0) AS mean_nll
+              |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin)))
+}
