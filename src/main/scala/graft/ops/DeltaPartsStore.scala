@@ -72,6 +72,14 @@ final class DeltaPartsStore(
     part.startsWith("bid=") && part.drop(4).toLong <= applied
   }
 
+  /** The read schema: data columns + the `bid` partition column —
+    * specified EXPLICITLY on every store read so an all-empty store
+    * (every committed batch filtered to zero rows) still reads instead
+    * of failing parquet schema inference. */
+  private val readSchema = StructType(
+    schema.fields :+ org.apache.spark.sql.types.StructField(
+      "bid", org.apache.spark.sql.types.LongType))
+
   /** Committed part rows: partitions at or below the meta watermark. */
   def parts(spark: SparkSession): DataFrame = {
     recoverCompaction()
@@ -79,10 +87,19 @@ final class DeltaPartsStore(
     if (applied < 0 || !Files.exists(Paths.get(partsDir)))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
-    spark.read.option("basePath", partsDir).parquet(partsDir)
+    spark.read.option("basePath", partsDir).schema(readSchema)
+      .parquet(partsDir)
       .where(col("bid") <= applied)
       .select(cols.map(col): _*)
   }
+
+  /** One committed part's rows (data columns only) — the
+    * part-artifact buildPart reader, schema-explicit so an empty part
+    * reads as zero rows instead of failing inference. */
+  def readPart(spark: SparkSession, pid: String): DataFrame =
+    spark.read.option("basePath", partsDir).schema(readSchema)
+      .parquet(s"$partsDir/$pid")
+      .select(cols.map(col): _*)
 
   /** Content fingerprint of the committed part rows from the
     * write-time sidecars — O(#batches) metadata, no scan; equal to a
@@ -102,11 +119,13 @@ final class DeltaPartsStore(
     val spark = part.sparkSession
     part.select(cols.map(col): _*)
       .write.mode("overwrite").parquet(s"$partsDir/bid=$bid")
-    // sidecar from the rows AS WRITTEN (a part-sized re-read): the
-    // fingerprint must reproduce exactly what a reader would hash
+    // sidecar from the rows AS WRITTEN (a part-sized re-read; schema
+    // given explicitly — an all-filtered batch writes an EMPTY part,
+    // which must still fingerprint to (0, 0) rather than fail
+    // inference): the fingerprint must reproduce what a reader hashes
     ArtifactStore.writeFpPart(partsDir, s"bid=$bid",
       ArtifactStore.partFingerprint(
-        spark.read.parquet(s"$partsDir/bid=$bid")
+        spark.read.schema(schema).parquet(s"$partsDir/bid=$bid")
           .select(cols.map(col): _*)))
     writeMeta(bid) // commit point, strictly last
   }
@@ -138,7 +157,7 @@ final class DeltaPartsStore(
     // sidecars: a MERGING rewrite changed the rows they hashed)
     ArtifactStore.writeFpPart(tmp, s"bid=$applied",
       ArtifactStore.partFingerprint(
-        spark.read.parquet(s"$tmp/bid=$applied")
+        spark.read.schema(schema).parquet(s"$tmp/bid=$applied")
           .select(cols.map(col): _*)))
     Files.move(Paths.get(partsDir), Paths.get(old),
       StandardCopyOption.ATOMIC_MOVE)

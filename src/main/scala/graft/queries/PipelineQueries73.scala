@@ -97,6 +97,37 @@ private[queries] object LshSql {
       s"xor($base, 1::BIGINT << ($margins)[$j].i)")
     (base +: flips).mkString("[", ", ", "]")
   }
+
+  /** q376's full oracle — multi-probe candidate join + exact-cosine
+    * re-rank top-5. Also the contract for the MAINTAINED-index serve
+    * (q386): however the corpus index is stored, the multi-probe
+    * answer must equal this single-shot replay. */
+  lazy val multiProbeTop5Sql: String = {
+    val bandKeys = (0 until 4).map(b =>
+      s"CAST(${baseKeySql("v", b, 4)} AS BIGINT) AS k$b")
+      .mkString(", ")
+    val ek = (0 until 4).map(b =>
+      s"SELECT vec_id, $b AS band, k$b AS key FROM e WHERE vec_id <> 0")
+      .mkString("\n  UNION ALL ")
+    val qk = (0 until 4).map(b =>
+      s"SELECT $b AS band, unnest(${probeListSql("q.v", b, 4)}) AS key FROM q")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, v, $bandKeys FROM (
+       |    SELECT vec_id, $vSql AS v FROM embeddings) t),
+       |q AS (SELECT * FROM e WHERE vec_id = 0),
+       |qk AS (
+       |  $qk),
+       |ek AS (
+       |  $ek),
+       |cand AS (
+       |  SELECT DISTINCT ek.vec_id FROM ek JOIN qk USING (band, key)),
+       |s AS (SELECT c.vec_id, round(${cosSql("e.v", "q.v")}, 6) AS sim
+       |      FROM cand c JOIN e ON e.vec_id = c.vec_id, q)
+       |SELECT vec_id, sim,
+       |  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+       |FROM s ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
+  }
 }
 
 object PipelineQueries73 {
@@ -283,31 +314,6 @@ object PipelineQueries73 {
           .withColumn("rank", row_number().over(
             Window.orderBy(col("sim").desc, col("vec_id").asc)))
       },
-      Some {
-        val bandKeys = (0 until 4).map(b =>
-          s"CAST(${baseKeySql("v", b, 4)} AS BIGINT) AS k$b")
-          .mkString(", ")
-        val ek = (0 until 4).map(b =>
-          s"SELECT vec_id, $b AS band, k$b AS key FROM e WHERE vec_id <> 0")
-          .mkString("\n  UNION ALL ")
-        val qk = (0 until 4).map(b =>
-          s"SELECT $b AS band, unnest(${probeListSql("q.v", b, 4)}) AS key FROM q")
-          .mkString("\n  UNION ALL ")
-        s"""WITH e AS (
-           |  SELECT vec_id, v, $bandKeys FROM (
-           |    SELECT vec_id, $vSql AS v FROM embeddings) t),
-           |q AS (SELECT * FROM e WHERE vec_id = 0),
-           |qk AS (
-           |  $qk),
-           |ek AS (
-           |  $ek),
-           |cand AS (
-           |  SELECT DISTINCT ek.vec_id FROM ek JOIN qk USING (band, key)),
-           |s AS (SELECT c.vec_id, round(${cosSql("e.v", "q.v")}, 6) AS sim
-           |      FROM cand c JOIN e ON e.vec_id = c.vec_id, q)
-           |SELECT vec_id, sim,
-           |  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
-           |FROM s ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin
-      })
+      Some(multiProbeTop5Sql))
   )
 }

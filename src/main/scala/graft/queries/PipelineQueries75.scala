@@ -52,6 +52,16 @@ import org.apache.spark.sql.functions._
   *    .StreamTokenCounts]]'s folded view (arrivals + mid-life merge
   *    compaction), scored against q78's oracle verbatim: the
   *    materialized view feeds the model, additivity makes it exact.
+  *
+  *  - q386: multi-probe ANN over the MAINTAINED LSH index
+  *    ([[graft.streaming.StreamLshIndex]] — the q384 loop, ANN
+  *    edition): vectors arrive in batches, the bucket store compacts
+  *    mid-life and appends after, the index serves part-addressed
+  *    through the artifact store, and the q376 multi-probe answer over
+  *    it must equal the single-shot oracle replay. Per-vector keys
+  *    make the maintained index exact; multi-probe needs no store
+  *    cooperation (the query side fans out, the corpus keeps one key
+  *    per band forever).
   */
 object PipelineQueries75 {
 
@@ -298,5 +308,52 @@ object PipelineQueries75 {
               |SELECT d.doc_id,
               |  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
               |  coalesce(s.mean_nll, 0.0) AS mean_nll
-              |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin)))
+              |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin)),
+
+    QDef("q386_multiprobe_maintained_served",
+      (s, dir) => {
+        import graft.ops.VectorSearch
+        import graft.streaming.StreamLshIndex
+        val store = new java.io.File(
+          "target/stream_lsh_serve").getAbsolutePath
+        graft.ops.Fs.wipe(store)
+        val emb = Tables.embeddings(s, dir)
+        // arrivals in three slices, a mid-life compaction BETWEEN
+        // appends — the served index sees the rollup + the late batch
+        StreamLshIndex.applyBatch(
+          emb.where(pmod(col("vec_id"), lit(3)) === 0), 0L,
+          "vec_id", "embedding", 4, 4, 64, store)
+        StreamLshIndex.applyBatch(
+          emb.where(pmod(col("vec_id"), lit(3)) === 1), 1L,
+          "vec_id", "embedding", 4, 4, 64, store)
+        StreamLshIndex.compact(s, store)
+        StreamLshIndex.applyBatch(
+          emb.where(pmod(col("vec_id"), lit(3)) === 2), 2L,
+          "vec_id", "embedding", 4, 4, 64, store)
+        val buckets = StreamLshIndex.servedBuckets(s, store)
+        val e = emb.select(col("vec_id"),
+          VectorSearch.toDouble(col("embedding")).as("v"))
+        // query side: q376's multi-probe fan-out, verbatim
+        val qProbe = e.filter(col("vec_id") === 0)
+          .select(explode(VectorSearch.multiProbeKeys(col("v"),
+            bands = 4, bitsPerBand = 4, dims = 64, extraProbes = 2))
+            .as("pk"))
+          .select(col("pk.band").as("band"),
+            col("pk.key").cast("long").as("key"))
+        val candIds = buckets.filter(col("id") =!= 0)
+          .join(broadcast(qProbe), Seq("band", "key"))
+          .select(col("id").as("vec_id")).distinct()
+        val q = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("v").as("qv")))
+        candIds.join(e, "vec_id")
+          .crossJoin(q)
+          .select(col("vec_id"),
+            round(VectorSearch.cosine(col("v"), col("qv")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(5)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("sim").desc, col("vec_id").asc)))
+      },
+      Some(LshSql.multiProbeTop5Sql)))
 }

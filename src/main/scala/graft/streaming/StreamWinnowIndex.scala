@@ -105,11 +105,8 @@ object StreamWinnowIndex {
           pid -> ArtifactStore.combineParts(Seq(fp)) }
       if (parts.isEmpty) fps(spark, storeDir)
       else ArtifactStore.buildOrServeParts(spark, "winnow_maintained_fps",
-        parts, params = s"k=$K,w=$W", sourceKey = st.partsDir) { pid =>
-        spark.read.option("basePath", st.partsDir)
-          .parquet(s"${st.partsDir}/$pid")
-          .select(fpSchema.fieldNames.map(col).toIndexedSeq: _*)
-      }
+        parts, params = s"k=$K,w=$W", sourceKey = st.partsDir)(
+        st.readPart(spark, _))
     }
   }
 

@@ -102,4 +102,15 @@ class Pipeline75Spec extends SparkSpec {
         "maintained-index decon must equal the single-shot probe (served)")
     }
   }
+
+  test("q386 answers the multi-probe query from the MAINTAINED LSH " +
+    "index == q376, inline and under a root") {
+    val want = run("q376_ann_lsh_multiprobe")
+    assert(run("q386_multiprobe_maintained_served") === want,
+      "maintained-index multi-probe must equal the single-shot answer")
+    withFreshRoot { _ =>
+      assert(run("q386_multiprobe_maintained_served") === want,
+        "maintained-index multi-probe must equal it when served")
+    }
+  }
 }
