@@ -208,6 +208,45 @@ object ArtifactStore {
 
   private def paramsHash(params: String): String = contentHash(params)
 
+  // ---- serve log (observability) ----
+
+  private lazy val jvmLogId = java.util.UUID.randomUUID.toString
+  private val logSeq = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Append one resolution event (`build` | `serve` | `vacuum`) to
+    * `<root>/_serve_log/events-<jvm>.jsonl` — the observability leg of
+    * the store: manifests record what IS committed, the log records
+    * what each resolution DID, so an operator can read build/hit
+    * ratios and retention activity per sweep (q387 audits it under an
+    * oracle). One file per JVM (no cross-process interleave); `seq` is
+    * file-scoped and restarts when the log is wiped, so a scripted
+    * lifecycle is deterministic. A disabled store (no root) logs
+    * nothing. */
+  private def logEvent(root: String, name: String, fp: String,
+                       params: String, action: String): Unit = {
+    val seq = logSeq.computeIfAbsent(root,
+      _ => new java.util.concurrent.atomic.AtomicLong(0))
+    seq.synchronized {
+      val dir = Paths.get(s"$root/_serve_log")
+      Files.createDirectories(dir)
+      val file = dir.resolve(s"events-$jvmLogId.jsonl")
+      if (!Files.exists(file)) seq.set(0) // wiped root → fresh log
+      val n = seq.incrementAndGet()
+      def esc(s: String) = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      val line = s"""{"seq":$n,"name":"${esc(name)}","fingerprint":"${
+        esc(fp)}","params":"${esc(params)}","action":"$action"}""" + "\n"
+      Files.write(file, line.getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
   /** Per-directory build locks: two threads of one JVM racing the same
     * artifact must build once. Cross-JVM races are resolved by the
     * unique-temp-dir build + ATOMIC rename publish below: each process
@@ -238,7 +277,7 @@ object ArtifactStore {
       case Some(r) =>
         val scopeDir = s"$r/$name/${scope(sourceKey, params)}"
         spark.read.parquet(
-          ensureCommitted(scopeDir, fp, name, params)(build))
+          ensureCommitted(r, scopeDir, fp, name, params)(build))
     }
 
   private def scope(sourceKey: String, params: String): String =
@@ -266,20 +305,24 @@ object ArtifactStore {
     * that loses this race fails its scan loudly and re-serves the
     * current address. Within one JVM the per-directory lock makes
     * resolve-then-read atomic with commits. */
-  private def ensureCommitted(scopeDir: String, fp: String, name: String,
-                              params: String)
+  private def ensureCommitted(root: String, scopeDir: String, fp: String,
+                              name: String, params: String)
                              (build: => DataFrame): String = {
     val dir = s"$scopeDir/$fp"
     val lock = locks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
       livePayload(dir) match {
-        case Some(p) => s"$dir/$p"
+        case Some(p) =>
+          logEvent(root, name, fp, params, "serve")
+          s"$dir/$p"
         case None =>
           val payload = s"payload-${java.util.UUID.randomUUID}"
           build.write.mode("overwrite").parquet(s"$dir/$payload")
           writeManifest(dir, name, fp, params, payload)
+          logEvent(root, name, fp, params, "build")
           vacuumOrphanPayloads(dir, keep = payload)
           vacuumSiblings(scopeDir, keep = fp)
+            .foreach(gone => logEvent(root, name, gone, params, "vacuum"))
           // return OUR commit directly — a post-lock re-resolve could
           // race a concurrent cross-JVM committer's manifest replace
           // mid-swap and observe a torn instant
@@ -341,7 +384,7 @@ object ArtifactStore {
         val willCommit = parts.exists { case (pid, pfp) =>
           livePayload(s"$partsDir/part-${contentHash(pid)}/$pfp").isEmpty }
         val paths = parts.map { case (pid, pfp) =>
-          ensureCommitted(s"$partsDir/part-${contentHash(pid)}", pfp,
+          ensureCommitted(r, s"$partsDir/part-${contentHash(pid)}", pfp,
             s"$name#$pid", params)(buildPart(pid))
         }
         if (willCommit) vacuumDeparted(partsDir, keep)
@@ -430,14 +473,17 @@ object ArtifactStore {
   }
 
   /** Drop superseded fingerprints of `name` after a successful commit
-    * — the retention vacuum. Only ever touches the artifact root. */
-  private def vacuumSiblings(nameDir: String, keep: String): Unit = {
+    * — the retention vacuum. Only ever touches the artifact root.
+    * Returns the vacuumed fingerprint dir names (for the serve log). */
+  private def vacuumSiblings(nameDir: String, keep: String): Seq[String] = {
     val d = Paths.get(nameDir)
-    if (Files.isDirectory(d)) {
-      Fs.ls(d).foreach { p =>
-        if (Files.isDirectory(p) && p.getFileName.toString != keep)
-          Fs.deleteRec(p)
-      }
+    if (!Files.isDirectory(d)) Seq.empty
+    else Fs.ls(d).flatMap { p =>
+      val n = p.getFileName.toString
+      if (Files.isDirectory(p) && n != keep) {
+        Fs.deleteRec(p)
+        Some(n)
+      } else None
     }
   }
 }

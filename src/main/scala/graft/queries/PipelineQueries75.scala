@@ -62,8 +62,18 @@ import org.apache.spark.sql.functions._
   *    make the maintained index exact; multi-probe needs no store
   *    cooperation (the query side fans out, the corpus keeps one key
   *    per band forever).
+  *
+  *  - q387: the artifact store's serve LOG under an oracle — the
+  *    build/hit/vacuum history as queryable rows (manifests say what
+  *    IS committed; the log says what each resolution DID), both
+  *    engines reading the same `_serve_log` JSONL independently.
   */
 object PipelineQueries75 {
+
+  /** q387's late-bound oracle (embeds the governance-root path). */
+  private object ServeLogOracle {
+    @volatile var sql: Option[String] = None
+  }
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
   private def hashSql(t: String) =
@@ -355,5 +365,53 @@ object PipelineQueries75 {
             org.apache.spark.sql.expressions.Window
               .orderBy(col("sim").desc, col("vec_id").asc)))
       },
-      Some(LshSql.multiProbeTop5Sql)))
+      Some(LshSql.multiProbeTop5Sql)),
+
+    // The artifact store's SERVE LOG under an oracle — the
+    // observability leg q371/q378 cannot see: manifests record what IS
+    // committed; the log records what each resolution DID. The query
+    // drives a deterministic lifecycle against a dedicated root (build
+    // → serve-hit → params-variant build → corpus-change rebuild that
+    // VACUUMS the superseded sibling → serve-hit of the new address)
+    // and reads the store's own event records back as rows; the oracle
+    // reads the SAME file via read_json_auto — two engines audit the
+    // build/hit/retention history independently. What the rows prove
+    // queryable: per-sweep build-vs-serve ratios and every retention
+    // deletion, each with the content address it acted on.
+    QDef("q387_artifact_serve_log",
+      (s, dir) => {
+        val govRoot = new java.io.File(
+          "target/artifacts_gov_log").getAbsolutePath
+        graft.ops.Fs.wipe(govRoot)
+        val prev = s.conf.getOption(ArtifactStore.RootConf)
+        try {
+          s.conf.set(ArtifactStore.RootConf, govRoot)
+          val nat = Tables.nation(s, dir)
+            .select(col("n_nationkey"), col("n_name"))
+          val key = s"$dir#nation#govlog"
+          val fpA = ArtifactStore.fingerprint(nat, s"$key#a")
+          ArtifactStore.buildOrServe(s, "govlog_demo", fpA, "p=1", key)(nat)
+          ArtifactStore.buildOrServe(s, "govlog_demo", fpA, "p=1", key)(nat)
+          ArtifactStore.buildOrServe(s, "govlog_demo", fpA, "p=2", key)(nat)
+          val nat2 = nat.filter(col("n_nationkey") =!= 0)
+          val fpB = ArtifactStore.fingerprint(nat2, s"$key#b")
+          ArtifactStore.buildOrServe(s, "govlog_demo", fpB, "p=1", key)(nat2)
+          ArtifactStore.buildOrServe(s, "govlog_demo", fpB, "p=1", key)(nat2)
+        } finally prev match {
+          case Some(r) => s.conf.set(ArtifactStore.RootConf, r)
+          case None => s.conf.unset(ArtifactStore.RootConf)
+        }
+        ServeLogOracle.sql = Some(
+          s"""SELECT seq, name, action, fingerprint
+             |FROM read_json_auto(
+             |  '$govRoot/_serve_log/*.jsonl')""".stripMargin)
+        s.read
+          .schema("seq LONG, name STRING, fingerprint STRING, " +
+            "params STRING, action STRING")
+          .json(s"$govRoot/_serve_log/*.jsonl")
+          .select(col("seq"), col("name"), col("action"),
+            col("fingerprint"))
+      },
+      None,
+      Some(() => ServeLogOracle.sql)))
 }

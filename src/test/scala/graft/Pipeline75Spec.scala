@@ -103,6 +103,24 @@ class Pipeline75Spec extends SparkSpec {
     }
   }
 
+  test("q387's serve log records the exact lifecycle: build, " +
+    "serve-hit, variant build, rebuild + sibling vacuum, serve-hit") {
+    val rows = SparkEntry.queries("q387_artifact_serve_log")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._2).toSeq ===
+      Seq("build", "serve", "build", "build", "vacuum", "serve"),
+      s"unexpected event sequence: ${rows.toSeq}")
+    // the vacuum names the superseded content address (fpA), which is
+    // the address the first build committed
+    val byId = SparkEntry.queries("q387_artifact_serve_log")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(byId(5L) === byId(1L),
+      "the vacuumed fingerprint must be the first build's address")
+    assert(byId(4L) !== byId(1L),
+      "the rebuild must carry the NEW corpus address")
+  }
+
   test("q386 answers the multi-probe query from the MAINTAINED LSH " +
     "index == q376, inline and under a root") {
     val want = run("q376_ann_lsh_multiprobe")
