@@ -222,9 +222,18 @@ object ArtifactStore {
     * oracle). One file per JVM (no cross-process interleave); `seq` is
     * file-scoped and restarts when the log is wiped, so a scripted
     * lifecycle is deterministic. A disabled store (no root) logs
-    * nothing. */
+    * nothing.
+    *
+    * BEST-EFFORT: a serve-hit was a pure read before the log existed,
+    * and observability must not change that availability contract — a
+    * root on a read-only mount (fully committed artifacts, perfectly
+    * servable) must keep serving. A failed append warns once per root
+    * instead of failing the query. */
+  private val logWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def logEvent(root: String, name: String, fp: String,
-                       params: String, action: String): Unit = {
+                       params: String, action: String): Unit = try {
     val seq = logSeq.computeIfAbsent(root,
       _ => new java.util.concurrent.atomic.AtomicLong(0))
     seq.synchronized {
@@ -245,6 +254,12 @@ object ArtifactStore {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      if (logWarned.add(root))
+        System.err.println(
+          s"[artifact] serve log unavailable under $root (${e.getMessage}) " +
+            "— resolutions continue unlogged")
   }
 
   /** Per-directory build locks: two threads of one JVM racing the same

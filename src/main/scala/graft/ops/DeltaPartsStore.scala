@@ -64,13 +64,13 @@ final class DeltaPartsStore(
     * ([[graft.ops.ArtifactStore.readFpParts]]). */
   def partsDir: String = s"$storeDir/parts"
 
-  /** Is `part` a committed `bid=N` partition at the current
-    * watermark? Callers pass this to `readFpParts` so a torn later
-    * batch's sidecar never folds into the store fingerprint. */
-  def committedPart(part: String): Boolean = {
-    val applied = appliedBid
+  /** Is `part` a committed `bid=N` partition at watermark `applied`?
+    * Callers capture the watermark ONCE per operation and pass the
+    * resulting predicate to `readFpParts` — re-reading meta.txt per
+    * sidecar would cost one small-file round-trip per part. A torn
+    * later batch's sidecar never passes. */
+  def committedPartAt(applied: Long)(part: String): Boolean =
     part.startsWith("bid=") && part.drop(4).toLong <= applied
-  }
 
   /** The read schema: data columns + the `bid` partition column —
     * specified EXPLICITLY on every store read so an all-empty store
@@ -106,7 +106,7 @@ final class DeltaPartsStore(
     * full-scan fingerprint of [[parts]] (spec-pinned by both stores).
     */
   def storeFingerprint: String =
-    ArtifactStore.fingerprintFromParts(partsDir, committedPart)
+    ArtifactStore.fingerprintFromParts(partsDir, committedPartAt(appliedBid))
 
   /** Commit one batch's pre-transformed part rows: write the `bid=N`
     * partition (overwrite mode — a replayed batch overwrites ITSELF,
@@ -115,6 +115,11 @@ final class DeltaPartsStore(
     * watermark strictly last. A bid at or below the watermark is a
     * replayed batch: no-op. */
   def applyPart(part: DataFrame, bid: Long): Unit = {
+    // restore a torn compaction FIRST: writing the new partition would
+    // recreate partsDir and strand `.compact.old` (the whole committed
+    // store) where recovery can no longer see it — silent data loss on
+    // the next compaction's deleteRec
+    recoverCompaction()
     if (bid <= appliedBid) return
     val spark = part.sparkSession
     part.select(cols.map(col): _*)

@@ -22,6 +22,28 @@ object PipelineQueries {
   private def hashSql(t: String) =
     s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
 
+  /** q78's oracle — also the contract of q385 (the maintained-store
+    * LM): the per-doc mean NLL must be identical whether the frequency
+    * table is recounted inline or folded from the incremental count
+    * store. */
+  private[queries] val unigramLogprobOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |f AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok),
+       |tot AS (SELECT sum(cnt) AS total FROM f),
+       |v AS (SELECT tok, cnt FROM f ORDER BY cnt DESC, tok LIMIT 50000),
+       |s AS (SELECT e.doc_id, count(*) AS n_tokens,
+       |  round(sum(CAST(floor(1000.0 * ln(CASE
+       |      WHEN v.cnt IS NOT NULL THEN tot.total::DOUBLE / v.cnt
+       |      ELSE tot.total::DOUBLE * 2.0 END)) AS BIGINT))::DOUBLE
+       |    / count(*) / 1000.0, 6) AS mean_nll
+       |  FROM e LEFT JOIN v USING (tok) CROSS JOIN tot
+       |  GROUP BY e.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  coalesce(s.mean_nll, 0.0) AS mean_nll
+       |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
+
   /** DuckDB n-gram-hash fragment over a `toks` column. */
   private def ngramSql(n: Int): String = {
     val cat = (0 until n).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
@@ -383,22 +405,7 @@ object PipelineQueries {
             coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
             coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-              |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-              |f AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok),
-              |tot AS (SELECT sum(cnt) AS total FROM f),
-              |v AS (SELECT tok, cnt FROM f ORDER BY cnt DESC, tok LIMIT 50000),
-              |s AS (SELECT e.doc_id, count(*) AS n_tokens,
-              |  round(sum(CAST(floor(1000.0 * ln(CASE
-              |      WHEN v.cnt IS NOT NULL THEN tot.total::DOUBLE / v.cnt
-              |      ELSE tot.total::DOUBLE * 2.0 END)) AS BIGINT))::DOUBLE
-              |    / count(*) / 1000.0, 6) AS mean_nll
-              |  FROM e LEFT JOIN v USING (tok) CROSS JOIN tot
-              |  GROUP BY e.doc_id)
-              |SELECT d.doc_id,
-              |  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
-              |  coalesce(s.mean_nll, 0.0) AS mean_nll
-              |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin)),
+      Some(unigramLogprobOracleSql)),
 
     // Corpus length quantiles per language — the shard-sizing /
     // truncation-budget statistic. Exact interpolated percentiles

@@ -53,6 +53,29 @@ object PipelineQueries4 {
        |    ELSE [] END,
        |  j -> list_min(list_slice(gh, j, j + ${w - 1}))))""".stripMargin
 
+  /** The corpus winnow-index CTE chain (t → g → f: doc tokens →
+    * positional 5-gram hashes → winnowed fingerprints) — shared with
+    * the served/maintained twins (q381/q383/q384, PipelineQueries75)
+    * so the index contract cannot drift between files. */
+  private[queries] val winnowIndexCtesSql: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, ${gramHashSql(5)} AS gh FROM t),
+       |f AS (SELECT doc_id, unnest(${winnowSql(4)}) AS fp FROM g)""".stripMargin
+
+  /** q93's oracle — also the contract of q381 and q384: the decon
+    * answer must be identical however the index is stored or served. */
+  private[queries] val winnowDeconOracleSql: String =
+    s"""WITH $winnowIndexCtesSql,
+       |b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 31 = 0),
+       |h AS (SELECT doc_id, count(*) AS n_shared
+       |      FROM f JOIN b USING (fp) WHERE doc_id % 31 <> 0
+       |      GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+       |  coalesce(h.n_shared, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN h USING (doc_id)
+       |WHERE d.doc_id % 31 <> 0""".stripMargin
+
   /** Unrolled k-stage DuckDB replay of [[graft.ops.BpeTrainer.train]]:
     * stage i counts adjacent pairs of the stage-(i-1) corpus, picks the
     * top pair (cnt DESC, pair ASC), and applies it with the identical
@@ -273,18 +296,7 @@ object PipelineQueries4 {
             .select(col("doc_id"), col("text")),
           "doc_id", "text", bench)
       },
-      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-              |g AS (SELECT doc_id, ${gramHashSql(5)} AS gh FROM t),
-              |f AS (SELECT doc_id, unnest(${winnowSql(4)}) AS fp FROM g),
-              |b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 31 = 0),
-              |h AS (SELECT doc_id, count(*) AS n_shared
-              |      FROM f JOIN b USING (fp) WHERE doc_id % 31 <> 0
-              |      GROUP BY doc_id)
-              |SELECT d.doc_id,
-              |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
-              |  coalesce(h.n_shared, 0) > 0 AS contaminated
-              |FROM documents d LEFT JOIN h USING (doc_id)
-              |WHERE d.doc_id % 31 <> 0""".stripMargin)),
+      Some(winnowDeconOracleSql)),
 
     // Contaminated-span LOCATION — the excision step after q93's
     // flagging: for every non-bench doc, the gram POSITIONS whose hash

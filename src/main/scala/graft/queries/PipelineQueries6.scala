@@ -65,6 +65,34 @@ object PipelineQueries6 {
   private def ngramSql(n: Int): String =
     s"list_distinct(${gramHashSql(n)})"
 
+  /** q108's oracle — also the contract of q382 (the served-LM twin):
+    * the per-doc mean NLL must be identical whether the count tables
+    * are rebuilt inline or served as write-once artifacts. */
+  private[queries] val bigramNllOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |gp AS (SELECT doc_id, toks, ${gramHashSql(2)} AS gh FROM t),
+       |s0 AS (SELECT doc_id, toks,
+       |         unnest(generate_series(1, len(gh))) AS i,
+       |         unnest(gh) AS g2
+       |       FROM gp),
+       |s AS (SELECT doc_id, g2, ${hashSql("toks[i]")} AS h1 FROM s0),
+       |c2 AS (SELECT g2, count(*) AS c2 FROM s GROUP BY g2),
+       |c1 AS (SELECT h1, count(*) AS c1 FROM s GROUP BY h1),
+       |vv AS (SELECT count(DISTINCT h1) AS v FROM s),
+       |sc AS (SELECT s.doc_id, count(*) AS n_bigrams,
+       |         sum(CAST(floor(1000.0 * ln(
+       |           (CAST(c2.c2 AS DOUBLE) + 1.0) /
+       |           (CAST(c1.c1 AS DOUBLE) + CAST(vv.v AS DOUBLE))))
+       |           AS BIGINT)) AS smnat
+       |       FROM s JOIN c2 USING (g2) JOIN c1 USING (h1)
+       |       CROSS JOIN vv
+       |       GROUP BY s.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  coalesce(round(CAST(-sc.smnat AS DOUBLE) /
+       |    CAST(sc.n_bigrams AS DOUBLE) / 1000.0, 6), 0.0) AS mean_nll
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
   // ---- vector fragments (lockstep with VectorQueries' copies) ----
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, " +
@@ -233,29 +261,7 @@ object PipelineQueries6 {
             coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
             coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-              |gp AS (SELECT doc_id, toks, ${gramHashSql(2)} AS gh FROM t),
-              |s0 AS (SELECT doc_id, toks,
-              |         unnest(generate_series(1, len(gh))) AS i,
-              |         unnest(gh) AS g2
-              |       FROM gp),
-              |s AS (SELECT doc_id, g2, ${hashSql("toks[i]")} AS h1 FROM s0),
-              |c2 AS (SELECT g2, count(*) AS c2 FROM s GROUP BY g2),
-              |c1 AS (SELECT h1, count(*) AS c1 FROM s GROUP BY h1),
-              |vv AS (SELECT count(DISTINCT h1) AS v FROM s),
-              |sc AS (SELECT s.doc_id, count(*) AS n_bigrams,
-              |         sum(CAST(floor(1000.0 * ln(
-              |           (CAST(c2.c2 AS DOUBLE) + 1.0) /
-              |           (CAST(c1.c1 AS DOUBLE) + CAST(vv.v AS DOUBLE))))
-              |           AS BIGINT)) AS smnat
-              |       FROM s JOIN c2 USING (g2) JOIN c1 USING (h1)
-              |       CROSS JOIN vv
-              |       GROUP BY s.doc_id)
-              |SELECT d.doc_id,
-              |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-              |  coalesce(round(CAST(-sc.smnat AS DOUBLE) /
-              |    CAST(sc.n_bigrams AS DOUBLE) / 1000.0, 6), 0.0) AS mean_nll
-              |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin)),
+      Some(bigramNllOracleSql)),
 
     // Bloom-gated decontamination: the prior/benchmark corpus's
     // distinct 8-gram hashes pack into a 2^16-bit bloom (8 KiB — a

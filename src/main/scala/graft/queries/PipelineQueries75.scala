@@ -75,45 +75,6 @@ object PipelineQueries75 {
     @volatile var sql: Option[String] = None
   }
 
-  private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
-  private def hashSql(t: String) =
-    s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
-
-  /** DuckDB fragment: positional k-gram hashes (lockstep with
-    * [[graft.functions.TextAnalysis.gramHashesPositional]]). */
-  private def gramHashSql(k: Int): String = {
-    val cat = (0 until k).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
-    s"""CASE WHEN len(toks) >= $k THEN
-       |  list_transform(generate_series(1, len(toks) - ${k - 1}),
-       |    i -> ${hashSql(s"($cat)")})
-       |ELSE [] END""".stripMargin
-  }
-
-  /** DuckDB fragment: winnowing fingerprint selection (lockstep with
-    * TextAnalysis.winnowFingerprints). */
-  private def winnowSql(w: Int): String =
-    s"""list_distinct(list_transform(
-       |  CASE WHEN len(gh) >= 1
-       |    THEN generate_series(1, greatest(len(gh) - ${w - 1}, 1))
-       |    ELSE [] END,
-       |  j -> list_min(list_slice(gh, j, j + ${w - 1}))))""".stripMargin
-
-  /** q93's oracle, verbatim — q381 and q384 must produce exactly the
-    * inline probe's answer, whatever path served the index. */
-  private val winnowDeconSql =
-    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |g AS (SELECT doc_id, ${gramHashSql(5)} AS gh FROM t),
-       |f AS (SELECT doc_id, unnest(${winnowSql(4)}) AS fp FROM g),
-       |b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 31 = 0),
-       |h AS (SELECT doc_id, count(*) AS n_shared
-       |      FROM f JOIN b USING (fp) WHERE doc_id % 31 <> 0
-       |      GROUP BY doc_id)
-       |SELECT d.doc_id,
-       |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
-       |  coalesce(h.n_shared, 0) > 0 AS contaminated
-       |FROM documents d LEFT JOIN h USING (doc_id)
-       |WHERE d.doc_id % 31 <> 0""".stripMargin
-
   val defs: Seq[QDef] = Seq(
 
     QDef("q381_winnow_decon_served",
@@ -131,7 +92,8 @@ object PipelineQueries75 {
           docs.filter(col("doc_id") % 31 =!= 0).select(col("doc_id")),
           fps.filter(col("doc_id") % 31 =!= 0), bench)
       },
-      Some(winnowDeconSql)),
+      // q93's oracle, shared by reference — the twin cannot drift
+      Some(PipelineQueries4.winnowDeconOracleSql)),
 
     QDef("q382_bigram_nll_served",
       (s, dir) => {
@@ -178,29 +140,8 @@ object PipelineQueries75 {
             coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
             coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-              |gp AS (SELECT doc_id, toks, ${gramHashSql(2)} AS gh FROM t),
-              |s0 AS (SELECT doc_id, toks,
-              |         unnest(generate_series(1, len(gh))) AS i,
-              |         unnest(gh) AS g2
-              |       FROM gp),
-              |s AS (SELECT doc_id, g2, ${hashSql("toks[i]")} AS h1 FROM s0),
-              |c2 AS (SELECT g2, count(*) AS c2 FROM s GROUP BY g2),
-              |c1 AS (SELECT h1, count(*) AS c1 FROM s GROUP BY h1),
-              |vv AS (SELECT count(DISTINCT h1) AS v FROM s),
-              |sc AS (SELECT s.doc_id, count(*) AS n_bigrams,
-              |         sum(CAST(floor(1000.0 * ln(
-              |           (CAST(c2.c2 AS DOUBLE) + 1.0) /
-              |           (CAST(c1.c1 AS DOUBLE) + CAST(vv.v AS DOUBLE))))
-              |           AS BIGINT)) AS smnat
-              |       FROM s JOIN c2 USING (g2) JOIN c1 USING (h1)
-              |       CROSS JOIN vv
-              |       GROUP BY s.doc_id)
-              |SELECT d.doc_id,
-              |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-              |  coalesce(round(CAST(-sc.smnat AS DOUBLE) /
-              |    CAST(sc.n_bigrams AS DOUBLE) / 1000.0, 6), 0.0) AS mean_nll
-              |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin)),
+      // q108's oracle, shared by reference — the twin cannot drift
+      Some(PipelineQueries6.bigramNllOracleSql)),
 
     QDef("q383_stream_winnow_audit",
       (s, dir) => {
@@ -221,9 +162,8 @@ object PipelineQueries75 {
           .agg(count(lit(1)).as("n_fps"),
             min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-              |g AS (SELECT doc_id, ${gramHashSql(5)} AS gh FROM t),
-              |f AS (SELECT doc_id, unnest(${winnowSql(4)}) AS fp FROM g)
+      // built on q92/q93's shared index CTEs — one winnow contract
+      Some(s"""WITH ${PipelineQueries4.winnowIndexCtesSql}
               |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
               |  min(fp) AS min_fp, max(fp) AS max_fp
               |FROM f GROUP BY doc_id""".stripMargin)),
@@ -255,7 +195,8 @@ object PipelineQueries75 {
           docs.filter(col("doc_id") % 31 =!= 0).select(col("doc_id")),
           fps.filter(col("doc_id") % 31 =!= 0), bench)
       },
-      Some(winnowDeconSql)),
+      // q93's oracle again: same contract, different serving path
+      Some(PipelineQueries4.winnowDeconOracleSql)),
 
     // The maintained count store IS the unigram LM: q78's frequency
     // table is exactly [[graft.streaming.StreamTokenCounts]]'s folded
@@ -303,22 +244,8 @@ object PipelineQueries75 {
             coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
             coalesce(col("mean_nll"), lit(0.0)).as("mean_nll"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-              |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-              |f AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok),
-              |tot AS (SELECT sum(cnt) AS total FROM f),
-              |v AS (SELECT tok, cnt FROM f ORDER BY cnt DESC, tok LIMIT 50000),
-              |s AS (SELECT e.doc_id, count(*) AS n_tokens,
-              |  round(sum(CAST(floor(1000.0 * ln(CASE
-              |      WHEN v.cnt IS NOT NULL THEN tot.total::DOUBLE / v.cnt
-              |      ELSE tot.total::DOUBLE * 2.0 END)) AS BIGINT))::DOUBLE
-              |    / count(*) / 1000.0, 6) AS mean_nll
-              |  FROM e LEFT JOIN v USING (tok) CROSS JOIN tot
-              |  GROUP BY e.doc_id)
-              |SELECT d.doc_id,
-              |  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
-              |  coalesce(s.mean_nll, 0.0) AS mean_nll
-              |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin)),
+      // q78's oracle, shared by reference — the twin cannot drift
+      Some(PipelineQueries.unigramLogprobOracleSql)),
 
     QDef("q386_multiprobe_maintained_served",
       (s, dir) => {

@@ -84,9 +84,16 @@ object StreamLshIndex {
   }
 
   /** Apply one batch: key the batch's vectors, commit the part +
-    * sidecar, move the watermark. Null vectors drop (poison-row rule);
-    * a replayed bid is a no-op. Exposed for the spec's slicing
-    * experiments. */
+    * sidecar, move the watermark. Null and WRONG-DIMENSION vectors
+    * drop (poison-row rule — a truncated vector keyed by zero-padded
+    * planes would land in a bucket its true geometry never visits, the
+    * same silent-poison class the geometry pin refuses). Honest scope:
+    * the single-shot inline path (q31/q376) zero-pads short vectors
+    * instead of dropping them, so maintained == single-shot holds for
+    * well-formed corpora — every dims-length vector, which is every
+    * fixture row; a malformed row diverges by design, the maintained
+    * side being the stricter one. A replayed bid is a no-op. Exposed
+    * for the spec's slicing experiments. */
   private[graft] def applyBatch(batch: DataFrame, bid: Long,
                                 idCol: String, vecCol: String,
                                 bands: Int, bitsPerBand: Int, dims: Int,
@@ -119,7 +126,7 @@ object StreamLshIndex {
     else {
       st.recoverCompaction()
       val parts = ArtifactStore
-        .readFpParts(st.partsDir, st.committedPart)
+        .readFpParts(st.partsDir, st.committedPartAt(st.appliedBid))
         .map { case (pid, fp) =>
           pid -> ArtifactStore.combineParts(Seq(fp)) }
       if (parts.isEmpty) buckets(spark, storeDir)

@@ -100,7 +100,7 @@ object StreamWinnowIndex {
     else {
       st.recoverCompaction()
       val parts = ArtifactStore
-        .readFpParts(st.partsDir, st.committedPart)
+        .readFpParts(st.partsDir, st.committedPartAt(st.appliedBid))
         .map { case (pid, fp) =>
           pid -> ArtifactStore.combineParts(Seq(fp)) }
       if (parts.isEmpty) fps(spark, storeDir)

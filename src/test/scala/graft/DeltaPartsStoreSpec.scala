@@ -89,6 +89,32 @@ class DeltaPartsStoreSpec extends SparkSpec {
     assert(sums() === (sumTruth + (100L -> 5L)))
   }
 
+  test("a batch arriving AFTER a torn compaction recovers the store " +
+    "first — the committed rows survive, nothing strands in " +
+    ".compact.old") {
+    val st = idStore()
+    (0 until 3).foreach { b =>
+      st.applyPart(df(rows.filter(_._1.toInt % 3 == b)), b.toLong)
+    }
+    val truth = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // crash between compaction's two renames: the whole committed
+    // store sits at .compact.old
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(st.partsDir),
+      java.nio.file.Paths.get(st.partsDir + ".compact.old"))
+    // the next batch must RESTORE before writing — writing first would
+    // recreate partsDir and strand (then silently delete) the store
+    st.applyPart(df(Seq((200L, 1L))), 7L)
+    assert(folded(st) === (truth + ((200L, 1L) -> 1L)),
+      "post-crash batch must fold with ALL previously committed rows")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(st.partsDir + ".compact.old")),
+      "recovery must consume the stranded dir")
+    assert(st.compact(spark), "must rewrite")
+    assert(folded(st) === (truth + ((200L, 1L) -> 1L)),
+      "compaction after recovery must preserve everything")
+  }
+
   test("an EMPTY part commits cleanly: fingerprints to (sum 0, count " +
     "0), the watermark moves, and the store still reads") {
     val st = idStore()
