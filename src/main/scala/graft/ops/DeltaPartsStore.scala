@@ -101,6 +101,30 @@ final class DeltaPartsStore(
       .parquet(s"$partsDir/$pid")
       .select(cols.map(col): _*)
 
+  /** Serve the maintained store through the artifact store,
+    * PART-ADDRESSED by the write-time sidecars: each committed `bid=N`
+    * partition is its own artifact part, so an append copies one
+    * batch's rows, a re-serve is a pure multi-path scan, and
+    * compaction collapses the part set to one rollup (the departed
+    * batch parts vacuum on that committing serve). With no artifact
+    * root — or an empty store — the folded [[parts]] view directly.
+    * One implementation behind every maintained store's serve leg
+    * (winnow index, LSH buckets). */
+  def serveParts(spark: SparkSession, artifactName: String,
+                 params: String): DataFrame = {
+    if (ArtifactStore.root(spark).isEmpty) parts(spark)
+    else {
+      recoverCompaction()
+      val sidecars = ArtifactStore
+        .readFpParts(partsDir, committedPartAt(appliedBid))
+        .map { case (pid, fp) =>
+          pid -> ArtifactStore.combineParts(Seq(fp)) }
+      if (sidecars.isEmpty) parts(spark)
+      else ArtifactStore.buildOrServeParts(spark, artifactName,
+        sidecars, params, sourceKey = partsDir)(readPart(spark, _))
+    }
+  }
+
   /** Content fingerprint of the committed part rows from the
     * write-time sidecars — O(#batches) metadata, no scan; equal to a
     * full-scan fingerprint of [[parts]] (spec-pinned by both stores).

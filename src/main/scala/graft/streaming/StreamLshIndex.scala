@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.{ArtifactStore, DeltaPartsStore, VectorSearch}
+import graft.ops.{DeltaPartsStore, VectorSearch}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
@@ -120,21 +120,9 @@ object StreamLshIndex {
     * PART-ADDRESSED by the write-time sidecars (one part per committed
     * batch; compaction collapses the part set). With no artifact root:
     * the folded view directly. */
-  def servedBuckets(spark: SparkSession, storeDir: String): DataFrame = {
-    val st = store(storeDir)
-    if (ArtifactStore.root(spark).isEmpty) buckets(spark, storeDir)
-    else {
-      st.recoverCompaction()
-      val parts = ArtifactStore
-        .readFpParts(st.partsDir, st.committedPartAt(st.appliedBid))
-        .map { case (pid, fp) =>
-          pid -> ArtifactStore.combineParts(Seq(fp)) }
-      if (parts.isEmpty) buckets(spark, storeDir)
-      else ArtifactStore.buildOrServeParts(spark, "lsh_maintained_buckets",
-        parts, params = "keys", sourceKey = st.partsDir)(
-        st.readPart(spark, _))
-    }
-  }
+  def servedBuckets(spark: SparkSession, storeDir: String): DataFrame =
+    store(storeDir).serveParts(spark, "lsh_maintained_buckets",
+      params = "keys")
 
   /** Wire an (id, vector) stream into the maintained index.
     * Compaction auto-triggers past `compactAfterBatches` per-batch

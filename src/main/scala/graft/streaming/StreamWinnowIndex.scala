@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.{ArtifactStore, Decontaminate, DeltaPartsStore}
+import graft.ops.{Decontaminate, DeltaPartsStore}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
@@ -94,21 +94,9 @@ object StreamWinnowIndex {
     * and compaction collapses the part set to one rollup (vacuuming
     * the departed batch parts on that committing serve). With no
     * artifact root: the folded view directly. */
-  def servedFps(spark: SparkSession, storeDir: String): DataFrame = {
-    val st = store(storeDir)
-    if (ArtifactStore.root(spark).isEmpty) fps(spark, storeDir)
-    else {
-      st.recoverCompaction()
-      val parts = ArtifactStore
-        .readFpParts(st.partsDir, st.committedPartAt(st.appliedBid))
-        .map { case (pid, fp) =>
-          pid -> ArtifactStore.combineParts(Seq(fp)) }
-      if (parts.isEmpty) fps(spark, storeDir)
-      else ArtifactStore.buildOrServeParts(spark, "winnow_maintained_fps",
-        parts, params = s"k=$K,w=$W", sourceKey = st.partsDir)(
-        st.readPart(spark, _))
-    }
-  }
+  def servedFps(spark: SparkSession, storeDir: String): DataFrame =
+    store(storeDir).serveParts(spark, "winnow_maintained_fps",
+      params = s"k=$K,w=$W")
 
   /** Wire an (id, text) document stream into the maintained index.
     * Compaction auto-triggers past `compactAfterBatches` per-batch
