@@ -64,13 +64,28 @@ final class DeltaPartsStore(
     * ([[graft.ops.ArtifactStore.readFpParts]]). */
   def partsDir: String = s"$storeDir/parts"
 
+  /** Parse a `bid=N` part/dir name. Not a bid-shaped name at all →
+    * None (a marker file, `_fp`, ...); bid-shaped but unparseable
+    * (`bid=tmp` — a foreign or corrupt entry) → fail LOUDLY naming
+    * the entry: silently skipping it would fold a store view that
+    * drops committed rows, and an unexplained NumberFormatException
+    * deep in a read path names nothing. */
+  private def bidOf(name: String): Option[Long] =
+    if (!name.startsWith("bid=")) None
+    else name.drop(4).toLongOption match {
+      case some @ Some(_) => some
+      case None => throw new IllegalStateException(
+        s"unparseable part id '$name' under $partsDir — expected " +
+          "bid=<long>; refusing to guess whether it is committed data")
+    }
+
   /** Is `part` a committed `bid=N` partition at watermark `applied`?
     * Callers capture the watermark ONCE per operation and pass the
     * resulting predicate to `readFpParts` — re-reading meta.txt per
     * sidecar would cost one small-file round-trip per part. A torn
     * later batch's sidecar never passes. */
   def committedPartAt(applied: Long)(part: String): Boolean =
-    part.startsWith("bid=") && part.drop(4).toLong <= applied
+    bidOf(part).exists(_ <= applied)
 
   /** The read schema: data columns + the `bid` partition column —
     * specified EXPLICITLY on every store read so an all-empty store
@@ -159,29 +174,38 @@ final class DeltaPartsStore(
     writeMeta(bid) // commit point, strictly last
   }
 
-  /** Rewrite every committed part into ONE partition behind the
-    * two-atomic-rename discipline (crash at any point leaves the
-    * fragmented or the rewritten store, never a mixture). What the
-    * rewrite means for rows — and so for the fingerprint — is
-    * `compactRewrite`'s contract (see the class doc). Returns true if
-    * the store was rewritten. */
-  def compact(spark: SparkSession, minDirs: Int = 2): Boolean = {
+  /** Rewrite every committed part into ONE `bid=<applied>` partition
+    * behind the two-atomic-rename discipline (crash at any point
+    * leaves the fragmented or the rewritten store, never a mixture).
+    * The partition's FILE count honors `targetBytes` — one output file
+    * per that many committed input bytes (the q322/StreamNswInsert
+    * quota grouping): a 100 TB maintained store compacts into bounded
+    * files, never one giant rollup, never one file per historical
+    * batch either. What the rewrite means for rows — and so for the
+    * fingerprint — is `compactRewrite`'s contract (see the class doc).
+    * Returns true if the store was rewritten. */
+  def compact(spark: SparkSession, minDirs: Int = 2,
+              targetBytes: Long = DeltaPartsStore.CompactTargetBytes)
+      : Boolean = {
     val applied = appliedBid
     if (applied < 0) return false
     recoverCompaction()
     val d = Paths.get(partsDir)
     if (!Files.isDirectory(d)) return false
-    val committedDirs = Fs.ls(d).count { p =>
-      val n = p.getFileName.toString
-      Files.isDirectory(p) && n.startsWith("bid=") &&
-        n.drop(4).toLong <= applied
+    val committed = Fs.ls(d).filter { p =>
+      Files.isDirectory(p) &&
+        bidOf(p.getFileName.toString).exists(_ <= applied)
     }
-    if (committedDirs < minDirs) return false
+    if (committed.size < minDirs) return false
     val tmp = s"$partsDir.compact.tmp"
     val old = s"$partsDir.compact.old"
     Fs.deleteRec(Paths.get(tmp)); Fs.deleteRec(Paths.get(old))
+    val bytes = committed.flatMap(Fs.ls)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size(_)).sum
+    val k = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     compactRewrite(parts(spark))
-      .coalesce(1).write.parquet(s"$tmp/bid=$applied")
+      .coalesce(k).write.parquet(s"$tmp/bid=$applied")
     // fingerprint the rewritten rows as written (never fold the old
     // sidecars: a MERGING rewrite changed the rows they hashed)
     ArtifactStore.writeFpPart(tmp, s"bid=$applied",
@@ -201,17 +225,31 @@ final class DeltaPartsStore(
   def partDirCount: Int = {
     val d = Paths.get(partsDir)
     if (!Files.isDirectory(d)) 0
-    else Fs.ls(d).count(_.getFileName.toString.startsWith("bid="))
+    else Fs.ls(d).count(p => bidOf(p.getFileName.toString).isDefined)
   }
 
   /** Crash recovery: a compaction that died between its two renames
-    * leaves the store at `<parts>.compact.old` — restore it; a
-    * leftover `.tmp` is garbage. */
+    * leaves the store at `<parts>.compact.old` — restore it; one that
+    * died AFTER the second rename but before its cleanup leaves the
+    * swap complete with a stale `.compact.old` copy — by the recovery
+    * ordering invariant (recovery runs before any new write, so
+    * partsDir can only coexist with `.old` after a completed swap)
+    * that copy is superseded: reclaim it here rather than stranding a
+    * full pre-compaction store until a `minDirs`-gated compaction that
+    * may never trigger. A leftover `.tmp` is garbage either way. */
   def recoverCompaction(): Unit = {
     val d = Paths.get(partsDir)
     val old = Paths.get(partsDir + ".compact.old")
     if (!Files.exists(d) && Files.exists(old))
       Files.move(old, d, StandardCopyOption.ATOMIC_MOVE)
+    else if (Files.exists(d) && Files.exists(old))
+      Fs.deleteRec(old)
     Fs.deleteRec(Paths.get(partsDir + ".compact.tmp"))
   }
+}
+
+object DeltaPartsStore {
+  /** Compaction rewrite quota: one output file per this many committed
+    * input bytes (the q322/StreamNswInsert grouping constant). */
+  val CompactTargetBytes: Long = 128L * 1024 * 1024
 }

@@ -131,4 +131,74 @@ class DeltaPartsStoreSpec extends SparkSpec {
     st2.applyPart(df(Seq.empty), 0L)
     assert(st2.parts(spark).count() === 0L)
   }
+
+  test("compaction honors the byte quota: a store over quota rewrites " +
+    "into >1 file, fold and (identity) fingerprint preserved, crash " +
+    "recovery intact") {
+    val st = idStore()
+    (0 until 3).foreach { b =>
+      st.applyPart(df(rows.filter(_._1.toInt % 3 == b)), b.toLong)
+    }
+    val truth = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val fpBefore = st.storeFingerprint
+    val total = graft.ops.Fs.ls(java.nio.file.Paths.get(st.partsDir))
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("bid="))
+      .flatMap(graft.ops.Fs.ls)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(java.nio.file.Files.size(_)).sum
+    // quota = half the store: k = ceil(total / (total/2)) >= 2 files
+    assert(st.compact(spark, targetBytes = total / 2), "must rewrite")
+    val rollup = java.nio.file.Paths.get(s"${st.partsDir}/bid=2")
+    val files = graft.ops.Fs.ls(rollup)
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(files >= 2,
+      s"a store over quota must compact into >1 file (got $files)")
+    assert(folded(st) === truth, "quota grouping moves bytes, not rows")
+    ArtifactStore.clearFingerprintMemo()
+    assert(st.storeFingerprint === fpBefore,
+      "identity compaction keeps the fingerprint at any file count")
+    // the rolled-up store keeps absorbing appends
+    st.applyPart(df(Seq((300L, 2L))), 5L)
+    assert(folded(st) === (truth + ((300L, 2L) -> 1L)))
+  }
+
+  test("a crash AFTER the compaction swap but before cleanup — " +
+    "partsDir and .compact.old coexist — reclaims the superseded " +
+    "copy on the next touch instead of stranding it forever") {
+    val st = idStore()
+    (0 until 2).foreach { b =>
+      st.applyPart(df(rows.filter(_._1.toInt % 2 == b)), b.toLong)
+    }
+    val truth = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // simulate: swap completed (partsDir is the rewritten store), the
+    // pre-compaction copy still sits at .compact.old
+    val old = java.nio.file.Paths.get(st.partsDir + ".compact.old")
+    def copyRec(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(src)) {
+        java.nio.file.Files.createDirectories(dst)
+        graft.ops.Fs.ls(src).foreach(c =>
+          copyRec(c, dst.resolve(c.getFileName)))
+      } else java.nio.file.Files.copy(src, dst)
+    }
+    copyRec(java.nio.file.Paths.get(st.partsDir), old)
+    assert(folded(st) === truth,
+      "the live store must read unchanged through recovery")
+    assert(!java.nio.file.Files.exists(old),
+      "recovery must reclaim the superseded .compact.old copy")
+  }
+
+  test("a foreign bid-shaped entry fails LOUDLY by name instead of an " +
+    "unexplained NumberFormatException") {
+    val st = idStore()
+    st.applyPart(df(rows.take(5)), 0L)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"${st.partsDir}/bid=tmp"))
+    val e = intercept[IllegalStateException](st.compact(spark, minDirs = 1))
+    assert(e.getMessage.contains("bid=tmp"),
+      s"the error must name the offending entry: ${e.getMessage}")
+    // sidecar edition: a corrupt _fp name hits the same loud path
+    assert(intercept[IllegalStateException](
+      st.committedPartAt(0L)("bid=oops")).getMessage.contains("bid=oops"))
+  }
 }
