@@ -106,6 +106,14 @@ object GraftFunctions {
         intArg("graft_minhash", args, 1)))
     },
 
+    fn("graft_minhash2", "shingle_hashes, k",
+      "k-wide runner-up MinHash signature (multi-probe perturbation " +
+        "values; codegen'd kernel)") { args =>
+      arity("graft_minhash2", args, 2)
+      unwrap(TextAnalysis.minhash2Affine(wrap(args.head),
+        intArg("graft_minhash2", args, 1)))
+    },
+
     fn("graft_simhash", "tokens",
       "32-bit SimHash over the token multiset (codegen'd kernel)") { args =>
       arity("graft_simhash", args, 1)

@@ -46,7 +46,7 @@ object SparkEntry {
       PipelineQueries69.defs ++ PipelineQueries70.defs ++
       PipelineQueries71.defs ++ PipelineQueries72.defs ++
       PipelineQueries73.defs ++ PipelineQueries74.defs ++
-      PipelineQueries75.defs ++
+      PipelineQueries75.defs ++ PipelineQueries76.defs ++
       VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap

@@ -86,6 +86,91 @@ case class MinHashSignature(child: Expression, a: Array[Long], b: Array[Long],
     copy(child = newChild)
 }
 
+/** SECOND-smallest affine hash per seed (multiset semantics — a
+  * duplicated minimum counts twice), the runner-up to
+  * [[MinHashSignature]]'s minimum: out[j] = the second element of the
+  * sorted multiset {(h·a_j + b_j) mod p}, or the minimum itself for a
+  * single-element input. The signature slot whose runner-up sits
+  * CLOSEST to its minimum is the slot most likely to differ for a true
+  * near-duplicate (one shingle edit away from stealing the min), which
+  * is what multi-probe LSH perturbs — the probe key swaps that slot's
+  * min for this value. Same loop shape as the base kernel, one extra
+  * register per seed.
+  */
+case class MinHash2Signature(child: Expression, a: Array[Long],
+                             b: Array[Long], prime: Long)
+    extends UnaryExpression {
+  require(a.length == b.length)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash2_signature needs array<bigint>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash2_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m1 = Array.fill(a.length)(Long.MaxValue)
+    val m2 = Array.fill(a.length)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = if (arr.isNullAt(i)) 0L else arr.getLong(i)
+      var j = 0
+      while (j < m1.length) {
+        val v = (h * a(j) + b(j)) % prime
+        if (v < m1(j)) { m2(j) = m1(j); m1(j) = v }
+        else if (v < m2(j)) m2(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    var j = 0
+    while (j < m2.length) {
+      if (m2(j) == Long.MaxValue) m2(j) = m1(j) // single-element input
+      j += 1
+    }
+    new GenericArrayData(m2)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mh2A", a, "long[]")
+    val bRef = ctx.addReferenceObj("mh2B", b, "long[]")
+    val m1 = ctx.freshName("mhM1")
+    val m2 = ctx.freshName("mhM2")
+    val n = ctx.freshName("mhN")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val h = ctx.freshName("h")
+    val v = ctx.freshName("v")
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |long[] $m1 = new long[${a.length}];
+         |long[] $m2 = new long[${a.length}];
+         |java.util.Arrays.fill($m1, Long.MAX_VALUE);
+         |java.util.Arrays.fill($m2, Long.MAX_VALUE);
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $arr.isNullAt($i) ? 0L : $arr.getLong($i);
+         |  for (int $j = 0; $j < ${a.length}; $j++) {
+         |    long $v = ($h * $aRef[$j] + $bRef[$j]) % ${prime}L;
+         |    if ($v < $m1[$j]) { $m2[$j] = $m1[$j]; $m1[$j] = $v; }
+         |    else if ($v < $m2[$j]) { $m2[$j] = $v; }
+         |  }
+         |}
+         |for (int $j = 0; $j < ${a.length}; $j++) {
+         |  if ($m2[$j] == Long.MAX_VALUE) $m2[$j] = $m1[$j];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($m2);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash2Signature =
+    copy(child = newChild)
+}
+
 /** 32-bit SimHash over pre-hashed tokens: bit b is set iff the count of
   * tokens with bit b set strictly exceeds half the token count (the
   * +1/-1 vote rule; ties clear the bit). Same values as the HOF fold in

@@ -142,6 +142,23 @@ object TextAnalysis {
         params.map(_._1).toArray, params.map(_._2).toArray, MinhashPrime))
   }
 
+  /** Runner-up MinHash signature: signature j is the SECOND-smallest
+    * (a_j·h + b_j) mod p over the shingle hashes (multiset semantics;
+    * the minimum itself for a single-shingle doc) — same affine family
+    * as [[minhashAffine]], so slot j's (min, runner-up) gap says how
+    * stable that slot is. Multi-probe near-dup probing perturbs the
+    * least-stable slots ([[graft.ops.Dedup.multiProbeBandKeys]]).
+    * Codegen kernel like the base signature
+    * ([[graft.expressions.MinHash2Signature]]).
+    */
+  def minhash2Affine(hashes: Column, numHashes: Int): Column = {
+    val params = (0 until numHashes).map(affineParam)
+    org.apache.spark.sql.GraftExpr.column(
+      graft.expressions.MinHash2Signature(
+        org.apache.spark.sql.GraftExpr.expression(hashes),
+        params.map(_._1).toArray, params.map(_._2).toArray, MinhashPrime))
+  }
+
   /** 32-bit SimHash over the token multiset: bit b is set iff the sum of
     * per-token votes (+1 when bit b of the token hash is set, else -1)
     * is positive. Ties (sum == 0) clear the bit.

@@ -74,16 +74,45 @@ object ArtifactStore {
 
   private val Mod64 = BigInt(2).pow(64)
 
+  /** Cheap change signal for a file-backed frame: the sorted
+    * input-file listing with per-file size + mtime, hashed — an
+    * O(#files) METADATA read, no data scan. Folded into the memo key
+    * so a LONG-LIVED serve session observes an in-place corpus
+    * rewrite under an unchanged path (the r14 verdict #2 staleness
+    * hole): the rewritten files change the signal, the memo misses,
+    * and the content scan re-runs. A frame with no file inputs (an
+    * in-memory fixture) signals a constant — the historical
+    * memo-by-key behavior, which unit specs pin. A listed file that
+    * vanished before statting signals `gone` (deterministically), so
+    * a half-swapped source still misses the memo. */
+  private def sourceSignal(df: DataFrame): String = {
+    val files =
+      try df.inputFiles
+      catch { case scala.util.control.NonFatal(_) => Array.empty[String] }
+    if (files.isEmpty) "mem"
+    else contentHash(files.sorted.map { f =>
+      try {
+        val p = if (f.startsWith("file:")) Paths.get(new java.net.URI(f))
+          else Paths.get(f)
+        s"$f:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+      } catch { case scala.util.control.NonFatal(_) => s"$f:gone" }
+    }.mkString("\n"))
+  }
+
   /** Order-independent content fingerprint of `df`: SUM of per-row
     * xxhash64 over all columns (wrapping mod 2^64 — xor would cancel
     * duplicated pairs), plus the row count. One scan, column-pruned to
-    * what `df` selects; memoized on `memoKey` for the session. Equal
-    * by construction to `combineParts(Seq(partFingerprint(df)))`, so
-    * a managed store's write-time part sums reproduce the scan's
-    * fingerprint exactly.
+    * what `df` selects; memoized on `memoKey` PLUS the file-level
+    * change signal of the source ([[sourceSignal]]) for the session —
+    * so the memo can never serve a stale fingerprint for a corpus
+    * rewritten in place under the same path, at the cost of one
+    * file-listing stat pass per call. Equal by construction to
+    * `combineParts(Seq(partFingerprint(df)))`, so a managed store's
+    * write-time part sums reproduce the scan's fingerprint exactly.
     */
   def fingerprint(df: DataFrame, memoKey: String): String =
-    fpMemo.computeIfAbsent(memoKey, _ => combineParts(Seq(partFingerprint(df))))
+    fpMemo.computeIfAbsent(s"$memoKey@${sourceSignal(df)}",
+      _ => combineParts(Seq(partFingerprint(df))))
 
   /** The per-part summand of [[fingerprint]]: (Σ xxhash64(row), count)
     * over exactly `df`'s column list, the sum exact (decimal(38,0) —
@@ -210,6 +239,26 @@ object ArtifactStore {
 
   // ---- serve log (observability) ----
 
+  /** Conf gate for the serve log (default on). A store under a
+    * serve-hot root can turn the per-resolution filesystem append off
+    * entirely — resolutions were pure reads before the log existed. */
+  val ServeLogConf = "spark.graft.artifact.serveLog"
+
+  /** Rotation threshold (bytes) for one JVM's event file — see
+    * [[logEvent]]'s retention note. */
+  val ServeLogMaxBytesConf = "spark.graft.artifact.serveLogMaxBytes"
+
+  private val DefaultLogMaxBytes = 4L * 1024 * 1024
+
+  /** The serve-log knobs captured where a SparkSession is in hand
+    * (logEvent itself runs below the session layer). */
+  private[graft] final case class LogCfg(enabled: Boolean, maxBytes: Long)
+
+  private def logCfg(spark: SparkSession): LogCfg = LogCfg(
+    spark.conf.getOption(ServeLogConf).forall(_.trim.toBoolean),
+    spark.conf.getOption(ServeLogMaxBytesConf).map(_.trim.toLong)
+      .getOrElse(DefaultLogMaxBytes))
+
   private lazy val jvmLogId = java.util.UUID.randomUUID.toString
   private val logSeq = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.atomic.AtomicLong]()
@@ -220,9 +269,19 @@ object ArtifactStore {
     * what each resolution DID, so an operator can read build/hit
     * ratios and retention activity per sweep (q387 audits it under an
     * oracle). One file per JVM (no cross-process interleave); `seq` is
-    * file-scoped and restarts when the log is wiped, so a scripted
+    * log-scoped and restarts when the log is wiped, so a scripted
     * lifecycle is deterministic. A disabled store (no root) logs
-    * nothing.
+    * nothing, and `spark.graft.artifact.serveLog=false` disables the
+    * append entirely.
+    *
+    * RETENTION: the store vacuums its artifacts, so it must vacuum its
+    * own log too — when the live file crosses the rotation threshold
+    * it is renamed to `events-<jvm>.rolled.jsonl` (REPLACING the prior
+    * rolled file), so one JVM's log is bounded at ~2× the threshold
+    * and exactly ≤2 files, forever. `seq` continues across a rotation
+    * (the readable union stays a gap-free sequence — only the oldest
+    * events age out); it resets only when BOTH files are gone (a wiped
+    * root).
     *
     * BEST-EFFORT: a serve-hit was a pure read before the log existed,
     * and observability must not change that availability contract — a
@@ -233,14 +292,20 @@ object ArtifactStore {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def logEvent(root: String, name: String, fp: String,
-                       params: String, action: String): Unit = try {
+                       params: String, action: String, cfg: LogCfg,
+                       extra: String = ""): Unit = if (cfg.enabled) try {
     val seq = logSeq.computeIfAbsent(root,
       _ => new java.util.concurrent.atomic.AtomicLong(0))
     seq.synchronized {
       val dir = Paths.get(s"$root/_serve_log")
       Files.createDirectories(dir)
       val file = dir.resolve(s"events-$jvmLogId.jsonl")
-      if (!Files.exists(file)) seq.set(0) // wiped root → fresh log
+      val rolled = dir.resolve(s"events-$jvmLogId.rolled.jsonl")
+      if (Files.exists(file) && Files.size(file) >= cfg.maxBytes)
+        Files.move(file, rolled,
+          StandardCopyOption.REPLACE_EXISTING) // bounded: ≤2 files/JVM
+      if (!Files.exists(file) && !Files.exists(rolled))
+        seq.set(0) // wiped root → fresh log (a rotation is NOT a wipe)
       val n = seq.incrementAndGet()
       def esc(s: String) = s.flatMap {
         case '"' => "\\\""
@@ -249,7 +314,7 @@ object ArtifactStore {
         case c => c.toString
       }
       val line = s"""{"seq":$n,"name":"${esc(name)}","fingerprint":"${
-        esc(fp)}","params":"${esc(params)}","action":"$action"}""" + "\n"
+        esc(fp)}","params":"${esc(params)}","action":"$action"$extra}""" + "\n"
       Files.write(file, line.getBytes(StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
@@ -292,7 +357,8 @@ object ArtifactStore {
       case Some(r) =>
         val scopeDir = s"$r/$name/${scope(sourceKey, params)}"
         spark.read.parquet(
-          ensureCommitted(r, scopeDir, fp, name, params)(build))
+          ensureCommitted(r, scopeDir, fp, name, params,
+            logCfg(spark))(build))
     }
 
   private def scope(sourceKey: String, params: String): String =
@@ -321,23 +387,29 @@ object ArtifactStore {
     * current address. Within one JVM the per-directory lock makes
     * resolve-then-read atomic with commits. */
   private def ensureCommitted(root: String, scopeDir: String, fp: String,
-                              name: String, params: String)
+                              name: String, params: String, cfg: LogCfg,
+                              logServe: Boolean = true)
                              (build: => DataFrame): String = {
     val dir = s"$scopeDir/$fp"
     val lock = locks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
       livePayload(dir) match {
         case Some(p) =>
-          logEvent(root, name, fp, params, "serve")
+          // part-addressed resolutions suppress the per-part serve-hit
+          // (buildOrServeParts logs ONE aggregated event instead — a
+          // 10k-part scan must not cost 10k synchronized appends);
+          // builds and vacuums always log: they are actual work,
+          // bounded by what changed
+          if (logServe) logEvent(root, name, fp, params, "serve", cfg)
           s"$dir/$p"
         case None =>
           val payload = s"payload-${java.util.UUID.randomUUID}"
           build.write.mode("overwrite").parquet(s"$dir/$payload")
           writeManifest(dir, name, fp, params, payload)
-          logEvent(root, name, fp, params, "build")
+          logEvent(root, name, fp, params, "build", cfg)
           vacuumOrphanPayloads(dir, keep = payload)
           vacuumSiblings(scopeDir, keep = fp)
-            .foreach(gone => logEvent(root, name, gone, params, "vacuum"))
+            .foreach(gone => logEvent(root, name, gone, params, "vacuum", cfg))
           // return OUR commit directly — a post-lock re-resolve could
           // race a concurrent cross-JVM committer's manifest replace
           // mid-swap and observe a torn instant
@@ -396,13 +468,27 @@ object ArtifactStore {
         // actually commits (= observed the newest corpus state) may
         // drop departed partIds — a serve-only reader with a stale
         // part map must never delete under a fresher process
-        val willCommit = parts.exists { case (pid, pfp) =>
+        val cfg = logCfg(spark)
+        val toBuild = parts.count { case (pid, pfp) =>
           livePayload(s"$partsDir/part-${contentHash(pid)}/$pfp").isEmpty }
+        val willCommit = toBuild > 0
         val paths = parts.map { case (pid, pfp) =>
           ensureCommitted(r, s"$partsDir/part-${contentHash(pid)}", pfp,
-            s"$name#$pid", params)(buildPart(pid))
+            s"$name#$pid", params, cfg, logServe = false)(buildPart(pid))
         }
         if (willCommit) vacuumDeparted(partsDir, keep)
+        // ONE aggregated event per part-addressed resolution (per-part
+        // BUILDS/vacuums still log individually — bounded by actual
+        // work; per-part serve-HITS do not: a 10k-part scan must not
+        // cost 10k synchronized appends). The event's address is a
+        // content hash of the whole (partId, partFp) set; `parts` /
+        // `built` record how much of the resolution was served vs
+        // rebuilt.
+        logEvent(r, name,
+          contentHash(parts.sortBy(_._1)
+            .map(p => s"${p._1}:${p._2}").mkString("|")),
+          params, if (willCommit) "build" else "serve", cfg,
+          extra = s""","parts":${parts.size},"built":$toBuild""")
         spark.read.parquet(paths: _*)
     }
   }

@@ -36,6 +36,46 @@ object Dedup {
       xxhash64((k +: (0 until rowsPerBand).map(r =>
         element_at(mh, k * rowsPerBand + r + 1))): _*))
 
+  /** Multi-probe band keys for MinHash-LSH (Lv et al., VLDB 2007 —
+    * the sign-LSH fan-out of
+    * [[graft.ops.VectorSearch.multiProbeKeys]] applied to the near-dup
+    * band family): per band, the base key PLUS `extraProbes` perturbed
+    * keys, probe j swapping the band's j-th LEAST-STABLE slot — the
+    * slot whose runner-up hash (`mh2`, [[graft.functions.TextAnalysis
+    * .minhash2Affine]]) sits closest to its minimum, i.e. the slot one
+    * shingle edit is most likely to flip — for that runner-up value.
+    * The CORPUS side keeps ONE key per band forever
+    * ([[bandKeyArray]] unchanged — no extra storage); only the query
+    * fans out, so recall rises at the price of `1 + extraProbes`
+    * bucket lookups per band instead of another index copy. Every
+    * expression is a Column over the row (no driver math) and the flip
+    * choice is a deterministic array_sort on (gap, slot) pairs,
+    * replayable literally in SQL (the q140 lesson). Returns an array
+    * of (band, key) structs. */
+  private[graft] def multiProbeBandKeys(mh: Column, mh2: Column,
+                                        numBands: Int, rowsPerBand: Int,
+                                        extraProbes: Int): Column = {
+    require(extraProbes <= rowsPerBand,
+      "each probe swaps one distinct slot of the band")
+    val perBand = (0 until numBands).flatMap { k =>
+      def m(s: Int) = element_at(mh, k * rowsPerBand + s + 1)
+      def m2(s: Int) = element_at(mh2, k * rowsPerBand + s + 1)
+      val base = xxhash64((lit(k).cast("int") +:
+        (0 until rowsPerBand).map(m)): _*)
+      // slots ordered by (runner-up − min) gap ascending, slot index
+      // breaking ties — ascending struct sort, the multiProbeKeys idiom
+      val order = array_sort(array((0 until rowsPerBand).map(s =>
+        struct((m2(s) - m(s)).as("g"), lit(s).as("s"))): _*))
+      val probes = base +: (0 until extraProbes).map { j =>
+        val flip = element_at(order, j + 1).getField("s")
+        xxhash64((lit(k).cast("int") +: (0 until rowsPerBand).map(s =>
+          when(flip === s, m2(s)).otherwise(m(s)))): _*)
+      }
+      probes.map(key => struct(lit(k).as("band"), key.as("bk")))
+    }
+    array(perBand: _*)
+  }
+
   /** Exact dedup by content hash: one row per distinct content with the
     * canonical (minimum) id and the duplicate count.
     */

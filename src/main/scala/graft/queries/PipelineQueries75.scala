@@ -67,6 +67,16 @@ import org.apache.spark.sql.functions._
   *    build/hit/vacuum history as queryable rows (manifests say what
   *    IS committed; the log says what each resolution DID), both
   *    engines reading the same `_serve_log` JSONL independently.
+  *
+  * CONCURRENCY SCOPE: q383–q387 drive fixed `target/` store paths and
+  * q387 additionally redirects the SESSION-WIDE artifact root to a
+  * scratch dir it wipes. Both are correct under the driver contract —
+  * Verify/Bench execute queries strictly one at a time on one session
+  * — and would not be under a concurrent driver: a parallel query
+  * could commit artifacts into the scratch root mid-wipe, or interleave
+  * writes into a shared `target/` store. A concurrent harness must
+  * give these lifecycle queries a cloned session (`spark.newSession`,
+  * whose conf the redirect would then scope) and per-run store paths.
   */
 object PipelineQueries75 {
 
@@ -267,7 +277,10 @@ object PipelineQueries75 {
         StreamLshIndex.applyBatch(
           emb.where(pmod(col("vec_id"), lit(3)) === 2), 2L,
           "vec_id", "embedding", 4, 4, 64, store)
-        val buckets = StreamLshIndex.servedBuckets(s, store)
+        // the geometry-validated serve path: the probe fan-out below
+        // derives keys under (4,4,64), so the read require-matches the
+        // store pin before trusting any bucket key
+        val buckets = StreamLshIndex.servedBuckets(s, store, 4, 4, 64)
         val e = emb.select(col("vec_id"),
           VectorSearch.toDouble(col("embedding")).as("v"))
         // query side: q376's multi-probe fan-out, verbatim

@@ -181,6 +181,11 @@ object BlockIngest {
       mergeAccountInventory(spark, sinkDir, newCommitted, txns)
       mergeOuiInventory(spark, sinkDir, newCommitted, txns)
       mergeStats(spark, sinkDir, newCommitted, fresh, txns)
+      // write-time fingerprint sidecars for every fact partition this
+      // batch produced — part of the batch's payload, so strictly
+      // BEFORE the commit point (a torn batch's sidecars sit above
+      // the watermark, where factParts never reads them)
+      writeFactSidecars(spark, sinkDir, heights.toIndexedSeq)
       crash("before-commit")
 
       // THE commit point: one atomically-renamed manifest listing every
@@ -526,6 +531,98 @@ object BlockIngest {
         .parquet(scalesDir)
   }
 
+  // ---- write-time fingerprint sidecars over the fact tables ----
+  // The ETL half of the sidecar-addressed staleness story (r14 verdict
+  // #1): the LLM half's maintained stores already commit per-part
+  // (sum, count) sidecars at write time; here the ingest sink does the
+  // same for every height-partitioned fact table, so an artifact built
+  // over `transactions`/`rewards`/... addresses and delta-rebuilds in
+  // O(#commits) metadata reads — never a corpus scan. Same write-time-
+  // precompute instinct as the reference's txn JSON cache
+  // (ref: src/be_txn.erl:14-126).
+
+  /** One grouped part-sized scan per touched table: fingerprint the
+    * batch's freshly-written partitions AS READ BACK (the canonical
+    * [[readFactPart]] basis — data columns in written order, the
+    * partition column cast to long) and record the `_fp` sidecars.
+    * A replayed batch overwrites its own partitions with identical
+    * rows, so the sidecar overwrite is idempotent. */
+  private def writeFactSidecars(spark: SparkSession, sinkDir: String,
+                                heights: Seq[Long]): Unit =
+    factTables.foreach { case (table, partCol) =>
+      val dir = s"$sinkDir/$table"
+      // a table writes NO partition for a height with no rows (e.g.
+      // rewards on a rewardless block): sidecars exist iff data does
+      val present = heights.map(h => h -> s"$dir/$partCol=$h")
+        .filter { case (_, d) => Files.exists(Paths.get(d)) }
+      if (present.nonEmpty) {
+        val back = spark.read.option("basePath", dir)
+          .parquet(present.map(_._2): _*)
+          .withColumn(partCol, col(partCol).cast("long"))
+        graft.ops.ArtifactStore.partFingerprints(back, partCol)
+          .foreach { case (pid, fp) =>
+            graft.ops.ArtifactStore.writeFpPart(dir, pid, fp) }
+      }
+    }
+
+  /** The committed (partId → part fingerprint) map of a fact table
+    * from its write-time sidecars — the `parts` input for a
+    * part-addressed artifact over the table
+    * ([[graft.ops.ArtifactStore.buildOrServeParts]]). O(#commits)
+    * metadata reads; a torn later batch's sidecars sit above the
+    * watermark and are excluded, the BlockIngest reader rule. A
+    * bid-shaped sidecar that does not parse fails LOUDLY (skipping it
+    * would address an artifact over a subset of the table). */
+  def factParts(sinkDir: String, table: String): Seq[(String, String)] = {
+    val h = committedHeight(sinkDir)
+    graft.ops.ArtifactStore.readFpParts(s"$sinkDir/$table", part => {
+      val v = part.dropWhile(_ != '=').drop(1)
+      v.toLongOption match {
+        case Some(ph) => ph <= h
+        case None => throw new IllegalStateException(
+          s"unparseable fact sidecar part id '$part' under " +
+            s"$sinkDir/$table — expected <col>=<height>")
+      }
+    }).map { case (pid, fp) =>
+      pid -> graft.ops.ArtifactStore.combineParts(Seq(fp)) }
+  }
+
+  /** Canonical reader of ONE committed fact partition — exactly the
+    * rows its write-time sidecar hashed (data columns in written
+    * order, the partition column cast to long). The `buildPart` reader
+    * for part-addressed artifacts: partition-sized, never a table
+    * scan. */
+  def readFactPart(spark: SparkSession, sinkDir: String, table: String,
+                   pid: String): DataFrame = {
+    val partCol = pid.takeWhile(_ != '=')
+    spark.read.option("basePath", s"$sinkDir/$table")
+      .parquet(s"$sinkDir/$table/$pid")
+      .withColumn(partCol, col(partCol).cast("long"))
+  }
+
+  /** Canonical committed view of a fact table on the sidecar hash
+    * basis (every column, partition column as long) — what
+    * [[factFingerprint]]'s sidecar fold equals a full scan of
+    * (spec-pinned). */
+  def readFactCommitted(spark: SparkSession, sinkDir: String,
+                        table: String): DataFrame = {
+    val partCol = factTables.toMap.apply(table)
+    spark.read.option("basePath", s"$sinkDir/$table")
+      .parquet(s"$sinkDir/$table")
+      .withColumn(partCol, col(partCol).cast("long"))
+      .where(col(partCol) <= committedHeight(sinkDir))
+  }
+
+  /** Sidecar-folded content fingerprint of a fact table's committed
+    * rows — O(#commits) metadata, no scan; equal to
+    * `ArtifactStore.fingerprint(readFactCommitted(...))`. */
+  def factFingerprint(sinkDir: String, table: String): String =
+    graft.ops.ArtifactStore.combineParts(factParts(sinkDir, table).map {
+      case (_, fp) =>
+        val Array(hex, n) = fp.split('_')
+        (BigInt(hex, 16), n.toLong)
+    })
+
   /** Snapshot manifest (ref: src/be_db_block.erl:118-157): when a batch
     * carries snapshot blocks, record the newest as latest-snap.json.
     */
@@ -610,15 +707,22 @@ object BlockIngest {
     }
   }
 
-  /** Data files under `p` (skipping `_`/`.` markers) — the driver-side
-    * java.nio walk the store's listing helpers share. */
-  private def filesUnder(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+  /** Data files under `p` (skipping `_`/`.` markers AND metadata
+    * directories — the `_fp` fingerprint sidecars live inside the
+    * table dir, so every path SEGMENT below the root must be a data
+    * segment or the commit manifest would list sidecar JSON as
+    * parquet) — the driver-side java.nio walk the store's listing
+    * helpers share. */
+  private def filesUnder(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
     if (!Files.exists(p)) Seq.empty
     else graft.ops.Fs.walk(p)
-      .filter(f => Files.isRegularFile(f) && {
-        val n = f.getFileName.toString
-        !n.startsWith("_") && !n.startsWith(".")
-      })
+      .filter(f => Files.isRegularFile(f) &&
+        p.relativize(f).iterator().asScala.forall { s =>
+          val n = s.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+  }
 
   /** List a table's live data files as of `height`, relative to
     * `sinkDir` (driver-side java.nio walk — the local stand-in for the

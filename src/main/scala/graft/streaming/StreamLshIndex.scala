@@ -62,11 +62,48 @@ object StreamLshIndex {
 
   private def geomPath(storeDir: String) = Paths.get(s"$storeDir/geometry.txt")
 
+  private def geomString(bands: Int, bitsPerBand: Int, dims: Int) =
+    s"bands=$bands,bitsPerBand=$bitsPerBand,dims=$dims"
+
+  private val GeomRe = """bands=(\d+),bitsPerBand=(\d+),dims=(\d+)""".r
+
+  /** The store's pinned plane geometry as (bands, bitsPerBand, dims),
+    * or None for a store no apply has pinned yet. The read-side half
+    * of the pin: a query-side caller derives its probe keys from
+    * THESE values (or [[requireGeometry]]-checks its own against them)
+    * instead of trusting whatever constants it was configured with — a
+    * mismatched reader probing raw keys gets silently wrong
+    * candidates, the exact failure class the write pin refuses. */
+  def geometry(storeDir: String): Option[(Int, Int, Int)] = {
+    val p = geomPath(storeDir)
+    if (!Files.exists(p)) None
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .trim match {
+      case GeomRe(b, bb, d) => Some((b.toInt, bb.toInt, d.toInt))
+      case body => throw new IllegalStateException(
+        s"unparseable geometry pin at $p: '$body'")
+    }
+  }
+
+  /** Fail LOUDLY unless the store is pinned to exactly this geometry —
+    * the serve-path twin of the apply-path pin. */
+  def requireGeometry(storeDir: String, bands: Int, bitsPerBand: Int,
+                      dims: Int): Unit = {
+    val want = geomString(bands, bitsPerBand, dims)
+    val have = geometry(storeDir)
+      .map { case (b, bb, d) => geomString(b, bb, d) }
+      .getOrElse("<unpinned>")
+    require(have == want,
+      s"LSH store $storeDir is pinned to geometry '$have'; refusing " +
+        s"to answer a query probing under '$want' — a mismatched " +
+        "reader gets silently wrong candidates")
+  }
+
   /** Pin-or-check the plane geometry — first apply writes it, every
     * later apply must match exactly. */
   private def checkGeometry(storeDir: String, bands: Int,
                             bitsPerBand: Int, dims: Int): Unit = {
-    val want = s"bands=$bands,bitsPerBand=$bitsPerBand,dims=$dims"
+    val want = geomString(bands, bitsPerBand, dims)
     val p = geomPath(storeDir)
     if (Files.exists(p)) {
       val have = new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim
@@ -123,6 +160,16 @@ object StreamLshIndex {
   def servedBuckets(spark: SparkSession, storeDir: String): DataFrame =
     store(storeDir).serveParts(spark, "lsh_maintained_buckets",
       params = "keys")
+
+  /** [[servedBuckets]] with the caller's probe geometry
+    * REQUIRE-MATCHED against the store pin first — the serve-path any
+    * query that derived its own probe keys should use (q386 does): the
+    * raw-key overload trusts the caller already validated. */
+  def servedBuckets(spark: SparkSession, storeDir: String, bands: Int,
+                    bitsPerBand: Int, dims: Int): DataFrame = {
+    requireGeometry(storeDir, bands, bitsPerBand, dims)
+    servedBuckets(spark, storeDir)
+  }
 
   /** Wire an (id, vector) stream into the maintained index.
     * Compaction auto-triggers past `compactAfterBatches` per-batch

@@ -109,6 +109,14 @@ object StreamNswInsert {
   def edges1(spark: SparkSession, storeDir: String): DataFrame =
     readCommitted(spark, s"$storeDir/edges1", edgeSchema, storeDir)
 
+  /** The maintained LAYER-2 edge table (membership: [[NswIndex
+    * .atLevel]](id, 2) — the geometric P = 4⁻ˡ draw one level up, so
+    * ~1/16 of the corpus): kept exactly like layer 1, so the
+    * coarse-entry descent survives at corpus sizes where layer 1
+    * alone saturates (r14 verdict #6). */
+  def edges2(spark: SparkSession, storeDir: String): DataFrame =
+    readCommitted(spark, s"$storeDir/edges2", edgeSchema, storeDir)
+
   private def readCommitted(spark: SparkSession, dir: String,
                             schema: StructType, storeDir: String)
       : DataFrame = {
@@ -155,7 +163,8 @@ object StreamNswInsert {
     */
   def serveGraph(spark: SparkSession, storeDir: String,
                  layer: Int = 0): DataFrame = {
-    val sub = if (layer == 0) "edges" else "edges1"
+    val sub = layer match {
+      case 0 => "edges"; case 1 => "edges1"; case _ => "edges2" }
     val dir = s"$storeDir/$sub"
     if (ArtifactStore.root(spark).isEmpty)
       readCommitted(spark, dir, edgeSchema, storeDir)
@@ -236,6 +245,13 @@ object StreamNswInsert {
       .localCheckpoint()
     val existing1 = existing.where(NswIndex.atLevel(col("id"), 1))
     val newEdges1 = link(fresh1, existing1, edges1(spark, storeDir))
+    // layer 2: the ~1/16 subset one rung up, maintained identically —
+    // entries ladder 2→1→0 in [[searchLadder]], so the coarse descent
+    // holds at corpus sizes where layer 1 alone saturates
+    val fresh2 = fresh1.where(NswIndex.atLevel(col("id"), 2))
+      .localCheckpoint()
+    val existing2 = existing1.where(NswIndex.atLevel(col("id"), 2))
+    val newEdges2 = link(fresh2, existing2, edges2(spark, storeDir))
 
     // per-batch partitions, overwrite mode: a replayed batch
     // overwrites ITSELF (data AND sidecar) — idempotent with no
@@ -254,22 +270,36 @@ object StreamNswInsert {
     commitPart("vecs", fresh.select(col("id"), col("v")), Seq("id", "v"))
     commitPart("edges", newEdges, Seq("src", "dst"))
     commitPart("edges1", newEdges1, Seq("src", "dst"))
+    commitPart("edges2", newEdges2, Seq("src", "dst"))
     writeMeta(storeDir, bid) // commit point, strictly last
   }
 
-  /** Two-layer search over the MAINTAINED store — q362's descent on
-    * the streaming-built ladder: beam over the maintained layer-1
-    * graph from its min-id entry, then the surviving beam seeds the
-    * full layer-0 search. `query` is a one-row (qv, qn) frame; returns
-    * the final beam (id, sim). */
+  /** Laddered search over the MAINTAINED store — q362's descent on
+    * the streaming-built ladder, now THREE layers deep when layer 2
+    * is populated: beam over the maintained layer-2 graph from its
+    * min-id entry, the surviving beam seeds layer 1, and layer 1's
+    * beam seeds the full layer-0 search. On a corpus too small for
+    * the 4⁻² draw to land anyone, the descent starts at layer 1 (the
+    * historical two-layer shape, unchanged). `query` is a one-row
+    * (qv, qn) frame; returns the final beam (id, sim). */
   def searchLadder(spark: SparkSession, storeDir: String,
                    query: DataFrame, beamWidth: Int, topRounds: Int,
                    rounds: Int): DataFrame = {
     val vecs = nodes(spark, storeDir)
       .withColumn("nrm", VectorSearch.norm(col("v")))
-      .localCheckpoint() // both layers' scoring reads it
-    val entry1 = vecs.where(NswIndex.atLevel(col("id"), 1))
-      .agg(min("id").as("id"))
+      .localCheckpoint() // every layer's scoring reads it
+    val hasL2 = vecs.where(NswIndex.atLevel(col("id"), 2))
+      .limit(1).count() > 0
+    val entry1 =
+      if (!hasL2)
+        vecs.where(NswIndex.atLevel(col("id"), 1))
+          .agg(min("id").as("id"))
+      else {
+        val entry2 = vecs.where(NswIndex.atLevel(col("id"), 2))
+          .agg(min("id").as("id"))
+        NswIndex.beamSearch(vecs, edges2(spark, storeDir), query,
+          entry2, beamWidth, topRounds).select(col("id"))
+      }
     val beam1 = NswIndex.beamSearch(vecs, edges1(spark, storeDir),
       query, entry1, beamWidth, topRounds)
     NswIndex.beamSearch(vecs, edges(spark, storeDir), query,
@@ -295,7 +325,8 @@ object StreamNswInsert {
     if (applied < 0) return false
     var any = false
     Seq(("vecs", vecSchema), ("edges", edgeSchema),
-      ("edges1", edgeSchema)).foreach { case (sub, schema) =>
+      ("edges1", edgeSchema), ("edges2", edgeSchema))
+      .foreach { case (sub, schema) =>
       val dir = s"$storeDir/$sub"
       recoverCompaction(dir)
       val d = Paths.get(dir)

@@ -357,4 +357,110 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(run() === 4L && run() === 4L)
     assert(built.get() === 4, "no root: every call builds inline")
   }
+
+  test("a corpus rewritten IN PLACE under the same path mid-session " +
+    "rebuilds WITHOUT clearFingerprintMemo — the file-level change " +
+    "signal busts the session memo (the long-lived-serve-JVM hole)") {
+    val root = freshRoot()
+    val src = Files.createTempDirectory("graft-src").toString + "/c"
+    corpus(5).write.parquet(src)
+    def serve(): Set[(Long, String)] = withRoot(root) {
+      val df = spark.read.parquet(src)
+      ArtifactStore.buildOrServe(spark, "t_inplace",
+        ArtifactStore.fingerprint(df, s"$src#c"), "p", s"$src#c")(df)
+        .as[(Long, String)].collect().toSet
+    }
+    assert(serve() === corpus(5).as[(Long, String)].collect().toSet)
+    // rewrite the SAME path with different rows — no memo clear
+    corpus(9).write.mode("overwrite").parquet(src)
+    assert(serve() === corpus(9).as[(Long, String)].collect().toSet,
+      "the session memo must not serve the pre-rewrite artifact")
+    // and an unchanged source still memoizes: same signal, same key
+    assert(serve() === corpus(9).as[(Long, String)].collect().toSet)
+  }
+
+  private def logLines(root: String): Seq[String] = {
+    val d = Paths.get(s"$root/_serve_log")
+    if (!Files.isDirectory(d)) Seq.empty
+    else graft.ops.Fs.ls(d)
+      .filter(_.getFileName.toString.endsWith(".jsonl"))
+      .flatMap(p => new String(Files.readAllBytes(p), "UTF-8")
+        .linesIterator)
+  }
+
+  test("serve log retention: the log rotates at the size threshold, " +
+    "stays ≤2 files forever, and seq continues gap-free across the " +
+    "readable union") {
+    val root = freshRoot()
+    spark.conf.set(ArtifactStore.ServeLogMaxBytesConf, "512")
+    try withRoot(root) {
+      ArtifactStore.buildOrServe(spark, "t_logrot", "fp0", "p", "src:r") {
+        corpus(3)
+      }.count()
+      (1 to 60).foreach { _ =>
+        ArtifactStore.buildOrServe(spark, "t_logrot", "fp0", "p",
+          "src:r")(corpus(3)).count()
+      }
+      val files = graft.ops.Fs.ls(Paths.get(s"$root/_serve_log"))
+        .map(_.getFileName.toString).filter(_.endsWith(".jsonl"))
+      assert(files.size === 2,
+        s"61 events over a 512-byte threshold must have rotated " +
+          s"into exactly 2 files (got $files)")
+      files.foreach(f => assert(
+        Files.size(Paths.get(s"$root/_serve_log/$f")) < 2048,
+        "each log file must stay near the threshold"))
+      // the readable union is the TAIL of a gap-free sequence: only
+      // the oldest events aged out, nothing in the middle
+      val seqs = logLines(root)
+        .map(l => """"seq":(\d+)""".r.findFirstMatchIn(l).get
+          .group(1).toLong).sorted
+      assert(seqs.last === 61L, "seq must not reset on rotation")
+      assert(seqs === (seqs.head to seqs.last),
+        "the surviving events must be one contiguous range")
+    } finally spark.conf.unset(ArtifactStore.ServeLogMaxBytesConf)
+  }
+
+  test("serve log conf gate: spark.graft.artifact.serveLog=false " +
+    "disables the append entirely — resolutions stay pure reads") {
+    val root = freshRoot()
+    spark.conf.set(ArtifactStore.ServeLogConf, "false")
+    try withRoot(root) {
+      ArtifactStore.buildOrServe(spark, "t_loggate", "fp0", "p",
+        "src:g")(corpus(3)).count()
+      ArtifactStore.buildOrServe(spark, "t_loggate", "fp0", "p",
+        "src:g")(corpus(3)).count()
+      assert(!Files.exists(Paths.get(s"$root/_serve_log")),
+        "a gated store must not create the log at all")
+    } finally spark.conf.unset(ArtifactStore.ServeLogConf)
+  }
+
+  test("part-addressed resolutions log ONE aggregated event each " +
+    "(never one per part); per-part builds still log individually") {
+    val root = freshRoot()
+    withRoot(root) {
+      val parts = (1 to 8).map(i => s"p$i" -> s"fp$i")
+      def serve() = ArtifactStore.buildOrServeParts(spark, "t_logparts",
+        parts, "p", "src:lp") { pid =>
+        corpus(2).withColumn("pid", lit(pid))
+      }.count()
+      serve() // first: 8 per-part builds + 1 aggregated build event
+      val after1 = logLines(root)
+      assert(after1.count(_.contains(""""parts":8""")) === 1,
+        s"first resolution must log one aggregated event: $after1")
+      assert(after1.count(l => l.contains("t_logparts#") &&
+        l.contains(""""action":"build"""")) === 8,
+        "each part's build is real work and logs individually")
+      serve() // pure serve-hit: ONE event total, no per-part spam
+      val delta = logLines(root).size - after1.size
+      assert(delta === 1,
+        s"a pure part-addressed serve-hit must append exactly one " +
+          s"event, got $delta")
+      val last = logLines(root)
+        .maxBy(l => """"seq":(\d+)""".r.findFirstMatchIn(l).get
+          .group(1).toLong)
+      assert(last.contains(""""action":"serve"""") &&
+        last.contains(""""parts":8""") && last.contains(""""built":0"""),
+        s"the aggregated hit must carry parts/built counts: $last")
+    }
+  }
 }

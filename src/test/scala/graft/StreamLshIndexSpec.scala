@@ -71,6 +71,33 @@ class StreamLshIndexSpec extends SparkSpec {
     assert(fold(store) === truth, "the refused batch must not commit")
   }
 
+  test("geometry pin, read side: geometry() exposes the pinned " +
+    "triple, requireGeometry passes on match, and a mismatched " +
+    "reader is refused NAMING both geometries — never silently " +
+    "wrong candidates") {
+    val store = freshStore()
+    assert(StreamLshIndex.geometry(store).isEmpty,
+      "an unpinned store has no geometry")
+    StreamLshIndex.applyBatch(df(vecs), 0L, "vec_id", "embedding",
+      2, 3, dims, store)
+    assert(StreamLshIndex.geometry(store) === Some((2, 3, dims)))
+    StreamLshIndex.requireGeometry(store, 2, 3, dims) // must not throw
+    val e = intercept[IllegalArgumentException] {
+      StreamLshIndex.servedBuckets(spark, store, 4, 4, dims)
+    }
+    assert(e.getMessage.contains("bands=2,bitsPerBand=3") &&
+      e.getMessage.contains("bands=4,bitsPerBand=4"),
+      s"the refusal must name both geometries: ${e.getMessage}")
+    // the validated serve path answers when geometries agree
+    assert(StreamLshIndex.servedBuckets(spark, store, 2, 3, dims)
+      .as[(Long, Int, Long)].collect().toSet === truth)
+    // an unpinned (empty) store refuses too: there is nothing to
+    // validate the caller's probe keys against
+    intercept[IllegalArgumentException] {
+      StreamLshIndex.servedBuckets(spark, freshStore(), 2, 3, dims)
+    }
+  }
+
   test("sidecar fold == scan fingerprint; compaction repacks (rows " +
     "and fingerprint invariant) and recovers from a crash") {
     val store = freshStore()

@@ -378,4 +378,86 @@ class StreamNswInsertSpec extends SparkSpec {
     assert(maintainedHits >= 40,
       s"absolute two-layer recall floor broken: $maintainedHits/80")
   }
+
+  test("three-layer ladder (r14 verdict #6): layer 2 is maintained " +
+    "like layer 1 one rung up, its edges stay within the 4^-2 " +
+    "subset, and the 2->1->0 descent's recall does not trail the " +
+    "1->0 descent on a corpus where layer 2 is populated") {
+    // a larger corpus so the 1/16 draw lands enough nodes for layer 2
+    // to be a real graph, not a singleton
+    val rnd2 = new Random(83)
+    val corpus2: Seq[(Long, Array[Double])] = (0 until 320).map { i =>
+      val c = centers(i % 5)
+      val noise = randUnit(rnd2, dims).map(_ * 0.15)
+      val v = c.zip(noise).map { case (a, b) => a + b }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n))
+    }
+    val store = freshStore()
+    (0 until 4).foreach { b =>
+      StreamNswInsert.applyBatch(
+        df(corpus2.filter(_._1 % 4 == b)), b.toLong,
+        "vec_id", "embedding", cents, probes, m, beam, rounds, store)
+    }
+    val nodes = StreamNswInsert.nodes(spark, store).localCheckpoint()
+    val lvl2Ids = nodes.where(NswIndex.atLevel(col("id"), 2))
+      .select("id").as[Long].collect().toSet
+    assert(lvl2Ids.size >= 5,
+      s"the 320-corpus must populate layer 2 (got ${lvl2Ids.size})")
+    val e2 = StreamNswInsert.edges2(spark, store)
+      .as[(Long, Long)].collect()
+    assert(e2.nonEmpty, "layer-2 graph must be maintained")
+    assert(e2.forall { case (s, d) =>
+      lvl2Ids.contains(s) && lvl2Ids.contains(d) },
+      "layer-2 edges must stay within the level-2 subset")
+
+    val vecsAll = nodes.withColumn("nrm", VectorSearch.norm(col("v")))
+      .localCheckpoint()
+    def exact2(q: Array[Double], k: Int): Set[Long] = {
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      corpus2.map { case (id, v) =>
+        val dot = v.zip(q).map { case (a, b) => a * b }.sum
+        val n = math.sqrt(v.map(x => x * x).sum)
+        id -> dot / (n * qn)
+      }.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+    }
+    val topRounds = 2
+    var three = 0
+    var two = 0
+    (0 until 8).foreach { i =>
+      val c = centers(i % 5)
+      val n0 = randUnit(new Random(700 + i), dims).map(_ * 0.2)
+      val v = c.zip(n0).map { case (a, b) => a + b }
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      val q = v.map(_ / nn)
+      val exact = exact2(q, 10)
+      val qdf = Seq(q.toSeq).toDF("qv")
+        .withColumn("qn", VectorSearch.norm(col("qv")))
+      // 3-layer: searchLadder's own descent (starts at layer 2 here)
+      val got3 = StreamNswInsert.searchLadder(spark, store, qdf,
+          beamWidth = beam, topRounds = topRounds, rounds = rounds)
+        .orderBy(col("sim").desc, col("id").asc).limit(10)
+        .select("id").as[Long].collect().toSet
+      three += (exact & got3).size
+      // 2-layer twin over the SAME maintained store: min-id layer-1
+      // entry, no layer-2 descent
+      val entry1 = nodes.where(NswIndex.atLevel(col("id"), 1))
+        .agg(min("id").as("id"))
+      val b1 = NswIndex.beamSearch(vecsAll,
+        StreamNswInsert.edges1(spark, store), qdf, entry1,
+        beamWidth = beam, rounds = topRounds)
+      val got2 = NswIndex.beamSearch(vecsAll,
+          StreamNswInsert.edges(spark, store), qdf,
+          b1.select(col("id")), beamWidth = beam, rounds = rounds)
+        .orderBy(col("sim").desc, col("id").asc).limit(10)
+        .select("id").as[Long].collect().toSet
+      two += (exact & got2).size
+    }
+    info(s"three- vs two-layer recall@10 over 8 queries: " +
+      s"3layer=$three 2layer=$two (of 80)")
+    assert(three >= two,
+      s"the layer-2 descent must not trail the two-layer one: " +
+        s"$three vs $two")
+    assert(three >= 40, s"absolute recall floor broken: $three/80")
+  }
 }
