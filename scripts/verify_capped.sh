@@ -23,7 +23,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/verify_capped}
-EXPECTED=11   # keep in lockstep with SparkEntry.cappedQueries
+EXPECTED=12   # keep in lockstep with SparkEntry.cappedQueries
 rm -rf "$OUT"
 LOG="$OUT.sbt.log"
 if ! SPARK_GRAFT_CONF="spark.graft.nsw.blockCap=32,spark.graft.neardup.exactMaxRows=500" \

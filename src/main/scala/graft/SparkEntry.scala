@@ -82,7 +82,8 @@ object SparkEntry {
     "q257_ann_nsw",             // NSW blockCap family: the salt
     "q259_ann_nsw_batch",       //   binds and the oracle replays it
     "q358_ann_nsw_served",
-    "q362_ann_hnsw",
+    "q392_ann_nsw_seeded",       //   (seeded entries walk the same
+    "q362_ann_hnsw",             //    capped graph)
     "q372_ann_nsw_pq_served",   //   (the PQ-served traversal too —
     "q335_dbscan_clusters",     //    its beam walks the capped graph)
     "q359_dbscan_served")

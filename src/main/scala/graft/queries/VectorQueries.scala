@@ -230,7 +230,7 @@ object VectorQueries {
     * subtract/add carry no fold order; dots/norms use the shared
     * sequential fold).
     */
-  private def ivfPqOracleSql(coarse: Array[Array[Double]],
+  private[queries] def ivfPqOracleSql(coarse: Array[Array[Double]],
                              codebook: Array[Array[Array[Double]]],
                              probes: Int, topK: Int): String = {
     def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")

@@ -701,6 +701,95 @@ object VectorQueries2 {
       None,
       Some(() => NswServedOracle.sql)),
 
+    // Entry-SEEDED served NSW (the r14 verdict #8c frontier — q376's
+    // multi-probe instinct applied at the entry stage): before the
+    // first beam round, each query's entry set is widened by the
+    // entries' 1-hop graph neighbors, so round 0 ranks over
+    // entries + their neighborhoods instead of the bare per-cell
+    // minima — one extra broadcast join against the served edge
+    // artifact (entry sets are O(probes) rows per query), zero extra
+    // index storage, and the same beam budget afterwards. Shares
+    // q358's artifacts (edge table, entry-cell map) so within a sweep
+    // it is a pure serve; oracle = the batch replay with the seeding
+    // replayed literally (seedHop). AnnRecallSpec re-measures the
+    // recall floor against q358's.
+    QDef("q392_ann_nsw_seeded",
+      (s, dir) => {
+        import graft.ops.VectorSearch._
+        import graft.ops.{ArtifactStore, NswIndex}
+        val emb = Tables.embeddings(s, dir)
+        val sample = sampleVectors(emb, "vec_id", "embedding",
+          n = 512, seed = 42)
+        val cents = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
+        val cap = NswIndex.effectiveBlockCap(s)
+        NswSeededOracle.sql = Some(nswBatchOracleSql(cents,
+          probes = NswProbes, m = NswM, beam = NswBeam,
+          rounds = NswRounds, topK = 10, cap = cap, seedHop = true))
+        val isQ = col("vec_id") % 100 === 0
+        val corpus = emb.filter(!isQ)
+        val fpKey = s"$dir#embeddings#mod100ne0"
+        def artifactOr(name: String, params: String)
+                      (b: => org.apache.spark.sql.DataFrame) =
+          if (ArtifactStore.root(s).isEmpty) b
+          else ArtifactStore.buildOrServe(s, name,
+            ArtifactStore.fingerprint(
+              corpus.select(col("vec_id"), col("embedding")), fpKey),
+            params, fpKey)(b)
+        val edges0 = NswIndex.knnGraphArtifact(corpus, "vec_id",
+          "embedding", cents, probes = NswProbes, m = NswM,
+          blockCap = cap, fpKey = fpKey)
+        // the seeding joins the edge table twice (1-hop expansion +
+        // every beam round): inline it must not re-run the build
+        val edges = if (ArtifactStore.root(s).isEmpty)
+          edges0.localCheckpoint() else edges0
+        val ch = graft.ops.ArtifactStore.contentHash(
+          cents.map(_.mkString(",")).mkString("|"))
+        val cellMin0 = artifactOr("nsw_entry_cells",
+          s"k=${cents.length},ch=$ch,probes=$NswProbes")(
+          ivfAssign(corpus, "vec_id", "embedding", cents,
+            probes = NswProbes)
+            .groupBy("cell").agg(min("id").as("id")))
+        val cellMin = if (ArtifactStore.root(s).isEmpty)
+          cellMin0.localCheckpoint() else cellMin0
+        val vecs = corpus
+          .select(col("vec_id").cast("long").as("id"),
+            toDouble(col("embedding")).as("v"))
+          .withColumn("nrm", graft.ops.VectorSearch.norm(col("v")))
+          .localCheckpoint() // every beam round reads it
+        val queries = emb.filter(isQ)
+          .select(col("vec_id").cast("long").as("qid"),
+            toDouble(col("embedding")).as("qv"))
+          .withColumn("qn", graft.ops.VectorSearch.norm(col("qv")))
+          .localCheckpoint()
+        val qAssign = ivfAssign(emb.filter(isQ), "vec_id", "embedding",
+          cents, probes = NswProbes)
+        val globalMin = cellMin.agg(min("id").as("id"))
+        val entries = qAssign.select(col("id").as("qid"), col("cell"))
+          .join(broadcast(cellMin), "cell")
+          .select(col("qid"), col("id"))
+          .unionByName(queries.select(col("qid"))
+            .crossJoin(broadcast(globalMin)))
+          .distinct()
+          .localCheckpoint() // read twice: itself + the 1-hop expansion
+        // the seeding: entries ∪ their 1-hop neighbors (the edge table
+        // is symmetrized, so dst-of-src covers the whole neighborhood)
+        val seeded = entries.unionByName(
+            edges.join(broadcast(entries.withColumnRenamed("id", "src")),
+              "src")
+              .select(col("qid"), col("dst").as("id")))
+          .distinct()
+        NswIndex.beamSearchBatch(vecs, edges, queries, seeded,
+            beamWidth = NswBeam, rounds = NswRounds)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("sim").desc, col("id").asc)))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("id").as("vec_id"), col("sim"),
+            col("rank"))
+      },
+      None,
+      Some(() => NswSeededOracle.sql)),
+
     // HNSW-style LAYERED graph ANN (r12 verdict frontier (b)): q257's
     // flat NSW graph gains a coarse top layer — a deterministic ~25%
     // node subset (geometric level by the house hash, the Malkov &
@@ -937,6 +1026,11 @@ object VectorQueries2 {
   /** q358's late-bound oracle — its own slot (a filtered Verify run
     * must not depend on q259 having populated anything). */
   private object NswServedOracle {
+    @volatile var sql: Option[String] = None
+  }
+
+  /** q392's late-bound oracle (the seedHop batch replay). */
+  private object NswSeededOracle {
     @volatile var sql: Option[String] = None
   }
 
@@ -1195,8 +1289,17 @@ object VectorQueries2 {
     */
   private def nswBatchOracleSql(centroids: Array[Array[Double]],
                                 probes: Int, m: Int, beam: Int,
-                                rounds: Int, topK: Int,
-                                cap: Int): String = {
+                                rounds: Int, topK: Int, cap: Int,
+                                seedHop: Boolean = false): String = {
+    // seedHop (q392): round 0 additionally scores the entries' 1-hop
+    // graph neighbors — the entry-seeding analog of q376's multi-probe
+    val entsSql =
+      if (seedHop)
+        """SELECT DISTINCT qid, vec_id FROM (
+          |  SELECT qid, vec_id FROM ent
+          |  UNION SELECT en.qid, ed.dst AS vec_id FROM ent en
+          |    JOIN edges ed ON ed.src = en.vec_id) zz""".stripMargin
+      else "SELECT qid, vec_id FROM ent"
     def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
     val cells = centroids.zipWithIndex.map { case (c, i) =>
       val n = dbl(math.sqrt(c.map(x => x * x).sum))
@@ -1246,12 +1349,13 @@ object VectorQueries2 {
        |ent AS (SELECT DISTINCT qid, vec_id FROM (
        |  SELECT qc.qid, cm.vec_id FROM qc JOIN cellmin cm USING (cell)
        |  UNION SELECT q.qid, g.vec_id FROM q CROSS JOIN gmin g) z),
+       |ents AS ($entsSql),
        |b0 AS MATERIALIZED (SELECT qid, vec_id, sim FROM (
        |    SELECT qid, vec_id, sim, row_number() OVER (
        |      PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
        |    FROM (SELECT en.qid, e.vec_id,
        |        round(${cosSql("e.v", "q.qv")}, 6) AS sim
-       |      FROM e JOIN ent en ON e.vec_id = en.vec_id
+       |      FROM e JOIN ents en ON e.vec_id = en.vec_id
        |        JOIN q ON q.qid = en.qid) y) z
        |  WHERE rn <= $beam),
        |$beamStages

@@ -53,4 +53,43 @@ class AnnRecallSpec extends SparkSpec {
       s"q362 layered descent degraded vs flat NSW: $hnsw < $nsw - 1")
     assert(hnsw >= 4, s"q362 HNSW recall@10 floor broken: $hnsw")
   }
+
+  test("entry-seeded served NSW (q392) re-measures the batch recall " +
+    "floor: seeding round 0 with the entries' 1-hop neighborhoods " +
+    "does not trail the bare-entry q358") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.VectorSearch
+    val emb = Tables.embeddings(spark, dir)
+    val isQ = col("vec_id") % 100 === 0
+    val e = emb.select(col("vec_id"),
+      VectorSearch.toDouble(col("embedding")).as("v"))
+    val qs = e.filter(isQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = e.filter(!isQ).crossJoin(qs)
+      .select(col("qid"), col("vec_id"),
+        VectorSearch.cosine(col("v"), col("qv")).as("sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def hits(name: String): Int =
+      SparkEntry.queries(name)(spark, dir)
+        .select("qid", "vec_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .count { case (q, id) => exact.getOrElse(q, Set.empty)(id) }
+    val base = hits("q358_ann_nsw_served")
+    val seeded = hits("q392_ann_nsw_seeded")
+    val nQ = exact.size
+    info(s"batch recall@10 over $nQ queries: " +
+      s"q358=$base q392=$seeded (of ${nQ * 10})")
+    // seeding widens round 0 but the beam still truncates, so strict
+    // monotonicity is not structural — one hit of slack absorbs an
+    // eviction; the floor pins the absolute quality
+    assert(seeded >= base - 1,
+      s"entry seeding must not trail bare entries: $seeded vs $base")
+    assert(seeded * 2 >= nQ * 10,
+      s"absolute seeded recall floor (50%) broken: $seeded/${nQ * 10}")
+  }
 }

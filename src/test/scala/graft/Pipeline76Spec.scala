@@ -86,6 +86,24 @@ class Pipeline76Spec extends SparkSpec {
     assert(r0 <= r1 && r1 <= r2, "recall must not decrease with probes")
   }
 
+  test("q391 (IVF-PQ served) == q89 (inline build) bit-for-bit, " +
+    "inline and under an artifact root") {
+    def run(name: String): Set[String] =
+      SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSet
+    val want = run("q89_ann_ivfpq")
+    assert(run("q391_ann_ivfpq_served") === want,
+      "served IVF-PQ must equal the inline build (no root)")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-art76").toString
+    spark.conf.set(graft.ops.ArtifactStore.RootConf, root)
+    try {
+      assert(run("q391_ann_ivfpq_served") === want,
+        "first served run (builds the codes artifact)")
+      assert(run("q391_ann_ivfpq_served") === want,
+        "second served run (pure artifact scan)")
+    } finally spark.conf.unset(graft.ops.ArtifactStore.RootConf)
+  }
+
   test("q388 runs end to end twice and stays deterministic (the " +
     "lifecycle wipes and rebuilds its own sink)") {
     def run() = SparkEntry.queries("q388_fact_sidecar_served")(spark, dir)
