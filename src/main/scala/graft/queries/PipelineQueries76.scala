@@ -282,15 +282,22 @@ object PipelineQueries76 {
               emb.select(col("vec_id"), col("embedding")), fpKey),
             s"cb=$cbh,m=8,k=16,res", fpKey)(
             buildCodes(s, dir, coarse, codebook))
-        val qCells = broadcast(
-          ivfAssign(emb.filter(col("vec_id") === 0), "vec_id",
-            "embedding", coarse, probes = 8)
-            .select(col("cell")).distinct())
+        // the probed cells as DRIVER LITERALS (an O(probes)=8-value
+        // collect, justified: one query row against a 16-cell map):
+        // an `isin` literal reaches the artifact scan as a pushed
+        // filter, so the sorted-by-cell row groups PRUNE — a join
+        // could only filter after the read. At 100 TB this is the
+        // difference between scanning nprobe/k of the codes table and
+        // scanning all of it.
+        val qCells = ivfAssign(emb.filter(col("vec_id") === 0),
+            "vec_id", "embedding", coarse, probes = 8)
+          .select(col("cell")).distinct()
+          .collect().map(_.get(0))
         val q = broadcast(e.filter(col("vec_id") === 0)
           .select(col("v").as("qv")))
         val recon = pqRecon((0 until 8).map(i => col(s"c$i")), codebook)
         val short = codes.filter(col("vec_id") =!= 0)
-          .join(qCells, "cell") // cell-pure row groups: the probe prunes
+          .filter(col("cell").isin(qCells: _*))
           .withColumn("cc", element_at(coarseLit, col("cell") + 1))
           .withColumn("approx", vecAdd(col("cc"), recon))
           .crossJoin(q)

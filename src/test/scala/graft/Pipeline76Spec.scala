@@ -101,6 +101,18 @@ class Pipeline76Spec extends SparkSpec {
         "first served run (builds the codes artifact)")
       assert(run("q391_ann_ivfpq_served") === want,
         "second served run (pure artifact scan)")
+      // the scale contract: the served shortlist READS the committed
+      // codes artifact and the 8-of-16 cell probe reaches that scan
+      // as a PUSHED literal filter (row-group pruning on the
+      // cell-clustered layout) — a join-shaped probe could only
+      // filter after the read
+      val plan = SparkEntry.queries("q391_ann_ivfpq_served")(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("ivfpq_codes"),
+        "served q391 must scan the committed codes artifact")
+      assert(plan.contains("In(cell") || plan.contains("cell IN"),
+        s"the cell probe must push into the codes scan")
     } finally spark.conf.unset(graft.ops.ArtifactStore.RootConf)
   }
 
