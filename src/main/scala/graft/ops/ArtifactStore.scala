@@ -472,10 +472,29 @@ object ArtifactStore {
         val toBuild = parts.count { case (pid, pfp) =>
           livePayload(s"$partsDir/part-${contentHash(pid)}/$pfp").isEmpty }
         val willCommit = toBuild > 0
-        val paths = parts.map { case (pid, pfp) =>
-          ensureCommitted(r, s"$partsDir/part-${contentHash(pid)}", pfp,
-            s"$name#$pid", params, cfg, logServe = false)(buildPart(pid))
-        }
+        // parts resolve CONCURRENTLY (bounded pool): each part is an
+        // independent tiny build-or-read under its own per-directory
+        // lock and its own payload dir, and sequential submission made
+        // a k-part delta rebuild k job-latencies long (the q388
+        // lifecycle measured it). Result order is preserved — the
+        // futures sequence in part order; only execution interleaves
+        // (so serve-log BUILD events may interleave across parts,
+        // which the log's contract allows: seq orders appends, not
+        // resolutions).
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(8, parts.size))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val paths =
+          try scala.concurrent.Await.result(
+            scala.concurrent.Future.traverse(parts) { case (pid, pfp) =>
+              scala.concurrent.Future {
+                ensureCommitted(r, s"$partsDir/part-${contentHash(pid)}",
+                  pfp, s"$name#$pid", params, cfg, logServe = false)(
+                  buildPart(pid))
+              }
+            }, scala.concurrent.duration.Duration.Inf)
+          finally pool.shutdown()
         if (willCommit) vacuumDeparted(partsDir, keep)
         // ONE aggregated event per part-addressed resolution (per-part
         // BUILDS/vacuums still log individually — bounded by actual

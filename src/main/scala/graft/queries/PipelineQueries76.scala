@@ -15,15 +15,18 @@ import org.apache.spark.sql.functions._
   *
   *  - q388: a part-addressed artifact over the INGESTED `transactions`
   *    table, driven through a real multi-batch ingest lifecycle:
-  *    40 blocks arrive and the per-block txn-type rollup artifact
+  *    10 blocks arrive and the per-block txn-type rollup artifact
   *    builds from the write-time sidecars (one partition-sized build
-  *    per committed block partition, never a table scan); 20 more
-  *    blocks commit and the re-serve rebuilds ONLY the 20 new
-  *    partitions (FactSidecarSpec pins the build count); the final
-  *    serve is a pure multi-path parquet scan. The oracle computes the
-  *    same rollup from the block fixture's transactions directly —
-  *    the ingest, the sidecar addressing, and the artifact serving
-  *    audited as one contract.
+  *    per committed block partition, never a table scan); 5 more
+  *    blocks commit and the re-serve rebuilds ONLY the 5 new
+  *    partitions (FactSidecarSpec pins the build count at 40+20
+  *    blocks); the final serve is a pure multi-path parquet scan. The
+  *    oracle computes the same rollup from the block fixture's
+  *    transactions directly — the ingest, the sidecar addressing, and
+  *    the artifact serving audited as one contract. The benched
+  *    lifecycle is deliberately SMALL (15 blocks): what it measures is
+  *    the protocol, and each block partition is a part-build job — a
+  *    60-block run spent 4/5 of its time on job scheduling, not data.
   *
   * CONCURRENCY SCOPE: like q383–q387, drives a fixed `target/` sink —
   * correct under the strictly-single-threaded driver contract
@@ -48,11 +51,11 @@ object PipelineQueries76 {
             .agg(count(lit(1)).as("n"))
         }
         BlockIngest.processBatch(s,
-          blocks.filter(col("height").between(1L, 40L)), sink)
-        serve().count() // builds the 40 committed block partitions
+          blocks.filter(col("height").between(1L, 10L)), sink)
+        serve().count() // builds the 10 committed block partitions
         BlockIngest.processBatch(s,
-          blocks.filter(col("height").between(41L, 60L)), sink)
-        // delta re-serve: only the 20 appended partitions build; the
+          blocks.filter(col("height").between(11L, 15L)), sink)
+        // delta re-serve: only the 5 appended partitions build; the
         // rows below come off the committed artifact parts, a pure
         // multi-path parquet scan
         serve().select(col("block"), col("type"), col("n"))
@@ -61,6 +64,7 @@ object PipelineQueries76 {
               |  CAST(count(*) AS BIGINT) AS n
               |FROM read_parquet(
               |  '${FixtureGen.FixtureDir}/transactions.parquet/*.parquet')
+              |WHERE block <= 15
               |GROUP BY 1, 2""".stripMargin)),
 
     // Multi-probe MinHash near-dup (the r14 verdict #5 ask — q376's

@@ -124,6 +124,13 @@ object BlockIngest {
   def processBatch(spark: SparkSession, batch: DataFrame, sinkDir: String,
                    crashAt: Option[String] = None,
                    retainCommits: Int = 1): Unit = {
+    def t[A](tag: String)(f: => A): A =
+      if (!sys.env.contains("GRAFT_INGEST_TIMING")) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[ingest-perf] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
     def crash(point: String): Unit =
       if (crashAt.contains(point))
         throw new IllegalStateException(s"injected crash at $point")
@@ -145,47 +152,93 @@ object BlockIngest {
       }
       val newCommitted = heights.last
 
-      // dynamic partition overwrite: a replayed batch rewrites ONLY its
-      // own height partitions (static mode would truncate the table)
-      fresh.select("height", "time", "block_hash", "prev_hash",
-          "election_epoch", "epoch_start", "hbbft_round", "snapshot_hash")
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic").partitionBy("height")
-        .parquet(s"$sinkDir/blocks")
+      // Concurrent phase scheduling: within each phase every write
+      // lands in files no earlier manifest references and no two
+      // writes share a table, so they are order-independent — only
+      // the PHASES order (facts → actor-derived state → sidecars →
+      // manifest). Sequential submission made a batch ~14 tiny
+      // Spark-job latencies long regardless of data volume (measured:
+      // a warm 5-block batch spent 9.2 s across ~1 s phases); at
+      // production scale the same schedule overlaps the per-table
+      // I/O. The crash points keep their documented meanings: a phase
+      // barrier completes every write of its group before the next
+      // crash gate.
+      def par(work: (String, () => Unit)*): Unit = {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(work.size)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.traverse(work.toSeq) {
+            case (tag, f) => scala.concurrent.Future(t(tag)(f()))
+          }, scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+        ()
+      }
 
       val txns = fresh.select(col("height").as("block"), col("time"),
           explode(col("transactions")).as("t"))
         .select(col("block"), col("t.hash").as("hash"),
           col("t.type").as("type"), col("time"), col("t.fields").as("fields"))
-      txns.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic").partitionBy("block")
-        .parquet(s"$sinkDir/transactions")
-
-      Actors.transactionActors(txns)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic").partitionBy("block")
-        .parquet(s"$sinkDir/transaction_actors")
-
-      writeDerivedFacts(sinkDir, txns)
-      crash("after-facts")
-      writeDirtySets(spark, sinkDir, fresh, committed)
-      writeSnapshotManifest(spark, sinkDir, fresh)
 
       // deterministic updated_at touch value: the batch's newest block
       // time (the reproducible stand-in for the reference's NOW() touch
       // trigger, ref: migrations/1580305069:4-10)
       val batchTime = fresh.agg(max(col("time"))).head().getLong(0)
-      mergeActorInventory(spark, sinkDir, committed, newCommitted, batchTime)
-      mergeGatewayInventory(spark, sinkDir, newCommitted, txns, batchTime)
-      mergeValidatorInventory(spark, sinkDir, newCommitted, txns, batchTime)
-      mergeAccountInventory(spark, sinkDir, newCommitted, txns)
-      mergeOuiInventory(spark, sinkDir, newCommitted, txns)
-      mergeStats(spark, sinkDir, newCommitted, fresh, txns)
+
+      // PHASE 1 — the fact tables (dynamic partition overwrite: a
+      // replayed batch rewrites ONLY its own height partitions; static
+      // mode would truncate the table)
+      par(
+        "blocks" -> (() =>
+          fresh.select("height", "time", "block_hash", "prev_hash",
+              "election_epoch", "epoch_start", "hbbft_round",
+              "snapshot_hash")
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("height")
+            .parquet(s"$sinkDir/blocks")),
+        "txns" -> (() =>
+          txns.write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("block")
+            .parquet(s"$sinkDir/transactions")),
+        "actors" -> (() =>
+          Actors.transactionActors(txns)
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("block")
+            .parquet(s"$sinkDir/transaction_actors")),
+        "derived" -> (() => writeDerivedFacts(sinkDir, txns)))
+      crash("after-facts")
+
+      // PHASE 2 — everything derived from the committed-height facts
+      // and the batch frames: the dirty sets + actor inventory read
+      // the transaction_actors partitions phase 1 just wrote; the
+      // other inventories and stats fold the in-memory batch frames
+      // against their own prior state
+      par(
+        "dirty" -> (() =>
+          writeDirtySets(spark, sinkDir, fresh, committed)),
+        "snap" -> (() => writeSnapshotManifest(spark, sinkDir, fresh)),
+        "inv-actor" -> (() => mergeActorInventory(spark, sinkDir,
+          committed, newCommitted, batchTime)),
+        "inv-gw" -> (() => mergeGatewayInventory(spark, sinkDir,
+          newCommitted, txns, batchTime)),
+        "inv-val" -> (() => mergeValidatorInventory(spark, sinkDir,
+          newCommitted, txns, batchTime)),
+        "inv-acct" -> (() => mergeAccountInventory(spark, sinkDir,
+          newCommitted, txns)),
+        "inv-oui" -> (() => mergeOuiInventory(spark, sinkDir,
+          newCommitted, txns)),
+        "stats" -> (() => mergeStats(spark, sinkDir, newCommitted,
+          fresh, txns)))
       // write-time fingerprint sidecars for every fact partition this
       // batch produced — part of the batch's payload, so strictly
       // BEFORE the commit point (a torn batch's sidecars sit above
-      // the watermark, where factParts never reads them)
-      writeFactSidecars(spark, sinkDir, heights.toIndexedSeq)
+      // the watermark, where factParts never reads them); needs the
+      // dirty/scales partitions, hence after phase 2
+      t("sidecars")(writeFactSidecars(spark, sinkDir, heights.toIndexedSeq))
       crash("before-commit")
 
       // THE commit point: one atomically-renamed manifest listing every
@@ -194,7 +247,7 @@ object BlockIngest {
       // new bucket versions, a new stats version), so until this rename
       // the previous snapshot is fully intact and a manifest-resolving
       // reader cannot observe the torn batch.
-      writeCommitManifest(sinkDir, newCommitted)
+      t("manifest")(writeCommitManifest(sinkDir, newCommitted))
       // reclaim versions no RETAINED manifest references anymore —
       // strictly after the commit point. The floor is the R-th-newest
       // commit's height, so the newest `retainCommits` snapshots stay
@@ -548,22 +601,38 @@ object BlockIngest {
     * A replayed batch overwrites its own partitions with identical
     * rows, so the sidecar overwrite is idempotent. */
   private def writeFactSidecars(spark: SparkSession, sinkDir: String,
-                                heights: Seq[Long]): Unit =
-    factTables.foreach { case (table, partCol) =>
-      val dir = s"$sinkDir/$table"
-      // a table writes NO partition for a height with no rows (e.g.
-      // rewards on a rewardless block): sidecars exist iff data does
-      val present = heights.map(h => h -> s"$dir/$partCol=$h")
-        .filter { case (_, d) => Files.exists(Paths.get(d)) }
-      if (present.nonEmpty) {
-        val back = spark.read.option("basePath", dir)
-          .parquet(present.map(_._2): _*)
-          .withColumn(partCol, col(partCol).cast("long"))
-        graft.ops.ArtifactStore.partFingerprints(back, partCol)
-          .foreach { case (pid, fp) =>
-            graft.ops.ArtifactStore.writeFpPart(dir, pid, fp) }
-      }
-    }
+                                heights: Seq[Long]): Unit = {
+    // one grouped scan per table, submitted CONCURRENTLY: the nine
+    // scans are independent batch-sized jobs, and sequential
+    // submission made the sidecar step job-count-bound (~9 tiny jobs
+    // of scheduling overhead per batch, the q388 lifecycle measured
+    // it); writeFpPart is atomic per file, tables never share one
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(factTables.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.traverse(factTables) {
+        case (table, partCol) => scala.concurrent.Future {
+          val dir = s"$sinkDir/$table"
+          // a table writes NO partition for a height with no rows
+          // (e.g. rewards on a rewardless block): sidecars exist iff
+          // data does
+          val present = heights.map(h => h -> s"$dir/$partCol=$h")
+            .filter { case (_, d) => Files.exists(Paths.get(d)) }
+          if (present.nonEmpty) {
+            val back = spark.read.option("basePath", dir)
+              .parquet(present.map(_._2): _*)
+              .withColumn(partCol, col(partCol).cast("long"))
+            graft.ops.ArtifactStore.partFingerprints(back, partCol)
+              .foreach { case (pid, fp) =>
+                graft.ops.ArtifactStore.writeFpPart(dir, pid, fp) }
+          }
+        }
+      }, scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+    ()
+  }
 
   /** The committed (partId → part fingerprint) map of a fact table
     * from its write-time sidecars — the `parts` input for a
