@@ -254,10 +254,25 @@ object ArtifactStore {
     * (logEvent itself runs below the session layer). */
   private[graft] final case class LogCfg(enabled: Boolean, maxBytes: Long)
 
-  private def logCfg(spark: SparkSession): LogCfg = LogCfg(
-    spark.conf.getOption(ServeLogConf).forall(_.trim.toBoolean),
-    spark.conf.getOption(ServeLogMaxBytesConf).map(_.trim.toLong)
-      .getOrElse(DefaultLogMaxBytes))
+  /** Best-effort like the log itself: a malformed conf value
+    * (`serveLogMaxBytes=4m`, `serveLog=1`) must not fail resolutions —
+    * observability config can never break a serve. Falls back to the
+    * defaults with one warning per JVM. */
+  private lazy val logCfgWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def logCfg(spark: SparkSession): LogCfg =
+    try LogCfg(
+      spark.conf.getOption(ServeLogConf).forall(_.trim.toBoolean),
+      spark.conf.getOption(ServeLogMaxBytesConf).map(_.trim.toLong)
+        .getOrElse(DefaultLogMaxBytes))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        if (logCfgWarned.compareAndSet(false, true))
+          System.err.println("[artifact] unparseable serve-log conf (" +
+            e.getMessage + ") — logging with defaults")
+        LogCfg(enabled = true, maxBytes = DefaultLogMaxBytes)
+    }
 
   private lazy val jvmLogId = java.util.UUID.randomUUID.toString
   private val logSeq = new java.util.concurrent.ConcurrentHashMap[
@@ -472,29 +487,22 @@ object ArtifactStore {
         val toBuild = parts.count { case (pid, pfp) =>
           livePayload(s"$partsDir/part-${contentHash(pid)}/$pfp").isEmpty }
         val willCommit = toBuild > 0
-        // parts resolve CONCURRENTLY (bounded pool): each part is an
+        // parts resolve CONCURRENTLY (Par.run, bounded pool — awaits
+        // all tasks even when one fails, so a replayed serve never
+        // races a failed attempt's stragglers): each part is an
         // independent tiny build-or-read under its own per-directory
         // lock and its own payload dir, and sequential submission made
         // a k-part delta rebuild k job-latencies long (the q388
-        // lifecycle measured it). Result order is preserved — the
-        // futures sequence in part order; only execution interleaves
-        // (so serve-log BUILD events may interleave across parts,
-        // which the log's contract allows: seq orders appends, not
+        // lifecycle measured it). Result order is preserved — Par.run
+        // returns in part order; only execution interleaves (so
+        // serve-log BUILD events may interleave across parts, which
+        // the log's contract allows: seq orders appends, not
         // resolutions).
-        val pool = java.util.concurrent.Executors
-          .newFixedThreadPool(math.min(8, parts.size))
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutor(pool)
-        val paths =
-          try scala.concurrent.Await.result(
-            scala.concurrent.Future.traverse(parts) { case (pid, pfp) =>
-              scala.concurrent.Future {
-                ensureCommitted(r, s"$partsDir/part-${contentHash(pid)}",
-                  pfp, s"$name#$pid", params, cfg, logServe = false)(
-                  buildPart(pid))
-              }
-            }, scala.concurrent.duration.Duration.Inf)
-          finally pool.shutdown()
+        val paths = Par.run(parts, maxThreads = 8) { case (pid, pfp) =>
+          ensureCommitted(r, s"$partsDir/part-${contentHash(pid)}",
+            pfp, s"$name#$pid", params, cfg, logServe = false)(
+            buildPart(pid))
+        }
         if (willCommit) vacuumDeparted(partsDir, keep)
         // ONE aggregated event per part-addressed resolution (per-part
         // BUILDS/vacuums still log individually — bounded by actual

@@ -633,64 +633,13 @@ object VectorQueries2 {
     // configured it falls back to the inline build, output unchanged.
     QDef("q358_ann_nsw_served",
       (s, dir) => {
-        import graft.ops.VectorSearch._
-        import graft.ops.{ArtifactStore, NswIndex}
-        val emb = Tables.embeddings(s, dir)
-        val sample = sampleVectors(emb, "vec_id", "embedding",
-          n = 512, seed = 42)
-        val cents = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
-        val cap = NswIndex.effectiveBlockCap(s)
-        NswServedOracle.sql = Some(nswBatchOracleSql(cents,
+        import graft.ops.NswIndex
+        val sc = nswServedScaffold(s, dir)
+        NswServedOracle.sql = Some(nswBatchOracleSql(sc.cents,
           probes = NswProbes, m = NswM, beam = NswBeam,
-          rounds = NswRounds, topK = 10, cap = cap))
-        val isQ = col("vec_id") % 100 === 0
-        val corpus = emb.filter(!isQ)
-        val fpKey = s"$dir#embeddings#mod100ne0"
-        def artifactOr(name: String, params: String)
-                      (b: => org.apache.spark.sql.DataFrame) =
-          if (ArtifactStore.root(s).isEmpty) b
-          else ArtifactStore.buildOrServe(s, name,
-            ArtifactStore.fingerprint(
-              corpus.select(col("vec_id"), col("embedding")), fpKey),
-            params, fpKey)(b)
-        val edges = NswIndex.knnGraphArtifact(corpus, "vec_id",
-          "embedding", cents, probes = NswProbes, m = NswM,
-          blockCap = cap, fpKey = fpKey)
-        // entry map: cell → min corpus id, O(k) rows — an artifact
-        // too, so the served plan has NO corpus-wide assignment stage
-        val ch = graft.ops.ArtifactStore.contentHash(
-          cents.map(_.mkString(",")).mkString("|"))
-        val cellMin0 = artifactOr("nsw_entry_cells",
-          s"k=${cents.length},ch=$ch,probes=$NswProbes")(
-          ivfAssign(corpus, "vec_id", "embedding", cents,
-            probes = NswProbes)
-            .groupBy("cell").agg(min("id").as("id")))
-        // entries + globalMin both read the tiny map: served it's an
-        // O(k)-row parquet (re-scan is free); inline it's a corpus
-        // pass, so only that shape checkpoints
-        val cellMin = if (ArtifactStore.root(s).isEmpty)
-          cellMin0.localCheckpoint() else cellMin0
-        val vecs = corpus
-          .select(col("vec_id").cast("long").as("id"),
-            toDouble(col("embedding")).as("v"))
-          .withColumn("nrm", graft.ops.VectorSearch.norm(col("v")))
-          .localCheckpoint() // every beam round reads it
-        val queries = emb.filter(isQ)
-          .select(col("vec_id").cast("long").as("qid"),
-            toDouble(col("embedding")).as("qv"))
-          .withColumn("qn", graft.ops.VectorSearch.norm(col("qv")))
-          .localCheckpoint()
-        val qAssign = ivfAssign(emb.filter(isQ), "vec_id", "embedding",
-          cents, probes = NswProbes)
-        val globalMin = cellMin.agg(min("id").as("id"))
-        val entries = qAssign.select(col("id").as("qid"), col("cell"))
-          .join(broadcast(cellMin), "cell")
-          .select(col("qid"), col("id"))
-          .unionByName(queries.select(col("qid"))
-            .crossJoin(broadcast(globalMin)))
-          .distinct()
-        NswIndex.beamSearchBatch(vecs, edges, queries, entries,
-            beamWidth = NswBeam, rounds = NswRounds)
+          rounds = NswRounds, topK = 10, cap = sc.cap))
+        NswIndex.beamSearchBatch(sc.vecs, sc.edges, sc.queries,
+            sc.entries, beamWidth = NswBeam, rounds = NswRounds)
           .withColumn("rank", row_number().over(
             Window.partitionBy(col("qid"))
               .orderBy(col("sim").desc, col("id").asc)))
@@ -715,70 +664,23 @@ object VectorQueries2 {
     // recall floor against q358's.
     QDef("q392_ann_nsw_seeded",
       (s, dir) => {
-        import graft.ops.VectorSearch._
-        import graft.ops.{ArtifactStore, NswIndex}
-        val emb = Tables.embeddings(s, dir)
-        val sample = sampleVectors(emb, "vec_id", "embedding",
-          n = 512, seed = 42)
-        val cents = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
-        val cap = NswIndex.effectiveBlockCap(s)
-        NswSeededOracle.sql = Some(nswBatchOracleSql(cents,
+        import graft.ops.NswIndex
+        // cpEdgesInline: the seeding joins the edge table twice (1-hop
+        // expansion + every beam round) — inline it must not re-run
+        // the build
+        val sc = nswServedScaffold(s, dir, cpEdgesInline = true)
+        NswSeededOracle.sql = Some(nswBatchOracleSql(sc.cents,
           probes = NswProbes, m = NswM, beam = NswBeam,
-          rounds = NswRounds, topK = 10, cap = cap, seedHop = true))
-        val isQ = col("vec_id") % 100 === 0
-        val corpus = emb.filter(!isQ)
-        val fpKey = s"$dir#embeddings#mod100ne0"
-        def artifactOr(name: String, params: String)
-                      (b: => org.apache.spark.sql.DataFrame) =
-          if (ArtifactStore.root(s).isEmpty) b
-          else ArtifactStore.buildOrServe(s, name,
-            ArtifactStore.fingerprint(
-              corpus.select(col("vec_id"), col("embedding")), fpKey),
-            params, fpKey)(b)
-        val edges0 = NswIndex.knnGraphArtifact(corpus, "vec_id",
-          "embedding", cents, probes = NswProbes, m = NswM,
-          blockCap = cap, fpKey = fpKey)
-        // the seeding joins the edge table twice (1-hop expansion +
-        // every beam round): inline it must not re-run the build
-        val edges = if (ArtifactStore.root(s).isEmpty)
-          edges0.localCheckpoint() else edges0
-        val ch = graft.ops.ArtifactStore.contentHash(
-          cents.map(_.mkString(",")).mkString("|"))
-        val cellMin0 = artifactOr("nsw_entry_cells",
-          s"k=${cents.length},ch=$ch,probes=$NswProbes")(
-          ivfAssign(corpus, "vec_id", "embedding", cents,
-            probes = NswProbes)
-            .groupBy("cell").agg(min("id").as("id")))
-        val cellMin = if (ArtifactStore.root(s).isEmpty)
-          cellMin0.localCheckpoint() else cellMin0
-        val vecs = corpus
-          .select(col("vec_id").cast("long").as("id"),
-            toDouble(col("embedding")).as("v"))
-          .withColumn("nrm", graft.ops.VectorSearch.norm(col("v")))
-          .localCheckpoint() // every beam round reads it
-        val queries = emb.filter(isQ)
-          .select(col("vec_id").cast("long").as("qid"),
-            toDouble(col("embedding")).as("qv"))
-          .withColumn("qn", graft.ops.VectorSearch.norm(col("qv")))
-          .localCheckpoint()
-        val qAssign = ivfAssign(emb.filter(isQ), "vec_id", "embedding",
-          cents, probes = NswProbes)
-        val globalMin = cellMin.agg(min("id").as("id"))
-        val entries = qAssign.select(col("id").as("qid"), col("cell"))
-          .join(broadcast(cellMin), "cell")
-          .select(col("qid"), col("id"))
-          .unionByName(queries.select(col("qid"))
-            .crossJoin(broadcast(globalMin)))
-          .distinct()
-          .localCheckpoint() // read twice: itself + the 1-hop expansion
+          rounds = NswRounds, topK = 10, cap = sc.cap, seedHop = true))
         // the seeding: entries ∪ their 1-hop neighbors (the edge table
         // is symmetrized, so dst-of-src covers the whole neighborhood)
-        val seeded = entries.unionByName(
-            edges.join(broadcast(entries.withColumnRenamed("id", "src")),
+        val seeded = sc.entries.unionByName(
+            sc.edges.join(
+              broadcast(sc.entries.withColumnRenamed("id", "src")),
               "src")
               .select(col("qid"), col("dst").as("id")))
           .distinct()
-        NswIndex.beamSearchBatch(vecs, edges, queries, seeded,
+        NswIndex.beamSearchBatch(sc.vecs, sc.edges, sc.queries, seeded,
             beamWidth = NswBeam, rounds = NswRounds)
           .withColumn("rank", row_number().over(
             Window.partitionBy(col("qid"))
@@ -1032,6 +934,82 @@ object VectorQueries2 {
   /** q392's late-bound oracle (the seedHop batch replay). */
   private object NswSeededOracle {
     @volatile var sql: Option[String] = None
+  }
+
+  /** Everything q358 and q392 SHARE — trained centroids, the served
+    * edge/entry-map artifacts, the scored corpus/query frames, the
+    * per-cell entry set. One builder so the two queries cannot drift
+    * apart on the fpKey / artifact names / params strings that make
+    * them serve the SAME committed artifacts within a sweep (an edit
+    * to one copy would silently split the address and re-build). */
+  private final case class NswServed(cents: Array[Array[Double]],
+      cap: Int, edges: org.apache.spark.sql.DataFrame,
+      vecs: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      entries: org.apache.spark.sql.DataFrame)
+
+  private def nswServedScaffold(s: org.apache.spark.sql.SparkSession,
+                                dir: String,
+                                cpEdgesInline: Boolean = false)
+      : NswServed = {
+    import graft.ops.VectorSearch._
+    import graft.ops.{ArtifactStore, NswIndex}
+    val emb = Tables.embeddings(s, dir)
+    val sample = sampleVectors(emb, "vec_id", "embedding",
+      n = 512, seed = 42)
+    val cents = kmeansCentroids(sample, k = 16, iters = 10, seed = 42)
+    val cap = NswIndex.effectiveBlockCap(s)
+    val isQ = col("vec_id") % 100 === 0
+    val corpus = emb.filter(!isQ)
+    val fpKey = s"$dir#embeddings#mod100ne0"
+    def artifactOr(name: String, params: String)
+                  (b: => org.apache.spark.sql.DataFrame) =
+      if (ArtifactStore.root(s).isEmpty) b
+      else ArtifactStore.buildOrServe(s, name,
+        ArtifactStore.fingerprint(
+          corpus.select(col("vec_id"), col("embedding")), fpKey),
+        params, fpKey)(b)
+    val edges0 = NswIndex.knnGraphArtifact(corpus, "vec_id",
+      "embedding", cents, probes = NswProbes, m = NswM,
+      blockCap = cap, fpKey = fpKey)
+    val edges = if (cpEdgesInline && ArtifactStore.root(s).isEmpty)
+      edges0.localCheckpoint() else edges0
+    // entry map: cell → min corpus id, O(k) rows — an artifact too,
+    // so the served plan has NO corpus-wide assignment stage
+    val ch = ArtifactStore.contentHash(
+      cents.map(_.mkString(",")).mkString("|"))
+    val cellMin0 = artifactOr("nsw_entry_cells",
+      s"k=${cents.length},ch=$ch,probes=$NswProbes")(
+      ivfAssign(corpus, "vec_id", "embedding", cents,
+        probes = NswProbes)
+        .groupBy("cell").agg(min("id").as("id")))
+    // entries + globalMin both read the tiny map: served it's an
+    // O(k)-row parquet (re-scan is free); inline it's a corpus pass,
+    // so only that shape checkpoints
+    val cellMin = if (ArtifactStore.root(s).isEmpty)
+      cellMin0.localCheckpoint() else cellMin0
+    val vecs = corpus
+      .select(col("vec_id").cast("long").as("id"),
+        toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.ops.VectorSearch.norm(col("v")))
+      .localCheckpoint() // every beam round reads it
+    val queries = emb.filter(isQ)
+      .select(col("vec_id").cast("long").as("qid"),
+        toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", graft.ops.VectorSearch.norm(col("qv")))
+      .localCheckpoint()
+    val qAssign = ivfAssign(emb.filter(isQ), "vec_id", "embedding",
+      cents, probes = NswProbes)
+    val globalMin = cellMin.agg(min("id").as("id"))
+    val entries = qAssign.select(col("id").as("qid"), col("cell"))
+      .join(broadcast(cellMin), "cell")
+      .select(col("qid"), col("id"))
+      .unionByName(queries.select(col("qid"))
+        .crossJoin(broadcast(globalMin)))
+      .distinct()
+      .localCheckpoint() // tiny (O(queries·probes) rows); q392 reads
+                         // it twice (itself + the 1-hop expansion)
+    NswServed(cents, cap, edges, vecs, queries, entries)
   }
 
   /** q372's late-bound oracle (centroid + PQ-codebook literals). */

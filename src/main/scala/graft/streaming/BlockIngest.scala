@@ -161,18 +161,14 @@ object BlockIngest {
       // a warm 5-block batch spent 9.2 s across ~1 s phases); at
       // production scale the same schedule overlaps the per-table
       // I/O. The crash points keep their documented meanings: a phase
-      // barrier completes every write of its group before the next
+      // barrier completes every write of its group — Par.run awaits
+      // ALL tasks even when one fails, so a caught-and-replayed batch
+      // never races a failed attempt's stragglers — before the next
       // crash gate.
       def par(work: (String, () => Unit)*): Unit = {
-        val pool = java.util.concurrent.Executors
-          .newFixedThreadPool(work.size)
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutor(pool)
-        try scala.concurrent.Await.result(
-          scala.concurrent.Future.traverse(work.toSeq) {
-            case (tag, f) => scala.concurrent.Future(t(tag)(f()))
-          }, scala.concurrent.duration.Duration.Inf)
-        finally pool.shutdown()
+        graft.ops.Par.run(work.toSeq, work.size) {
+          case (tag, f) => t(tag)(f())
+        }
         ()
       }
 
@@ -602,35 +598,29 @@ object BlockIngest {
     * rows, so the sidecar overwrite is idempotent. */
   private def writeFactSidecars(spark: SparkSession, sinkDir: String,
                                 heights: Seq[Long]): Unit = {
-    // one grouped scan per table, submitted CONCURRENTLY: the nine
-    // scans are independent batch-sized jobs, and sequential
-    // submission made the sidecar step job-count-bound (~9 tiny jobs
-    // of scheduling overhead per batch, the q388 lifecycle measured
-    // it); writeFpPart is atomic per file, tables never share one
-    val pool = java.util.concurrent.Executors
-      .newFixedThreadPool(factTables.size)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    try scala.concurrent.Await.result(
-      scala.concurrent.Future.traverse(factTables) {
-        case (table, partCol) => scala.concurrent.Future {
-          val dir = s"$sinkDir/$table"
-          // a table writes NO partition for a height with no rows
-          // (e.g. rewards on a rewardless block): sidecars exist iff
-          // data does
-          val present = heights.map(h => h -> s"$dir/$partCol=$h")
-            .filter { case (_, d) => Files.exists(Paths.get(d)) }
-          if (present.nonEmpty) {
-            val back = spark.read.option("basePath", dir)
-              .parquet(present.map(_._2): _*)
-              .withColumn(partCol, col(partCol).cast("long"))
-            graft.ops.ArtifactStore.partFingerprints(back, partCol)
-              .foreach { case (pid, fp) =>
-                graft.ops.ArtifactStore.writeFpPart(dir, pid, fp) }
-          }
+    // one grouped scan per table, submitted CONCURRENTLY (Par.run —
+    // awaits all, so no straggler survives a failure): the nine scans
+    // are independent batch-sized jobs, and sequential submission made
+    // the sidecar step job-count-bound (~9 tiny jobs of scheduling
+    // overhead per batch, the q388 lifecycle measured it);
+    // writeFpPart is atomic per file, tables never share one
+    graft.ops.Par.run(factTables, factTables.size) {
+      case (table, partCol) =>
+        val dir = s"$sinkDir/$table"
+        // a table writes NO partition for a height with no rows
+        // (e.g. rewards on a rewardless block): sidecars exist iff
+        // data does
+        val present = heights.map(h => h -> s"$dir/$partCol=$h")
+          .filter { case (_, d) => Files.exists(Paths.get(d)) }
+        if (present.nonEmpty) {
+          val back = spark.read.option("basePath", dir)
+            .parquet(present.map(_._2): _*)
+            .withColumn(partCol, col(partCol).cast("long"))
+          graft.ops.ArtifactStore.partFingerprints(back, partCol)
+            .foreach { case (pid, fp) =>
+              graft.ops.ArtifactStore.writeFpPart(dir, pid, fp) }
         }
-      }, scala.concurrent.duration.Duration.Inf)
-    finally pool.shutdown()
+    }
     ()
   }
 

@@ -134,9 +134,18 @@ object StreamNswInsert {
     * per-batch commits and the compaction rollup alike are named after
     * their DATA directory (`bid=N`), so a sidecar part id is always a
     * readable partition path (what [[serveGraph]]'s per-part builds
-    * rely on). */
+    * rely on). A bid-shaped name that does not parse fails LOUDLY
+    * naming the entry (the DeltaPartsStore rule — silently skipping it
+    * would fold a store view that drops committed rows; a bare
+    * NumberFormatException names nothing). */
   private def committedPart(applied: Long)(part: String): Boolean =
-    part.startsWith("bid=") && part.drop(4).toLong <= applied
+    part.startsWith("bid=") && (part.drop(4).toLongOption match {
+      case Some(b) => b <= applied
+      case None => throw new IllegalStateException(
+        s"unparseable part id '$part' in an NSW store sidecar — " +
+          "expected bid=<long>; refusing to guess whether it is " +
+          "committed data")
+    })
 
   /** Content fingerprint of one committed sub-store (`vecs` / `edges`
     * / `edges1`) from its write-time sidecars — O(#batches) metadata
@@ -332,9 +341,8 @@ object StreamNswInsert {
       val d = Paths.get(dir)
       if (Files.isDirectory(d)) {
         val committedDirs = listDir(d).count { p =>
-          val n = p.getFileName.toString
-          Files.isDirectory(p) && n.startsWith("bid=") &&
-            n.drop(4).toLong <= applied
+          Files.isDirectory(p) &&
+            committedPart(applied)(p.getFileName.toString)
         }
         if (committedDirs >= minDirs) {
           val tmp = s"$dir.compact.tmp"
