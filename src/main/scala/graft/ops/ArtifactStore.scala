@@ -133,15 +133,21 @@ object ArtifactStore {
   }
 
   /** Per-partition [[partFingerprint]]s in ONE grouped scan — for
-    * partitioned sinks (ShardWriter) that commit many parts at once:
-    * (partCol=value → (sum, count)), hashing ALL of `df`'s columns
-    * (including the partition column) so the fold equals
-    * [[fingerprint]] of the whole read-back frame. The collect is
-    * O(#parts) rows. */
-  def partFingerprints(df: DataFrame, partCol: String)
-      : Seq[(String, (BigInt, Long))] =
+    * partitioned sinks (ShardWriter, the ingest fact tables) that
+    * commit many parts at once: (partCol=value → (sum, count)).
+    * `hashCols` selects what each row hash covers — empty (the
+    * default) hashes ALL of `df`'s columns (including the partition
+    * column) so the fold equals [[fingerprint]] of the whole
+    * read-back frame; a bucketed MVCC store passes its DATA columns
+    * only, because its canonical per-part reader (a version-leaf
+    * directory read) never sees the physical partition columns. The
+    * collect is O(#parts) rows. */
+  def partFingerprints(df: DataFrame, partCol: String,
+                       hashCols: Seq[String] = Seq.empty)
+      : Seq[(String, (BigInt, Long))] = {
+    val hs = if (hashCols.isEmpty) df.columns.toSeq else hashCols
     df.groupBy(col(partCol))
-      .agg(sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)
+      .agg(sum(xxhash64(hs.map(col): _*)
           .cast(DecimalType(38, 0))).as("s"),
         count(lit(1)).as("n"))
       .collect().toSeq.map { r =>
@@ -149,6 +155,7 @@ object ArtifactStore {
           else BigInt(r.getDecimal(1).toBigInteger)
         s"$partCol=${r.get(0)}" -> (s.mod(Mod64), r.getLong(2))
       }.sortBy(_._1)
+  }
 
   /** Fold part sums into the canonical fingerprint string
     * `<16-hex sum mod 2^64>_<row count>`. */

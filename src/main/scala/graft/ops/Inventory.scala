@@ -208,7 +208,67 @@ object Inventory {
       .partitionBy("bucket", "merged_height")
       .parquet(stateDir)
     Files.write(nbPath, nBuckets.toString.getBytes("UTF-8"))
+    // write-time fingerprint sidecars, one per rewritten (bucket,
+    // version) — the fact-table protocol extended to the bucketed MVCC
+    // stores, so an artifact over an inventory addresses and
+    // delta-rebuilds per TOUCHED bucket with no state scan. One
+    // grouped read-back over exactly the versions just written,
+    // hashing the DATA columns (the canonical [[readStatePart]]
+    // basis — a version-leaf read has no partition columns). A crash
+    // between the data write and this point leaves a version without
+    // its sidecar; [[committedStateParts]] heals from the data layout,
+    // which stays the source of truth.
+    val back = spark.read.option("basePath", stateDir).parquet(
+      behind.map(bk =>
+        s"$stateDir/bucket=$bk/merged_height=$mergedHeight"): _*)
+    val dataCols = back.columns.toSeq
+      .filterNot(Set("bucket", "merged_height"))
+    ArtifactStore.partFingerprints(back, "bucket", dataCols).foreach {
+      case (pid, fp) =>
+        ArtifactStore.writeFpPart(stateDir, s"$pid.mh=$mergedHeight", fp)
+    }
     true
+  }
+
+  private val StatePartIdRe = """bucket=(\d+)\.mh=(\d+)""".r
+
+  /** The committed (partId → part fingerprint) map of a bucketed MVCC
+    * store: each bucket's newest version at or below `committed` —
+    * exactly the file set [[readBucketedStateAt]] reads — with the
+    * fingerprint answered from the write-time sidecar. The DATA layout
+    * is the source of truth: a version whose sidecar is missing (a
+    * crash between the data write and the sidecar write, or a store
+    * predating the protocol) heals here with ONE bucket-sized scan and
+    * the healed sidecar persists; steady state is O(#buckets) metadata
+    * reads. The `parts` input for a part-addressed artifact over an
+    * inventory ([[graft.ops.ArtifactStore.buildOrServeParts]] with
+    * [[readStatePart]] as the part reader). */
+  def committedStateParts(spark: SparkSession, stateDir: String,
+                          committed: Long): Seq[(String, String)] = {
+    val sidecars = ArtifactStore.readFpParts(stateDir).toMap
+    bucketVersions(stateDir).toSeq.sortBy(_._1).flatMap { case (bk, vs) =>
+      vs.filter(_ <= committed).sorted.lastOption.map { v =>
+        val pid = s"bucket=$bk.mh=$v"
+        val fp = sidecars.getOrElse(pid, {
+          val healed = ArtifactStore.partFingerprint(
+            readStatePart(spark, stateDir, pid))
+          ArtifactStore.writeFpPart(stateDir, pid, healed)
+          healed
+        })
+        pid -> ArtifactStore.combineParts(Seq(fp))
+      }
+    }
+  }
+
+  /** Canonical reader of ONE committed (bucket, version) partition —
+    * exactly the rows its sidecar hashed (the version-leaf directory,
+    * data columns only). Partition-sized, never a state scan. */
+  def readStatePart(spark: SparkSession, stateDir: String,
+                    pid: String): DataFrame = pid match {
+    case StatePartIdRe(bk, mh) =>
+      spark.read.parquet(s"$stateDir/bucket=$bk/merged_height=$mh")
+    case _ => throw new IllegalStateException(
+      s"unparseable inventory part id '$pid' — expected bucket=<n>.mh=<h>")
   }
 
   /** Per-bucket version list from the partition directory layout.
@@ -245,6 +305,12 @@ object Inventory {
           val dir = Paths.get(s"$stateDir/bucket=$bk/merged_height=$v")
           Fs.walk(dir).reverse
             .foreach(Files.deleteIfExists(_))
+          // the version's sidecar goes with its data — the store
+          // vacuums its own metadata (otherwise _fp grows one file
+          // per superseded version forever)
+          Files.deleteIfExists(
+            Paths.get(s"$stateDir/_fp/bucket=$bk.mh=$v.json"))
+          ()
         }
       }
     }

@@ -92,6 +92,91 @@ class FactSidecarSpec extends SparkSpec {
       "the audit must not classify sidecar metadata as data files")
   }
 
+  test("inventory sidecars: fold == scan for the bucketed MVCC " +
+    "stores, a missing sidecar heals from the data layout, and " +
+    "vacuumed versions take their sidecars with them") {
+    val sink = Files.createTempDirectory("fp_inv").toString
+    BlockIngest.processBatch(spark,
+      blocks.filter(col("height").between(1L, 30L)), sink)
+    BlockIngest.processBatch(spark,
+      blocks.filter(col("height").between(31L, 60L)), sink)
+    val h = BlockIngest.committedHeight(sink)
+    Seq("gateway_inventory", "account_inventory", "actor_inventory")
+      .foreach { table =>
+        val dir = s"$sink/$table"
+        val parts = graft.ops.Inventory
+          .committedStateParts(spark, dir, h)
+        assert(parts.nonEmpty, s"$table must have committed parts")
+        ArtifactStore.clearFingerprintMemo()
+        val scan = ArtifactStore.fingerprint(
+          graft.ops.Inventory.readBucketedStateAt(spark, dir, h),
+          s"inv:$dir")
+        val fold = ArtifactStore.combineParts(parts.map { case (_, fp) =>
+          val Array(hex, n) = fp.split('_')
+          (BigInt(hex, 16), n.toLong)
+        })
+        assert(fold === scan,
+          s"$table: sidecar fold must equal the committed-view scan")
+      }
+    // healing: drop one sidecar — the part map recomputes it from the
+    // version leaf and REWRITES it (data layout is the source of truth)
+    val gwDir = s"$sink/gateway_inventory"
+    val before = graft.ops.Inventory.committedStateParts(spark, gwDir, h)
+    val victim = before.head._1
+    assert(Files.deleteIfExists(Paths.get(s"$gwDir/_fp/$victim.json")))
+    val healed = graft.ops.Inventory.committedStateParts(spark, gwDir, h)
+    assert(healed === before, "healing must reproduce the same address")
+    assert(Files.exists(Paths.get(s"$gwDir/_fp/$victim.json")),
+      "the healed sidecar must persist")
+    // vacuum took superseded versions' sidecars: every remaining
+    // sidecar names a version directory that still exists
+    graft.ops.ArtifactStore.readFpParts(gwDir).foreach { case (pid, _) =>
+      val Array(b, m) = pid.split("\\.")
+      assert(Files.isDirectory(Paths.get(
+        s"$gwDir/$b/merged_height=${m.stripPrefix("mh=")}")),
+        s"sidecar $pid must not outlive its data version")
+    }
+  }
+
+  test("delta rebuild over an INVENTORY: a second batch rebuilds " +
+    "only its touched buckets' parts") {
+    val sink = Files.createTempDirectory("fp_inv_delta").toString
+    val root = Files.createTempDirectory("fp_inv_root").toString
+    BlockIngest.processBatch(spark,
+      blocks.filter(col("height").between(1L, 40L)), sink)
+    val dir = s"$sink/gateway_inventory"
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    def serve(): Long = {
+      spark.conf.set(ArtifactStore.RootConf, root)
+      try ArtifactStore.buildOrServeParts(spark, "gw_inv_proj",
+        graft.ops.Inventory.committedStateParts(spark, dir,
+          BlockIngest.committedHeight(sink)),
+        "cols=address,owner", sourceKey = dir) { pid =>
+        built.incrementAndGet()
+        graft.ops.Inventory.readStatePart(spark, dir, pid)
+          .select(col("address"), col("last_owner"))
+      }.count()
+      finally spark.conf.unset(ArtifactStore.RootConf)
+    }
+    serve()
+    val builds1 = built.get()
+    val parts1 = graft.ops.Inventory.committedStateParts(spark, dir,
+      BlockIngest.committedHeight(sink)).toMap
+    assert(builds1 === parts1.size, "first serve builds every bucket")
+    BlockIngest.processBatch(spark,
+      blocks.filter(col("height").between(41L, 60L)), sink)
+    val h2 = BlockIngest.committedHeight(sink)
+    val parts2 = graft.ops.Inventory.committedStateParts(spark, dir, h2)
+    val changed = parts2.count { case (pid, _) => !parts1.contains(pid) }
+    serve()
+    assert(built.get() - builds1 === changed,
+      s"the second serve must rebuild exactly the ${changed} touched " +
+        s"buckets (got ${built.get() - builds1})")
+    // the served rows == the committed view's projection
+    assert(serve() === graft.ops.Inventory
+      .readBucketedStateAt(spark, dir, h2).count())
+  }
+
   test("delta rebuild over the ingested table: an appended batch " +
     "rebuilds ONLY its own partitions (build count pinned), the " +
     "served artifact equals the inline per-block rollup") {
