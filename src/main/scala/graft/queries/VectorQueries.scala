@@ -144,8 +144,8 @@ object VectorQueries {
     }
   }
 
-  private def ivfOracleSql(centroids: Array[Array[Double]], probes: Int,
-                           topK: Int): String = {
+  private[queries] def ivfOracleSql(centroids: Array[Array[Double]],
+                                    probes: Int, topK: Int): String = {
     def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
     val cells = centroids.zipWithIndex.map { case (c, i) =>
       val n = dbl(math.sqrt(c.map(x => x * x).sum))
