@@ -48,7 +48,7 @@ object SparkEntry {
       PipelineQueries73.defs ++ PipelineQueries74.defs ++
       PipelineQueries75.defs ++ PipelineQueries76.defs ++
       PipelineQueries77.defs ++ PipelineQueries78.defs ++
-      PipelineQueries79.defs ++
+      PipelineQueries79.defs ++ PipelineQueries80.defs ++
       VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap
