@@ -4,6 +4,7 @@ import graft.Tables
 import graft.fixtures.FixtureGen
 import graft.ops.ArtifactStore
 import graft.streaming.BlockIngest
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Seventy-sixth pipeline group — the write-time fingerprint-sidecar
@@ -33,6 +34,76 @@ import org.apache.spark.sql.functions._
   * (see [[PipelineQueries75]]'s scope note).
   */
 object PipelineQueries76 {
+
+  /** The multi-probe near-dup measurement shared by q389 (inline
+    * corpus keys) and q398 (MAINTAINED served corpus keys,
+    * PipelineQueries77): signature table at the recall-starved
+    * [[MultiProbeNearDupSql]] geometry, tagged probe-level union (one
+    * shuffle carries every level's keys), candidate pairs, exact
+    * verification, recall vs the prefix-join full-recall truth.
+    * `corpusKeysOf` maps the checkpointed signature table (doc_id,
+    * hs, mh, mh2) to the corpus-side (doc_id, bk) keys — the ONLY
+    * thing the two queries differ in, so their oracle is shared and
+    * cannot drift. */
+  private[queries] def multiProbeNearDup(s: SparkSession, dir: String)
+      (corpusKeysOf: DataFrame => DataFrame): DataFrame = {
+    import graft.functions.TextAnalysis
+    import graft.ops.Dedup
+    val nb = MultiProbeNearDupSql.nb
+    val r = MultiProbeNearDupSql.r
+    val nh = nb * r
+    val sig = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        TextAnalysis.shingleHashes(col("toks")).as("hs"))
+      .withColumn("mh", TextAnalysis.minhashAffine(col("hs"), nh))
+      .withColumn("mh2", TextAnalysis.minhash2Affine(col("hs"), nh))
+      .localCheckpoint() // keys, probes, and verification read it
+    val corpusKeys = corpusKeysOf(sig)
+    // tagged probe-side union (the q236 sweep idiom): one shuffle
+    // carries every probe level's keys, one verify pass serves all
+    val probeKeys = Seq(0, 1, 2).map { p =>
+      sig.select(col("doc_id"), explode(Dedup.multiProbeBandKeys(
+          col("mh"), col("mh2"), nb, r, p)).as("pk"))
+        .select(col("doc_id"), col("pk.bk").as("bk"),
+          lit(p.toLong).as("probes"))
+    }.reduce(_ unionAll _)
+    val cand = probeKeys.as("x").join(corpusKeys.as("y"), "bk")
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("probes"),
+        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+      .localCheckpoint() // pair dedup + per-level stats read it
+    val a = sig.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    val ver = cand.select("doc_a", "doc_b").distinct()
+      .join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        ((size(array_intersect(col("hs_a"), col("hs_b")))
+          .cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) -
+            size(array_intersect(col("hs_a"), col("hs_b"))))
+          .cast("double")) >= 0.8).as("hit"))
+    val truth = Dedup
+      .nearDupPrefix(graft.Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.8)
+      .agg(count(lit(1)).as("n_true"))
+    val perLevel = cand.join(broadcast(ver), Seq("doc_a", "doc_b"))
+      .groupBy("probes")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("hit").cast("long")).as("n_verified"))
+    import s.implicits._
+    Seq(0L, 1L, 2L).toDF("probes")
+      .join(broadcast(perLevel), Seq("probes"), "left")
+      .crossJoin(broadcast(truth))
+      .select(col("probes"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        expr("(1000 * coalesce(n_verified, 0L)) div " +
+          "greatest(n_true, 1L)").as("recall_milli"))
+  }
 
   val defs: Seq[QDef] = Seq(
 
@@ -82,67 +153,12 @@ object PipelineQueries76 {
     // flip choice, both probe directions (the q140 lesson: never
     // oracle a sampled/probed shape with "trust the op").
     QDef("q389_neardup_multiprobe",
-      (s, dir) => {
-        import graft.functions.TextAnalysis
-        import graft.ops.Dedup
-        val nb = MultiProbeNearDupSql.nb
-        val r = MultiProbeNearDupSql.r
-        val nh = nb * r
-        val sig = graft.Tables.documents(s, dir)
-          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-          .filter(size(col("toks")) >= 3)
-          .select(col("doc_id"),
-            TextAnalysis.shingleHashes(col("toks")).as("hs"))
-          .withColumn("mh", TextAnalysis.minhashAffine(col("hs"), nh))
-          .withColumn("mh2", TextAnalysis.minhash2Affine(col("hs"), nh))
-          .localCheckpoint() // keys, probes, and verification read it
-        val corpusKeys = sig.select(col("doc_id"),
-          explode(Dedup.bandKeyArray(col("mh"), nb, r)).as("bk"))
-        // tagged probe-side union (the q236 sweep idiom): one shuffle
-        // carries every probe level's keys, one verify pass serves all
-        val probeKeys = Seq(0, 1, 2).map { p =>
-          sig.select(col("doc_id"), explode(Dedup.multiProbeBandKeys(
-              col("mh"), col("mh2"), nb, r, p)).as("pk"))
-            .select(col("doc_id"), col("pk.bk").as("bk"),
-              lit(p.toLong).as("probes"))
-        }.reduce(_ unionAll _)
-        val cand = probeKeys.as("x").join(corpusKeys.as("y"), "bk")
-          .filter(col("x.doc_id") =!= col("y.doc_id"))
-          .select(col("probes"),
-            least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-            greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
-          .distinct()
-          .localCheckpoint() // pair dedup + per-level stats read it
-        val a = sig.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-        val b = sig.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-        val ver = cand.select("doc_a", "doc_b").distinct()
-          .join(a, "doc_a").join(b, "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            ((size(array_intersect(col("hs_a"), col("hs_b")))
-              .cast("double") /
-              (size(col("hs_a")) + size(col("hs_b")) -
-                size(array_intersect(col("hs_a"), col("hs_b"))))
-              .cast("double")) >= 0.8).as("hit"))
-        val truth = Dedup
-          .nearDupPrefix(graft.Tables.documents(s, dir), "doc_id", "text",
-            threshold = 0.8)
-          .agg(count(lit(1)).as("n_true"))
-        val perLevel = cand.join(broadcast(ver), Seq("doc_a", "doc_b"))
-          .groupBy("probes")
-          .agg(count(lit(1)).as("n_candidates"),
-            sum(col("hit").cast("long")).as("n_verified"))
-        import s.implicits._
-        Seq(0L, 1L, 2L).toDF("probes")
-          .join(broadcast(perLevel), Seq("probes"), "left")
-          .crossJoin(broadcast(truth))
-          .select(col("probes"),
-            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-            coalesce(col("n_verified"), lit(0L)).as("n_verified"),
-            expr("(1000 * coalesce(n_verified, 0L)) div " +
-              "greatest(n_true, 1L)").as("recall_milli"))
+      (s, dir) => multiProbeNearDup(s, dir) { sig =>
+        sig.select(col("doc_id"),
+          explode(graft.ops.Dedup.bandKeyArray(col("mh"),
+            MultiProbeNearDupSql.nb, MultiProbeNearDupSql.r)).as("bk"))
       },
       Some(MultiProbeNearDupSql.sql)),
-
     // The full artifact-lifecycle audit in ONE frame (the r14 verdict
     // #8a frontier): q371 reads what IS committed (manifests), q387
     // reads what each resolution DID (the serve log) — this joins
@@ -359,7 +375,7 @@ object PipelineQueries76 {
   * runner-up signatures, the gap-ordered flip choice, and both probe
   * directions in DuckDB SQL. Factored out so the generation stays
   * readable next to the QDef. */
-private object MultiProbeNearDupSql {
+private[queries] object MultiProbeNearDupSql {
   import graft.functions.TextAnalysis.{MinhashPrime, affineParam}
 
   val nb = 3; val r = 8; private val nh = nb * r
