@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{ArtifactStore, VectorSearch}
-import graft.streaming.{StreamIvfIndex, StreamLshIndex, StreamMinhashIndex}
+import graft.streaming.{StreamIvfIndex, StreamLshIndex, StreamMinhashIndex,
+  StreamWinnowIndex}
 import org.apache.spark.sql.functions._
 
 /** Eightieth pipeline group — the maintained-index REGISTRY: every
@@ -16,8 +17,9 @@ import org.apache.spark.sql.functions._
   * content address.
   *
   *  - q397: drives one store of each pinned family (MinHash bands,
-  *    sign-LSH, IVF postings — a mid-life compaction on the LSH store
-  *    so the registry sees a rollup part) plus a PLANTED TORN BATCH:
+  *    sign-LSH, IVF postings, winnow fingerprints — a mid-life
+  *    compaction on the LSH store so the registry sees a rollup part)
+  *    plus a PLANTED TORN BATCH:
   *    a `bid=99` sidecar written with no watermark move. Both engines
   *    must exclude it — the Spark side through the store protocol's
   *    committed-part filter, the oracle by joining the sidecar list
@@ -82,7 +84,8 @@ object PipelineQueries80 {
         val mh = new java.io.File("target/registry_minhash").getAbsolutePath
         val lsh = new java.io.File("target/registry_lsh").getAbsolutePath
         val ivf = new java.io.File("target/registry_ivf").getAbsolutePath
-        Seq(mh, lsh, ivf).foreach(graft.ops.Fs.wipe)
+        val win = new java.io.File("target/registry_winnow").getAbsolutePath
+        Seq(mh, lsh, ivf, win).foreach(graft.ops.Fs.wipe)
         val docs = Tables.documents(s, dir)
         val emb = Tables.embeddings(s, dir)
         // MinHash bands: two arrival batches
@@ -113,6 +116,13 @@ object PipelineQueries80 {
             emb.where(pmod(col("vec_id"), lit(2)) === b), b.toLong,
             "vec_id", "embedding", cents, 2, ivf)
         }
+        // winnow fingerprints: two arrival batches (its (k, w) pin
+        // rides module constants — the registry shows the pin FILE)
+        Seq(0, 1).foreach { b =>
+          StreamWinnowIndex.applyBatch(
+            docs.where(pmod(col("doc_id"), lit(2)) === b), b.toLong,
+            "doc_id", "text", win)
+        }
         // identity strings come off the PIN ACCESSORS (the engine
         // path); the oracle re-reads the pin files raw
         val mhId = StreamMinhashIndex.geometry(mh)
@@ -123,6 +133,8 @@ object PipelineQueries80 {
         val ivfId = StreamIvfIndex.centroids(ivf)
           .map { case (m, pr) => s"probes=$pr,k=${m.length}," +
             s"dims=${m.head.length}" }.get
+        val winId = StreamWinnowIndex.geometry(win)
+          .map { case (k, w) => s"k=$k,w=$w" }.get
         val (mc, ml) = storeSql("minhash", mh,
           s"(SELECT trim(content) FROM read_text('$mh/geometry.txt'))")
         val (lc, ll) = storeSql("lsh", lsh,
@@ -130,22 +142,29 @@ object PipelineQueries80 {
         val (ic, il) = storeSql("ivf", ivf,
           s"(SELECT split_part(content, chr(10), 1) " +
             s"FROM read_text('$ivf/centroids.txt'))")
+        val (wc, wl) = storeSql("winnow", win,
+          s"(SELECT trim(content) FROM read_text('$win/geometry.txt'))")
         RegistryOracle.sql = Some(
           s"""WITH $mc,
              |$lc,
-             |$ic
+             |$ic,
+             |$wc
              |$ml
              |UNION ALL
              |$ll
              |UNION ALL
              |$il
+             |UNION ALL
+             |$wl
              |ORDER BY store""".stripMargin)
         import s.implicits._
         Seq(
           registryRow("minhash", mhId, mh,
             StreamMinhashIndex.appliedBid(mh)),
           registryRow("lsh", lshId, lsh, StreamLshIndex.appliedBid(lsh)),
-          registryRow("ivf", ivfId, ivf, StreamIvfIndex.appliedBid(ivf)))
+          registryRow("ivf", ivfId, ivf, StreamIvfIndex.appliedBid(ivf)),
+          registryRow("winnow", winId, win,
+            StreamWinnowIndex.appliedBid(win)))
           .toDF("store", "identity", "applied_bid", "n_parts",
             "fp_sum", "n_rows")
           .orderBy("store")

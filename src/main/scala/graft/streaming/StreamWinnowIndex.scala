@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 /** Streaming-maintained winnowing-fingerprint INDEX — the
   * decontamination family's corpus-side index ([[graft.ops
   * .Decontaminate.fingerprints]]: per-doc (doc_id, fp) rows, the MOSS
@@ -49,6 +52,56 @@ object StreamWinnowIndex {
   private def store(storeDir: String) =
     new DeltaPartsStore(storeDir, fpSchema, identity)
 
+  // ---- identity pin (the LSH/MinHash/IVF stores' discipline) ----
+  // K/W are module constants, so an IN-PROCESS mismatch cannot happen
+  // today — the pin protects the store across TIME: fingerprints
+  // written under one (k, w) are meaningless under another, and a
+  // store outlives code versions at 100 TB. First apply pins, every
+  // later apply and every validated read must match LOUDLY.
+
+  private def geomPath(storeDir: String) = Paths.get(s"$storeDir/geometry.txt")
+
+  private def geomString(k: Int, w: Int) = s"k=$k,w=$w"
+
+  private val GeomRe = """k=(\d+),w=(\d+)""".r
+
+  /** The store's pinned (k, w), or None for a store no apply has
+    * pinned yet — what an offline reader validates against. */
+  def geometry(storeDir: String): Option[(Int, Int)] = {
+    val p = geomPath(storeDir)
+    if (!Files.exists(p)) None
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .trim match {
+      case GeomRe(k, w) => Some((k.toInt, w.toInt))
+      case body => throw new IllegalStateException(
+        s"unparseable geometry pin at $p: '$body'")
+    }
+  }
+
+  /** Fail LOUDLY unless the store is pinned to exactly this (k, w). */
+  def requireGeometry(storeDir: String, k: Int, w: Int): Unit = {
+    val want = geomString(k, w)
+    val have = geometry(storeDir)
+      .map { case (kk, ww) => geomString(kk, ww) }
+      .getOrElse("<unpinned>")
+    require(have == want,
+      s"winnow store $storeDir is pinned to geometry '$have'; " +
+        s"refusing a reader keyed under '$want' — fingerprints under " +
+        "a different (k, w) are a different selection entirely")
+  }
+
+  private def checkGeometry(storeDir: String): Unit = {
+    val p = geomPath(storeDir)
+    if (Files.exists(p)) requireGeometry(storeDir, K, W)
+    else {
+      Files.createDirectories(Paths.get(storeDir))
+      val tmp = Paths.get(s"$storeDir/geometry.txt.tmp")
+      Files.write(tmp, geomString(K, W).getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Applied-through batch id (-1 = empty store). */
   def appliedBid(storeDir: String): Long = store(storeDir).appliedBid
 
@@ -73,6 +126,7 @@ object StreamWinnowIndex {
                                 storeDir: String): Unit = {
     val st = store(storeDir)
     if (bid <= st.appliedBid) return
+    checkGeometry(storeDir)
     st.applyPart(
       Decontaminate.fingerprints(
         batch.where(col(textCol).isNotNull), idCol, textCol, K, W)
@@ -97,6 +151,15 @@ object StreamWinnowIndex {
   def servedFps(spark: SparkSession, storeDir: String): DataFrame =
     store(storeDir).serveParts(spark, "winnow_maintained_fps",
       params = s"k=$K,w=$W")
+
+  /** [[servedFps]] with the caller's (k, w) REQUIRE-MATCHED against
+    * the store pin first — the serve path for a reader that derived
+    * its own query-side fingerprints. */
+  def servedFps(spark: SparkSession, storeDir: String, k: Int,
+                w: Int): DataFrame = {
+    requireGeometry(storeDir, k, w)
+    servedFps(spark, storeDir)
+  }
 
   /** Wire an (id, text) document stream into the maintained index.
     * Compaction auto-triggers past `compactAfterBatches` per-batch

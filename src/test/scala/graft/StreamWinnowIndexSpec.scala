@@ -209,4 +209,37 @@ class StreamWinnowIndexSpec extends SparkSpec {
       .count().toInt finally s.close()
     assert(dirs <= 3, s"auto-compaction must bound the dirs, got $dirs")
   }
+  test("identity pin: first apply pins (k, w); a tampered pin refuses " +
+    "the next apply and the validated read NAMING both geometries") {
+    val store = freshStore()
+    assert(StreamWinnowIndex.geometry(store).isEmpty,
+      "an unpinned store has no geometry")
+    StreamWinnowIndex.applyBatch(df(docs), 0L, "doc_id", "text", store)
+    assert(StreamWinnowIndex.geometry(store) ===
+      Some((StreamWinnowIndex.K, StreamWinnowIndex.W)))
+    StreamWinnowIndex.requireGeometry(store,
+      StreamWinnowIndex.K, StreamWinnowIndex.W) // must not throw
+    assert(StreamWinnowIndex.servedFps(spark, store,
+        StreamWinnowIndex.K, StreamWinnowIndex.W)
+      .as[(Long, Long)].collect().toSet === truth)
+    // a store written under DIFFERENT constants (another code
+    // version): both the apply and the validated read must refuse
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$store/geometry.txt"),
+      "k=9,w=2".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException] {
+      StreamWinnowIndex.applyBatch(df(docs), 1L, "doc_id", "text", store)
+    }
+    assert(e.getMessage.contains("k=9,w=2") &&
+      e.getMessage.contains("k=5,w=4"),
+      s"the refusal must name both geometries: ${e.getMessage}")
+    intercept[IllegalArgumentException] {
+      StreamWinnowIndex.servedFps(spark, store,
+        StreamWinnowIndex.K, StreamWinnowIndex.W)
+    }
+    intercept[IllegalArgumentException] {
+      StreamWinnowIndex.servedFps(spark, freshStore(),
+        StreamWinnowIndex.K, StreamWinnowIndex.W)
+    }
+  }
 }
