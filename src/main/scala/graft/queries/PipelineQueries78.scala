@@ -29,10 +29,55 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries78 {
 
+  /** DuckDB fragments — kept in lockstep with VectorQueries' (the
+    * house sequential-fold arithmetic, bit-identical cross-engine). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+  private def dbl(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+
   /** q395's late-bound oracle (q30's generator over the run's trained
     * centroid literals — own slot so a filtered run stands alone). */
   private object MaintainedIvfOracle {
     @volatile var sql: Option[String] = None
+  }
+
+  /** q399's late-bound oracle: cell-share candidates (the op's OWN
+    * recall contract, replayed — never "assume brute force"), the
+    * cross-slice arrival condition, exact-cosine verification. */
+  private object ArrivalDedupOracle {
+    @volatile var sql: Option[String] = None
+  }
+
+  private def arrivalDedupSql(cents: Array[Array[Double]], probes: Int,
+                              threshold: Double): String = {
+    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    val cells = cents.zipWithIndex.map { case (c, i) =>
+      val n = dbl(math.sqrt(c.map(x => x * x).sum))
+      s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), 'cell': $i}"
+    }.mkString("[", ",\n", "]")
+    val t = dbl(threshold)
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |a AS (SELECT vec_id, list_reverse_sort($cells) AS cs FROM e),
+       |cl AS (
+       |  SELECT vec_id, unnest(list_transform(list_slice(cs, 1, $probes),
+       |    x -> x.cell)) AS cell
+       |  FROM a),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_new,
+       |    y.vec_id AS vec_prior
+       |  FROM cl x JOIN cl y ON x.cell = y.cell
+       |  WHERE (x.vec_id % 3) > (y.vec_id % 3))
+       |SELECT vec_new, vec_prior,
+       |  round(${cosSql("a2.v", "b2.v")}, 6) AS sim
+       |FROM cand JOIN e a2 ON a2.vec_id = vec_new
+       |  JOIN e b2 ON b2.vec_id = vec_prior
+       |WHERE ${cosSql("a2.v", "b2.v")} >= $t""".stripMargin
   }
 
   val defs: Seq[QDef] = Seq(
@@ -85,5 +130,64 @@ object PipelineQueries78 {
             Window.orderBy(col("sim").desc, col("vec_id").asc)))
       },
       None,
-      Some(() => MaintainedIvfOracle.sql)))
+      Some(() => MaintainedIvfOracle.sql)),
+
+    // Embedding DEDUP-ON-ARRIVAL over the maintained postings — the
+    // vector twin of q394: each arriving slice assigns its vectors
+    // inline (the shared ivfAssign derivation), joins the postings
+    // state SO FAR by cell (candidate volume scales with the batch ×
+    // cell density, never the corpus²), verifies exact cosine, and
+    // only then posts itself. The recall contract is the IVF one
+    // (exact-over-cell-share candidates, the nearDupIvf discipline) —
+    // the oracle replays the cell-share condition from centroid
+    // literals plus the cross-slice arrival condition, never assuming
+    // brute-force recall. Threshold 0.4 is the fixture corpus's
+    // planted near-dup regime (the nearDupIvf default's rationale).
+    QDef("q399_embed_dedup_on_arrival",
+      (s, dir) => {
+        import graft.ops.VectorSearch.ivfAssign
+        val store = new java.io.File(
+          "target/stream_ivf_arrival").getAbsolutePath
+        graft.ops.Fs.wipe(store)
+        val emb = Tables.embeddings(s, dir)
+        val cents = kmeansCentroids(
+          sampleVectors(emb, "vec_id", "embedding", n = 512, seed = 42),
+          k = 16, iters = 10, seed = 42)
+        ArrivalDedupOracle.sql = Some(
+          arrivalDedupSql(cents, probes = 2, threshold = 0.4))
+        val e = emb.select(col("vec_id"),
+          toDouble(col("embedding")).as("v"))
+          .localCheckpoint() // both verification sides read it
+        val hits = (0 until 3).map { b =>
+          val batch = emb.where(pmod(col("vec_id"), lit(3)) === b)
+          val cand =
+            if (StreamIvfIndex.appliedBid(store) < 0) None
+            else {
+              val idx = StreamIvfIndex.servedAssign(s, store, cents, 2)
+              // materialized NOW: the next round's serve supersedes
+              // this round's part-artifacts (the q394 lesson)
+              Some(ivfAssign(batch, "vec_id", "embedding", cents, 2)
+                .as("x")
+                .join(idx.as("y"), col("x.cell") === col("y.cell"))
+                .select(col("x.id").as("vec_new"),
+                  col("y.id").as("vec_prior"))
+                .distinct()
+                .localCheckpoint())
+            }
+          StreamIvfIndex.applyBatch(batch, b.toLong, "vec_id",
+            "embedding", cents, 2, store)
+          if (b == 1) StreamIvfIndex.compact(s, store)
+          cand
+        }.flatten.reduce(_ unionAll _)
+        hits
+          .join(e.select(col("vec_id").as("vec_new"),
+            col("v").as("v_n")), "vec_new")
+          .join(e.select(col("vec_id").as("vec_prior"),
+            col("v").as("v_p")), "vec_prior")
+          .filter(cosine(col("v_n"), col("v_p")) >= 0.4)
+          .select(col("vec_new"), col("vec_prior"),
+            round(cosine(col("v_n"), col("v_p")), 6).as("sim"))
+      },
+      None,
+      Some(() => ArrivalDedupOracle.sql)))
 }
