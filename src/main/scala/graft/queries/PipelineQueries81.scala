@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextAnalysis
+import graft.ops.Decontaminate
+import graft.streaming.{StreamMinhashIndex, StreamWinnowIndex}
+import org.apache.spark.sql.functions._
+
+/** Eighty-first pipeline group — the CURATE-ON-ARRIVAL composite
+  * (q400): the three maintained-state curation gates a 100 TB
+  * training-data pipeline applies to every arriving crawl slice,
+  * composed end-to-end and audited per-document by both engines.
+  *
+  *  - QUALITY: a replayable token-count floor (the cheap map-side
+  *    gate; the richer scorers are q16/q68's standalone surface);
+  *  - DEDUP-ON-ARRIVAL: q394's contract — each slice checks the
+  *    MAINTAINED MinHash index state before posting itself, so a doc
+  *    is a dup iff a ≥0.8-Jaccard partner arrived in an EARLIER
+  *    slice (within-slice pairs never meet, stated literally in the
+  *    oracle; q25's full-recall-at-(12,2) argument);
+  *  - DECON: fingerprint overlap against the MAINTAINED winnow index
+  *    of a protected eval set (doc_id % 10 = 7) — the q93 answer
+  *    served from standing state instead of a per-sweep re-winnow.
+  *
+  * Output is one row per arriving doc with all three verdicts and the
+  * composed accept bit — the audit frame a curation run ships with
+  * its output. Every gate is replayed independently by DuckDB from
+  * the raw corpus; the maintained stores only ever ACCELERATE the
+  * answer, never change it.
+  *
+  * CONCURRENCY SCOPE: drives fixed `target/` store paths — correct
+  * under the strictly-single-threaded driver contract (see
+  * [[PipelineQueries75]]'s scope note).
+  */
+object PipelineQueries81 {
+
+  /** Shared DuckDB fragments, kept in lockstep with TextAnalysis. */
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
+  private val tokenHashSql =
+    "cast('0x' || substr(md5(__T__), 1, 8) as bigint)"
+
+  private val NB = 12
+  private val R = 2
+  private val MinTokens = 5
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef("q400_curate_on_arrival",
+      (s, dir) => {
+        val dedupStore = new java.io.File(
+          "target/curate_arrival_minhash").getAbsolutePath
+        val evalStore = new java.io.File(
+          "target/curate_arrival_winnow").getAbsolutePath
+        Seq(dedupStore, evalStore).foreach(graft.ops.Fs.wipe)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        // the protected eval set's maintained winnow index — standing
+        // corpus-side state, built once, served part-addressed
+        val eval = docs.where(pmod(col("doc_id"), lit(10)) === 7)
+        Seq(0, 1).foreach { b =>
+          StreamWinnowIndex.applyBatch(
+            eval.where(pmod(col("doc_id"), lit(2)) === b), b.toLong,
+            "doc_id", "text", evalStore)
+        }
+        val evalFps = StreamWinnowIndex.servedFps(s, evalStore,
+            StreamWinnowIndex.K, StreamWinnowIndex.W)
+          .select(col("fp")).distinct()
+          .localCheckpoint() // joined by the decon gate below
+        // dedup-on-arrival rounds (q394's loop, verbatim contract)
+        val corpus = PipelineQueries77.corpusShingles(s, dir)
+        val hits = (0 until 3).map { b =>
+          val batch = docs.where(pmod(col("doc_id"), lit(3)) === b)
+          val cand =
+            if (StreamMinhashIndex.appliedBid(dedupStore) < 0) None
+            else {
+              val idx = StreamMinhashIndex.servedKeys(s, dedupStore,
+                NB, R)
+              // materialized NOW (the q394 lesson): the next round's
+              // serve vacuums this round's superseded part-artifacts
+              Some(StreamMinhashIndex
+                .batchKeys(batch, "doc_id", "text", NB, R).as("x")
+                .join(idx.as("y"), col("x.bk") === col("y.bk"))
+                .select(col("x.doc_id").as("doc_new"),
+                  col("y.doc_id").as("doc_prior"))
+                .distinct()
+                .localCheckpoint())
+            }
+          StreamMinhashIndex.applyBatch(batch, b.toLong,
+            "doc_id", "text", NB, R, dedupStore)
+          if (b == 1) StreamMinhashIndex.compact(s, dedupStore)
+          cand
+        }.flatten.reduce(_ unionAll _)
+        val dupIds = PipelineQueries77
+          .verifyPairs(hits, corpus, "doc_new", "doc_prior", 0.8)
+          .select(col("doc_new").as("doc_id")).distinct()
+        // decon gate: arrival fingerprints vs the SERVED eval index
+        val deconIds = Decontaminate
+          .fingerprints(docs, "doc_id", "text",
+            StreamWinnowIndex.K, StreamWinnowIndex.W)
+          .join(evalFps, "fp")
+          .select(col("doc_id")).distinct()
+        docs
+          .select(col("doc_id"),
+            (size(TextAnalysis.tokens(col("text"))) >= MinTokens)
+              .as("qb"))
+          .join(dupIds.withColumn("db", lit(true)), Seq("doc_id"), "left")
+          .join(deconIds.withColumn("cb", lit(true)), Seq("doc_id"),
+            "left")
+          .select(col("doc_id"),
+            col("qb").cast("long").as("q_ok"),
+            coalesce(col("db"), lit(false)).cast("long").as("is_dup"),
+            coalesce(col("cb"), lit(false)).cast("long").as("is_decon"),
+            (col("qb") && !coalesce(col("db"), lit(false)) &&
+              !coalesce(col("cb"), lit(false))).cast("long")
+              .as("accepted"))
+      },
+      Some(s"""WITH ${PipelineQueries4.winnowIndexCtesSql},
+              |sh AS (
+              |  SELECT doc_id, list_distinct(list_transform(
+              |    CASE WHEN len(toks) >= 3 THEN
+              |      list_transform(generate_series(1, len(toks) - 2),
+              |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              |      ELSE [] END,
+              |    g -> ${tokenHashSql.replace("__T__", "g")})) AS sh
+              |  FROM t),
+              |p AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    len(list_intersect(a.sh, b.sh)) AS inter,
+              |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+              |      AS uni
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+              |    AND (a.doc_id % 3) != (b.doc_id % 3)),
+              |dup AS (SELECT DISTINCT
+              |    CASE WHEN doc_a % 3 > doc_b % 3 THEN doc_a
+              |      ELSE doc_b END AS doc_id
+              |  FROM p WHERE inter::DOUBLE / uni >= 0.8),
+              |ev AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 = 7),
+              |dec AS (SELECT DISTINCT f.doc_id FROM f
+              |  JOIN ev USING (fp))
+              |SELECT t.doc_id,
+              |  CAST(len(t.toks) >= $MinTokens AS BIGINT) AS q_ok,
+              |  CAST(t.doc_id IN (SELECT doc_id FROM dup) AS BIGINT)
+              |    AS is_dup,
+              |  CAST(t.doc_id IN (SELECT doc_id FROM dec) AS BIGINT)
+              |    AS is_decon,
+              |  CAST(len(t.toks) >= $MinTokens
+              |    AND t.doc_id NOT IN (SELECT doc_id FROM dup)
+              |    AND t.doc_id NOT IN (SELECT doc_id FROM dec)
+              |    AS BIGINT) AS accepted
+              |FROM t""".stripMargin)))
+}
