@@ -216,19 +216,30 @@ object TextQueries {
     QDef("q27_neardup_simhash",
       (s, dir) => Dedup.nearDupSimhash(
         Tables.documents(s, dir), "doc_id", "text"),
-      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-              |h AS (SELECT doc_id,
-              |  list_transform(toks, t -> ${tokenHashSql.replace("__T__", "t")}) AS hs
-              |  FROM t),
-              |sh AS (SELECT doc_id,
-              |  list_sum(list_transform(generate_series(0, 31), b ->
-              |    CASE WHEN list_sum(list_transform(hs,
-              |      h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-              |    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
-              |  FROM h)
-              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |  bit_count(xor(a.simhash, b.simhash)) AS dist
-              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin))
+      Some(simhashNearDupOracleSql))
   )
+
+  /** q27's brute-force hamming oracle — EXACT for the blocked op (the
+    * Manku pigeonhole: distance ≤ 3 forces one agreeing byte, so
+    * 4-byte blocking has full recall). Shared with q401, the
+    * maintained-index twin (PipelineQueries82), so the contract
+    * cannot drift. */
+  // lazy: q27's QDef above captures it during this object's own
+  // initialization, before a plain val declared below `defs` would
+  // have been assigned
+  private[queries] lazy val simhashNearDupOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |h AS (SELECT doc_id,
+       |  list_transform(toks, t -> ${tokenHashSql.replace("__T__", "t")}) AS hs
+       |  FROM t),
+       |sh AS (SELECT doc_id,
+       |  list_sum(list_transform(generate_series(0, 31), b ->
+       |    CASE WHEN list_sum(list_transform(hs,
+       |      h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+       |  FROM h)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS dist
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 }
