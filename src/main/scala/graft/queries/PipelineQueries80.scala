@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.{ArtifactStore, VectorSearch}
 import graft.streaming.{StreamIvfIndex, StreamLshIndex, StreamMinhashIndex,
-  StreamWinnowIndex}
+  StreamSimhashIndex, StreamWinnowIndex}
 import org.apache.spark.sql.functions._
 
 /** Eightieth pipeline group — the maintained-index REGISTRY: every
@@ -17,9 +17,9 @@ import org.apache.spark.sql.functions._
   * content address.
   *
   *  - q397: drives one store of each pinned family (MinHash bands,
-  *    sign-LSH, IVF postings, winnow fingerprints — a mid-life
-  *    compaction on the LSH store so the registry sees a rollup part)
-  *    plus a PLANTED TORN BATCH:
+  *    sign-LSH, IVF postings, winnow fingerprints, SimHash
+  *    signatures — a mid-life compaction on the LSH store so the
+  *    registry sees a rollup part) plus a PLANTED TORN BATCH:
   *    a `bid=99` sidecar written with no watermark move. Both engines
   *    must exclude it — the Spark side through the store protocol's
   *    committed-part filter, the oracle by joining the sidecar list
@@ -85,7 +85,9 @@ object PipelineQueries80 {
         val lsh = new java.io.File("target/registry_lsh").getAbsolutePath
         val ivf = new java.io.File("target/registry_ivf").getAbsolutePath
         val win = new java.io.File("target/registry_winnow").getAbsolutePath
-        Seq(mh, lsh, ivf, win).foreach(graft.ops.Fs.wipe)
+        val sim = new java.io.File(
+          "target/registry_simhash").getAbsolutePath
+        Seq(mh, lsh, ivf, win, sim).foreach(graft.ops.Fs.wipe)
         val docs = Tables.documents(s, dir)
         val emb = Tables.embeddings(s, dir)
         // MinHash bands: two arrival batches
@@ -123,6 +125,12 @@ object PipelineQueries80 {
             docs.where(pmod(col("doc_id"), lit(2)) === b), b.toLong,
             "doc_id", "text", win)
         }
+        // simhash signatures: two arrival batches
+        Seq(0, 1).foreach { b =>
+          StreamSimhashIndex.applyBatch(
+            docs.where(pmod(col("doc_id"), lit(2)) === b), b.toLong,
+            "doc_id", "text", sim)
+        }
         // identity strings come off the PIN ACCESSORS (the engine
         // path); the oracle re-reads the pin files raw
         val mhId = StreamMinhashIndex.geometry(mh)
@@ -135,6 +143,8 @@ object PipelineQueries80 {
             s"dims=${m.head.length}" }.get
         val winId = StreamWinnowIndex.geometry(win)
           .map { case (k, w) => s"k=$k,w=$w" }.get
+        val simId = StreamSimhashIndex.geometry(sim)
+          .map { case (b, k) => s"bits=$b,blocks=$k" }.get
         val (mc, ml) = storeSql("minhash", mh,
           s"(SELECT trim(content) FROM read_text('$mh/geometry.txt'))")
         val (lc, ll) = storeSql("lsh", lsh,
@@ -144,11 +154,14 @@ object PipelineQueries80 {
             s"FROM read_text('$ivf/centroids.txt'))")
         val (wc, wl) = storeSql("winnow", win,
           s"(SELECT trim(content) FROM read_text('$win/geometry.txt'))")
+        val (hc, hl) = storeSql("simhash", sim,
+          s"(SELECT trim(content) FROM read_text('$sim/geometry.txt'))")
         RegistryOracle.sql = Some(
           s"""WITH $mc,
              |$lc,
              |$ic,
-             |$wc
+             |$wc,
+             |$hc
              |$ml
              |UNION ALL
              |$ll
@@ -156,6 +169,8 @@ object PipelineQueries80 {
              |$il
              |UNION ALL
              |$wl
+             |UNION ALL
+             |$hl
              |ORDER BY store""".stripMargin)
         import s.implicits._
         Seq(
@@ -164,7 +179,9 @@ object PipelineQueries80 {
           registryRow("lsh", lshId, lsh, StreamLshIndex.appliedBid(lsh)),
           registryRow("ivf", ivfId, ivf, StreamIvfIndex.appliedBid(ivf)),
           registryRow("winnow", winId, win,
-            StreamWinnowIndex.appliedBid(win)))
+            StreamWinnowIndex.appliedBid(win)),
+          registryRow("simhash", simId, sim,
+            StreamSimhashIndex.appliedBid(sim)))
           .toDF("store", "identity", "applied_bid", "n_parts",
             "fp_sum", "n_rows")
           .orderBy("store")
