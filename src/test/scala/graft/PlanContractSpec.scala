@@ -1205,4 +1205,31 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("documents.parquet"),
       s"q375's serve path must not rescan the corpus:\n$p")
   }
+  test("q395/q393: the maintained ANN/near-dup serves keep bounded " +
+    "join shapes (store-read pins live in the Stream*IndexSpec " +
+    "suites; q395/q401 checkpoint the served frame, which cuts it " +
+    "out of the final plan's lineage)") {
+    val p395 = plan("q395_ann_ivf_maintained_served")
+    assert(p395.contains("TakeOrderedAndProject"),
+      s"q395 re-rank must stay a bounded TakeOrdered:\n$p395")
+    assert(!p395.contains("CartesianProduct"),
+      s"q395 went cartesian:\n$p395")
+    val p393 = plan("q393_neardup_maintained_served")
+    assert(p393.contains("stream_minhash_serve"),
+      s"q393 must read the maintained key store:\n$p393")
+    assert(!p393.contains("CartesianProduct") &&
+      !p393.contains("BroadcastNestedLoopJoin"),
+      s"q393's band self-join must stay an equi join:\n$p393")
+  }
+
+  test("q401: the simhash near-dup answers ENTIRELY off the " +
+    "maintained signature store - the plan never touches document " +
+    "text") {
+    val p = plan("q401_simhash_maintained_neardup")
+    assert(!p.contains("documents.parquet"),
+      s"q401 must not rescan the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q401's byte-block self-join must stay an equi join:\n$p")
+  }
 }
