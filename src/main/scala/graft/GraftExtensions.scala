@@ -114,6 +114,11 @@ object GraftFunctions {
         intArg("graft_minhash2", args, 1)))
     },
 
+    fn("graft_simhash60", "tokens",
+      "60-bit SimHash (the wide dedup geometry)") { args =>
+      arity("graft_simhash60", args, 1)
+      unwrap(TextAnalysis.simhash60(wrap(args.head)))
+    },
     fn("graft_simhash", "tokens",
       "32-bit SimHash over the token multiset (codegen'd kernel)") { args =>
       arity("graft_simhash", args, 1)

@@ -172,6 +172,17 @@ object TextAnalysis {
       org.apache.spark.sql.GraftExpr.expression(
         transform(toks, t => tokenHash(t)))))
 
+  /** 60-bit SimHash over [[graft.ops.Sketches.hash60]] token hashes —
+    * the WIDE dedup geometry ([[simhash32]]'s majority rule, 60
+    * positions): four 15-bit blocking slices give 32768 buckets each,
+    * collapsing the blocked self-join's bucket density at corpus
+    * scale while keeping the distance-3 pigeonhole recall guarantee.
+    */
+  def simhash60(toks: Column): Column =
+    org.apache.spark.sql.GraftExpr.column(graft.expressions.SimHashBits(
+      org.apache.spark.sql.GraftExpr.expression(
+        transform(toks, t => graft.ops.Sketches.hash60(t))), 60))
+
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

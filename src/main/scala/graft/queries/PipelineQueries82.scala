@@ -62,5 +62,34 @@ object PipelineQueries82 {
           .distinct()
           .filter(col("dist") <= 3)
       },
-      Some(TextQueries.simhashNearDupOracleSql)))
+      Some(TextQueries.simhashNearDupOracleSql)),
+
+    // The WIDE simhash geometry (the sf1 density ledger's promised
+    // fix, delivered): 60-bit signatures over hash60 token hashes,
+    // blocked on four 15-bit slices — same pigeonhole recall
+    // guarantee at distance <= 3, but 32768 bucket values per slice
+    // instead of 256, so the blocked self-join's Σ bucket² term (the
+    // measured 15.5x-for-10x super-linearity of q27's 32-bit sketch
+    // at sf1) collapses toward linear. The oracle replays the 60-bit
+    // majority rule and brute-force hamming in DuckDB.
+    QDef("q402_neardup_simhash_wide",
+      (s, dir) => graft.ops.Dedup.nearDupSimhashWide(
+        Tables.documents(s, dir), "doc_id", "text"),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |  list_filter(string_split(text, ' '), x -> x != '')
+              |    AS toks FROM documents),
+              |h AS (SELECT doc_id,
+              |  list_transform(toks,
+              |    t -> cast('0x' || substr(md5(t), 1, 15) as bigint)) AS hs
+              |  FROM t),
+              |sh AS (SELECT doc_id,
+              |  list_sum(list_transform(generate_series(0, 59), b ->
+              |    CASE WHEN list_sum(list_transform(hs,
+              |      h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+              |    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+              |  FROM h)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  bit_count(xor(a.simhash, b.simhash)) AS dist
+              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)))
 }

@@ -38,6 +38,34 @@ class DedupSpec extends SparkSpec {
     assert(blocked === brute)
   }
 
+  test("WIDE simhash 15-bit-slice blocking finds EVERY pair within " +
+    "hamming distance 3 (the q402 geometry)") {
+    val rnd = new Random(20)
+    val base = (1 to 40).map(i => s"tok$i")
+    val docs = (0 until 60).map { i =>
+      val drop = rnd.nextInt(4)
+      val txt = (base.drop(drop) ++ Seq.fill(rnd.nextInt(3))(s"x${rnd.nextInt(5)}"))
+        .mkString(" ")
+      (i.toLong, txt)
+    }.toDF("doc_id", "text")
+    val blocked = Dedup.nearDupSimhashWide(docs, "doc_id", "text",
+        maxDist = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sh = docs.select(col("doc_id"),
+        graft.functions.TextAnalysis.simhash60(
+          graft.functions.TextAnalysis.tokens(col("text"))).as("s"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(brute.nonEmpty, "test data must actually contain close pairs")
+    assert(blocked === brute)
+    // the signature uses all 60 positions, not a 32-bit truncation
+    assert(sh.exists { case (_, s) => (s >>> 32) != 0L },
+      "high bits must carry signal")
+  }
+
   test("minhash LSH + exact verify finds the planted near-dups") {
     val rnd = new Random(21)
     val vocab = (1 to 200).map(i => s"w$i")
