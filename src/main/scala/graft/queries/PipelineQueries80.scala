@@ -47,8 +47,16 @@ object PipelineQueries80 {
   private def registryRow(store: String, identity: String,
                           dirPath: String, applied: Long)
       : (String, String, Long, Long, String, Long) = {
+    // the bid parse fails LOUDLY naming the entry (the
+    // DeltaPartsStore.bidOf rule): a foreign `bid=tmp` sidecar must
+    // not surface as a bare NumberFormatException deep in the filter
     val parts = ArtifactStore.readFpParts(s"$dirPath/parts",
-      p => p.startsWith("bid=") && p.drop(4).toLong <= applied)
+      p => p.startsWith("bid=") && (p.drop(4).toLongOption match {
+        case Some(b) => b <= applied
+        case None => throw new IllegalStateException(
+          s"unparseable part id '$p' under $dirPath/parts — expected " +
+            "bid=<long>")
+      }))
     val sum = parts.map(_._2._1)
       .foldLeft(BigInt(0))((a, b) => (a + b).mod(Mod64))
     (store, identity, applied, parts.size.toLong,

@@ -86,10 +86,18 @@ object StreamIvfIndex {
         .trim.split("\n")
       val hdr = "probes=(\\d+),k=(\\d+),dims=(\\d+)".r
       lines.head match {
-        case hdr(pr, k, _) =>
+        case hdr(pr, k, d) =>
           val m = lines.tail.map(_.split(",").map(_.toDouble))
           require(m.length == k.toInt,
             s"centroid pin at $p declares k=$k but has ${m.length} rows")
+          // a truncated row would hand readers a ragged matrix that
+          // probes silently wrong cells — the failure class every
+          // other pin read refuses by name
+          m.zipWithIndex.foreach { case (row, i) =>
+            require(row.length == d.toInt,
+              s"centroid pin at $p declares dims=$d but row $i has " +
+                s"${row.length} values — refusing a ragged matrix")
+          }
           Some((m, pr.toInt))
         case body => throw new IllegalStateException(
           s"unparseable centroid pin at $p: '$body'")

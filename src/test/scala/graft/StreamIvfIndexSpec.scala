@@ -97,6 +97,17 @@ class StreamIvfIndexSpec extends SparkSpec {
     assert(fold(store) === truth, "refused batches must not commit")
     assert(StreamIvfIndex.servedAssign(spark, store, cents, P)
       .as[(Long, Int)].collect().toSet === truth)
+    // a truncated pin row (external corruption) must refuse by name,
+    // never hand a reader a ragged matrix
+    val pin = java.nio.file.Paths.get(s"$store/centroids.txt")
+    val lines = java.nio.file.Files.readAllLines(pin)
+    lines.set(1, lines.get(1).split(",").take(3).mkString(","))
+    java.nio.file.Files.write(pin, lines)
+    val er = intercept[IllegalArgumentException] {
+      StreamIvfIndex.centroids(store)
+    }
+    assert(er.getMessage.contains("ragged"),
+      s"the ragged-pin refusal must say why: ${er.getMessage}")
     intercept[IllegalArgumentException] {
       StreamIvfIndex.servedAssign(spark, freshStore(), cents, P)
     }
