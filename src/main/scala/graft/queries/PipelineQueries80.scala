@@ -42,6 +42,11 @@ object PipelineQueries80 {
     @volatile var sql: Option[String] = None
   }
 
+  /** q403's late-bound oracle (embeds the store + artifact roots). */
+  private object StalenessOracle {
+    @volatile var sql: Option[String] = None
+  }
+
   /** One registry row from the STORE PROTOCOL's own reads: watermark
     * from meta, committed sidecars only, the canonical fold. */
   private def registryRow(store: String, identity: String,
@@ -195,5 +200,83 @@ object PipelineQueries80 {
           .orderBy("store")
       },
       None,
-      Some(() => RegistryOracle.sql)))
+      Some(() => RegistryOracle.sql)),
+
+    // The registry-driven STALENESS audit (the freshness question
+    // q397 and q371 each answer half of): which committed artifacts
+    // still match their source store's CURRENT content address? The
+    // serve path answers this implicitly (a stale address rebuilds on
+    // the next serve); this makes it QUERYABLE for artifacts nobody
+    // has re-served — the fleet-operator question "what would rebuild
+    // if swept right now". A monolithic rollup builds over the
+    // maintained store, the store moves on (one more batch, NOT
+    // re-served — now stale), a sibling builds after the append
+    // (current). Both engines derive "current" independently — the
+    // Spark side through the store protocol's sidecar fold, the
+    // oracle by re-deriving the FOLD AND ITS 16-HEX FORMAT from raw
+    // sidecar JSON (combineParts replayed literally, hex and all) —
+    // and read the same manifests. Single-threaded-driver scope.
+    QDef("q403_artifact_staleness",
+      (s, dir) => {
+        val store = new java.io.File(
+          "target/staleness_minhash").getAbsolutePath
+        val root = new java.io.File(
+          "target/artifacts_staleness").getAbsolutePath
+        Seq(store, root).foreach(graft.ops.Fs.wipe)
+        val docs = Tables.documents(s, dir)
+        Seq(0, 1).foreach { b =>
+          StreamMinhashIndex.applyBatch(
+            docs.where(pmod(col("doc_id"), lit(3)) === b), b.toLong,
+            "doc_id", "text", 12, 2, store)
+        }
+        val prev = s.conf.getOption(ArtifactStore.RootConf)
+        val fpNow =
+          try {
+            s.conf.set(ArtifactStore.RootConf, root)
+            def rollup(name: String) = ArtifactStore.buildOrServe(s,
+              name, StreamMinhashIndex.storeFingerprint(store),
+              "agg=perdoc", s"$store#$name")(
+              StreamMinhashIndex.keys(s, store)
+                .groupBy(col("doc_id"))
+                .agg(count(lit(1)).as("n_keys")))
+            rollup("minhash_rollup").count() // built at the 2-batch address
+            // the store moves on; the rollup is NOT re-served → stale
+            StreamMinhashIndex.applyBatch(
+              docs.where(pmod(col("doc_id"), lit(3)) === 2), 2L,
+              "doc_id", "text", 12, 2, store)
+            rollup("minhash_rollup_fresh").count() // current by construction
+            StreamMinhashIndex.storeFingerprint(store)
+          } finally prev match {
+            case Some(r) => s.conf.set(ArtifactStore.RootConf, r)
+            case None => s.conf.unset(ArtifactStore.RootConf)
+          }
+        val mod = "CAST('18446744073709551616' AS HUGEINT)"
+        val hsum = s"(sum(s2) % $mod)"
+        StalenessOracle.sql = Some(
+          s"""WITH m AS (SELECT CAST(trim(content) AS BIGINT) AS applied
+             |  FROM read_text('$store/meta.txt')),
+             |f AS (SELECT CAST(sum AS HUGEINT) AS s2,
+             |    CAST(n AS BIGINT) AS n
+             |  FROM read_json_auto('$store/parts/_fp/*.json'), m
+             |  WHERE CAST(replace(part, 'bid=', '') AS BIGINT)
+             |    <= m.applied),
+             |cur AS (SELECT
+             |  lower(lpad(to_hex(CAST($hsum // 4294967296 AS BIGINT)),
+             |      8, '0') ||
+             |    lpad(to_hex(CAST($hsum % 4294967296 AS BIGINT)),
+             |      8, '0')) || '_' || CAST(sum(n) AS VARCHAR) AS fp
+             |  FROM f)
+             |SELECT name, fingerprint,
+             |  CAST(fingerprint = cur.fp AS BIGINT) AS is_current
+             |FROM read_json_auto('$root/*/*/*/manifest.json'), cur
+             |ORDER BY name""".stripMargin)
+        s.read.schema("name STRING, fingerprint STRING")
+          .json(s"$root/*/*/*/manifest.json")
+          .select(col("name"), col("fingerprint"),
+            (col("fingerprint") === lit(fpNow)).cast("long")
+              .as("is_current"))
+          .orderBy("name")
+      },
+      None,
+      Some(() => StalenessOracle.sql)))
 }
