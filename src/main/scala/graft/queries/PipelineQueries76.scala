@@ -15,19 +15,22 @@ import org.apache.spark.sql.functions._
   * stores do — O(#commits) metadata reads, zero corpus scans.
   *
   *  - q388: a part-addressed artifact over the INGESTED `transactions`
-  *    table, driven through a real multi-batch ingest lifecycle:
-  *    10 blocks arrive and the per-block txn-type rollup artifact
-  *    builds from the write-time sidecars (one partition-sized build
-  *    per committed block partition, never a table scan); 5 more
-  *    blocks commit and the re-serve rebuilds ONLY the 5 new
-  *    partitions (FactSidecarSpec pins the build count at 40+20
-  *    blocks); the final serve is a pure multi-path parquet scan. The
-  *    oracle computes the same rollup from the block fixture's
-  *    transactions directly — the ingest, the sidecar addressing, and
-  *    the artifact serving audited as one contract. The benched
-  *    lifecycle is deliberately SMALL (15 blocks): what it measures is
-  *    the protocol, and each block partition is a part-build job — a
-  *    60-block run spent 4/5 of its time on job scheduling, not data.
+  *    table, driven through a real multi-batch ingest lifecycle at the
+  *    HEIGHT-BUCKETED layout (r15 verdict #1): 10 blocks arrive and
+  *    the txn-type rollup artifact builds from the write-time sidecars
+  *    — one bucket-sized build per committed `hb=` bucket, O(#buckets)
+  *    jobs regardless of chain length, never a table scan; 5 more
+  *    blocks commit and the re-serve rebuilds ONLY the dirtied buckets
+  *    (FactSidecarSpec pins the build counts); a compaction then folds
+  *    the multi-slice bucket — fingerprint-invariant, so the final
+  *    serve rebuilds NOTHING and is a pure multi-path parquet scan.
+  *    The oracle computes the same rollup from the block fixture's
+  *    transactions directly — the ingest, the sidecar addressing, the
+  *    compaction, and the artifact serving audited as one contract.
+  *    The benched lifecycle is deliberately SMALL (15 blocks): what it
+  *    measures is the protocol. (The bucketed layout exists because
+  *    its per-block ancestor made every partition a part-build job —
+  *    a 60-block run spent 4/5 of its time on job scheduling.)
   *
   * CONCURRENCY SCOPE: like q383–q387, drives a fixed `target/` sink —
   * correct under the strictly-single-threaded driver contract
@@ -114,21 +117,29 @@ object PipelineQueries76 {
         graft.ops.Fs.wipe(sink)
         val blocks = s.read.schema(BlockIngest.blockSchema)
           .json(s"${FixtureGen.FixtureDir}/stream/blocks.jsonl")
+        // 4-block buckets so the 15-block lifecycle spans hb 0..3 —
+        // the bucketed layout's whole point is O(#buckets) parts
         def serve() = ArtifactStore.buildOrServeParts(s,
-          "txn_type_counts", BlockIngest.factParts(sink, "transactions"),
+          "txn_type_counts",
+          BlockIngest.factParts(s, sink, "transactions"),
           "by=block,type", sourceKey = s"$sink/transactions") { pid =>
           BlockIngest.readFactPart(s, sink, "transactions", pid)
             .groupBy(col("block"), col("type"))
             .agg(count(lit(1)).as("n"))
         }
         BlockIngest.processBatch(s,
-          blocks.filter(col("height").between(1L, 10L)), sink)
-        serve().count() // builds the 10 committed block partitions
+          blocks.filter(col("height").between(1L, 10L)), sink,
+          bucketBlocks = Some(4L))
+        serve().count() // builds the 3 committed buckets (hb 0..2)
         BlockIngest.processBatch(s,
           blocks.filter(col("height").between(11L, 15L)), sink)
-        // delta re-serve: only the 5 appended partitions build; the
-        // rows below come off the committed artifact parts, a pure
-        // multi-path parquet scan
+        // delta re-serve: only the two dirtied buckets (hb=2 gains
+        // block 11, hb=3 is new) rebuild; then a COMPACTION folds the
+        // two slices of hb=2 — a fingerprint-invariant repack, so the
+        // final serve is a pure multi-path parquet scan with ZERO
+        // rebuilds over the compacted layout
+        serve().count()
+        BlockIngest.compactFacts(s, sink)
         serve().select(col("block"), col("type"), col("n"))
       },
       Some(s"""SELECT CAST(block AS BIGINT) AS block, type,

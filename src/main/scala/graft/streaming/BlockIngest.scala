@@ -21,9 +21,27 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *    gap-free, else the batch aborts (crash-equivalent of the
   *    reference's assert);
   *  - fact tables (blocks, transactions, transaction_actors) are written
-  *    height-partitioned with dynamic partition overwrite, so a replayed
-  *    batch overwrites its own partitions — idempotent, the parquet
-  *    stand-in for the reference's `on conflict do nothing`;
+  *    partitioned by (height BUCKET, batch slice) with dynamic partition
+  *    overwrite, so a replayed batch overwrites its own leaves —
+  *    idempotent, the parquet stand-in for the reference's `on conflict
+  *    do nothing`. `hb = height div K` (K pinned per sink in
+  *    `_layout.json`, default 1024) keeps the directory count
+  *    O(chain/K + #batches) instead of one directory per block: at the
+  *    reference's archived chain height (1,526,437 blocks,
+  *    ref: config/sys.config:67) the per-block layout meant ~1.5M
+  *    directories per fact table, a 1.5M-file driver-side sidecar scan,
+  *    and one Spark job per partition in a part-addressed artifact
+  *    build. `slice = the batch's committed height` is the visibility
+  *    gate (a torn batch's slices sit above the watermark) and, unlike
+  *    the per-block layout, requires the next batch to REMOVE
+  *    above-watermark slices before writing — a replayed batch with
+  *    different boundaries would otherwise leave a stale slice that
+  *    becomes visible when the watermark later passes it. Height-range
+  *    reads prune at the bucket directories ([[readFactRange]]) and at
+  *    parquet row-group stats on the in-file height column;
+  *    [[compactFacts]] folds a bucket's slices into one under the
+  *    two-rename protocol, so a long-lived 1-block-batch follower still
+  *    converges to O(chain/K) directories;
   *  - the inventory (latest-per-key MERGE state) records the height it
   *    has merged through; a replayed batch is skipped rather than
   *    double-merged (the trigger-upsert is not idempotent per row);
@@ -69,9 +87,11 @@ object BlockIngest {
       StructField("fields", StringType)))))))
 
   /** Tables a commit manifest covers, with how their files version:
-    * fact tables are height-partitioned (files for heights ≤ the
-    * commit are immutable), inventories are MVCC bucket versions
-    * (Inventory.mergeBucketedBy), stats are whole-table versions.
+    * fact tables are (hb, slice)-partitioned (slices ≤ the commit are
+    * immutable between compactions), inventories are MVCC bucket
+    * versions (Inventory.mergeBucketedBy), stats are whole-table
+    * versions. The mapped column is the table's HEIGHT column — a data
+    * column in the files, from which the `hb` bucket derives.
     */
   private val factTables = Seq("blocks" -> "height",
     "transactions" -> "block", "transaction_actors" -> "block",
@@ -80,6 +100,108 @@ object BlockIngest {
     "gateway_scales" -> "block")
   private val inventoryTables = Seq("actor_inventory", "gateway_inventory",
     "validator_inventory", "account_inventory", "oui_inventory")
+
+  // ---- fact layout: height buckets, pinned per sink ----
+
+  /** Default height-bucket width: how many consecutive block heights
+    * share one `hb=` partition directory. 1024 keeps a
+    * 1.5M-block chain at ~1.5k bucket directories per fact table. */
+  val DefaultBucketBlocks: Long = 1024L
+
+  private def layoutPath(sinkDir: String) =
+    Paths.get(s"$sinkDir/_layout.json")
+
+  private val LayoutRe = """\{"fact_bucket_blocks":\s*(\d+)\}""".r
+
+  /** The sink's pinned bucket width, or None for a sink with no
+    * batches yet. Unparseable pin → fail LOUDLY (guessing a width
+    * mis-buckets every later batch and silently splits partitions). */
+  def factBucketBlocks(sinkDir: String): Option[Long] =
+    if (!Files.exists(layoutPath(sinkDir))) None
+    else new String(Files.readAllBytes(layoutPath(sinkDir)),
+      "UTF-8").trim match {
+      case LayoutRe(k) => Some(k.toLong)
+      case body => throw new IllegalStateException(
+        s"unparseable fact layout pin ${layoutPath(sinkDir)}: '$body' " +
+          "— expected {\"fact_bucket_blocks\":<long>}")
+    }
+
+  /** Adopt or verify the sink's bucket width: the FIRST batch pins the
+    * requested width (default [[DefaultBucketBlocks]]); later batches
+    * must match the pin or refuse loudly — two widths in one sink
+    * would scatter one height range across incompatible buckets. */
+  private def ensureLayout(sinkDir: String, requested: Option[Long]): Long =
+    factBucketBlocks(sinkDir) match {
+      case Some(pinned) =>
+        requested.foreach(r => require(r == pinned,
+          s"fact bucket width $r requested but $sinkDir is pinned at " +
+            s"$pinned blocks/bucket — the layout pin is immutable"))
+        pinned
+      case None =>
+        val k = requested.getOrElse(DefaultBucketBlocks)
+        require(k > 0, s"bucket width must be positive, got $k")
+        Files.createDirectories(Paths.get(sinkDir))
+        val tmp = Paths.get(s"$sinkDir/._layout.json.tmp")
+        Files.write(tmp,
+          s"""{"fact_bucket_blocks":$k}""".getBytes("UTF-8"))
+        Files.move(tmp, layoutPath(sinkDir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        k
+    }
+
+  /** `hb` value of a height under bucket width `k`. */
+  private def hbCol(heightCol: String, k: Long): org.apache.spark.sql.Column =
+    expr(s"$heightCol div ${k}L")
+
+  /** Remove fact slices ABOVE the committed watermark — torn debris a
+    * crashed batch left. Under the per-block layout a torn partition
+    * stayed invisible until the block that owned it overwrote it; a
+    * SLICE becomes visible as soon as the watermark passes its height
+    * even if no replay overwrote it (a replay with different batch
+    * boundaries commits at a different slice), so the next writer must
+    * clean first. Single-writer contract: nothing above the watermark
+    * is live. Sidecars of the removed slices go with them. */
+  private def cleanTornSlices(sinkDir: String, committed: Long): Unit =
+    factTables.foreach { case (table, _) =>
+      val root = Paths.get(s"$sinkDir/$table")
+      if (Files.isDirectory(root)) {
+        graft.ops.Fs.ls(root)
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("hb="))
+          .foreach { hbDir =>
+            graft.ops.Fs.ls(hbDir).foreach { sl =>
+              val n = sl.getFileName.toString
+              if (n.startsWith("slice=") &&
+                n.stripPrefix("slice=").toLongOption.exists(_ > committed))
+                graft.ops.Fs.deleteRec(sl)
+            }
+          }
+        val fp = root.resolve("_fp")
+        if (Files.isDirectory(fp)) graft.ops.Fs.ls(fp).foreach { p =>
+          val n = p.getFileName.toString
+          if (n.endsWith(".json")) parseFactPid(n.stripSuffix(".json"),
+              s"$sinkDir/$table") match {
+            case (_, slice) if slice > committed => Files.delete(p)
+            case _ =>
+          }
+        }
+      }
+    }
+
+  /** Parse a fact sidecar part id `hb=<b>.slice=<h>`; anything else
+    * fails LOUDLY — skipping it would fold a fingerprint over a
+    * subset of the table, the silent-staleness failure the protocol
+    * exists to prevent. */
+  private def parseFactPid(pid: String, where: String): (Long, Long) = {
+    val FactPid = """hb=(-?\d+)\.slice=(\d+)""".r
+    pid match {
+      case FactPid(b, s) => (b.toLong, s.toLong)
+      case _ => throw new IllegalStateException(
+        s"unparseable fact sidecar part id '$pid' under $where — " +
+          "expected hb=<long>.slice=<long>")
+    }
+  }
 
   /** The commit point is the newest manifest in `_commits/` — one
     * atomically-renamed JSON file per batch, named by its committed
@@ -123,7 +245,8 @@ object BlockIngest {
     */
   def processBatch(spark: SparkSession, batch: DataFrame, sinkDir: String,
                    crashAt: Option[String] = None,
-                   retainCommits: Int = 1): Unit = {
+                   retainCommits: Int = 1,
+                   bucketBlocks: Option[Long] = None): Unit = {
     def t[A](tag: String)(f: => A): A =
       if (!sys.env.contains("GRAFT_INGEST_TIMING")) f
       else {
@@ -136,6 +259,12 @@ object BlockIngest {
         throw new IllegalStateException(s"injected crash at $point")
     import spark.implicits._
     val committed = committedHeight(sinkDir)
+    val k = ensureLayout(sinkDir, bucketBlocks)
+    // recovery strictly before any write: restore a torn compaction
+    // and remove torn slices a crashed batch left above the watermark
+    // (they would become VISIBLE once the watermark passes them)
+    recoverFactCompaction(sinkDir)
+    cleanTornSlices(sinkDir, committed)
     // replay filter: already-committed heights are dropped (idempotence)
     val fresh = batch.filter(col("height") > committed).cache()
     try {
@@ -182,30 +311,29 @@ object BlockIngest {
       // trigger, ref: migrations/1580305069:4-10)
       val batchTime = fresh.agg(max(col("time"))).head().getLong(0)
 
-      // PHASE 1 — the fact tables (dynamic partition overwrite: a
-      // replayed batch rewrites ONLY its own height partitions; static
-      // mode would truncate the table)
+      // PHASE 1 — the fact tables (dynamic partition overwrite of the
+      // (hb, slice) leaves: a replayed batch rewrites ONLY its own
+      // leaves; static mode would truncate the table). The height
+      // column stays a DATA column — bucket dirs give height-range
+      // directory pruning, row-group stats prune inside a bucket.
+      def writeFact(df: DataFrame, table: String, heightCol: String): Unit =
+        df.withColumn("hb", hbCol(heightCol, k))
+          .withColumn("slice", lit(newCommitted))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("hb", "slice")
+          .parquet(s"$sinkDir/$table")
       par(
         "blocks" -> (() =>
-          fresh.select("height", "time", "block_hash", "prev_hash",
-              "election_epoch", "epoch_start", "hbbft_round",
-              "snapshot_hash")
-            .write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("height")
-            .parquet(s"$sinkDir/blocks")),
-        "txns" -> (() =>
-          txns.write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("block")
-            .parquet(s"$sinkDir/transactions")),
+          writeFact(fresh.select("height", "time", "block_hash",
+              "prev_hash", "election_epoch", "epoch_start", "hbbft_round",
+              "snapshot_hash"), "blocks", "height")),
+        "txns" -> (() => writeFact(txns, "transactions", "block")),
         "actors" -> (() =>
-          Actors.transactionActors(txns)
-            .write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("block")
-            .parquet(s"$sinkDir/transaction_actors")),
-        "derived" -> (() => writeDerivedFacts(sinkDir, txns)))
+          writeFact(Actors.transactionActors(txns), "transaction_actors",
+            "block")),
+        "derived" -> (() =>
+          writeDerivedFacts(sinkDir, txns, writeFact(_, _, "block"))))
       crash("after-facts")
 
       // PHASE 2 — everything derived from the committed-height facts
@@ -215,7 +343,8 @@ object BlockIngest {
       // against their own prior state
       par(
         "dirty" -> (() =>
-          writeDirtySets(spark, sinkDir, fresh, committed)),
+          writeDirtySets(spark, sinkDir, fresh, committed,
+            writeFact(_, _, "block"))),
         "snap" -> (() => writeSnapshotManifest(spark, sinkDir, fresh)),
         "inv-actor" -> (() => mergeActorInventory(spark, sinkDir,
           committed, newCommitted, batchTime)),
@@ -234,7 +363,8 @@ object BlockIngest {
       // BEFORE the commit point (a torn batch's sidecars sit above
       // the watermark, where factParts never reads them); needs the
       // dirty/scales partitions, hence after phase 2
-      t("sidecars")(writeFactSidecars(spark, sinkDir, heights.toIndexedSeq))
+      t("sidecars")(writeFactSidecars(spark, sinkDir,
+        heights.map(_ / k).distinct.toIndexedSeq, newCommitted))
       crash("before-commit")
 
       // THE commit point: one atomically-renamed manifest listing every
@@ -263,9 +393,10 @@ object BlockIngest {
   private def mergeActorInventory(spark: SparkSession, sinkDir: String,
                                   committed: Long, newCommitted: Long,
                                   batchTime: Long): Unit = {
-    // partition-column inference reads `block` back as int — normalize
+    // slice pruning: the batch's rows are exactly the slices above the
+    // prior watermark — a batch-sized read, never the actor history
     val batchActors = spark.read.parquet(s"$sinkDir/transaction_actors")
-      .withColumn("block", col("block").cast("long"))
+      .where(col("slice") > committed)
       .filter(col("block") > committed && col("block") <= newCommitted)
       .select(col("actor"), col("block"), col("actor_role"))
     // the LARGEST inventory (one row per actor ever seen) uses the
@@ -422,15 +553,14 @@ object BlockIngest {
     *  - oracle_prices: price-oracle submissions
     *    (ref: src/be_db_oracle_price.erl)
     */
-  private def writeDerivedFacts(sinkDir: String, txns: DataFrame): Unit = {
+  private def writeDerivedFacts(sinkDir: String, txns: DataFrame,
+                                writeFact: (DataFrame, String) => Unit)
+      : Unit = {
     val parsed = txns.select(col("block"), col("hash"), col("type"),
       col("time"), from_json(col("fields"), Actors.fieldsSchema).as("f"))
     val f = col("f")
 
-    def write(df: DataFrame, table: String): Unit =
-      df.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic").partitionBy("block")
-        .parquet(s"$sinkDir/$table")
+    def write(df: DataFrame, table: String): Unit = writeFact(df, table)
 
     write(parsed.filter(col("type").isin("rewards_v1", "rewards_v2"))
       .select(col("block"), col("hash"), col("time"),
@@ -497,14 +627,19 @@ object BlockIngest {
     * half-applied batch (which would silently drop dirty rows).
     */
   private def writeDirtySets(spark: SparkSession, sinkDir: String,
-                             fresh: DataFrame, committed: Long): Unit = {
+                             fresh: DataFrame, committed: Long,
+                             writeFact: (DataFrame, String) => Unit)
+      : Unit = {
     val accountRoles = Seq("payer", "payee", "owner", "escrow")
     val gatewayRoles = Seq("gateway", "reward_gateway", "witness",
       "challenger", "challengee", "packet_receiver")
     val validatorRoles = Seq("validator", "consensus_member",
       "consensus_failure_member", "consensus_failure_failed_member")
+    // slice > committed = exactly the leaves phase 1 just wrote: the
+    // scan is batch-sized via slice-directory pruning, never a walk of
+    // the whole actor history
     val actors = spark.read.parquet(s"$sinkDir/transaction_actors")
-      .withColumn("block", col("block").cast("long"))
+      .where(col("slice") > committed)
     val fromActors = actors.select(col("block"), col("actor"),
         when(col("actor_role").isin(accountRoles.map(x => x: Any): _*), "account")
           .when(col("actor_role").isin(gatewayRoles.map(x => x: Any): _*), "gateway")
@@ -529,8 +664,7 @@ object BlockIngest {
     val scalesDir = s"$sinkDir/gateway_scales"
     val stored = if (Files.exists(Paths.get(scalesDir)))
       spark.read.parquet(scalesDir)
-        .withColumn("block", col("block").cast("long"))
-        .filter(col("block") <= committed)
+        .filter(col("slice") <= committed && col("block") <= committed)
         .groupBy(col("actor"))
         .agg(max_by(col("scale"), col("block")).as("stored_scale"))
     else spark.createDataFrame(
@@ -562,22 +696,17 @@ object BlockIngest {
     // actor-dirty gateways are re-added harmlessly (distinct below) —
     // the reference's cache check only avoids double-processing
 
-    actorDirty
+    writeFact(actorDirty
       .unionByName(fromCdcPlain)
       .unionByName(guarded)
       .unionByName(plainGw)
-      .distinct()
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic").partitionBy("block")
-      .parquet(s"$sinkDir/dirty_sets")
+      .distinct(), "dirty_sets")
 
-    // append the batch's carried scales to the height-partitioned log —
-    // a replayed batch dynamic-overwrites its OWN partitions, so the
-    // write is idempotent and never mutates pre-batch history
+    // append the batch's carried scales to the bucketed log — a
+    // replayed batch dynamic-overwrites its OWN leaves, so the write
+    // is idempotent and never mutates pre-batch history
     if (carried.limit(1).count() > 0)
-      carried.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic").partitionBy("block")
-        .parquet(scalesDir)
+      writeFact(carried, "gateway_scales")
   }
 
   // ---- write-time fingerprint sidecars over the fact tables ----
@@ -590,14 +719,16 @@ object BlockIngest {
   // precompute instinct as the reference's txn JSON cache
   // (ref: src/be_txn.erl:14-126).
 
-  /** One grouped part-sized scan per touched table: fingerprint the
-    * batch's freshly-written partitions AS READ BACK (the canonical
-    * [[readFactPart]] basis — data columns in written order, the
-    * partition column cast to long) and record the `_fp` sidecars.
-    * A replayed batch overwrites its own partitions with identical
-    * rows, so the sidecar overwrite is idempotent. */
+  /** One grouped batch-sized scan per touched table: fingerprint the
+    * batch's freshly-written `hb=B/slice=H` leaves AS READ BACK (the
+    * canonical hash basis — DATA columns in written order; the hb and
+    * slice partition columns are physical layout, excluded so the
+    * table fingerprint is invariant under [[compactFacts]]' repack)
+    * and record one `_fp` sidecar per leaf. A replayed batch
+    * overwrites its own leaves with identical rows, so the sidecar
+    * overwrite is idempotent. */
   private def writeFactSidecars(spark: SparkSession, sinkDir: String,
-                                heights: Seq[Long]): Unit = {
+                                buckets: Seq[Long], slice: Long): Unit = {
     // one grouped scan per table, submitted CONCURRENTLY (Par.run —
     // awaits all, so no straggler survives a failure): the nine scans
     // are independent batch-sized jobs, and sequential submission made
@@ -605,82 +736,299 @@ object BlockIngest {
     // overhead per batch, the q388 lifecycle measured it);
     // writeFpPart is atomic per file, tables never share one
     graft.ops.Par.run(factTables, factTables.size) {
-      case (table, partCol) =>
+      case (table, _) =>
         val dir = s"$sinkDir/$table"
-        // a table writes NO partition for a height with no rows
-        // (e.g. rewards on a rewardless block): sidecars exist iff
-        // data does
-        val present = heights.map(h => h -> s"$dir/$partCol=$h")
+        // a table writes NO leaf for a bucket with no rows (e.g.
+        // rewards on a rewardless range): sidecars exist iff data does
+        val present = buckets.map(b => b -> s"$dir/hb=$b/slice=$slice")
           .filter { case (_, d) => Files.exists(Paths.get(d)) }
         if (present.nonEmpty) {
           val back = spark.read.option("basePath", dir)
             .parquet(present.map(_._2): _*)
-            .withColumn(partCol, col(partCol).cast("long"))
-          graft.ops.ArtifactStore.partFingerprints(back, partCol)
+          val dataCols = back.columns.filterNot(c =>
+            c == "hb" || c == "slice").toSeq
+          graft.ops.ArtifactStore.partFingerprints(back, "hb", dataCols)
             .foreach { case (pid, fp) =>
-              graft.ops.ArtifactStore.writeFpPart(dir, pid, fp) }
+              val b = pid.stripPrefix("hb=")
+              graft.ops.ArtifactStore.writeFpPart(dir,
+                s"hb=$b.slice=$slice", fp) }
         }
     }
     ()
   }
 
-  /** The committed (partId → part fingerprint) map of a fact table
-    * from its write-time sidecars — the `parts` input for a
-    * part-addressed artifact over the table
-    * ([[graft.ops.ArtifactStore.buildOrServeParts]]). O(#commits)
-    * metadata reads; a torn later batch's sidecars sit above the
-    * watermark and are excluded, the BlockIngest reader rule. A
-    * bid-shaped sidecar that does not parse fails LOUDLY (skipping it
-    * would address an artifact over a subset of the table). */
-  def factParts(sinkDir: String, table: String): Seq[(String, String)] = {
-    val h = committedHeight(sinkDir)
-    graft.ops.ArtifactStore.readFpParts(s"$sinkDir/$table", part => {
-      val v = part.dropWhile(_ != '=').drop(1)
-      v.toLongOption match {
-        case Some(ph) => ph <= h
-        case None => throw new IllegalStateException(
-          s"unparseable fact sidecar part id '$part' under " +
-            s"$sinkDir/$table — expected <col>=<height>")
-      }
-    }).map { case (pid, fp) =>
-      pid -> graft.ops.ArtifactStore.combineParts(Seq(fp)) }
+  /** Committed `(hb, slice)` leaves of a fact table, from the data
+    * layout — the ground truth the sidecars describe. */
+  private def committedFactLeaves(sinkDir: String, table: String,
+                                  h: Long): Seq[(Long, Long)] = {
+    val root = Paths.get(s"$sinkDir/$table")
+    if (!Files.isDirectory(root)) return Seq.empty
+    graft.ops.Fs.ls(root)
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("hb="))
+      .flatMap { hbDir =>
+        val b = hbDir.getFileName.toString.stripPrefix("hb=").toLong
+        graft.ops.Fs.ls(hbDir)
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("slice="))
+          .map(p =>
+            b -> p.getFileName.toString.stripPrefix("slice=").toLong)
+          .filter(_._2 <= h)
+      }.sorted
   }
 
-  /** Canonical reader of ONE committed fact partition — exactly the
-    * rows its write-time sidecar hashed (data columns in written
-    * order, the partition column cast to long). The `buildPart` reader
-    * for part-addressed artifacts: partition-sized, never a table
-    * scan. */
+  /** The committed (bucket partId → folded fingerprint) map of a fact
+    * table — the `parts` input for a part-addressed artifact over the
+    * table ([[graft.ops.ArtifactStore.buildOrServeParts]]). Part ids
+    * are BUCKETS (`hb=B`), each fingerprint the associative fold of
+    * the bucket's committed slice sidecars: O(#buckets) parts
+    * regardless of batch count, so the artifact build schedules
+    * O(#buckets) jobs and an appended batch dirties only the buckets
+    * it touched — and a [[compactFacts]] repack (rows unchanged)
+    * leaves every bucket address IDENTICAL, so compaction never
+    * triggers a rebuild. The DATA LAYOUT is the source of truth (the
+    * inventory-sidecar rule): a missing sidecar heals by recomputing
+    * from its leaf, a sidecar whose leaf is gone is dropped, and a
+    * sidecar that does not parse fails LOUDLY. Torn slices above the
+    * watermark are invisible. */
+  def factParts(spark: SparkSession, sinkDir: String,
+                table: String): Seq[(String, String)] = {
+    recoverFactCompaction(sinkDir)
+    val h = committedHeight(sinkDir)
+    val dir = s"$sinkDir/$table"
+    val sidecars = graft.ops.ArtifactStore.readFpParts(dir, pid => {
+      parseFactPid(pid, dir) // loud refusal on a foreign pid
+      true
+    }).toMap
+    // heal-delete: a sidecar whose leaf directory is gone (compaction
+    // folded it) must not contribute to any fold
+    sidecars.keys.foreach { pid =>
+      val (b, s) = parseFactPid(pid, dir)
+      if (!Files.isDirectory(Paths.get(s"$dir/hb=$b/slice=$s")))
+        Files.deleteIfExists(Paths.get(s"$dir/_fp/$pid.json"))
+    }
+    val leafFps = committedFactLeaves(sinkDir, table, h).map {
+      case (b, s) =>
+        val pid = s"hb=$b.slice=$s"
+        val fp = sidecars.getOrElse(pid, {
+          // heal-write: recompute from the leaf (leaf-sized scan) and
+          // persist, so the next read is metadata-only again
+          val healed = graft.ops.ArtifactStore.partFingerprint(
+            readFactLeaf(spark, sinkDir, table, b, s))
+          graft.ops.ArtifactStore.writeFpPart(dir, pid, healed)
+          healed
+        })
+        (b, fp)
+    }
+    leafFps.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, fps) =>
+      s"hb=$b" -> graft.ops.ArtifactStore.combineParts(fps.map(_._2))
+    }
+  }
+
+  /** One `(hb, slice)` leaf on the canonical hash basis (data columns
+    * in written order — hb/slice dropped). */
+  private def readFactLeaf(spark: SparkSession, sinkDir: String,
+                           table: String, b: Long, s: Long): DataFrame =
+    spark.read.option("basePath", s"$sinkDir/$table")
+      .parquet(s"$sinkDir/$table/hb=$b/slice=$s")
+      .drop("hb", "slice")
+
+  /** Canonical reader of ONE committed bucket part (`hb=B`) — exactly
+    * the rows its folded sidecar fingerprint hashes (data columns in
+    * written order). The `buildPart` reader for part-addressed
+    * artifacts: bucket-sized, never a table scan. */
   def readFactPart(spark: SparkSession, sinkDir: String, table: String,
                    pid: String): DataFrame = {
-    val partCol = pid.takeWhile(_ != '=')
+    require(pid.startsWith("hb=") && !pid.contains("."),
+      s"fact part ids are buckets (hb=<long>), got '$pid'")
     spark.read.option("basePath", s"$sinkDir/$table")
       .parquet(s"$sinkDir/$table/$pid")
-      .withColumn(partCol, col(partCol).cast("long"))
+      .where(col("slice") <= committedHeight(sinkDir))
+      .drop("hb", "slice")
   }
 
   /** Canonical committed view of a fact table on the sidecar hash
-    * basis (every column, partition column as long) — what
-    * [[factFingerprint]]'s sidecar fold equals a full scan of
-    * (spec-pinned). */
+    * basis (data columns in written order) — what [[factFingerprint]]'s
+    * sidecar fold equals a full scan of (spec-pinned). */
   def readFactCommitted(spark: SparkSession, sinkDir: String,
-                        table: String): DataFrame = {
-    val partCol = factTables.toMap.apply(table)
+                        table: String): DataFrame =
     spark.read.option("basePath", s"$sinkDir/$table")
       .parquet(s"$sinkDir/$table")
-      .withColumn(partCol, col(partCol).cast("long"))
-      .where(col(partCol) <= committedHeight(sinkDir))
+      .where(col("slice") <= committedHeight(sinkDir))
+      .drop("hb", "slice")
+
+  /** Committed height-range read with BUCKET-directory pruning: the
+    * hb predicate prunes at the directory level (a 1.5M-block chain
+    * reads range/K bucket dirs, not the table), the height predicate
+    * prunes row groups inside the surviving buckets via parquet
+    * min/max stats. */
+  def readFactRange(spark: SparkSession, sinkDir: String, table: String,
+                    loHeight: Long, hiHeight: Long): DataFrame = {
+    val k = factBucketBlocks(sinkDir).getOrElse(DefaultBucketBlocks)
+    val heightCol = factTables.toMap.apply(table)
+    spark.read.option("basePath", s"$sinkDir/$table")
+      .parquet(s"$sinkDir/$table")
+      .where(col("hb").between(loHeight / k, hiHeight / k) &&
+        col("slice") <= committedHeight(sinkDir) &&
+        col(heightCol).between(loHeight, hiHeight))
+      .drop("hb", "slice")
   }
 
   /** Sidecar-folded content fingerprint of a fact table's committed
-    * rows — O(#commits) metadata, no scan; equal to
-    * `ArtifactStore.fingerprint(readFactCommitted(...))`. */
-  def factFingerprint(sinkDir: String, table: String): String =
-    graft.ops.ArtifactStore.combineParts(factParts(sinkDir, table).map {
-      case (_, fp) =>
+    * rows — O(#buckets + #uncompacted slices) metadata, no scan;
+    * equal to `ArtifactStore.fingerprint(readFactCommitted(...))`,
+    * and invariant under [[compactFacts]] (a repack moves bytes, not
+    * rows). */
+  def factFingerprint(spark: SparkSession, sinkDir: String,
+                      table: String): String =
+    graft.ops.ArtifactStore.combineParts(
+      factParts(spark, sinkDir, table).map { case (_, fp) =>
         val Array(hex, n) = fp.split('_')
         (BigInt(hex, 16), n.toLong)
-    })
+      })
+
+  // ---- fact-bucket compaction ----
+
+  /** Fold every fact bucket with ≥ `minSlices` committed slices into
+    * ONE slice under the two-rename protocol — the bound that keeps a
+    * long-lived 1-block-batch follower at O(chain/K) directories
+    * instead of O(#batches). A REPACK, not a merge: rows are
+    * unchanged, so [[factFingerprint]] and every [[factParts]] bucket
+    * address are invariant and no part-addressed artifact rebuilds.
+    *
+    * Protocol per bucket (crash-safe at every point, recovery in
+    * [[recoverFactCompaction]] which every writer and part reader runs
+    * first):
+    *  1. write the folded rows to a hidden `.compact-tmp-hb=B` (file
+    *     count honors the [[graft.ops.DeltaPartsStore]] byte quota);
+    *  2. drop the bucket's old sidecars (a sidecar-less leaf HEALS —
+    *     the data layout is the source of truth);
+    *  3. rename `hb=B` → `.compact-old-hb=B`, tmp → `hb=B` (the two
+    *     atomic renames; between them recovery restores the old dir);
+    *  4. write the folded sidecar, verified against the rewritten
+    *     rows as read back (never trusted from arithmetic alone).
+    * Then ONE manifest step for all folded buckets: regenerate the
+    * newest commit manifest from the live layout, PRUNE older
+    * manifests (their fact file lists reference the pre-compaction
+    * slices — compaction collapses fact-table time travel to the
+    * newest commit, the standard compaction/retention trade), and only
+    * then delete the `.compact-old` payloads — so until the manifest
+    * step completes, every crash restores or regenerates losslessly.
+    *
+    * Single-writer contract (the vacuumOrphans scope): runs between
+    * batches, never concurrently with one. Returns the number of
+    * folded buckets. */
+  def compactFacts(spark: SparkSession, sinkDir: String,
+                   minSlices: Int = 2): Int = {
+    require(minSlices >= 2, s"minSlices must be ≥ 2, got $minSlices")
+    recoverFactCompaction(sinkDir)
+    val h = committedHeight(sinkDir)
+    if (h <= 0) return 0
+    cleanTornSlices(sinkDir, h)
+    var folded = 0
+    factTables.foreach { case (table, _) =>
+      val dir = s"$sinkDir/$table"
+      committedFactLeaves(sinkDir, table, h).groupBy(_._1).toSeq
+        .sortBy(_._1)
+        .filter(_._2.size >= minSlices)
+        .foreach { case (b, leaves) =>
+          val slices = leaves.map(_._2).sorted
+          val smax = slices.last
+          val tmp = s"$dir/.compact-tmp-hb=$b"
+          val old = Paths.get(s"$dir/.compact-old-hb=$b")
+          graft.ops.Fs.deleteRec(Paths.get(tmp))
+          // 1. folded payload, file count by committed-byte quota
+          val bytes = slices.map(s =>
+            filesUnder(Paths.get(s"$dir/hb=$b/slice=$s"))
+              .map(Files.size(_)).sum).sum
+          val target = graft.ops.DeltaPartsStore.CompactTargetBytes
+          val nf = math.max(1L, (bytes + target - 1) / target).toInt
+          val union = spark.read.option("basePath", dir)
+            .parquet(slices.map(s => s"$dir/hb=$b/slice=$s"): _*)
+            .drop("hb", "slice")
+          union.coalesce(nf).write.parquet(s"$tmp/slice=$smax")
+          // 2. old sidecars out (heal covers a crash from here on —
+          // including the (b, smax) id the folded sidecar will REUSE:
+          // left in place it would silently describe a subset)
+          slices.foreach(s => Files.deleteIfExists(
+            Paths.get(s"$dir/_fp/hb=$b.slice=$s.json")))
+          // 3. the two renames
+          Files.move(Paths.get(s"$dir/hb=$b"), old,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          Files.move(Paths.get(tmp), Paths.get(s"$dir/hb=$b"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          // 4. folded sidecar from the rewritten rows AS READ BACK
+          graft.ops.ArtifactStore.writeFpPart(dir, s"hb=$b.slice=$smax",
+            graft.ops.ArtifactStore.partFingerprint(
+              readFactLeaf(spark, sinkDir, table, b, smax)))
+          folded += 1
+        }
+    }
+    if (folded > 0) {
+      // one manifest step for the whole sweep: newest regenerated
+      // from the live layout, stale history pruned, then the old
+      // payloads — strictly in that order (see the scaladoc)
+      writeCommitManifest(sinkDir, h)
+      pruneManifestsBelowNewest(sinkDir)
+      dropCompactOldDirs(sinkDir)
+    }
+    folded
+  }
+
+  /** Restore or finish a compaction that crashed mid-protocol — runs
+    * before any write ([[processBatch]]) and any sidecar-trusting
+    * read ([[factParts]]). A `.compact-tmp` is garbage at any crash
+    * point; a `.compact-old` whose `hb=` target is missing died
+    * between the two renames (restore it); one whose target exists
+    * died after the swap — the newest manifest may predate the swap,
+    * so regenerate it from the live layout (always correct by
+    * construction), prune the stale history, and only then reclaim
+    * the old payloads. */
+  def recoverFactCompaction(sinkDir: String): Unit = {
+    var debris = false
+    factTables.foreach { case (table, _) =>
+      val root = Paths.get(s"$sinkDir/$table")
+      if (Files.isDirectory(root)) graft.ops.Fs.ls(root).foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(".compact-tmp-hb="))
+          graft.ops.Fs.deleteRec(p)
+        else if (n.startsWith(".compact-old-hb=")) {
+          debris = true
+          val target = root.resolve(n.stripPrefix(".compact-old-"))
+          if (!Files.exists(target))
+            Files.move(p, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+    }
+    if (debris) {
+      val h = committedHeight(sinkDir)
+      if (h > 0) {
+        writeCommitManifest(sinkDir, h)
+        pruneManifestsBelowNewest(sinkDir)
+      }
+      dropCompactOldDirs(sinkDir)
+    }
+  }
+
+  private def dropCompactOldDirs(sinkDir: String): Unit =
+    factTables.foreach { case (table, _) =>
+      val root = Paths.get(s"$sinkDir/$table")
+      if (Files.isDirectory(root)) graft.ops.Fs.ls(root).foreach { p =>
+        if (p.getFileName.toString.startsWith(".compact-old-hb="))
+          graft.ops.Fs.deleteRec(p)
+      }
+    }
+
+  /** Drop every commit manifest below the newest — compaction's
+    * history collapse (the folded slices those manifests referenced
+    * are gone). The newest snapshot, [[committedHeight]], and the
+    * replay filter are untouched. */
+  private def pruneManifestsBelowNewest(sinkDir: String): Unit = {
+    val hs = manifestHeights(sinkDir)
+    if (hs.nonEmpty) hs.filter(_ < hs.max).foreach(h =>
+      Files.deleteIfExists(Paths.get(s"$sinkDir/_commits/$h.json")))
+  }
 
   /** Snapshot manifest (ref: src/be_db_block.erl:118-157): when a batch
     * carries snapshot blocks, record the newest as latest-snap.json.
@@ -791,14 +1139,15 @@ object BlockIngest {
     import scala.jdk.CollectionConverters._
     def rel(f: java.nio.file.Path): String =
       Paths.get(sinkDir).relativize(f).toString
-    val facts = factTables.map { case (table, partCol) =>
+    val facts = factTables.map { case (table, _) =>
       val fs = filesUnder(Paths.get(s"$sinkDir/$table")).filter { f =>
-        // keep only partitions at or below the commit height (a torn
-        // later batch can only have added HIGHER partitions)
+        // keep only slices at or below the commit height (a torn
+        // later batch can only have added HIGHER slices, and a slice
+        // carries no block above its own height)
         val part = Paths.get(s"$sinkDir/$table").relativize(f)
           .iterator().asScala.map(_.toString)
-          .find(_.startsWith(s"$partCol="))
-        part.forall(_.stripPrefix(s"$partCol=").toLong <= height)
+          .find(_.startsWith("slice="))
+        part.forall(_.stripPrefix("slice=").toLong <= height)
       }
       table -> fs.map(rel)
     }
@@ -843,8 +1192,11 @@ object BlockIngest {
     Files.write(tmp, body.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
+    // REPLACE: [[compactFacts]] rewrites the newest manifest in place
+    // after a bucket fold (same height, new file list)
     Files.move(tmp, commitsDir.resolve(s"$height.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Every file a commit manifest references (all tables), sink-dir
@@ -890,8 +1242,7 @@ object BlockIngest {
     val referenced: Set[String] = manifestHeights(sinkDir)
       .flatMap(h => manifestFiles(spark, sinkDir, h)).toSet
     val versionPrefixes =
-      (factTables.map(_._2) ++ Seq("merged_height", "h")).distinct
-        .map(_ + "=")
+      Seq("slice", "merged_height", "h").map(_ + "=")
     val allTables =
       factTables.map(_._1) ++ inventoryTables :+ "stats_inventory"
     allTables.flatMap { table =>
@@ -969,8 +1320,12 @@ object BlockIngest {
       .getOrElse(table,
         sys.error(s"table $table not in commit manifest $h")).toSeq
     require(files.nonEmpty, s"table $table is empty in commit manifest $h")
+    // facts: the hb/slice partition columns are physical layout, not
+    // schema — dropped so a committed read keeps the reference shape
+    // (a no-op for the inventory/stats tables, which don't carry them)
     spark.read.option("basePath", s"$sinkDir/$table")
       .parquet(files.map(f => s"$sinkDir/$f"): _*)
+      .drop("hb", "slice")
   }
 
   /** Structured-Streaming wrapper: one ordered `processBatch` per

@@ -370,23 +370,25 @@ class BlockIngestSpec extends SparkSpec {
     intercept[IllegalStateException](BlockIngest.processBatch(spark,
       blocks.filter(col("height").between(51L, 60L)), sink,
       crashAt = Some("after-facts"), retainCommits = 2))
-    // manual debris in a COMMITTED partition: a copied, unmanifested
-    // part file (the crashed-vacuum / stray-writer class)
-    val part1 = java.nio.file.Paths.get(s"$sink/blocks/height=1")
-    val src = graft.ops.Fs.ls(part1)
+    // manual debris in a COMMITTED leaf: a copied, unmanifested part
+    // file (the crashed-vacuum / stray-writer class). Default bucket
+    // width (1024): every fixture height shares hb=0; the first
+    // batch's leaf is slice=40.
+    val leaf1 = java.nio.file.Paths.get(s"$sink/blocks/hb=0/slice=40")
+    val src = graft.ops.Fs.ls(leaf1)
       .find(_.getFileName.toString.endsWith(".parquet")).get
-    val junk = part1.resolve("part-99999-planted-junk.parquet")
+    val junk = leaf1.resolve("part-99999-planted-junk.parquet")
     java.nio.file.Files.copy(src, junk)
 
     val audit = BlockIngest.auditOrphans(spark, sink)
     val byStatus = audit.groupBy(_._3).view.mapValues(_.map(_._1)).toMap
     assert(byStatus("orphan") ===
-      Seq(s"blocks/height=1/${junk.getFileName}"),
+      Seq(s"blocks/hb=0/slice=40/${junk.getFileName}"),
       s"exactly the planted junk is orphan: ${byStatus.get("orphan")}")
     val pending = byStatus.getOrElse("pending", Seq.empty)
-    assert(pending.nonEmpty &&
-      pending.forall(_.matches(".*(height|block)=(5[1-9]|60)/.*")),
-      s"the torn 51..60 files are pending, nothing else: $pending")
+    assert(pending.nonEmpty && pending.forall(_.contains("slice=60/")),
+      s"the torn 51..60 files (slice=60) are pending, nothing else: " +
+        s"$pending")
     assert(byStatus("live").nonEmpty)
 
     def snap() = (
