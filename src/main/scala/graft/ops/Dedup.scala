@@ -351,6 +351,44 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  /** THE Manku block projection (Manku et al., WWW 2007): one
+    * (doc_id, simhash, blk, key) row per blocking slice — `blocks`
+    * consecutive slices of `sliceBits` bits each. ONE copy (r15
+    * verdict #3): the inline 32-bit family, the wide 60-bit family,
+    * and the maintained signature index
+    * ([[graft.streaming.StreamSimhashIndex.blocked]]) all derive
+    * their blocking keys here, so the pigeonhole recall contract —
+    * two hashes within hamming distance `blocks − 1` agree exactly on
+    * at least one slice — is defined once, never re-learned per copy.
+    */
+  def simhashBlocked(sigs: DataFrame, blocks: Int,
+                     sliceBits: Int): DataFrame =
+    sigs.select(col("doc_id"), col("simhash"), explode(
+      transform(sequence(lit(0), lit(blocks - 1)), k =>
+        struct(k.as("blk"),
+          call_function("shiftright", col("simhash"), k * sliceBits)
+            .bitwiseAND((1 << sliceBits) - 1).as("key"))))
+      .as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.blk"), col("e.key"))
+
+  /** The blocked hamming self-join over a (doc_id, simhash) table —
+    * candidates meet only inside (slice, value) buckets (O(n·bucket),
+    * never the cross product), verification is pure bit_count. */
+  private def simhashBlockPairs(sh: DataFrame, blocks: Int,
+                                sliceBits: Int, maxDist: Int): DataFrame = {
+    require(maxDist < blocks,
+      s"$blocks-slice blocking guarantees recall only to distance " +
+        s"${blocks - 1}")
+    val blocked = simhashBlocked(sh, blocks, sliceBits)
+    blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming(col("x.simhash"), col("y.simhash")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** SimHash near-dup pairs: hamming distance <= maxDist over the 32-bit
     * simhash. Blocked on the four 8-bit bytes: by pigeonhole, two hashes
     * within hamming distance 3 agree exactly on at least one byte, so the
@@ -359,27 +397,13 @@ object Dedup {
     */
   def nearDupSimhash(docs: DataFrame, idCol: String, textCol: String,
                      maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "4-byte blocking guarantees recall only to distance 3")
     // Cached for the same reason as the minhash table: both sides of the
     // blocked self-join reference it, and the simhash expression tree is
     // expensive to re-plan and re-execute.
     val sh = spread(docs.select(col(idCol).as("doc_id"), col(textCol)))
       .select(col("doc_id"), simhash32(tokens(col(textCol))).as("simhash"))
       .localCheckpoint()
-    val blocked = sh.select(col("doc_id"), col("simhash"), explode(
-      transform(sequence(lit(0), lit(3)), k =>
-        struct(k.as("blk"),
-          call_function("shiftright", col("simhash"), k * 8)
-            .bitwiseAND(255).as("key"))))
-      .as("e"))
-      .select(col("doc_id"), col("simhash"), col("e.blk"), col("e.key"))
-    blocked.as("x").join(blocked.as("y"),
-        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        hamming(col("x.simhash"), col("y.simhash")).as("dist"))
-      .distinct()
-      .filter(col("dist") <= maxDist)
+    simhashBlockPairs(sh, blocks = 4, sliceBits = 8, maxDist = maxDist)
   }
 
   /** [[nearDupSimhash]] at the WIDE geometry — 60-bit simhash
@@ -397,23 +421,9 @@ object Dedup {
     */
   def nearDupSimhashWide(docs: DataFrame, idCol: String, textCol: String,
                          maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "4-slice blocking guarantees recall only to distance 3")
     val sh = spread(docs.select(col(idCol).as("doc_id"), col(textCol)))
       .select(col("doc_id"), simhash60(tokens(col(textCol))).as("simhash"))
       .localCheckpoint()
-    val blocked = sh.select(col("doc_id"), col("simhash"), explode(
-      transform(sequence(lit(0), lit(3)), k =>
-        struct(k.as("blk"),
-          call_function("shiftright", col("simhash"), k * 15)
-            .bitwiseAND(32767).as("key"))))
-      .as("e"))
-      .select(col("doc_id"), col("simhash"), col("e.blk"), col("e.key"))
-    blocked.as("x").join(blocked.as("y"),
-        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        hamming(col("x.simhash"), col("y.simhash")).as("dist"))
-      .distinct()
-      .filter(col("dist") <= maxDist)
+    simhashBlockPairs(sh, blocks = 4, sliceBits = 15, maxDist = maxDist)
   }
 }

@@ -64,20 +64,10 @@ final class DeltaPartsStore(
     * ([[graft.ops.ArtifactStore.readFpParts]]). */
   def partsDir: String = s"$storeDir/parts"
 
-  /** Parse a `bid=N` part/dir name. Not a bid-shaped name at all →
-    * None (a marker file, `_fp`, ...); bid-shaped but unparseable
-    * (`bid=tmp` — a foreign or corrupt entry) → fail LOUDLY naming
-    * the entry: silently skipping it would fold a store view that
-    * drops committed rows, and an unexplained NumberFormatException
-    * deep in a read path names nothing. */
+  /** The companion's parse-and-refuse rule, bound to this store's
+    * parts dir (see [[DeltaPartsStore.bidOf]]). */
   private def bidOf(name: String): Option[Long] =
-    if (!name.startsWith("bid=")) None
-    else name.drop(4).toLongOption match {
-      case some @ Some(_) => some
-      case None => throw new IllegalStateException(
-        s"unparseable part id '$name' under $partsDir — expected " +
-          "bid=<long>; refusing to guess whether it is committed data")
-    }
+    DeltaPartsStore.bidOf(name, partsDir)
 
   /** Is `part` a committed `bid=N` partition at watermark `applied`?
     * Callers capture the watermark ONCE per operation and pass the
@@ -252,4 +242,29 @@ object DeltaPartsStore {
   /** Compaction rewrite quota: one output file per this many committed
     * input bytes (the q322/StreamNswInsert grouping constant). */
   val CompactTargetBytes: Long = 128L * 1024 * 1024
+
+  /** Parse a `bid=N` part/dir name — THE protocol rule, one copy, so
+    * an external auditor (the q397 registry) and the store itself can
+    * never drift on what counts as a committed part. Not a bid-shaped
+    * name at all → None (a marker file, `_fp`, ...); bid-shaped but
+    * unparseable (`bid=tmp` — a foreign or corrupt entry) → fail
+    * LOUDLY naming the entry: silently skipping it would fold a store
+    * view that drops committed rows, and an unexplained
+    * NumberFormatException deep in a read path names nothing. */
+  def bidOf(name: String, partsDir: String): Option[Long] =
+    if (!name.startsWith("bid=")) None
+    else name.drop(4).toLongOption match {
+      case some @ Some(_) => some
+      case None => throw new IllegalStateException(
+        s"unparseable part id '$name' under $partsDir — expected " +
+          "bid=<long>; refusing to guess whether it is committed data")
+    }
+
+  /** The committed-part predicate at a captured watermark, for callers
+    * that audit a store's parts dir WITHOUT a store instance (the
+    * registry): same parse, same refusal, same ≤-watermark rule as
+    * the instance's [[DeltaPartsStore.committedPartAt]]. */
+  def committedPartAt(partsDir: String, applied: Long)
+                     (part: String): Boolean =
+    bidOf(part, partsDir).exists(_ <= applied)
 }

@@ -56,8 +56,7 @@ object PipelineQueries10 {
 
   // lockstep with PipelineQueries6's vector fragments
   private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
+    VectorOracleSql.dot(a, b)
   private val vSql = "list_transform(embedding, x -> x::DOUBLE)"
 
   val defs: Seq[QDef] = Seq(

@@ -51,8 +51,7 @@ object PipelineQueries11 {
   /** Locale-pinned double literal — the f-interpolator would use the
     * default locale and emit comma decimal separators on e.g. de_DE.
     */
-  private def dbl(x: Double): String =
-    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+  private def dbl(x: Double): String = VectorOracleSql.dbl(x)
 
   /** Per-doc character histogram → (n, n_distinct, Σfloor(1000·c·lnc)).
     * The statistic is row-local, so it computes inside the scan via the

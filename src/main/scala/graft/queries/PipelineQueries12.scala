@@ -44,14 +44,12 @@ object PipelineQueries12 {
     s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
 
   /** Shortest-safe double literal (DOUBLE-parsing exponent form). */
-  private def dbl(x: Double): String =
-    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+  private def dbl(x: Double): String = VectorOracleSql.dbl(x)
 
   // lockstep with VectorQueries' vector fragments
   private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
-  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+    VectorOracleSql.dot(a, b)
+  private def normSql(a: String): String = VectorOracleSql.norm(a)
   private val vSql = "list_transform(embedding, x -> x::DOUBLE)"
 
   /** q165's late-bound oracle: assignment replay needs the run-trained
@@ -86,7 +84,7 @@ object PipelineQueries12 {
         val centroids = kmeansCentroids(sample, k = 16, iters = 10,
           seed = 42)
         IvfBalanceOracle.sql = Some {
-          def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+          def vlit(c: Array[Double]) = VectorOracleSql.vlit(c)
           val cells = centroids.zipWithIndex.map { case (c, i) =>
             val n = dbl(math.sqrt(c.map(x => x * x).sum))
             s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), " +

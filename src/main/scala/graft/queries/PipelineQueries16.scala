@@ -32,8 +32,7 @@ object PipelineQueries16 {
   private def hashSql(t: String) =
     s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
 
-  private def dbl(x: Double): String =
-    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+  private def dbl(x: Double): String = VectorOracleSql.dbl(x)
 
   val defs: Seq[QDef] = Seq(
 
@@ -57,9 +56,7 @@ object PipelineQueries16 {
       Some {
         val wLit = planeVector(9999, 64).map(dbl).mkString("[", ", ", "]")
         val vSql = "list_transform(embedding, x -> x::DOUBLE)"
-        val dotSql = s"list_reduce(list_prepend(0.0::DOUBLE, " +
-          s"list_transform(list_zip($vSql, $wLit), x -> x[1] * x[2])), " +
-          s"(p, q) -> p + q)"
+        val dotSql = VectorOracleSql.dot(vSql, wLit)
         s"""WITH b AS (SELECT
            |    CAST(floor(($dotSql + ${dbl(-0.05)}) * 10.0) AS BIGINT)
            |      AS bucket,

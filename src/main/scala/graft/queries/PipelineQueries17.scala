@@ -174,10 +174,7 @@ object PipelineQueries17 {
       },
       Some {
         val vSql = "list_transform(embedding, x -> x::DOUBLE)"
-        def dotS(a: String, b: String) =
-          s"list_reduce(list_prepend(0.0::DOUBLE, " +
-            s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), " +
-            s"(p, q) -> p + q)"
+        def dotS(a: String, b: String) = VectorOracleSql.dot(a, b)
         val vd = "list_slice(v, 1, d)"
         s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings
            |  WHERE ${dotS(vSql, vSql)} > 0.0),
@@ -275,8 +272,7 @@ object PipelineQueries17 {
     @volatile var sql: Option[String] = None
   }
 
-  private def dblR(x: Double): String =
-    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+  private def dblR(x: Double): String = VectorOracleSql.dbl(x)
 
   private def pqReconErrOracleSql(
       codebook: Array[Array[Array[Double]]]): String = {

@@ -33,8 +33,7 @@ object PipelineQueries19 {
   private def hashSql(t: String) =
     s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
 
-  private def dbl(x: Double): String =
-    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+  private def dbl(x: Double): String = VectorOracleSql.dbl(x)
 
   /** The 24-component minhash signature as DuckDB SQL (q140's oracle
     * replay fragment — same affine family as minhashAffine). */
@@ -77,9 +76,7 @@ object PipelineQueries19 {
       Some {
         val wLit = planeVector(9999, 64).map(dbl).mkString("[", ", ", "]")
         val vSql = "list_transform(embedding, x -> x::DOUBLE)"
-        val dotSql = s"list_reduce(list_prepend(0.0::DOUBLE, " +
-          s"list_transform(list_zip($vSql, $wLit), x -> x[1] * x[2])), " +
-          s"(p, q) -> p + q)"
+        val dotSql = VectorOracleSql.dot(vSql, wLit)
         s"""WITH b AS (SELECT
            |    CAST(floor(($dotSql + ${dbl(-0.05)}) * 1000.0) AS BIGINT)
            |      AS score,
@@ -585,14 +582,13 @@ object PipelineQueries19 {
   private object AgreeOracle { @volatile var sql: Option[String] = None }
 
   private def dotSqlV(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
-  private def normSqlV(a: String): String = s"sqrt(${dotSqlV(a, a)})"
+    VectorOracleSql.dot(a, b)
+  private def normSqlV(a: String): String = VectorOracleSql.norm(a)
   private def cosSqlV(a: String, b: String): String =
-    s"(${dotSqlV(a, b)} / (${normSqlV(a)} * ${normSqlV(b)}))"
+    VectorOracleSql.cos(a, b)
 
   private def cellsSqlV(centroids: Array[Array[Double]]): String = {
-    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    def vlit(c: Array[Double]) = VectorOracleSql.vlit(c)
     centroids.zipWithIndex.map { case (c, i) =>
       val n = dbl(math.sqrt(c.map(x => x * x).sum))
       s"{'sim': ${dotSqlV("v", vlit(c))} / (${normSqlV("v")} * $n), " +

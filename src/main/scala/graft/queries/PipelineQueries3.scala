@@ -15,8 +15,7 @@ object PipelineQueries3 {
   private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
 
   /** Shortest-safe double literal (see VectorQueries.dbl). */
-  private def dbl(x: Double): String =
-    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+  private def dbl(x: Double): String = VectorOracleSql.dbl(x)
 
   val defs: Seq[QDef] = Seq(
 
@@ -43,9 +42,7 @@ object PipelineQueries3 {
       Some {
         val wLit = planeVector(9999, 64).map(dbl).mkString("[", ", ", "]")
         val vSql = "list_transform(embedding, x -> x::DOUBLE)"
-        val dotSql = s"list_reduce(list_prepend(0.0::DOUBLE, " +
-          s"list_transform(list_zip($vSql, $wLit), x -> x[1] * x[2])), " +
-          s"(p, q) -> p + q)"
+        val dotSql = VectorOracleSql.dot(vSql, wLit)
         s"""SELECT vec_id,
            |  round($dotSql + ${dbl(-0.05)}, 6) AS logit,
            |  ($dotSql + ${dbl(-0.05)}) > 0 AS accept

@@ -55,13 +55,10 @@ object PipelineQueries33 {
 
   // ---- vector fragments (lockstep with PipelineQueries6's copies) ----
   private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
+    VectorOracleSql.dot(a, b)
   private val vSql = "list_transform(embedding, x -> x::DOUBLE)"
-  private def dbl(x: Double): String =
-    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
-  private def vlit(c: Array[Double]): String =
-    c.map(dbl).mkString("[", ", ", "]")
+  private def dbl(x: Double): String = VectorOracleSql.dbl(x)
+  private def vlit(c: Array[Double]): String = VectorOracleSql.vlit(c)
 
   /** q278's late-bound oracle: eigenvector literals. */
   private object PcaOracle { @volatile var sql: Option[String] = None }

@@ -40,13 +40,10 @@ object PipelineQueries34 {
 
   // ---- vector fragments (lockstep with PipelineQueries6's copies) ----
   private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
+    VectorOracleSql.dot(a, b)
   private val vSql = "list_transform(embedding, x -> x::DOUBLE)"
-  private def dbl(x: Double): String =
-    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
-  private def vlit(c: Array[Double]): String =
-    c.map(dbl).mkString("[", ", ", "]")
+  private def dbl(x: Double): String = VectorOracleSql.dbl(x)
+  private def vlit(c: Array[Double]): String = VectorOracleSql.vlit(c)
 
   /** q279's late-bound oracle: quantized eigenvector literals. */
   private object ReconOracle { @volatile var sql: Option[String] = None }

@@ -31,14 +31,12 @@ object PipelineQueries39 {
 
   // ---- vector fragments (lockstep with PipelineQueries6's copies) ----
   private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
-  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+    VectorOracleSql.dot(a, b)
+  private def normSql(a: String): String = VectorOracleSql.norm(a)
   private val vSql = "list_transform(embedding, x -> x::DOUBLE)"
-  private def dbl(x: Double): String =
-    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+  private def dbl(x: Double): String = VectorOracleSql.dbl(x)
   private def cellsSql(centroids: Array[Array[Double]]): String = {
-    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    def vlit(c: Array[Double]) = VectorOracleSql.vlit(c)
     centroids.zipWithIndex.map { case (c, i) =>
       val n = dbl(math.sqrt(c.map(x => x * x).sum))
       s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), 'cell': $i}"

@@ -28,8 +28,7 @@ object PipelineQueries4 {
     s"cast('0x' || substr(md5($t), 1, 8) as bigint)"
 
   /** Shortest-safe double literal (the VectorQueries.dbl contract). */
-  private def dbl(x: Double): String =
-    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+  private def dbl(x: Double): String = VectorOracleSql.dbl(x)
 
   /** DuckDB fragment: positional k-gram hashes over a `toks` column
     * (duplicates kept — the winnowing input; lockstep with

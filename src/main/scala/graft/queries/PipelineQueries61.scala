@@ -287,13 +287,10 @@ object PipelineQueries61 {
   private def dbscanOracleSql(centroids: Array[Array[Double]],
                               cap: Int = NswIndex.DefaultBlockCap)
       : String = {
-    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    def vlit(c: Array[Double]) = VectorOracleSql.vlit(c)
     // the house sequential-left-fold dot (bit-identical to the
     // DotProductDbl kernel's ascending accumulation)
-    def dotSql(a: String, b: String) =
-      s"list_reduce(list_prepend(0.0::DOUBLE, " +
-        s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), " +
-        s"(p, q) -> p + q)"
+    def dotSql(a: String, b: String) = VectorOracleSql.dot(a, b)
     def dotSelf(a: String) = dotSql(a, a)
     val cells = centroids.zipWithIndex.map { case (c, i) =>
       val n = dbl(math.sqrt(c.map(x => x * x).sum))

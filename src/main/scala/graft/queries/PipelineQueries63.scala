@@ -42,8 +42,7 @@ object PipelineQueries63 {
   private val toksSql = "list_filter(string_split(text, ' '), x -> x != '')"
   private val vSql = "list_transform(embedding, x -> x::DOUBLE)"
   private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
+    VectorOracleSql.dot(a, b)
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 

@@ -34,8 +34,7 @@ object PipelineQueries65 {
 
   private val vSql = "list_transform(embedding, x -> x::DOUBLE)"
   private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
+    VectorOracleSql.dot(a, b)
 
   private object JoinOrderOracle {
     @volatile var sql: Option[String] = None

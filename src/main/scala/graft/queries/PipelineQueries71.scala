@@ -59,12 +59,10 @@ object PipelineQueries71 {
        |    i -> ${hashSql(s"($cat)")})
        |ELSE [] END""".stripMargin
   }
-  private def dbl(x: Double): String =
-    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+  private def dbl(x: Double): String = VectorOracleSql.dbl(x)
   private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
-  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+    VectorOracleSql.dot(a, b)
+  private def normSql(a: String): String = VectorOracleSql.norm(a)
   private val vSql = "list_transform(embedding, x -> x::DOUBLE)"
 
   /** q365's late-bound oracle (trained-centroid literals). */
@@ -473,7 +471,7 @@ object PipelineQueries71 {
     * present cells (ascending (occ, cell) rank).
     */
   private def giniOracleSql(centroids: Array[Array[Double]]): String = {
-    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    def vlit(c: Array[Double]) = VectorOracleSql.vlit(c)
     val cells = centroids.zipWithIndex.map { case (c, i) =>
       val n = dbl(math.sqrt(c.map(x => x * x).sum))
       s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), " +

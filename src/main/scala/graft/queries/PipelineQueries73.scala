@@ -61,8 +61,7 @@ import org.apache.spark.sql.functions._
 private[queries] object LshSql {
 
   def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
+    VectorOracleSql.dot(a, b)
 
   def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
@@ -72,11 +71,7 @@ private[queries] object LshSql {
   /** SIGNED projection of v onto hyperplane p — the md5-derived plane
     * formula shared with q31 (and with
     * [[graft.ops.VectorSearch.planeVector]], bit-identically). */
-  def projSql(v: String, p: Int): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"list_transform(list_zip($v, generate_series(0, len($v) - 1)), " +
-      s"x -> x[1] * ((cast('0x' || substr(md5('$p:' || x[2]), 1, 8) as bigint) " +
-      s"% 2001 - 1000) / 1000.0))), (p, q) -> p + q)"
+  def projSql(v: String, p: Int): String = VectorOracleSql.proj(v, p)
 
   def baseKeySql(v: String, band: Int, bits: Int): String =
     (0 until bits).map(i =>

@@ -32,13 +32,11 @@ object PipelineQueries78 {
   /** DuckDB fragments — kept in lockstep with VectorQueries' (the
     * house sequential-fold arithmetic, bit-identical cross-engine). */
   private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
-  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+    VectorOracleSql.dot(a, b)
+  private def normSql(a: String): String = VectorOracleSql.norm(a)
   private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
-  private def dbl(x: Double): String =
-    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+    VectorOracleSql.cos(a, b)
+  private def dbl(x: Double): String = VectorOracleSql.dbl(x)
 
   /** q395's late-bound oracle (q30's generator over the run's trained
     * centroid literals — own slot so a filtered run stands alone). */
@@ -46,16 +44,24 @@ object PipelineQueries78 {
     @volatile var sql: Option[String] = None
   }
 
-  /** q399's late-bound oracle: cell-share candidates (the op's OWN
-    * recall contract, replayed — never "assume brute force"), the
-    * cross-slice arrival condition, exact-cosine verification. */
-  private object ArrivalDedupOracle {
+  /** A late-bound oracle slot (the q30 pattern) as a CLASS: the
+    * shared q399/q405 generator writes into whichever slot its QDef
+    * owns, so a filtered run of either query stands alone. */
+  private final class LateOracle {
     @volatile var sql: Option[String] = None
   }
 
+  /** q399's oracle: cell-share candidates (the op's OWN recall
+    * contract, replayed — never "assume brute force"), the
+    * cross-slice arrival condition, exact-cosine verification. */
+  private val ArrivalDedupOracle = new LateOracle
+
+  /** q405's oracle — same generator at the k=64 centroid literals. */
+  private val WideArrivalDedupOracle = new LateOracle
+
   private def arrivalDedupSql(cents: Array[Array[Double]], probes: Int,
                               threshold: Double): String = {
-    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    def vlit(c: Array[Double]) = VectorOracleSql.vlit(c)
     val cells = cents.zipWithIndex.map { case (c, i) =>
       val n = dbl(math.sqrt(c.map(x => x * x).sum))
       s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), 'cell': $i}"
@@ -144,50 +150,78 @@ object PipelineQueries78 {
     // brute-force recall. Threshold 0.4 is the fixture corpus's
     // planted near-dup regime (the nearDupIvf default's rationale).
     QDef("q399_embed_dedup_on_arrival",
-      (s, dir) => {
-        import graft.ops.VectorSearch.ivfAssign
-        val store = new java.io.File(
-          "target/stream_ivf_arrival").getAbsolutePath
-        graft.ops.Fs.wipe(store)
-        val emb = Tables.embeddings(s, dir)
-        val cents = kmeansCentroids(
-          sampleVectors(emb, "vec_id", "embedding", n = 512, seed = 42),
-          k = 16, iters = 10, seed = 42)
-        ArrivalDedupOracle.sql = Some(
-          arrivalDedupSql(cents, probes = 2, threshold = 0.4))
-        val e = emb.select(col("vec_id"),
-          toDouble(col("embedding")).as("v"))
-          .localCheckpoint() // both verification sides read it
-        val hits = (0 until 3).map { b =>
-          val batch = emb.where(pmod(col("vec_id"), lit(3)) === b)
-          val cand =
-            if (StreamIvfIndex.appliedBid(store) < 0) None
-            else {
-              val idx = StreamIvfIndex.servedAssign(s, store, cents, 2)
-              // materialized NOW: the next round's serve supersedes
-              // this round's part-artifacts (the q394 lesson)
-              Some(ivfAssign(batch, "vec_id", "embedding", cents, 2)
-                .as("x")
-                .join(idx.as("y"), col("x.cell") === col("y.cell"))
-                .select(col("x.id").as("vec_new"),
-                  col("y.id").as("vec_prior"))
-                .distinct()
-                .localCheckpoint())
-            }
-          StreamIvfIndex.applyBatch(batch, b.toLong, "vec_id",
-            "embedding", cents, 2, store)
-          if (b == 1) StreamIvfIndex.compact(s, store)
-          cand
-        }.flatten.reduce(_ unionAll _)
-        hits
-          .join(e.select(col("vec_id").as("vec_new"),
-            col("v").as("v_n")), "vec_new")
-          .join(e.select(col("vec_id").as("vec_prior"),
-            col("v").as("v_p")), "vec_prior")
-          .filter(cosine(col("v_n"), col("v_p")) >= 0.4)
-          .select(col("vec_new"), col("vec_prior"),
-            round(cosine(col("v_n"), col("v_p")), 6).as("sim"))
-      },
+      (s, dir) => embedDedupOnArrival(s, dir, k = 16,
+        storeName = "target/stream_ivf_arrival", ArrivalDedupOracle),
       None,
-      Some(() => ArrivalDedupOracle.sql)))
+      Some(() => ArrivalDedupOracle.sql)),
+
+    // The WIDE cell count (r15 verdict #2's second half): the q399
+    // arrival-dedup at k=64 cells instead of 16. The sf1 ledger
+    // measured the fixed-k=16 cell-pair density super-linear (13.2x
+    // for 10x data — every cell's occupancy grows with the corpus at
+    // fixed cell count); 4x the cells cuts the per-cell candidate
+    // quadratic by ~4x at the same probes=2 recall CONTRACT, which
+    // the oracle replays from the k=64 centroid literals exactly as
+    // q399's does from k=16 — wider geometry, same guarantee, same
+    // generator.
+    QDef("q405_embed_dedup_wide_cells",
+      (s, dir) => embedDedupOnArrival(s, dir, k = 64,
+        storeName = "target/stream_ivf_arrival_wide",
+        WideArrivalDedupOracle),
+      None,
+      Some(() => WideArrivalDedupOracle.sql)))
+
+  /** The q399/q405 measurement body — ONE copy for both cell
+    * geometries, so the narrow and wide variants share their arrival
+    * condition, their recall contract, and their oracle generator
+    * (drift impossible): each arriving slice assigns its vectors
+    * inline, joins the postings state SO FAR by cell (candidate
+    * volume scales with batch × cell density, never corpus²),
+    * verifies exact cosine, and only then posts itself. */
+  private def embedDedupOnArrival(s: org.apache.spark.sql.SparkSession,
+                                  dir: String, k: Int, storeName: String,
+                                  oracle: LateOracle)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.ops.VectorSearch.ivfAssign
+    val store = new java.io.File(storeName).getAbsolutePath
+    graft.ops.Fs.wipe(store)
+    val emb = Tables.embeddings(s, dir)
+    val cents = kmeansCentroids(
+      sampleVectors(emb, "vec_id", "embedding", n = 512, seed = 42),
+      k = k, iters = 10, seed = 42)
+    oracle.sql = Some(
+      arrivalDedupSql(cents, probes = 2, threshold = 0.4))
+    val e = emb.select(col("vec_id"),
+      toDouble(col("embedding")).as("v"))
+      .localCheckpoint() // both verification sides read it
+    val hits = (0 until 3).map { b =>
+      val batch = emb.where(pmod(col("vec_id"), lit(3)) === b)
+      val cand =
+        if (StreamIvfIndex.appliedBid(store) < 0) None
+        else {
+          val idx = StreamIvfIndex.servedAssign(s, store, cents, 2)
+          // materialized NOW: the next round's serve supersedes
+          // this round's part-artifacts (the q394 lesson)
+          Some(ivfAssign(batch, "vec_id", "embedding", cents, 2)
+            .as("x")
+            .join(idx.as("y"), col("x.cell") === col("y.cell"))
+            .select(col("x.id").as("vec_new"),
+              col("y.id").as("vec_prior"))
+            .distinct()
+            .localCheckpoint())
+        }
+      StreamIvfIndex.applyBatch(batch, b.toLong, "vec_id",
+        "embedding", cents, 2, store)
+      if (b == 1) StreamIvfIndex.compact(s, store)
+      cand
+    }.flatten.reduce(_ unionAll _)
+    hits
+      .join(e.select(col("vec_id").as("vec_new"),
+        col("v").as("v_n")), "vec_new")
+      .join(e.select(col("vec_id").as("vec_prior"),
+        col("v").as("v_p")), "vec_prior")
+      .filter(cosine(col("v_n"), col("v_p")) >= 0.4)
+      .select(col("vec_new"), col("vec_prior"),
+        round(cosine(col("v_n"), col("v_p")), 6).as("sim"))
+  }
 }

@@ -52,13 +52,11 @@ object PipelineQueries79 {
   /** DuckDB fragments — kept in lockstep with VectorQueries' (the
     * house sequential-fold arithmetic, bit-identical cross-engine). */
   private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
-  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+    VectorOracleSql.dot(a, b)
+  private def normSql(a: String): String = VectorOracleSql.norm(a)
   private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
-  private def dbl(x: Double): String =
-    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+    VectorOracleSql.cos(a, b)
+  private def dbl(x: Double): String = VectorOracleSql.dbl(x)
 
   /** Offset separating the drifted wave's ids from the raw corpus. */
   private val DriftOffset = 1000000L
@@ -72,7 +70,7 @@ object PipelineQueries79 {
 
   private def driftOracleSql(cents: Array[Array[Double]], probes: Int,
                              topK: Int): String = {
-    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    def vlit(c: Array[Double]) = VectorOracleSql.vlit(c)
     val cells = cents.zipWithIndex.map { case (c, i) =>
       val n = dbl(math.sqrt(c.map(x => x * x).sum))
       s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), 'cell': $i}"
@@ -158,13 +156,21 @@ object PipelineQueries79 {
         require(st.refreshes == 1L,
           "the orthant-collapsed wave must fire the PSI gate exactly once")
         val centsB = st.centroids
-        // B is a NEW identity: the A-pinned store must refuse it
+        // B is a NEW identity: the A-pinned store must refuse it —
+        // and the probe must assert it failed for THAT reason: any
+        // other failure (a corrupt pin's IllegalStateException, a
+        // planner error) is a real bug to surface, not a refusal to
+        // report as success
         val refused =
           try {
             StreamIvfIndex.applyBatch(drifted, 2L, "vec_id",
               "embedding", centsB, P, storeA)
             false
-          } catch { case _: IllegalArgumentException => true }
+          } catch {
+            case e: IllegalArgumentException
+                if e.getMessage != null &&
+                  e.getMessage.contains("pinned") => true
+          }
         require(refused,
           "the A-pinned postings store must refuse a B-keyed batch — " +
             "identity changes swap stores, never mix postings")

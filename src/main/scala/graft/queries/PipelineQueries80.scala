@@ -47,21 +47,47 @@ object PipelineQueries80 {
     @volatile var sql: Option[String] = None
   }
 
+  /** q407's late-bound oracle (embeds five store paths + the root). */
+  private object FleetStalenessOracle {
+    @volatile var sql: Option[String] = None
+  }
+
+  /** The fold-and-hex replay CTEs for one DeltaPartsStore — DuckDB
+    * re-deriving [[graft.ops.ArtifactStore.combineParts]]' canonical
+    * `<16-hex sum mod 2^64>_<count>` address from raw sidecar JSON
+    * and the meta watermark (torn parts excluded by the store's own
+    * rule). ONE copy for q403's single-store audit and q407's fleet
+    * sweep. Emits CTEs `m_$tag`, `f_$tag`, `cur_$tag` (the last with
+    * a single `fp` column). */
+  private def curFoldSql(tag: String, dirPath: String): String = {
+    val mod = "CAST('18446744073709551616' AS HUGEINT)"
+    val hsum = s"(sum(s2) % $mod)"
+    s"""m_$tag AS (SELECT CAST(trim(content) AS BIGINT) AS applied
+       |  FROM read_text('$dirPath/meta.txt')),
+       |f_$tag AS (SELECT CAST(sum AS HUGEINT) AS s2,
+       |    CAST(n AS BIGINT) AS n
+       |  FROM read_json_auto('$dirPath/parts/_fp/*.json'), m_$tag
+       |  WHERE CAST(replace(part, 'bid=', '') AS BIGINT)
+       |    <= m_$tag.applied),
+       |cur_$tag AS (SELECT
+       |  lower(lpad(to_hex(CAST($hsum // 4294967296 AS BIGINT)),
+       |      8, '0') ||
+       |    lpad(to_hex(CAST($hsum % 4294967296 AS BIGINT)),
+       |      8, '0')) || '_' || CAST(sum(n) AS VARCHAR) AS fp
+       |  FROM f_$tag)""".stripMargin
+  }
+
   /** One registry row from the STORE PROTOCOL's own reads: watermark
     * from meta, committed sidecars only, the canonical fold. */
   private def registryRow(store: String, identity: String,
                           dirPath: String, applied: Long)
       : (String, String, Long, Long, String, Long) = {
-    // the bid parse fails LOUDLY naming the entry (the
-    // DeltaPartsStore.bidOf rule): a foreign `bid=tmp` sidecar must
-    // not surface as a bare NumberFormatException deep in the filter
+    // the store protocol's OWN committed-part rule (parse-and-refuse
+    // included) — the registry audits the protocol, so it must never
+    // re-implement what it audits
     val parts = ArtifactStore.readFpParts(s"$dirPath/parts",
-      p => p.startsWith("bid=") && (p.drop(4).toLongOption match {
-        case Some(b) => b <= applied
-        case None => throw new IllegalStateException(
-          s"unparseable part id '$p' under $dirPath/parts — expected " +
-            "bid=<long>")
-      }))
+      graft.ops.DeltaPartsStore.committedPartAt(s"$dirPath/parts",
+        applied))
     val sum = parts.map(_._2._1)
       .foldLeft(BigInt(0))((a, b) => (a + b).mod(Mod64))
     (store, identity, applied, parts.size.toLong,
@@ -250,25 +276,11 @@ object PipelineQueries80 {
             case Some(r) => s.conf.set(ArtifactStore.RootConf, r)
             case None => s.conf.unset(ArtifactStore.RootConf)
           }
-        val mod = "CAST('18446744073709551616' AS HUGEINT)"
-        val hsum = s"(sum(s2) % $mod)"
         StalenessOracle.sql = Some(
-          s"""WITH m AS (SELECT CAST(trim(content) AS BIGINT) AS applied
-             |  FROM read_text('$store/meta.txt')),
-             |f AS (SELECT CAST(sum AS HUGEINT) AS s2,
-             |    CAST(n AS BIGINT) AS n
-             |  FROM read_json_auto('$store/parts/_fp/*.json'), m
-             |  WHERE CAST(replace(part, 'bid=', '') AS BIGINT)
-             |    <= m.applied),
-             |cur AS (SELECT
-             |  lower(lpad(to_hex(CAST($hsum // 4294967296 AS BIGINT)),
-             |      8, '0') ||
-             |    lpad(to_hex(CAST($hsum % 4294967296 AS BIGINT)),
-             |      8, '0')) || '_' || CAST(sum(n) AS VARCHAR) AS fp
-             |  FROM f)
+          s"""WITH ${curFoldSql("s", store)}
              |SELECT name, fingerprint,
-             |  CAST(fingerprint = cur.fp AS BIGINT) AS is_current
-             |FROM read_json_auto('$root/*/*/*/manifest.json'), cur
+             |  CAST(fingerprint = cur_s.fp AS BIGINT) AS is_current
+             |FROM read_json_auto('$root/*/*/*/manifest.json'), cur_s
              |ORDER BY name""".stripMargin)
         s.read.schema("name STRING, fingerprint STRING")
           .json(s"$root/*/*/*/manifest.json")
@@ -278,5 +290,121 @@ object PipelineQueries80 {
           .orderBy("name")
       },
       None,
-      Some(() => StalenessOracle.sql)))
+      Some(() => StalenessOracle.sql)),
+
+    // The FLEET-WIDE staleness sweep (r15 verdict #4): q403's
+    // question — "which served artifacts would rebuild if swept right
+    // now" — asked across ALL FIVE pinned store families in one
+    // frame. Per family: a store arrives in two batches, a rollup
+    // artifact commits at that address, the store moves on (one more
+    // batch, artifact deliberately NOT re-served — the planted stale
+    // artifact), and a sibling builds after the append (current by
+    // construction). The Spark side derives each family's CURRENT
+    // address through the store protocol's sidecar fold; the oracle
+    // re-derives every fold AND its 16-hex format from raw sidecar
+    // JSON + meta watermark (curFoldSql ×5 — one fragment, five
+    // instantiations) and reads the same manifests. Ten rows: one
+    // stale + one current per family.
+    QDef("q407_fleet_staleness",
+      (s, dir) => {
+        val root = new java.io.File(
+          "target/artifacts_fleet").getAbsolutePath
+        val dirs = Seq("minhash", "lsh", "ivf", "winnow", "simhash")
+          .map(f => f -> new java.io.File(
+            s"target/fleet_$f").getAbsolutePath).toMap
+        (dirs.values.toSeq :+ root).foreach(graft.ops.Fs.wipe)
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val cents = VectorSearch.kmeansCentroids(
+          VectorSearch.sampleVectors(emb, "vec_id", "embedding",
+            n = 256, seed = 7),
+          k = 8, iters = 5, seed = 7)
+        // one batch of each family, by batch index b
+        def apply(fam: String, b: Int): Unit = fam match {
+          case "minhash" => StreamMinhashIndex.applyBatch(
+            docs.where(pmod(col("doc_id"), lit(3)) === b), b.toLong,
+            "doc_id", "text", 12, 2, dirs(fam))
+          case "lsh" => StreamLshIndex.applyBatch(
+            emb.where(pmod(col("vec_id"), lit(3)) === b), b.toLong,
+            "vec_id", "embedding", 4, 4, 64, dirs(fam))
+          case "ivf" => StreamIvfIndex.applyBatch(
+            emb.where(pmod(col("vec_id"), lit(3)) === b), b.toLong,
+            "vec_id", "embedding", cents, 2, dirs(fam))
+          case "winnow" => StreamWinnowIndex.applyBatch(
+            docs.where(pmod(col("doc_id"), lit(3)) === b), b.toLong,
+            "doc_id", "text", dirs(fam))
+          case "simhash" => StreamSimhashIndex.applyBatch(
+            docs.where(pmod(col("doc_id"), lit(3)) === b), b.toLong,
+            "doc_id", "text", dirs(fam))
+        }
+        def readStore(fam: String) = fam match {
+          case "minhash" => StreamMinhashIndex.keys(s, dirs(fam))
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+          case "lsh" => StreamLshIndex.buckets(s, dirs(fam))
+            .groupBy(col("id")).agg(count(lit(1)).as("n"))
+          case "ivf" => StreamIvfIndex.assign(s, dirs(fam))
+            .groupBy(col("id")).agg(count(lit(1)).as("n"))
+          case "winnow" => StreamWinnowIndex.fps(s, dirs(fam))
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+          case "simhash" => StreamSimhashIndex.sigs(s, dirs(fam))
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        }
+        def fp(fam: String) = fam match {
+          case "minhash" => StreamMinhashIndex.storeFingerprint(dirs(fam))
+          case "lsh" => StreamLshIndex.storeFingerprint(dirs(fam))
+          case "ivf" => StreamIvfIndex.storeFingerprint(dirs(fam))
+          case "winnow" => StreamWinnowIndex.storeFingerprint(dirs(fam))
+          case "simhash" => StreamSimhashIndex.storeFingerprint(dirs(fam))
+        }
+        val fams = Seq("minhash", "lsh", "ivf", "winnow", "simhash")
+        val prev = s.conf.getOption(ArtifactStore.RootConf)
+        val current =
+          try {
+            s.conf.set(ArtifactStore.RootConf, root)
+            fams.map { fam =>
+              Seq(0, 1).foreach(apply(fam, _))
+              // built at the 2-batch address — goes STALE below
+              ArtifactStore.buildOrServe(s, s"fleet_${fam}_rollup",
+                fp(fam), "agg=n", s"${dirs(fam)}#$fam")(readStore(fam))
+                .count()
+              apply(fam, 2) // the store moves on; rollup not re-served
+              // a sibling name built NOW — current by construction
+              ArtifactStore.buildOrServe(s, s"fleet_${fam}_fresh",
+                fp(fam), "agg=n", s"${dirs(fam)}#$fam")(readStore(fam))
+                .count()
+              fam -> fp(fam)
+            }
+          } finally prev match {
+            case Some(r) => s.conf.set(ArtifactStore.RootConf, r)
+            case None => s.conf.unset(ArtifactStore.RootConf)
+          }
+        val folds = fams.map(f => curFoldSql(f, dirs(f)))
+          .mkString(",\n")
+        val cases = fams.map(f =>
+          s"WHEN '$f' THEN (SELECT fp FROM cur_$f)").mkString("\n    ")
+        FleetStalenessOracle.sql = Some(
+          s"""WITH $folds,
+             |man AS (SELECT
+             |    regexp_extract(name, 'fleet_([a-z]+)_', 1) AS store,
+             |    name, fingerprint
+             |  FROM read_json_auto('$root/*/*/*/manifest.json'))
+             |SELECT store, name, fingerprint,
+             |  CAST(fingerprint = CASE store
+             |    $cases
+             |    END AS BIGINT) AS is_current
+             |FROM man ORDER BY name""".stripMargin)
+        import s.implicits._
+        val curDf = broadcast(current.toDF("store", "cur_fp"))
+        s.read.schema("name STRING, fingerprint STRING")
+          .json(s"$root/*/*/*/manifest.json")
+          .select(regexp_extract(col("name"), "fleet_([a-z]+)_", 1)
+            .as("store"), col("name"), col("fingerprint"))
+          .join(curDf, "store")
+          .select(col("store"), col("name"), col("fingerprint"),
+            (col("fingerprint") === col("cur_fp")).cast("long")
+              .as("is_current"))
+          .orderBy("name")
+      },
+      None,
+      Some(() => FleetStalenessOracle.sql)))
 }

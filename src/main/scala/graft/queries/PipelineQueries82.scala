@@ -75,21 +75,74 @@ object PipelineQueries82 {
     QDef("q402_neardup_simhash_wide",
       (s, dir) => graft.ops.Dedup.nearDupSimhashWide(
         Tables.documents(s, dir), "doc_id", "text"),
-      Some(s"""WITH t AS (SELECT doc_id,
-              |  list_filter(string_split(text, ' '), x -> x != '')
-              |    AS toks FROM documents),
-              |h AS (SELECT doc_id,
-              |  list_transform(toks,
-              |    t -> cast('0x' || substr(md5(t), 1, 15) as bigint)) AS hs
-              |  FROM t),
-              |sh AS (SELECT doc_id,
-              |  list_sum(list_transform(generate_series(0, 59), b ->
-              |    CASE WHEN list_sum(list_transform(hs,
-              |      h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-              |    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
-              |  FROM h)
-              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |  bit_count(xor(a.simhash, b.simhash)) AS dist
-              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)))
+      Some(WideSimhashOracle.sql)),
+
+    // The wide geometry MAINTAINED (the r15 verdict #2 rollout): the
+    // q401 lifecycle — three arrival slices, mid-life compaction,
+    // part-addressed serve, blocked near-dup entirely off the index —
+    // at the 60-bit/15-bit-slice geometry the sf1 ledger promotes to
+    // default (q402: 7.0x for 10x data where the 32-bit family pays
+    // 17.1x — each blocking slice has 32768 bucket values, so the
+    // served self-join's Σ bucket² term stays near-linear). The
+    // identity pin keeps this store and q401's 32-bit store mutually
+    // refusing; ONE oracle (q402's, verbatim) covers inline and
+    // maintained, so the two paths cannot drift.
+    QDef("q404_simhash_wide_maintained",
+      (s, dir) => {
+        val store = new java.io.File(
+          "target/stream_simhash_wide").getAbsolutePath
+        graft.ops.Fs.wipe(store)
+        val docs = Tables.documents(s, dir)
+        Seq(0, 1).foreach { b =>
+          StreamSimhashIndex.applyBatch(
+            docs.where(pmod(col("doc_id"), lit(3)) === b), b.toLong,
+            "doc_id", "text", store,
+            StreamSimhashIndex.WideBits, StreamSimhashIndex.WideBlocks)
+        }
+        StreamSimhashIndex.compact(s, store)
+        StreamSimhashIndex.applyBatch(
+          docs.where(pmod(col("doc_id"), lit(3)) === 2), 2L,
+          "doc_id", "text", store,
+          StreamSimhashIndex.WideBits, StreamSimhashIndex.WideBlocks)
+        val sigs = StreamSimhashIndex.servedSigs(s, store,
+            StreamSimhashIndex.WideBits, StreamSimhashIndex.WideBlocks)
+          .localCheckpoint() // both sides of the blocked join read it
+        val b = StreamSimhashIndex.blocked(sigs,
+          StreamSimhashIndex.WideBits, StreamSimhashIndex.WideBlocks)
+        b.as("x").join(b.as("y"),
+            col("x.blk") === col("y.blk") &&
+              col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"),
+            col("y.doc_id").as("doc_b"),
+            TextAnalysis.hamming(col("x.simhash"), col("y.simhash"))
+              .as("dist"))
+          .distinct()
+          .filter(col("dist") <= 3)
+      },
+      Some(WideSimhashOracle.sql)))
+
+  /** The 60-bit brute-force oracle — ONE copy for the inline (q402)
+    * and maintained (q404) wide-sketch queries: replays the majority
+    * rule over hash60 token hashes and exact hamming in DuckDB. */
+  private object WideSimhashOracle {
+    val sql: String =
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x != '')
+         |    AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |  list_transform(toks,
+         |    t -> cast('0x' || substr(md5(t), 1, 15) as bigint)) AS hs
+         |  FROM t),
+         |sh AS (SELECT doc_id,
+         |  list_sum(list_transform(generate_series(0, 59), b ->
+         |    CASE WHEN list_sum(list_transform(hs,
+         |      h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |    THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+         |  FROM h)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS dist
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+  }
 }

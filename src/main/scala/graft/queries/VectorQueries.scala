@@ -17,26 +17,20 @@ object VectorQueries {
 
   /** DuckDB fragment: sequential-fold dot product of two double lists. */
   private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
+    VectorOracleSql.dot(a, b)
 
-  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+  private def normSql(a: String): String = VectorOracleSql.norm(a)
 
   private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+    VectorOracleSql.cos(a, b)
 
   private val vSql = "list_transform(embedding, x -> x::DOUBLE)"
 
   /** DuckDB fragment: sign bit of v · plane(p) (v must be a double list
     * expression, d is the 0-based dimension).
     */
-  private def signBitSql(v: String, p: Int): String = {
-    val proj = s"list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"list_transform(list_zip($v, generate_series(0, len($v) - 1)), " +
-      s"x -> x[1] * ((cast('0x' || substr(md5('$p:' || x[2]), 1, 8) as bigint) " +
-      s"% 2001 - 1000) / 1000.0))), (p, q) -> p + q)"
-    s"(CASE WHEN $proj > 0 THEN 1 ELSE 0 END)"
-  }
+  private def signBitSql(v: String, p: Int): String =
+    s"(CASE WHEN ${VectorOracleSql.proj(v, p)} > 0 THEN 1 ELSE 0 END)"
 
   private def bandKeySql(v: String, band: Int, bits: Int): String =
     (0 until bits).map(i => s"${signBitSql(v, band * bits + i)} * ${1 << i}")
@@ -67,8 +61,7 @@ object VectorQueries {
     * DuckDB parse it as DOUBLE (a plain decimal literal would parse as
     * DECIMAL and change the arithmetic).
     */
-  private def dbl(x: Double): String =
-    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+  private def dbl(x: Double): String = VectorOracleSql.dbl(x)
 
   /** DuckDB replay of [[graft.ops.VectorSearch.ivfAssign]] + probe +
     * exact top-k with literal centroids. Norms of the centroids are
@@ -115,7 +108,7 @@ object VectorQueries {
       val cents = graft.ops.VectorSearch.cellCentroids(
         emb, "vec_id", "embedding", threshold)
       val cap = graft.ops.NswIndex.effectiveBlockCap(s)
-      def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+      def vlit(c: Array[Double]) = VectorOracleSql.vlit(c)
       val cells = cents.zipWithIndex.map { case (c, i) =>
         val n = dbl(math.sqrt(c.map(x => x * x).sum))
         s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), " +
@@ -146,7 +139,7 @@ object VectorQueries {
 
   private[queries] def ivfOracleSql(centroids: Array[Array[Double]],
                                     probes: Int, topK: Int): String = {
-    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    def vlit(c: Array[Double]) = VectorOracleSql.vlit(c)
     val cells = centroids.zipWithIndex.map { case (c, i) =>
       val n = dbl(math.sqrt(c.map(x => x * x).sum))
       s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), 'cell': $i}"
@@ -233,7 +226,7 @@ object VectorQueries {
   private[queries] def ivfPqOracleSql(coarse: Array[Array[Double]],
                              codebook: Array[Array[Array[Double]]],
                              probes: Int, topK: Int): String = {
-    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    def vlit(c: Array[Double]) = VectorOracleSql.vlit(c)
     val cellsSql = coarse.zipWithIndex.map { case (c, i) =>
       val n = dbl(math.sqrt(c.map(x => x * x).sum))
       s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), 'cell': $i}"

@@ -71,11 +71,10 @@ object VectorQueries2 {
   }
 
   private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
-  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+    VectorOracleSql.dot(a, b)
+  private def normSql(a: String): String = VectorOracleSql.norm(a)
   private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+    VectorOracleSql.cos(a, b)
   private val vSql = "list_transform(embedding, x -> x::DOUBLE)"
 
   val defs: Seq[QDef] = Seq(
@@ -1024,7 +1023,7 @@ object VectorQueries2 {
                              codebook: Array[Array[Array[Double]]],
                              probes: Int, m: Int, beam: Int,
                              rounds: Int, topK: Int, cap: Int): String = {
-    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    def vlit(c: Array[Double]) = VectorOracleSql.vlit(c)
     val cells = centroids.zipWithIndex.map { case (c, i) =>
       val n = dbl(math.sqrt(c.map(x => x * x).sum))
       s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), " +
@@ -1089,8 +1088,7 @@ object VectorQueries2 {
   }
 
   /** Shortest-safe double literal (the VectorQueries.dbl rule). */
-  private def dbl(x: Double): String =
-    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
+  private def dbl(x: Double): String = VectorOracleSql.dbl(x)
 
   /** DuckDB twin of TextAnalysis.tokenHash (the house hash). */
   private def hashSql(t: String) =
@@ -1157,7 +1155,7 @@ object VectorQueries2 {
   private def hnswOracleSql(centroids: Array[Array[Double]], probes: Int,
                             m: Int, beam: Int, topRounds: Int,
                             rounds: Int, topK: Int, cap: Int): String = {
-    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    def vlit(c: Array[Double]) = VectorOracleSql.vlit(c)
     val cells = centroids.zipWithIndex.map { case (c, i) =>
       val n = dbl(math.sqrt(c.map(x => x * x).sum))
       s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), " +
@@ -1205,7 +1203,7 @@ object VectorQueries2 {
   private def nswOracleSql(centroids: Array[Array[Double]], probes: Int,
                            m: Int, beam: Int, rounds: Int,
                            topK: Int, cap: Int): String = {
-    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    def vlit(c: Array[Double]) = VectorOracleSql.vlit(c)
     val cells = centroids.zipWithIndex.map { case (c, i) =>
       val n = dbl(math.sqrt(c.map(x => x * x).sum))
       s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), " +
@@ -1278,7 +1276,7 @@ object VectorQueries2 {
           |  UNION SELECT en.qid, ed.dst AS vec_id FROM ent en
           |    JOIN edges ed ON ed.src = en.vec_id) zz""".stripMargin
       else "SELECT qid, vec_id FROM ent"
-    def vlit(c: Array[Double]) = c.map(dbl).mkString("[", ", ", "]")
+    def vlit(c: Array[Double]) = VectorOracleSql.vlit(c)
     val cells = centroids.zipWithIndex.map { case (c, i) =>
       val n = dbl(math.sqrt(c.map(x => x * x).sum))
       s"{'sim': ${dotSql("v", vlit(c))} / (${normSql("v")} * $n), " +

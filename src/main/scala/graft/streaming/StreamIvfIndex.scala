@@ -71,9 +71,13 @@ object StreamIvfIndex {
     * header line, then one comma-joined Double.toString line per
     * centroid (Double.toString → parseDouble round-trips exactly). */
   private def pinString(centroids: Array[Array[Double]],
-                        probes: Int): String =
+                        probes: Int): String = {
+    require(centroids.nonEmpty,
+      "IVF pin needs a non-empty centroid matrix — an empty matrix " +
+        "has no cells to post to")
     (s"probes=$probes,k=${centroids.length},dims=${centroids.head.length}" +:
       centroids.map(_.mkString(","))).mkString("\n")
+  }
 
   /** The store's pinned (centroid matrix, probes), or None for a store
     * no apply has pinned yet — the read-side half of the pin: a caller
@@ -151,6 +155,8 @@ object StreamIvfIndex {
                                 idCol: String, vecCol: String,
                                 cents: Array[Array[Double]], probes: Int,
                                 storeDir: String): Unit = {
+    require(cents.nonEmpty,
+      s"IVF store $storeDir needs a non-empty centroid matrix")
     val st = store(storeDir)
     if (bid <= st.appliedBid) return
     checkCentroids(storeDir, cents, probes)

@@ -126,11 +126,10 @@ object StreamMinhashIndex {
     val want = geomString(numBands, rowsPerBand)
     val p = geomPath(storeDir)
     if (Files.exists(p)) {
-      val have = new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim
-      require(have == want,
-        s"MinHash store $storeDir is pinned to geometry '$have'; " +
-          s"refusing to apply a batch keyed under '$want' — " +
-          "mixed-geometry buckets would serve silently wrong candidates")
+      // delegate to the one comparison the serve path uses too (the
+      // sibling stores' shape) — apply-side and serve-side refusal
+      // contracts cannot drift apart
+      requireGeometry(storeDir, numBands, rowsPerBand)
     } else {
       Files.createDirectories(Paths.get(storeDir))
       val tmp = Paths.get(s"$storeDir/geometry.txt.tmp")

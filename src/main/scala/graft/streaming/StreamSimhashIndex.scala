@@ -29,11 +29,12 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * downstream artifact address — invariant), part-addressed serving
   * through [[graft.ops.ArtifactStore.buildOrServeParts]].
   *
-  * The hash GEOMETRY (32 bits, 4 blocking bytes) rides the house
-  * constants, so like the winnow store the pin protects across TIME:
-  * a store written by a code version with different constants is
-  * refused by name. Store mechanics are
-  * [[graft.ops.DeltaPartsStore]]'s.
+  * The hash GEOMETRY (bit width + blocking slice count) is the
+  * store's pinned identity: the reference-fixture 32/4 sketch and the
+  * 100 TB-default 60/4 wide sketch (q402's measured density fix)
+  * coexist as mutually-refusing stores, and a store written by a code
+  * version with different constants is refused by name. Store
+  * mechanics are [[graft.ops.DeltaPartsStore]]'s.
   */
 object StreamSimhashIndex {
 
@@ -41,11 +42,31 @@ object StreamSimhashIndex {
     StructField("doc_id", LongType),
     StructField("simhash", LongType)))
 
-  /** House simhash geometry — lockstep with
-    * [[graft.functions.TextAnalysis.simhash32]] and
-    * [[graft.ops.Dedup.nearDupSimhash]]'s 4-byte blocking. */
+  /** House simhash geometries — lockstep with
+    * [[graft.functions.TextAnalysis.simhash32]]/`simhash60` and
+    * [[graft.ops.Dedup.nearDupSimhash]]/`nearDupSimhashWide`'s
+    * blocking. 32/4 is the reference-fixture geometry; 60/4 (four
+    * 15-bit slices, 32768 buckets each) is the 100 TB default — q402
+    * measured the wide sketch collapsing the 32-bit family's
+    * super-linear sf1 density (7.0× vs 17.1× for 10× data) at the
+    * same pigeonhole recall guarantee. The identity pin keeps stores
+    * of the two geometries mutually refusing, so they coexist. */
   val Bits = 32
   val Blocks = 4
+  val WideBits = 60
+  val WideBlocks = 4
+
+  /** The signing kernel for a pinned bit width — refuses an
+    * ungeometried width by name (a silently-wrong kernel would sign a
+    * DIFFERENT sketch under the store's pin). */
+  private def signExpr(bits: Int,
+                       toks: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = bits match {
+    case 32 => TextAnalysis.simhash32(toks).cast("long")
+    case 60 => TextAnalysis.simhash60(toks)
+    case b => throw new IllegalArgumentException(
+      s"no simhash kernel for bits=$b — house geometries are 32 and 60")
+  }
 
   private def store(storeDir: String) =
     new DeltaPartsStore(storeDir, sigSchema, identity)
@@ -95,35 +116,37 @@ object StreamSimhashIndex {
         "different bit geometry are a different sketch entirely")
   }
 
-  private def checkGeometry(storeDir: String): Unit = {
+  private def checkGeometry(storeDir: String, bits: Int,
+                            blocks: Int): Unit = {
     val p = geomPath(storeDir)
-    if (Files.exists(p)) requireGeometry(storeDir, Bits, Blocks)
+    if (Files.exists(p)) requireGeometry(storeDir, bits, blocks)
     else {
       Files.createDirectories(Paths.get(storeDir))
       val tmp = Paths.get(s"$storeDir/geometry.txt.tmp")
       Files.write(tmp,
-        geomString(Bits, Blocks).getBytes(StandardCharsets.UTF_8))
+        geomString(bits, blocks).getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
-  /** Apply one batch: sign the batch's docs, commit the part +
-    * sidecar, move the watermark. Null-text rows drop (poison-row
-    * rule); zero-token docs sign like the inline path signs them
-    * (simhash 0 — no filter, maintained == inline exactly). A
-    * replayed bid is a no-op. */
+  /** Apply one batch: sign the batch's docs under the store's pinned
+    * geometry, commit the part + sidecar, move the watermark.
+    * Null-text rows drop (poison-row rule); zero-token docs sign like
+    * the inline path signs them (simhash 0 — no filter, maintained ==
+    * inline exactly). A replayed bid is a no-op. */
   private[graft] def applyBatch(batch: DataFrame, bid: Long,
                                 idCol: String, textCol: String,
-                                storeDir: String): Unit = {
+                                storeDir: String, bits: Int = Bits,
+                                blocks: Int = Blocks): Unit = {
     val st = store(storeDir)
     if (bid <= st.appliedBid) return
-    checkGeometry(storeDir)
+    checkGeometry(storeDir, bits, blocks)
     st.applyPart(
       batch.where(col(textCol).isNotNull)
         .select(col(idCol).cast("long").as("doc_id"),
-          TextAnalysis.simhash32(TextAnalysis.tokens(col(textCol)))
-            .cast("long").as("simhash")),
+          signExpr(bits, TextAnalysis.tokens(col(textCol)))
+            .as("simhash")),
       bid)
   }
 
@@ -135,10 +158,14 @@ object StreamSimhashIndex {
 
   /** Serve the maintained signatures through the artifact store,
     * PART-ADDRESSED by the write-time sidecars. With no artifact
-    * root: the folded view directly. */
-  def servedSigs(spark: SparkSession, storeDir: String): DataFrame =
+    * root: the folded view directly. The artifact params carry the
+    * PINNED bit width, so a 32-bit and a wide store can never collide
+    * on one artifact scope. */
+  def servedSigs(spark: SparkSession, storeDir: String): DataFrame = {
+    val bits = geometry(storeDir).map(_._1).getOrElse(Bits)
     store(storeDir).serveParts(spark, "simhash_maintained_sigs",
-      params = "sig32")
+      params = s"sig$bits")
+  }
 
   /** [[servedSigs]] with the caller's geometry REQUIRE-MATCHED against
     * the store pin first. */
@@ -148,30 +175,26 @@ object StreamSimhashIndex {
     servedSigs(spark, storeDir)
   }
 
-  /** The Manku byte-block projection over a signature frame — one
-    * (doc_id, simhash, blk, key) row per blocking byte, derived at
-    * read time (the store never materializes keys). Shared by the
-    * maintained query path and the spec so blocking cannot drift from
-    * [[graft.ops.Dedup.nearDupSimhash]]'s. */
-  def blocked(sigs: DataFrame): DataFrame =
-    sigs.select(col("doc_id"), col("simhash"), explode(
-      transform(sequence(lit(0), lit(Blocks - 1)), k =>
-        struct(k.as("blk"),
-          call_function("shiftright", col("simhash"), k * 8)
-            .bitwiseAND(255).as("key"))))
-      .as("e"))
-      .select(col("doc_id"), col("simhash"), col("e.blk"), col("e.key"))
+  /** The Manku block projection over a signature frame — one
+    * (doc_id, simhash, blk, key) row per blocking slice, derived at
+    * read time (the store never materializes keys). Delegates to the
+    * ONE house projection ([[graft.ops.Dedup.simhashBlocked]]) so
+    * blocking cannot drift from the inline families'. */
+  def blocked(sigs: DataFrame, bits: Int = Bits,
+              blocks: Int = Blocks): DataFrame =
+    graft.ops.Dedup.simhashBlocked(sigs, blocks, bits / blocks)
 
   /** Wire an (id, text) document stream into the maintained index.
     * Compaction auto-triggers past `compactAfterBatches` per-batch
     * partitions — OUTSIDE the batch commit. */
   def run(stream: DataFrame, idCol: String, textCol: String,
           storeDir: String, trigger: Trigger,
-          compactAfterBatches: Int = 48): DataStreamWriter[Row] =
+          compactAfterBatches: Int = 48, bits: Int = Bits,
+          blocks: Int = Blocks): DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        applyBatch(batch, bid, idCol, textCol, storeDir)
+        applyBatch(batch, bid, idCol, textCol, storeDir, bits, blocks)
         if (store(storeDir).partDirCount > compactAfterBatches) {
           compact(batch.sparkSession, storeDir)
           ()

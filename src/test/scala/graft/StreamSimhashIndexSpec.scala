@@ -181,6 +181,58 @@ class StreamSimhashIndexSpec extends SparkSpec {
       "the exact-dup pairs are hamming-0 pairs")
   }
 
+  test("WIDE geometry: a 60-bit store folds to the inline simhash60 " +
+    "signatures, its blocked near-dup equals the inline wide path, " +
+    "and the 32-bit and wide stores refuse each other by name") {
+    val store = freshStore()
+    (0 until 3).foreach { b =>
+      StreamSimhashIndex.applyBatch(df(docs.filter(_._1 % 3 == b)),
+        b.toLong, "doc_id", "text", store,
+        StreamSimhashIndex.WideBits, StreamSimhashIndex.WideBlocks)
+    }
+    assert(StreamSimhashIndex.geometry(store) === Some((60, 4)))
+    val wideTruth = df(docs).select(col("doc_id"),
+        TextAnalysis.simhash60(TextAnalysis.tokens(col("text")))
+          .as("simhash"))
+      .as[(Long, Long)].collect().toSet
+    assert(fold(store) === wideTruth,
+      "the wide fold must equal the inline simhash60 signatures")
+    // blocked near-dup off the wide store == the inline wide path
+    val b = StreamSimhashIndex.blocked(
+      StreamSimhashIndex.sigs(spark, store),
+      StreamSimhashIndex.WideBits, StreamSimhashIndex.WideBlocks)
+    val maintained = b.as("x").join(b.as("y"),
+        col("x.blk") === col("y.blk") &&
+          col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        TextAnalysis.hamming(col("x.simhash"), col("y.simhash"))
+          .as("dist"))
+      .distinct()
+      .filter(col("dist") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val inline = Dedup.nearDupSimhashWide(df(docs), "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(maintained === inline)
+    // mutual refusal: a 32-bit apply against the wide pin, and a wide
+    // apply against a 32-bit pin, each refuse naming both geometries
+    val e1 = intercept[IllegalArgumentException] {
+      StreamSimhashIndex.applyBatch(df(docs), 9L, "doc_id", "text",
+        store)
+    }
+    assert(e1.getMessage.contains("bits=60,blocks=4") &&
+      e1.getMessage.contains("bits=32,blocks=4"))
+    val narrow = freshStore()
+    StreamSimhashIndex.applyBatch(df(docs), 0L, "doc_id", "text", narrow)
+    val e2 = intercept[IllegalArgumentException] {
+      StreamSimhashIndex.applyBatch(df(docs), 1L, "doc_id", "text",
+        narrow, StreamSimhashIndex.WideBits,
+        StreamSimhashIndex.WideBlocks)
+    }
+    assert(e2.getMessage.contains("bits=32,blocks=4") &&
+      e2.getMessage.contains("bits=60,blocks=4"))
+  }
+
   test("streaming wiring drains the same store the batch API builds, " +
     "with auto-compaction bounding the partition count") {
     val src = Files.createTempDirectory("ssi-src").toString
