@@ -29,6 +29,23 @@ object Bench {
     }
   }
 
+  /** A uniformly-degraded host EPOCH (r15 verdict #6): the per-window
+    * suspect logic catches bursts — a single probe spiking past the
+    * contention threshold — but a host that is mildly slow for the
+    * WHOLE run (every probe ~1.2× floor, no spike) stamps itself
+    * clean while every query reads uniformly high. Flag it when the
+    * MEDIAN of all bracketing probes (sweep start, each window
+    * boundary, sweep end) exceeds the idle floor by >10%: the next
+    * adjudication then needs zero judgment to discount the line. */
+  def epochSuspect(probes: Seq[Double], floor: Double): Boolean = {
+    if (probes.isEmpty) return false
+    val s = probes.sorted
+    val med =
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    med > floor * 1.1
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -162,6 +179,7 @@ object Bench {
     // (r12 advice; it can't mark a window suspect, no query runs
     // after it).
     val contended = (allProbes :+ probeEnd).exists(_ > probeThr)
+    val epochSus = epochSuspect(allProbes :+ probeEnd, probeFloor)
     val suspectJson = suspects.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
       .mkString("[", ",", "]")
     val probesJson = allProbes.map(ms).mkString("[", ",", "]")
@@ -210,7 +228,7 @@ object Bench {
       val w = new java.io.PrintWriter("target/bench_full.json")
       try w.println(s"""{"total":${ms(total)},"probe_normalized_total":${ms(normTotal)},"queries":$fullQs,"window_probes":$probesJson,"suspect":${suspects.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"approx_shape":$approxJson,"sf":"$sfDir"}""") finally w.close()
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","probe_normalized_total":${ms(normTotal)},"contended":$contended,"n_suspect":${suspects.size},"suspect":$suspectJson,"approx_shape":$approxJson,"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","probe_normalized_total":${ms(normTotal)},"contended":$contended,"epoch_suspect":$epochSus,"n_suspect":${suspects.size},"suspect":$suspectJson,"approx_shape":$approxJson,"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     // The driver captures only the TAIL of stdout; with 250+ queries
     // the full line above overflows that window and is cut mid-map
     // FROM THE HEAD — BENCH_r09's committed artifact lost the total
@@ -219,7 +237,7 @@ object Bench {
     // lives in the full line above and in target/bench_full.json.
     // Distinct metric name: a consumer grepping "metric":"total" must
     // not double-count or land on the truncatable per-query line.
-    println(s"""{"metric":"total_summary","value":${ms(total)},"unit":"sec","probe_normalized_total":${ms(normTotal)},"contended":$contended,"n_suspect":${suspects.size},"approx_shape":$approxJson,"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","queries_file":"target/bench_full.json"}""")
+    println(s"""{"metric":"total_summary","value":${ms(total)},"unit":"sec","probe_normalized_total":${ms(normTotal)},"contended":$contended,"epoch_suspect":$epochSus,"n_suspect":${suspects.size},"approx_shape":$approxJson,"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","queries_file":"target/bench_full.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -290,29 +290,50 @@ object StreamNswInsert {
     * beam seeds the full layer-0 search. On a corpus too small for
     * the 4⁻² draw to land anyone, the descent starts at layer 1 (the
     * historical two-layer shape, unchanged). `query` is a one-row
-    * (qv, qn) frame; returns the final beam (id, sim). */
+    * (qv, qn) frame; returns the final beam (id, sim).
+    *
+    * `seedEntries` (r15 verdict #7 — q392's entry seeding promoted to
+    * the maintained ladder): widen each descent stage's entry set
+    * with its 1-hop neighbors in THAT layer's edge table before the
+    * beam, so round 0 ranks over entries + their neighborhoods
+    * instead of the bare handoff beam — one extra broadcast join per
+    * stage against an entry set of O(beamWidth) rows, zero extra
+    * index storage, the same beam budget afterwards.
+    * StreamNswInsertSpec measures seeded recall against both the
+    * unseeded maintained ladder and the static build. */
   def searchLadder(spark: SparkSession, storeDir: String,
                    query: DataFrame, beamWidth: Int, topRounds: Int,
-                   rounds: Int): DataFrame = {
+                   rounds: Int, seedEntries: Boolean = false)
+      : DataFrame = {
     val vecs = nodes(spark, storeDir)
       .withColumn("nrm", VectorSearch.norm(col("v")))
       .localCheckpoint() // every layer's scoring reads it
-    val hasL2 = vecs.where(NswIndex.atLevel(col("id"), 2))
-      .limit(1).count() > 0
+    // the q392 seeding: entries ∪ their 1-hop neighbors (edge tables
+    // are symmetrized, so dst-of-src covers the whole neighborhood)
+    def seed(entries: DataFrame, edgeTable: DataFrame): DataFrame =
+      if (!seedEntries) entries
+      else entries.unionByName(
+          edgeTable.join(
+            broadcast(entries.withColumnRenamed("id", "src")), "src")
+            .select(col("dst").as("id")))
+        .distinct()
+    val e1 = edges1(spark, storeDir)
+    val e0 = edges(spark, storeDir)
     val entry1 =
-      if (!hasL2)
-        vecs.where(NswIndex.atLevel(col("id"), 1))
-          .agg(min("id").as("id"))
-      else {
+      if (!vecs.where(NswIndex.atLevel(col("id"), 2))
+        .limit(1).isEmpty) {
+        val e2 = edges2(spark, storeDir)
         val entry2 = vecs.where(NswIndex.atLevel(col("id"), 2))
           .agg(min("id").as("id"))
-        NswIndex.beamSearch(vecs, edges2(spark, storeDir), query,
-          entry2, beamWidth, topRounds).select(col("id"))
-      }
-    val beam1 = NswIndex.beamSearch(vecs, edges1(spark, storeDir),
-      query, entry1, beamWidth, topRounds)
-    NswIndex.beamSearch(vecs, edges(spark, storeDir), query,
-      beam1.select(col("id")), beamWidth, rounds)
+        NswIndex.beamSearch(vecs, e2, query, seed(entry2, e2),
+          beamWidth, topRounds).select(col("id"))
+      } else
+        vecs.where(NswIndex.atLevel(col("id"), 1))
+          .agg(min("id").as("id"))
+    val beam1 = NswIndex.beamSearch(vecs, e1, query,
+      seed(entry1, e1), beamWidth, topRounds)
+    NswIndex.beamSearch(vecs, e0, query,
+      seed(beam1.select(col("id")), e0), beamWidth, rounds)
   }
 
   /** One-dir-per-batch growth bound (r13 verdict #4a, the StreamSplit

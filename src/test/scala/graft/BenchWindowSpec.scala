@@ -39,4 +39,27 @@ class BenchWindowSpec extends AnyFunSuite {
       Bench.suspectQueries(names, ends, Seq(0.2, 0.2), thr = 0.625)
     }
   }
+
+  test("epoch_suspect: a uniformly-degraded run (every probe mildly " +
+    "above floor, no spike) flags, the r15 driver-run signature") {
+    // the r15 driver run: start probe 0.300 vs floor 0.250, uniform
+    // 1.2x — per-window suspects saw nothing
+    assert(Bench.epochSuspect(Seq(0.300, 0.290, 0.310, 0.295), 0.25))
+    // and the same series is below the 2.5x burst threshold, so the
+    // burst logic indeed sees nothing — the gap this flag closes
+    assert(Bench.suspectQueries(names, ends,
+      Seq(0.300, 0.290, 0.310, 0.295), thr = 0.625).isEmpty)
+  }
+
+  test("epoch_suspect: an idle-floor run does not flag, and one " +
+    "transient spike does not drag the median over") {
+    assert(!Bench.epochSuspect(Seq(0.16, 0.25, 0.22, 0.24), 0.25))
+    // median robust to a single burst: that's the per-window logic's
+    // job, not the epoch flag's
+    assert(!Bench.epochSuspect(Seq(0.20, 0.21, 3.0, 0.22), 0.25))
+    assert(!Bench.epochSuspect(Seq.empty, 0.25))
+    // boundary: exactly 10% over the floor is NOT suspect (strict >)
+    assert(!Bench.epochSuspect(Seq(0.275, 0.275, 0.275), 0.25))
+    assert(Bench.epochSuspect(Seq(0.276, 0.276, 0.276), 0.25))
+  }
 }

@@ -460,4 +460,61 @@ class StreamNswInsertSpec extends SparkSpec {
         s"$three vs $two")
     assert(three >= 40, s"absolute recall floor broken: $three/80")
   }
+
+  test("seeded entry ladder (r15 verdict #7 — q392's multi-probe " +
+    "entry seeding on the MAINTAINED store): widening each descent " +
+    "stage's entries with their 1-hop neighbors must not trail the " +
+    "unseeded ladder, and must hold the static-build recall floor") {
+    val store = freshStore()
+    insertAll(store, 4)
+    // the static twin's recall on the same corpus (min-id layer-1
+    // entry, the two-layer shape)
+    val all = df(corpus).select(col("vec_id").cast("long").as("id"),
+        VectorSearch.toDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    val vecsAll = all.withColumn("nrm", VectorSearch.norm(col("v")))
+      .localCheckpoint()
+    val static0 = NswIndex.knnGraph(all, "id", "v", cents, probes, m,
+      NswIndex.DefaultBlockCap).localCheckpoint()
+    val static1 = NswIndex.knnGraph(
+      all.where(NswIndex.atLevel(col("id"), 1)), "id", "v", cents,
+      probes, m, NswIndex.DefaultBlockCap).localCheckpoint()
+    var seeded = 0
+    var unseeded = 0
+    var static2 = 0
+    (0 until 8).foreach { i =>
+      val c = centers(i % 5)
+      val n0 = randUnit(new Random(900 + i), dims).map(_ * 0.2)
+      val v = c.zip(n0).map { case (a, b) => a + b }
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      val q = v.map(_ / nn)
+      val exact = exactTop(q, 10)
+      val qdf = Seq(q.toSeq).toDF("qv")
+        .withColumn("qn", VectorSearch.norm(col("qv")))
+      def top(df: DataFrame): Set[Long] = df
+        .orderBy(col("sim").desc, col("id").asc).limit(10)
+        .select("id").as[Long].collect().toSet
+      seeded += (exact & top(StreamNswInsert.searchLadder(spark,
+        store, qdf, beamWidth = beam, topRounds = 2, rounds = rounds,
+        seedEntries = true))).size
+      unseeded += (exact & top(StreamNswInsert.searchLadder(spark,
+        store, qdf, beamWidth = beam, topRounds = 2,
+        rounds = rounds))).size
+      val entry1 = all.where(NswIndex.atLevel(col("id"), 1))
+        .agg(min("id").as("id"))
+      val sBeam1 = NswIndex.beamSearch(vecsAll, static1, qdf, entry1,
+        beamWidth = beam, rounds = 2)
+      static2 += (exact & top(NswIndex.beamSearch(vecsAll, static0,
+        qdf, sBeam1.select(col("id")), beamWidth = beam,
+        rounds = rounds))).size
+    }
+    info(s"seeded vs unseeded vs static recall@10 over 8 queries: " +
+      s"seeded=$seeded unseeded=$unseeded static=$static2 (of 80)")
+    assert(seeded >= unseeded,
+      s"entry seeding must never cost recall: $seeded vs $unseeded")
+    assert(seeded >= static2,
+      s"the seeded maintained ladder must not trail the static " +
+        s"build: $seeded vs $static2")
+    assert(seeded >= 40, s"absolute recall floor broken: $seeded/80")
+  }
 }
