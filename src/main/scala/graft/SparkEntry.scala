@@ -50,6 +50,7 @@ object SparkEntry {
       PipelineQueries77.defs ++ PipelineQueries78.defs ++
       PipelineQueries79.defs ++ PipelineQueries80.defs ++
       PipelineQueries81.defs ++ PipelineQueries82.defs ++
+      PipelineQueries83.defs ++
       VectorQueries2.defs
 
   private val qMap = allDefs.map(d => d.name -> d.fn).toMap

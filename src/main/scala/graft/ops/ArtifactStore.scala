@@ -607,6 +607,66 @@ object ArtifactStore {
     }
   }
 
+  // ---- root-wide audit + vacuum (the governance frame q390 reads,
+  // turned into an OPERATION — r15 verdict #8c) ----
+
+  /** Classify every payload directory under an artifact root against
+    * its address's manifest — the audit half of the store's VACUUM:
+    *
+    *  - '''live''': the manifest's committed payload (with its
+    *    _SUCCESS marker). Load-bearing for every serve; never touched.
+    *  - '''orphan''': a payload its address's manifest does not
+    *    reference — the dead temp of a crashed build, or the losing
+    *    side of a same-address race whose committer died before its
+    *    own cleanup. Invisible to readers; safe to delete.
+    *  - '''torn''': a payload in an address directory with NO
+    *    manifest at all — a build that died before its commit point.
+    *    Readers require the manifest, so it is invisible; the next
+    *    serve of that address rebuilds idempotently. Safe to delete.
+    *
+    * Returns (address dir relative to root, payload dir name,
+    * status), sorted. Same single-writer scope as
+    * [[graft.streaming.BlockIngest.auditOrphans]]: run between
+    * serves, not under a concurrent committer — a payload another
+    * process is building RIGHT NOW is indistinguishable from a dead
+    * temp. */
+  def auditRoot(rootDir: String): Seq[(String, String, String)] = {
+    val root = Paths.get(rootDir)
+    if (!Files.isDirectory(root)) return Seq.empty
+    Fs.walk(root)
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("payload-"))
+      .map { payload =>
+        val addr = payload.getParent
+        val status = livePayload(addr.toString) match {
+          case Some(p) if p == payload.getFileName.toString => "live"
+          case Some(_) => "orphan"
+          case None => "torn"
+        }
+        (root.relativize(addr).toString, payload.getFileName.toString,
+          status)
+      }.sorted
+  }
+
+  /** Delete what [[auditRoot]] marks `orphan` or `torn` and return
+    * the deleted payload paths (root-relative). `live` payloads are
+    * never touched — the spec and q408 pin that every committed serve
+    * reads identically after the vacuum. An address directory left
+    * empty (its only payload was torn) is removed with its payload so
+    * the root does not accumulate husks. */
+  def vacuumRoot(rootDir: String): Seq[String] = {
+    val root = Paths.get(rootDir)
+    auditRoot(rootDir).collect { case (addr, payload, s)
+        if s == "orphan" || s == "torn" =>
+      val pdir = root.resolve(addr).resolve(payload)
+      Fs.deleteRec(pdir)
+      val adir = root.resolve(addr)
+      if (Files.isDirectory(adir) && Fs.ls(adir).isEmpty)
+        Files.delete(adir)
+      s"$addr/$payload"
+    }
+  }
+
   /** Drop superseded fingerprints of `name` after a successful commit
     * — the retention vacuum. Only ever touches the artifact root.
     * Returns the vacuumed fingerprint dir names (for the serve log). */
