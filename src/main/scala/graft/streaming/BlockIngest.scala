@@ -1336,16 +1336,31 @@ object BlockIngest {
     * for new block files. Returns only after termination (AvailableNow)
     * or runs until the returned-from-stop (caller stops the query via
     * spark.streams).
-    */
+    *
+    * `compactAfterSlices` auto-triggers [[compactFacts]] OUTSIDE the
+    * batch commit (a compaction failure never loses a batch — the
+    * index stores' compactAfterBatches discipline) whenever a bucket
+    * accumulates more than that many committed slices, so a long-lived
+    * 1-block-batch follower converges to O(chain/K) directories
+    * instead of O(#batches); 0 disables. */
   def run(spark: SparkSession, streamDir: String, sinkDir: String,
-          checkpointDir: String, followIntervalMs: Option[Long] = None)
+          checkpointDir: String, followIntervalMs: Option[Long] = None,
+          bucketBlocks: Option[Long] = None,
+          compactAfterSlices: Int = 48)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val stream = spark.readStream.schema(blockSchema).json(streamDir)
     val trigger = followIntervalMs
       .map(ms => Trigger.ProcessingTime(s"$ms milliseconds"))
       .getOrElse(Trigger.AvailableNow())
     val q = stream.writeStream
-      .foreachBatch((df: DataFrame, _: Long) => processBatch(spark, df, sinkDir))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        processBatch(spark, df, sinkDir, bucketBlocks = bucketBlocks)
+        if (compactAfterSlices > 0) {
+          compactFacts(spark, sinkDir,
+            minSlices = compactAfterSlices + 1)
+          ()
+        }
+      }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()

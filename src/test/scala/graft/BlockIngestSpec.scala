@@ -306,7 +306,8 @@ class BlockIngestSpec extends SparkSpec {
     Files.write(Paths.get(s"$sdir/a.jsonl"),
       String.join("\n", lines.subList(0, 30)).getBytes("UTF-8"))
     val q = BlockIngest.run(spark, sdir, s"$base/sink", s"$base/ckpt",
-      followIntervalMs = Some(200L))
+      followIntervalMs = Some(200L), bucketBlocks = Some(8L),
+      compactAfterSlices = 1)
     def await(h: Long): Boolean = {
       val deadline = System.currentTimeMillis() + 60000
       while (BlockIngest.committedHeight(s"$base/sink") < h &&
@@ -320,8 +321,30 @@ class BlockIngestSpec extends SparkSpec {
       Files.write(Paths.get(s"$sdir/b.jsonl"),
         String.join("\n", lines.subList(30, 60)).getBytes("UTF-8"))
       assert(await(60L), "follower must ingest the new file to height 60")
+      // auto-compaction (compactAfterSlices=1, i.e. fold any bucket
+      // at >=2 slices) runs AFTER the commit that moved the
+      // watermark, so poll for the folded state before stopping: the
+      // bucket both drops touched (hb=3 spans blocks 24..31) must
+      // collapse to one slice
+      val txRoot = java.nio.file.Paths.get(s"$base/sink/transactions")
+      def allOneSlice(): Boolean = {
+        val hbs = graft.ops.Fs.ls(txRoot)
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("hb="))
+        hbs.nonEmpty && hbs.forall(hb => graft.ops.Fs.ls(hb)
+          .count(_.getFileName.toString.startsWith("slice=")) == 1)
+      }
+      val deadline = System.currentTimeMillis() + 60000
+      while (!allOneSlice() && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(allOneSlice(),
+        "auto-compaction must fold every bucket to one slice")
     } finally q.stop()
+    // consistency after the fold: committed view intact, no debris
+    BlockIngest.recoverFactCompaction(s"$base/sink")
     assert(spark.read.parquet(s"$base/sink/blocks").count() === 60L)
+    assert(BlockIngest.readCommitted(spark, s"$base/sink", "blocks")
+      .count() === 60L)
   }
 
   test("height gap aborts the batch (strict ordering)") {
