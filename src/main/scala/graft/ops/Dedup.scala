@@ -20,7 +20,7 @@ object Dedup {
     * row-group/file and this is a no-op; the local testdata is a single
     * row group, so without it every downstream hash runs on one core.
     */
-  private[ops] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }

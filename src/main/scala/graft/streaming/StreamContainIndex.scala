@@ -31,13 +31,24 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *
   * The global element order must be FIXED across arrivals or the
   * positions written yesterday would be wrong under today's order —
-  * so the maintained store orders by raw shingle HASH, not the inline
-  * op's ascending-document-frequency ranking (df changes as the
-  * corpus grows). The recall guarantee is order-agnostic (any fixed
-  * global order works); what the hash order gives up is the AllPairs
-  * candidate-volume optimization of probing rarest-first — the
-  * honest trade for incremental maintainability, stated here and
-  * measured in the spec.
+  * the inline op's ascending-document-frequency ranking cannot be
+  * maintained (df changes as the corpus grows). The recall guarantee
+  * is order-agnostic (any fixed global order works), so the store
+  * offers two FIXED orders:
+  *
+  *  - pure hash order (no training, the zero-config default);
+  *  - HOT-BANDED order (the IVF-centroid pattern applied to
+  *    AllPairs): the caller trains a bounded hot-shingle list from a
+  *    reference corpus ([[trainHotSet]]) and pins it as store
+  *    identity — hot shingles sort LAST (most frequent very last),
+  *    everything else in hash order, so probe PREFIXES hold rare
+  *    shingles and the candidate join's hot buckets never meet a
+  *    probe row. This recovers the inline ranking's candidate-volume
+  *    collapse at a FIXED order (measured on the house corpus: the
+  *    q409 arrival sweep drops ~10× — the synthetic 31-word
+  *    vocabulary is maximally hot-headed). Like an IVF matrix, a
+  *    drifted hot set degrades COST, never recall — and the refresh
+  *    answer is the same: retrain → NEW store identity → rebuild.
   *
   * A doc's rows depend on NOTHING but that doc, so the maintained
   * store is EXACT: slicing-invariant union fold (drain == batch
@@ -76,7 +87,13 @@ object StreamContainIndex {
 
   private def geomPath(storeDir: String) = Paths.get(s"$storeDir/geometry.txt")
 
-  private def geomString = s"shingles=$ShingleK,order=hash"
+  /** The pin line carries the ORDER IDENTITY: a hot-banded store pins
+    * the full MD5 of its hot list — a store written under a different
+    * hot set has different positions everywhere and must refuse. */
+  private def geomString(hotSet: Seq[Long]): String =
+    if (hotSet.isEmpty) s"shingles=$ShingleK,order=hash"
+    else s"shingles=$ShingleK,order=hotband,n=${hotSet.length}," +
+      s"h=${graft.ops.ArtifactStore.contentHash(hotSet.mkString(","))}"
 
   /** The store's pinned geometry line, or None for an unpinned store. */
   def geometry(storeDir: String): Option[String] = {
@@ -86,42 +103,113 @@ object StreamContainIndex {
       StandardCharsets.UTF_8).trim)
   }
 
-  /** Fail LOUDLY unless the store is pinned to the house geometry —
-    * positions under a different shingle width or element order are a
-    * different index entirely. */
-  def requireGeometry(storeDir: String): Unit = {
+  private def hotPath(storeDir: String) = Paths.get(s"$storeDir/hotset.txt")
+
+  /** The store's pinned hot list (df-descending), empty for a
+    * hash-order store — readers that derive their own probe keys take
+    * the order FROM HERE (the StreamIvfIndex.centroids pattern). */
+  def hotSet(storeDir: String): Seq[Long] = {
+    val p = hotPath(storeDir)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val body = new String(Files.readAllBytes(p),
+        StandardCharsets.UTF_8).trim
+      if (body.isEmpty) Seq.empty
+      else body.split(",").toSeq.map(_.toLong)
+    }
+  }
+
+  /** Fail LOUDLY unless the store is pinned to exactly this geometry
+    * and order — positions under a different shingle width, order, or
+    * hot set are a different index entirely. */
+  def requireGeometry(storeDir: String,
+                      hotSet: Seq[Long] = Seq.empty): Unit = {
+    val want = geomString(hotSet)
     val have = geometry(storeDir).getOrElse("<unpinned>")
-    require(have == geomString,
+    require(have == want,
       s"containment store $storeDir is pinned to '$have'; refusing a " +
-        s"reader keyed under '$geomString' — positions under a " +
+        s"reader keyed under '$want' — positions under a " +
         "different order probe silently wrong prefixes")
   }
 
-  private def checkGeometry(storeDir: String): Unit = {
+  private def checkGeometry(storeDir: String, hot: Seq[Long]): Unit = {
     val p = geomPath(storeDir)
-    if (Files.exists(p)) requireGeometry(storeDir)
+    if (Files.exists(p)) requireGeometry(storeDir, hot)
     else {
       Files.createDirectories(Paths.get(storeDir))
+      if (hot.nonEmpty) {
+        val ht = Paths.get(s"$storeDir/hotset.txt.tmp")
+        Files.write(ht, hot.mkString(",")
+          .getBytes(StandardCharsets.UTF_8))
+        Files.move(ht, hotPath(storeDir), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      // geometry strictly AFTER the hot list: the pin is the commit
+      // point, so a crash between the writes leaves an unpinned store
+      // (re-pinned idempotently), never a pinned store with a missing
+      // hot list
       val tmp = Paths.get(s"$storeDir/geometry.txt.tmp")
-      Files.write(tmp, geomString.getBytes(StandardCharsets.UTF_8))
+      Files.write(tmp, geomString(hot).getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
-  /** A batch's postings under the pinned geometry: sorted distinct
-    * shingle hashes with 0-based position and set length — the SAME
-    * derivation for the store's apply and the query side's probes,
-    * shared so they can never drift. Null-text and <k-token docs drop
-    * (no shingles ⇒ no postings — the inline op's filter). */
-  def batchPosts(batch: DataFrame, idCol: String,
-                 textCol: String): DataFrame =
-    batch.where(col(textCol).isNotNull)
+  /** Train a hot-shingle list from a reference corpus: the `n` most
+    * frequent shingle hashes, df-descending (ties by hash) — a
+    * bounded driver-side model, the AllPairs analogue of training IVF
+    * centroids. Pure cost tuning: ANY list yields full recall. */
+  def trainHotSet(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 512): Seq[Long] = {
+    docs.where(col(textCol).isNotNull)
+      .select(TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= ShingleK)
+      .select(explode(array_distinct(
+        TextAnalysis.shingleHashes(col("toks")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc)
+      .limit(n) // bounded driver collect: n rows, the trained model
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  /** The banded sort KEY of a shingle hash under a pinned hot set:
+    * non-hot hashes keep their value (< 2^32, hash order first), hot
+    * hashes move past 2^62 with the most frequent LAST. Injective, so
+    * key equality ⟺ shingle equality and the candidate join runs on
+    * keys directly. An empty hot set is the identity — pure hash
+    * order. */
+  private def bandKey(tok: org.apache.spark.sql.Column,
+                      hot: Seq[Long]): org.apache.spark.sql.Column =
+    if (hot.isEmpty) tok
+    else {
+      // rank 0 = most frequent = largest key
+      val m = hot.zipWithIndex
+        .map { case (h, i) => h -> ((1L << 62) + (hot.length - i)) }
+        .toMap
+      coalesce(element_at(typedLit(m), tok), tok)
+    }
+
+  /** A batch's postings under the pinned order: distinct shingle
+    * hashes as banded KEYS, sorted, with 0-based position and set
+    * length — the SAME derivation for the store's apply and the query
+    * side's probes, shared so they can never drift. Null-text and
+    * <k-token docs drop (no shingles ⇒ no postings — the inline op's
+    * filter). */
+  def batchPosts(batch: DataFrame, idCol: String, textCol: String,
+                 hot: Seq[Long] = Seq.empty): DataFrame =
+    graft.ops.Dedup.spread(batch.where(col(textCol).isNotNull))
       .select(col(idCol).cast("long").as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= ShingleK)
-      .select(col("doc_id"), array_sort(
-        TextAnalysis.shingleHashes(col("toks"))).as("hs"))
+      .select(col("doc_id"), array_sort(transform(
+        TextAnalysis.shingleHashes(col("toks")),
+        t => bandKey(t, hot))).as("hs"))
+      // materialized BEFORE the explode: project-into-generate
+      // collapsing re-evaluates the generator input's subtree per
+      // OUTPUT element (the shingles3 inlining rule one level up), so
+      // without the cut the md5-shingle pipeline ran ~|hs| times per
+      // doc — measured 5.6x on the q409 sweep
+      .localCheckpoint()
       .select(col("doc_id"), size(col("hs")).as("len"),
         posexplode(col("hs")))
       .select(col("doc_id"), col("col").as("tok"),
@@ -135,15 +223,19 @@ object StreamContainIndex {
     posts.where(col("pos") <
       col("len") - ceil(lit(t) * col("len") - lit(1e-9)) + 1)
 
-  /** Apply one batch: post the batch's shingle sets, commit the part
-    * + sidecar, move the watermark. A replayed bid is a no-op. */
+  /** Apply one batch: post the batch's shingle sets under the pinned
+    * order, commit the part + sidecar, move the watermark. The first
+    * apply pins the caller's hot set (possibly empty = hash order);
+    * every later apply must match it exactly. A replayed bid is a
+    * no-op. */
   private[graft] def applyBatch(batch: DataFrame, bid: Long,
                                 idCol: String, textCol: String,
-                                storeDir: String): Unit = {
+                                storeDir: String,
+                                hot: Seq[Long] = Seq.empty): Unit = {
     val st = store(storeDir)
     if (bid <= st.appliedBid) return
-    checkGeometry(storeDir)
-    st.applyPart(batchPosts(batch, idCol, textCol), bid)
+    checkGeometry(storeDir, hot)
+    st.applyPart(batchPosts(batch, idCol, textCol, hot), bid)
   }
 
   /** Repack every committed part — rows and store fingerprint
@@ -154,11 +246,20 @@ object StreamContainIndex {
 
   /** Serve the maintained postings through the artifact store,
     * PART-ADDRESSED by the write-time sidecars. With no artifact
-    * root: the folded view directly. Geometry-validated. */
-  def servedPosts(spark: SparkSession, storeDir: String): DataFrame = {
-    requireGeometry(storeDir)
+    * root: the folded view directly. The artifact params carry the
+    * PINNED order identity, so stores under different orders can
+    * never collide on one artifact scope. */
+  def servedPosts(spark: SparkSession, storeDir: String): DataFrame =
     store(storeDir).serveParts(spark, "contain_maintained_posts",
-      params = geomString)
+      params = geometry(storeDir).getOrElse(geomString(Seq.empty)))
+
+  /** [[servedPosts]] with the caller's order REQUIRE-MATCHED against
+    * the store pin first — the serve path a caller that derives its
+    * own probe keys should use. */
+  def servedPosts(spark: SparkSession, storeDir: String,
+                  hot: Seq[Long]): DataFrame = {
+    requireGeometry(storeDir, hot)
+    servedPosts(spark, storeDir)
   }
 
   /** Cross-batch containment CANDIDATES between an arriving batch's
@@ -200,11 +301,12 @@ object StreamContainIndex {
     * partitions — OUTSIDE the batch commit. */
   def run(stream: DataFrame, idCol: String, textCol: String,
           storeDir: String, trigger: Trigger,
-          compactAfterBatches: Int = 48): DataStreamWriter[Row] =
+          compactAfterBatches: Int = 48,
+          hot: Seq[Long] = Seq.empty): DataStreamWriter[Row] =
     stream.writeStream
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        applyBatch(batch, bid, idCol, textCol, storeDir)
+        applyBatch(batch, bid, idCol, textCol, storeDir, hot)
         if (store(storeDir).partDirCount > compactAfterBatches) {
           compact(batch.sparkSession, storeDir)
           ()

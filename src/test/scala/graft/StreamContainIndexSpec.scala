@@ -145,4 +145,63 @@ class StreamContainIndexSpec extends SparkSpec {
       "the planted quotations must be found in both directions " +
         "(1 quoted by a later arrival; 22 arrives quoting an earlier 2)")
   }
+
+  test("HOT-BANDED order (the trained-order model): detection is " +
+    "identical to the hash-order store — the pinned order is pure " +
+    "cost tuning — and stores under different hot sets refuse each " +
+    "other by name") {
+    val t = 0.9
+    val hot = StreamContainIndex.trainHotSet(df(base), "doc_id",
+      "text", n = 8)
+    assert(hot.nonEmpty && hot.length <= 8)
+    def drive(store: String, hs: Seq[Long]): Set[(Long, Long)] = {
+      val hits = (0 until 3).map { b =>
+        val batch = df(base.filter(_._1 % 3 == b))
+        val cand =
+          if (StreamContainIndex.appliedBid(store) < 0) None
+          else Some(StreamContainIndex.arrivalCandidates(
+            StreamContainIndex.batchPosts(batch, "doc_id", "text", hs),
+            StreamContainIndex.posts(spark, store), t)
+            .localCheckpoint())
+        StreamContainIndex.applyBatch(batch, b.toLong, "doc_id",
+          "text", store, hs)
+        cand
+      }.flatten.reduce(_ unionAll _)
+      val sh = df(base)
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.shingleHashes(col("toks"))
+            .as("hs"))
+      hits
+        .join(sh.select(col("doc_id").as("contained"),
+          col("hs").as("hs_a")), "contained")
+        .join(sh.select(col("doc_id").as("container"),
+          col("hs").as("hs_b")), "container")
+        .filter(size(array_intersect(col("hs_a"), col("hs_b")))
+          .cast("double") / size(col("hs_a")).cast("double") >= t)
+        .select(col("contained"), col("container"))
+        .as[(Long, Long)].collect().toSet
+    }
+    val banded = freshStore()
+    val plain = freshStore()
+    assert(drive(banded, hot) === drive(plain, Seq.empty),
+      "the pinned order must never change WHAT is detected")
+    assert(StreamContainIndex.hotSet(banded) === hot,
+      "the hot list must round-trip the pin losslessly")
+    // refusal: an apply under a DIFFERENT hot set (or none) must name
+    // both order identities
+    val e = intercept[IllegalArgumentException] {
+      StreamContainIndex.applyBatch(df(base), 9L, "doc_id", "text",
+        banded)
+    }
+    assert(e.getMessage.contains("order=hotband") &&
+      e.getMessage.contains("order=hash"))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamContainIndex.applyBatch(df(base), 9L, "doc_id", "text",
+        banded, hot.drop(1))
+    }
+    assert(e2.getMessage.contains("order=hotband"))
+  }
 }
