@@ -132,6 +132,31 @@ object ArtifactStore {
     (s.mod(Mod64), r.getLong(1))
   }
 
+  /** Write `df` to `path` (overwrite) and return its
+    * [[partFingerprint]] — computed by a `Dataset.observe` metric
+    * riding the SAME job, over exactly the row evaluation that was
+    * written. One pass instead of write + fingerprint re-read (the
+    * re-read was one extra Spark job on every maintained-store batch
+    * commit — pure scheduling latency at any scale, and a part-sized
+    * re-scan besides), and the hash basis is identical: parquet
+    * round-trips every type here bit-exactly, and hashing the written
+    * evaluation itself is the property the read-back existed to
+    * guarantee (a SECOND evaluation of `df` could drift under
+    * non-deterministic lineage; this is the same evaluation). */
+  def writeWithFingerprint(df: DataFrame, path: String): (BigInt, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs,
+        sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)
+          .cast(DecimalType(38, 0))).as("s"),
+        count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(path)
+    val m = obs.get
+    val s = Option(m("s")).map(d =>
+      BigInt(d.asInstanceOf[java.math.BigDecimal].toBigInteger))
+      .getOrElse(BigInt(0))
+    (s.mod(Mod64), m("n").asInstanceOf[Long])
+  }
+
   /** Per-partition [[partFingerprint]]s in ONE grouped scan — for
     * partitioned sinks (ShardWriter, the ingest fact tables) that
     * commit many parts at once: (partCol=value → (sum, count)).

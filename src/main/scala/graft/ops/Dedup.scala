@@ -189,6 +189,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** [[nearDupMinhash]] behind the [[ArtifactStore]]: EIGHTEEN query
+    * surfaces run the LSH pair table over the full corpus at the
+    * default (12, 2) geometry and 0.8 threshold (the dedup-graph
+    * family — components, k-core, purity, budgets, ...), and each
+    * inline call re-runs the tokenize→shingle→minhash pass plus the
+    * band self-join. Addressed by the (id, text) corpus fingerprint +
+    * geometry + threshold, the first caller in a sweep builds it and
+    * every later caller reads parquet — identical rows either way
+    * (integer signatures, deterministic verify, parquet-exact
+    * round-trip). No artifact root → plain [[nearDupMinhash]]. */
+  def nearDupMinhashArtifact(docs: DataFrame, idCol: String,
+                             textCol: String, fpKey: String,
+                             numBands: Int = 12, rowsPerBand: Int = 2,
+                             threshold: Double = 0.8): DataFrame = {
+    val s = docs.sparkSession
+    if (ArtifactStore.root(s).isEmpty)
+      nearDupMinhash(docs, idCol, textCol, numBands, rowsPerBand, threshold)
+    else ArtifactStore.buildOrServe(s, "neardup_minhash_pairs",
+      ArtifactStore.fingerprint(
+        docs.select(col(idCol), col(textCol)), fpKey),
+      s"nb=$numBands,r=$rowsPerBand,t=${math.round(threshold * 1000)}",
+      fpKey)(
+      nearDupMinhash(docs, idCol, textCol, numBands, rowsPerBand,
+        threshold))
+  }
+
   /** Prefix-filtered set-similarity self-join — the AllPairs/PPJoin
     * prefix principle, giving deterministic FULL recall at the
     * threshold (the guarantee-path complement to MinHash-LSH's
@@ -277,6 +303,29 @@ object Dedup {
           (size(col("hs_a")) + size(col("hs_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** [[nearDupPrefix]] behind the [[ArtifactStore]] — the verified
+    * full-recall pair table is a write-once artifact addressed by the
+    * (id, text) corpus fingerprint + threshold, because FIVE query
+    * surfaces need exactly this table (the q66 pairs themselves, the
+    * q241 strata, and the full-recall truth denominators of q236/
+    * q389/q398): within one sweep the first caller pays the prefix
+    * join, every later caller reads parquet — identical rows either
+    * way (the join is integer/shingle-deterministic and doubles
+    * round-trip parquet bit-exactly). No artifact root → plain
+    * [[nearDupPrefix]], the spec-pinned inline shape. */
+  def nearDupPrefixArtifact(docs: DataFrame, idCol: String,
+                            textCol: String, threshold: Double,
+                            fpKey: String): DataFrame = {
+    val s = docs.sparkSession
+    if (ArtifactStore.root(s).isEmpty)
+      nearDupPrefix(docs, idCol, textCol, threshold)
+    else ArtifactStore.buildOrServe(s, "neardup_prefix_pairs",
+      ArtifactStore.fingerprint(
+        docs.select(col(idCol), col(textCol)), fpKey),
+      s"t=${math.round(threshold * 1000)}", fpKey)(
+      nearDupPrefix(docs, idCol, textCol, threshold))
   }
 
   /** One-sided containment pairs: C(a→b) = |S(a) ∩ S(b)| / |S(a)| over

@@ -150,17 +150,13 @@ final class DeltaPartsStore(
     // the next compaction's deleteRec
     recoverCompaction()
     if (bid <= appliedBid) return
-    val spark = part.sparkSession
-    part.select(cols.map(col): _*)
-      .write.mode("overwrite").parquet(s"$partsDir/bid=$bid")
-    // sidecar from the rows AS WRITTEN (a part-sized re-read; schema
-    // given explicitly — an all-filtered batch writes an EMPTY part,
-    // which must still fingerprint to (0, 0) rather than fail
-    // inference): the fingerprint must reproduce what a reader hashes
+    // sidecar from the rows AS WRITTEN: an observe metric on the write
+    // job itself hashes exactly the written evaluation (an all-filtered
+    // batch writes an EMPTY part, which fingerprints to (0, 0)) — one
+    // job per batch commit instead of write + part re-read
     ArtifactStore.writeFpPart(partsDir, s"bid=$bid",
-      ArtifactStore.partFingerprint(
-        spark.read.schema(schema).parquet(s"$partsDir/bid=$bid")
-          .select(cols.map(col): _*)))
+      ArtifactStore.writeWithFingerprint(
+        part.select(cols.map(col): _*), s"$partsDir/bid=$bid"))
     writeMeta(bid) // commit point, strictly last
   }
 
@@ -194,14 +190,13 @@ final class DeltaPartsStore(
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(Files.size(_)).sum
     val k = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    compactRewrite(parts(spark))
-      .coalesce(k).write.parquet(s"$tmp/bid=$applied")
     // fingerprint the rewritten rows as written (never fold the old
-    // sidecars: a MERGING rewrite changed the rows they hashed)
+    // sidecars: a MERGING rewrite changed the rows they hashed) — the
+    // observe metric rides the rewrite job, same basis as a read-back
     ArtifactStore.writeFpPart(tmp, s"bid=$applied",
-      ArtifactStore.partFingerprint(
-        spark.read.schema(schema).parquet(s"$tmp/bid=$applied")
-          .select(cols.map(col): _*)))
+      ArtifactStore.writeWithFingerprint(
+        compactRewrite(parts(spark)).select(cols.map(col): _*)
+          .coalesce(k), s"$tmp/bid=$applied"))
     Files.move(Paths.get(partsDir), Paths.get(old),
       StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(partsDir),

@@ -111,7 +111,8 @@ object PipelineQueries {
     QDef("q69_dedup_clusters",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text", threshold = 0.8)
+        val pairs = Dedup.nearDupMinhashArtifact(docs, "doc_id", "text",
+          fpKey = s"$dir#documents#id_text")
         val comp = ConnectedComponents.run(pairs, "doc_a", "doc_b")
           .withColumnRenamed("node", "doc_id")
         docs.select(col("doc_id"))

@@ -222,11 +222,17 @@ object PipelineQueries12 {
         val valToks = t.filter(col("b") === 18)
           .select(tokens(col("text")).as("toks"))
           .localCheckpoint() // two apply scans share it
-        val bpe = BpeTrainer.trainArtifact(train, "text", k = 3,
-          fpKey = s"$dir#documents#text#b_lt18")
-        val wp = WordPieceTrainer.trainArtifact(train, "text", k = 3,
-          fpKey = s"$dir#documents#text#b_lt18")
-          .map(m => BpeTrainer.Merge(m.iter, m.pair, m.cnt, m.merged))
+        // the two train loops are independent driver-round sequences
+        // over the same (checkpointed) split — run them concurrently
+        // so the wall cost is the slower family, not the sum
+        val trained = graft.ops.Par.run(Seq("bpe", "wp"), 2) {
+          case "bpe" => BpeTrainer.trainArtifact(train, "text", k = 3,
+            fpKey = s"$dir#documents#text#b_lt18")
+          case _ => WordPieceTrainer.trainArtifact(train, "text", k = 3,
+            fpKey = s"$dir#documents#text#b_lt18")
+            .map(m => BpeTrainer.Merge(m.iter, m.pair, m.cnt, m.merged))
+        }
+        val (bpe, wp) = (trained(0), trained(1))
         def comp(family: String, merges: Seq[BpeTrainer.Merge]) =
           valToks.select(size(col("toks")).cast("long").as("nb"),
             size(BpeTrainer.applyMerges(col("toks"), merges))

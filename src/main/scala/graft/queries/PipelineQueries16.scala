@@ -75,8 +75,8 @@ object PipelineQueries16 {
     // closure (the q120 pattern), then the same two aggregations.
     QDef("q178_dedup_graph_stats",
       (s, dir) => {
-        val pairs = Dedup.nearDupMinhash(Tables.documents(s, dir),
-          "doc_id", "text", threshold = 0.8)
+        val pairs = Dedup.nearDupMinhashArtifact(Tables.documents(s, dir),
+          "doc_id", "text", fpKey = s"$dir#documents#id_text")
         ConnectedComponents.run(pairs, "doc_a", "doc_b")
           .groupBy("component").agg(count(lit(1)).as("cluster_size"))
           .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))

@@ -86,8 +86,8 @@ object PipelineQueries17 {
     QDef("q179_dedup_locality",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text",
-          threshold = 0.8)
+        val pairs = Dedup.nearDupMinhashArtifact(docs, "doc_id", "text",
+          fpKey = s"$dir#documents#id_text")
         val asg = ShardAssign.tokenBalanced(docs, nShards = 64)
           .select(col("doc_id"), col("shard_id"))
           .localCheckpoint() // joined for both pair endpoints
@@ -213,11 +213,15 @@ object PipelineQueries17 {
         val langs = docs.select(col("lang")).distinct()
           .orderBy("lang").collect().map(_.getString(0)).toSeq
         PerLangOracle.sql = Some(perlangBpeOracleSql(langs, k = 2))
-        langs.flatMap { l =>
+        // per-language trains are independent driver-round loops over
+        // disjoint slices of one checkpointed scan — concurrent, so
+        // the wall cost is the slowest language, not the sum (result
+        // order preserved by Par.run)
+        graft.ops.Par.run(langs, langs.size) { l =>
           graft.ops.BpeTrainer
             .train(docs.filter(col("lang") === l), "text", k = 2)
             .map(m => (l, m.iter, m.pair, m.cnt, m.merged))
-        }.toDF("lang", "iter", "pair", "cnt", "merged")
+        }.flatten.toDF("lang", "iter", "pair", "cnt", "merged")
       },
       None,
       Some(() => PerLangOracle.sql)),

@@ -293,7 +293,8 @@ object PipelineQueries19 {
           .nearDupSimhash(docs, "doc_id", "text", maxDist = 3)
           .select(col("doc_a"), col("doc_b"), col("dist"))
         val truth = graft.ops.Dedup
-          .nearDupMinhash(docs, "doc_id", "text", threshold = 0.8)
+          .nearDupMinhashArtifact(docs, "doc_id", "text",
+            fpKey = s"$dir#documents#id_text")
           .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
           .localCheckpoint() // joined against pred + counted
         val nTruth = truth.agg(count(lit(1)).as("n_truth"))
@@ -430,8 +431,8 @@ object PipelineQueries19 {
     QDef("q195_cluster_purity",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = graft.ops.Dedup.nearDupMinhash(docs,
-          "doc_id", "text", threshold = 0.8)
+        val pairs = graft.ops.Dedup.nearDupMinhashArtifact(docs,
+          "doc_id", "text", fpKey = s"$dir#documents#id_text")
         graft.ops.ConnectedComponents.run(pairs, "doc_a", "doc_b")
           .join(docs.select(col("doc_id").as("node"), col("source")),
             "node")

@@ -273,7 +273,8 @@ object PipelineQueries26 {
     QDef("q229_kcore",
       (s, dir) => {
         val pairs = Dedup
-          .nearDupMinhash(Tables.documents(s, dir), "doc_id", "text")
+          .nearDupMinhashArtifact(Tables.documents(s, dir), "doc_id",
+            "text", fpKey = s"$dir#documents#id_text")
           .select(col("doc_a"), col("doc_b"))
           .localCheckpoint() // both k-core peels start from it
         val perK = Seq(2, 3).map { k =>

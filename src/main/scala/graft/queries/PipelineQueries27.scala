@@ -49,8 +49,8 @@ object PipelineQueries27 {
     QDef("q234_component_topology",
       (s, dir) => {
         val pairs = Dedup
-          .nearDupMinhash(Tables.documents(s, dir), "doc_id", "text",
-            threshold = 0.8)
+          .nearDupMinhashArtifact(Tables.documents(s, dir), "doc_id",
+            "text", fpKey = s"$dir#documents#id_text")
           .select(col("doc_a"), col("doc_b"))
           .localCheckpoint() // CC + edge attribution read it
         val comp = ConnectedComponents.run(pairs, "doc_a", "doc_b")
@@ -144,9 +144,11 @@ object PipelineQueries27 {
         val a = sig.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
         val b = sig.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
         // full-recall truth: the prefix join's verified pair count
+        // (artifact-shared with the q389/q398 truth denominator)
         val truth = Dedup
-          .nearDupPrefix(Tables.documents(s, dir), "doc_id", "text",
-            threshold = 0.8)
+          .nearDupPrefixArtifact(Tables.documents(s, dir), "doc_id",
+            "text", threshold = 0.8,
+            fpKey = s"$dir#documents#neardup_prefix")
           .agg(count(lit(1)).as("n_true"))
         // tagged band-key union: one shuffle carries every geometry's
         // band keys (the (nb, r) tag keeps key spaces disjoint), one
@@ -509,10 +511,15 @@ object PipelineQueries27 {
     // union-find gate applies.
     QDef("q241_threshold_curve",
       (s, dir) => {
-        val pairs = Dedup
-          .nearDupPrefix(Tables.documents(s, dir), "doc_id", "text",
-            threshold = 0.7)
-          .localCheckpoint() // all three strata filter it
+        val pairsRaw = Dedup
+          .nearDupPrefixArtifact(Tables.documents(s, dir), "doc_id",
+            "text", threshold = 0.7,
+            fpKey = s"$dir#documents#neardup_prefix")
+        // all three strata filter it: inline (no root) the prefix
+        // join must materialize once; served, it is already a cheap
+        // parquet scan and a checkpoint would only copy it
+        val pairs = if (graft.ops.ArtifactStore.root(s).isEmpty)
+          pairsRaw.localCheckpoint() else pairsRaw
         val rows = Seq(700L, 800L, 900L).map { tm =>
           val p = pairs.filter(col("jaccard") >= tm.toDouble / 1000.0)
           val comp = ConnectedComponents.run(p, "doc_a", "doc_b")

@@ -282,8 +282,8 @@ object PipelineQueries28 {
             .cast("long"))
           .select(col("doc_id"), col("pass"))
         val pairs = graft.ops.Dedup
-          .nearDupMinhash(Tables.documents(s, dir), "doc_id", "text",
-            threshold = 0.8)
+          .nearDupMinhashArtifact(Tables.documents(s, dir), "doc_id",
+            "text", fpKey = s"$dir#documents#id_text")
           .select(col("doc_a"), col("doc_b"))
         val comp = graft.ops.ConnectedComponents
           .run(pairs, "doc_a", "doc_b")

@@ -83,8 +83,8 @@ object PipelineQueries30 {
     QDef("q258_cluster_split",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text",
-            threshold = 0.8)
+        val pairs = Dedup.nearDupMinhashArtifact(docs, "doc_id", "text",
+            fpKey = s"$dir#documents#id_text")
           .select(col("doc_a"), col("doc_b"))
           .localCheckpoint() // component closure + both straddle joins
         val comp = ConnectedComponents.run(pairs, "doc_a", "doc_b")
@@ -226,8 +226,8 @@ object PipelineQueries30 {
     QDef("q261_dedup_token_budget",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text",
-          threshold = 0.8)
+        val pairs = Dedup.nearDupMinhashArtifact(docs, "doc_id", "text",
+          fpKey = s"$dir#documents#id_text")
         val comp = ConnectedComponents.run(pairs, "doc_a", "doc_b")
           .withColumnRenamed("node", "doc_id")
         docs

@@ -79,8 +79,8 @@ object PipelineQueries38 {
 
     QDef("q290_degree_assortativity",
       (s, dir) => {
-        val pairs = Dedup.nearDupMinhash(Tables.documents(s, dir),
-            "doc_id", "text", threshold = 0.8)
+        val pairs = Dedup.nearDupMinhashArtifact(Tables.documents(s, dir),
+            "doc_id", "text", fpKey = s"$dir#documents#id_text")
           .select(col("doc_a"), col("doc_b"))
         val ee = pairs.unionByName(pairs.select(
             col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))

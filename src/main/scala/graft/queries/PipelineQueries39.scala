@@ -60,8 +60,8 @@ object PipelineQueries39 {
         val docs = Tables.documents(s, dir)
         val srcOf = docs.select(col("doc_id"), col("source"))
           .localCheckpoint() // both endpoint joins read it
-        val nd = Dedup.nearDupMinhash(docs, "doc_id", "text",
-            threshold = 0.8)
+        val nd = Dedup.nearDupMinhashArtifact(docs, "doc_id", "text",
+            fpKey = s"$dir#documents#id_text")
           .join(srcOf.select(col("doc_id").as("doc_a"),
             col("source").as("sa")), "doc_a")
           .join(srcOf.select(col("doc_id").as("doc_b"),

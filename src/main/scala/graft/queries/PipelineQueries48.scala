@@ -106,8 +106,9 @@ object PipelineQueries48 {
 
     QDef("q312_landmark_closeness",
       (s, dir) => {
-        val pairs = Dedup.nearDupMinhash(
-          Tables.documents(s, dir), "doc_id", "text")
+        val pairs = Dedup.nearDupMinhashArtifact(
+          Tables.documents(s, dir), "doc_id", "text",
+          fpKey = s"$dir#documents#id_text")
           .select(col("doc_a"), col("doc_b"))
         val edges = pairs
           .unionByName(pairs.select(col("doc_b").as("doc_a"),

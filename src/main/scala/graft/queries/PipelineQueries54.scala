@@ -38,8 +38,9 @@ object PipelineQueries54 {
 
     QDef("q323_canonical_quality_audit",
       (s, dir) => {
-        val pairs = Dedup.nearDupMinhash(
-          Tables.documents(s, dir), "doc_id", "text")
+        val pairs = Dedup.nearDupMinhashArtifact(
+          Tables.documents(s, dir), "doc_id", "text",
+          fpKey = s"$dir#documents#id_text")
           .select(col("doc_a"), col("doc_b"))
         val ttr = Tables.documents(s, dir)
           .select(col("doc_id"), tokens(col("text")).as("toks"))

@@ -44,7 +44,8 @@ object PipelineQueries67 {
     QDef("q351_fold_leakage",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text")
+        val pairs = Dedup.nearDupMinhashArtifact(docs, "doc_id", "text",
+          fpKey = s"$dir#documents#id_text")
           .select(col("doc_a"), col("doc_b"))
           .localCheckpoint() // CC + both leakage counts read it
         val canon = ConnectedComponents

@@ -285,8 +285,8 @@ object PipelineQueries7 {
     QDef("q120_canonical_select",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text",
-          threshold = 0.8)
+        val pairs = Dedup.nearDupMinhashArtifact(docs, "doc_id", "text",
+          fpKey = s"$dir#documents#id_text")
         val comp = graft.ops.ConnectedComponents.run(pairs, "doc_a", "doc_b")
           .withColumnRenamed("node", "doc_id")
         val base = docs

@@ -129,47 +129,63 @@ object PipelineQueries80 {
         Seq(mh, lsh, ivf, win, sim).foreach(graft.ops.Fs.wipe)
         val docs = Tables.documents(s, dir)
         val emb = Tables.embeddings(s, dir)
-        // MinHash bands: two arrival batches
-        Seq(0, 1).foreach { b =>
-          StreamMinhashIndex.applyBatch(
-            docs.where(pmod(col("doc_id"), lit(2)) === b), b.toLong,
-            "doc_id", "text", 12, 2, mh)
-        }
-        // a TORN batch: sidecar present, watermark never moved — both
-        // engines must leave it out of the registry row
-        ArtifactStore.writeFpPart(s"$mh/parts", "bid=99",
-          (BigInt(123456789), 45L))
-        // sign-LSH: three batches with a mid-life compaction, so the
-        // registry sees the rollup part under the same watermark
-        Seq(0, 1, 2).foreach { b =>
-          StreamLshIndex.applyBatch(
-            emb.where(pmod(col("vec_id"), lit(3)) === b), b.toLong,
-            "vec_id", "embedding", 4, 4, 64, lsh)
-        }
-        StreamLshIndex.compact(s, lsh)
-        // IVF postings: two batches under a trained matrix
+        // IVF's trained matrix — driver-side, before the fan-out
         val cents = VectorSearch.kmeansCentroids(
           VectorSearch.sampleVectors(emb, "vec_id", "embedding",
             n = 256, seed = 7),
           k = 8, iters = 5, seed = 7)
-        Seq(0, 1).foreach { b =>
-          StreamIvfIndex.applyBatch(
-            emb.where(pmod(col("vec_id"), lit(2)) === b), b.toLong,
-            "vec_id", "embedding", cents, 2, ivf)
-        }
-        // winnow fingerprints: two arrival batches (its (k, w) pin
-        // rides module constants — the registry shows the pin FILE)
-        Seq(0, 1).foreach { b =>
-          StreamWinnowIndex.applyBatch(
-            docs.where(pmod(col("doc_id"), lit(2)) === b), b.toLong,
-            "doc_id", "text", win)
-        }
-        // simhash signatures: two arrival batches
-        Seq(0, 1).foreach { b =>
-          StreamSimhashIndex.applyBatch(
-            docs.where(pmod(col("doc_id"), lit(2)) === b), b.toLong,
-            "doc_id", "text", sim)
-        }
+        // The five family lifecycles are INDEPENDENT store drives
+        // (disjoint store dirs, batches ordered only within a family)
+        // — run them concurrently so the wall cost is the slowest
+        // family, not the sum (guide §2.6 / the processBatch phase
+        // idiom). Each family's own batch order is preserved inside
+        // its task.
+        graft.ops.Par.run(Seq[(String, () => Unit)](
+          // MinHash bands: two arrival batches, then a TORN batch:
+          // sidecar present, watermark never moved — both engines
+          // must leave it out of the registry row
+          "minhash" -> (() => {
+            Seq(0, 1).foreach { b =>
+              StreamMinhashIndex.applyBatch(
+                docs.where(pmod(col("doc_id"), lit(2)) === b), b.toLong,
+                "doc_id", "text", 12, 2, mh)
+            }
+            ArtifactStore.writeFpPart(s"$mh/parts", "bid=99",
+              (BigInt(123456789), 45L))
+          }),
+          // sign-LSH: three batches with a mid-life compaction, so the
+          // registry sees the rollup part under the same watermark
+          "lsh" -> (() => {
+            Seq(0, 1, 2).foreach { b =>
+              StreamLshIndex.applyBatch(
+                emb.where(pmod(col("vec_id"), lit(3)) === b), b.toLong,
+                "vec_id", "embedding", 4, 4, 64, lsh)
+            }
+            StreamLshIndex.compact(s, lsh)
+            ()
+          }),
+          // IVF postings: two batches under the trained matrix
+          "ivf" -> (() =>
+            Seq(0, 1).foreach { b =>
+              StreamIvfIndex.applyBatch(
+                emb.where(pmod(col("vec_id"), lit(2)) === b), b.toLong,
+                "vec_id", "embedding", cents, 2, ivf)
+            }),
+          // winnow fingerprints: two arrival batches (its (k, w) pin
+          // rides module constants — the registry shows the pin FILE)
+          "winnow" -> (() =>
+            Seq(0, 1).foreach { b =>
+              StreamWinnowIndex.applyBatch(
+                docs.where(pmod(col("doc_id"), lit(2)) === b), b.toLong,
+                "doc_id", "text", win)
+            }),
+          // simhash signatures: two arrival batches
+          "simhash" -> (() =>
+            Seq(0, 1).foreach { b =>
+              StreamSimhashIndex.applyBatch(
+                docs.where(pmod(col("doc_id"), lit(2)) === b), b.toLong,
+                "doc_id", "text", sim)
+            })), 5) { case (_, f) => f() }
         // identity strings come off the PIN ACCESSORS (the engine
         // path); the oracle re-reads the pin files raw
         val mhId = StreamMinhashIndex.geometry(mh)
@@ -361,7 +377,12 @@ object PipelineQueries80 {
         val current =
           try {
             s.conf.set(ArtifactStore.RootConf, root)
-            fams.map { fam =>
+            // the five family lifecycles are independent (disjoint
+            // store dirs, distinct artifact names) — drive them
+            // concurrently; each family's batch→build→append→build
+            // order is preserved inside its task (guide §2.6, the
+            // q397/processBatch fan-out idiom)
+            graft.ops.Par.run(fams, fams.size) { fam =>
               Seq(0, 1).foreach(apply(fam, _))
               // built at the 2-batch address — goes STALE below
               ArtifactStore.buildOrServe(s, s"fleet_${fam}_rollup",

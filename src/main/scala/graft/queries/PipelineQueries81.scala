@@ -64,39 +64,48 @@ object PipelineQueries81 {
     // the protected eval set's maintained winnow index — standing
     // corpus-side state, built once, served part-addressed
     val eval = docs.where(pmod(col("doc_id"), lit(10)) === 7)
-    Seq(0, 1).foreach { b =>
-      StreamWinnowIndex.applyBatch(
-        eval.where(pmod(col("doc_id"), lit(2)) === b), b.toLong,
-        "doc_id", "text", evalStore)
-    }
-    val evalFps = StreamWinnowIndex.servedFps(s, evalStore,
-        StreamWinnowIndex.K, StreamWinnowIndex.W)
-      .select(col("fp")).distinct()
-      .localCheckpoint() // joined by the decon gate below
-    // dedup-on-arrival rounds (q394's loop, verbatim contract)
-    val corpus = PipelineQueries77.corpusShingles(s, dir)
-    val hits = (0 until 3).map { b =>
-      val batch = docs.where(pmod(col("doc_id"), lit(3)) === b)
-      val cand =
-        if (StreamMinhashIndex.appliedBid(dedupStore) < 0) None
-        else {
-          val idx = StreamMinhashIndex.servedKeys(s, dedupStore,
-            NB, R)
-          // materialized NOW (the q394 lesson): the next round's
-          // serve vacuums this round's superseded part-artifacts
-          Some(StreamMinhashIndex
-            .batchKeys(batch, "doc_id", "text", NB, R).as("x")
-            .join(idx.as("y"), col("x.bk") === col("y.bk"))
-            .select(col("x.doc_id").as("doc_new"),
-              col("y.doc_id").as("doc_prior"))
-            .distinct()
-            .localCheckpoint())
+    // the eval-index build (its own store) and the dedup arrival loop
+    // (ordered rounds against the other store) are independent — run
+    // them concurrently; each task keeps its own internal order
+    // (guide §2.6, the q397/q407 fan-out idiom)
+    val legs = graft.ops.Par.run(Seq("eval", "arrival"), 2) {
+      case "eval" =>
+        Seq(0, 1).foreach { b =>
+          StreamWinnowIndex.applyBatch(
+            eval.where(pmod(col("doc_id"), lit(2)) === b), b.toLong,
+            "doc_id", "text", evalStore)
         }
-      StreamMinhashIndex.applyBatch(batch, b.toLong,
-        "doc_id", "text", NB, R, dedupStore)
-      if (b == 1) StreamMinhashIndex.compact(s, dedupStore)
-      cand
-    }.flatten.reduce(_ unionAll _)
+        StreamWinnowIndex.servedFps(s, evalStore,
+            StreamWinnowIndex.K, StreamWinnowIndex.W)
+          .select(col("fp")).distinct()
+          .localCheckpoint() // joined by the decon gate below
+      case _ =>
+        // dedup-on-arrival rounds (q394's loop, verbatim contract)
+        (0 until 3).map { b =>
+          val batch = docs.where(pmod(col("doc_id"), lit(3)) === b)
+          val cand =
+            if (StreamMinhashIndex.appliedBid(dedupStore) < 0) None
+            else {
+              val idx = StreamMinhashIndex.servedKeys(s, dedupStore,
+                NB, R)
+              // materialized NOW (the q394 lesson): the next round's
+              // serve vacuums this round's superseded part-artifacts
+              Some(StreamMinhashIndex
+                .batchKeys(batch, "doc_id", "text", NB, R).as("x")
+                .join(idx.as("y"), col("x.bk") === col("y.bk"))
+                .select(col("x.doc_id").as("doc_new"),
+                  col("y.doc_id").as("doc_prior"))
+                .distinct()
+                .localCheckpoint())
+            }
+          StreamMinhashIndex.applyBatch(batch, b.toLong,
+            "doc_id", "text", NB, R, dedupStore)
+          if (b == 1) StreamMinhashIndex.compact(s, dedupStore)
+          cand
+        }.flatten.reduce(_ unionAll _)
+    }
+    val (evalFps, hits) = (legs(0), legs(1))
+    val corpus = PipelineQueries77.corpusShingles(s, dir)
     val dupIds = PipelineQueries77
       .verifyPairs(hits, corpus, "doc_new", "doc_prior", 0.8)
       .select(col("doc_new").as("doc_id")).distinct()

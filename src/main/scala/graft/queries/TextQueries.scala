@@ -122,8 +122,9 @@ object TextQueries {
     // Oracle is the brute-force O(n²) pairwise Jaccard — the LSH path
     // must find exactly the same pairs.
     QDef("q25_neardup_minhash",
-      (s, dir) => Dedup.nearDupMinhash(
-        Tables.documents(s, dir), "doc_id", "text"),
+      (s, dir) => Dedup.nearDupMinhashArtifact(
+        Tables.documents(s, dir), "doc_id", "text",
+        fpKey = s"$dir#documents#id_text"),
       Some(s"""WITH t AS (
               |  SELECT doc_id, $toksSql AS toks FROM documents),
               |s AS (
@@ -148,8 +149,9 @@ object TextQueries {
     // guarantee-path dedup, vs q25's probabilistic LSH. Same brute-force
     // exact-Jaccard oracle shape as q25, lower threshold.
     QDef("q66_neardup_prefix",
-      (s, dir) => Dedup.nearDupPrefix(
-        Tables.documents(s, dir), "doc_id", "text", threshold = 0.7),
+      (s, dir) => Dedup.nearDupPrefixArtifact(
+        Tables.documents(s, dir), "doc_id", "text", threshold = 0.7,
+        fpKey = s"$dir#documents#neardup_prefix"),
       Some(s"""WITH t AS (
               |  SELECT doc_id, $toksSql AS toks FROM documents),
               |s AS (

@@ -946,7 +946,11 @@ object BlockIngest {
           val union = spark.read.option("basePath", dir)
             .parquet(slices.map(s => s"$dir/hb=$b/slice=$s"): _*)
             .drop("hb", "slice")
-          union.coalesce(nf).write.parquet(s"$tmp/slice=$smax")
+          // folded sidecar basis = the rewritten rows: the observe
+          // metric hashes the written evaluation itself (one job,
+          // no post-rename leaf re-read)
+          val foldedFp = graft.ops.ArtifactStore.writeWithFingerprint(
+            union.coalesce(nf), s"$tmp/slice=$smax")
           // 2. old sidecars out (heal covers a crash from here on —
           // including the (b, smax) id the folded sidecar will REUSE:
           // left in place it would silently describe a subset)
@@ -957,10 +961,10 @@ object BlockIngest {
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           Files.move(Paths.get(tmp), Paths.get(s"$dir/hb=$b"),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          // 4. folded sidecar from the rewritten rows AS READ BACK
+          // 4. folded sidecar from the rewritten rows (the observe
+          // metric captured at write time in step 1)
           graft.ops.ArtifactStore.writeFpPart(dir, s"hb=$b.slice=$smax",
-            graft.ops.ArtifactStore.partFingerprint(
-              readFactLeaf(spark, sinkDir, table, b, smax)))
+            foldedFp)
           folded += 1
         }
     }
