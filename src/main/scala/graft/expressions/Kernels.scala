@@ -961,3 +961,105 @@ case class TopCellsDbl(child: Expression, centroids: Array[Array[Double]],
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
 }
+
+/** The unigram-LM Viterbi segmentation of ONE word as a per-row kernel
+  * (q212/q213): minimum-cost path over the piece lattice, identical to
+  * the staged-join DP in [[graft.ops.UnigramTrainer.segment]] —
+  * dp(j) = min over edges (i, j, piece) of the TOTAL-ordered struct
+  * (dp(i).cost + cost(piece), i, piece), strings compared as binary
+  * UTF-8 exactly like Spark's struct min — followed by the backpointer
+  * walk, emitting the path's pieces. The piece table is vocab-sized
+  * (singles + [[graft.ops.UnigramTrainer.SeedMulti]] multis), so it
+  * rides the plan as a reference object like the BPE merge table, and
+  * the whole segmentation is one map pass instead of 2·MaxWordLen
+  * vocab-sized joins. UnigramTrainerSpec pins kernel == staged joins.
+  */
+final class PieceCostTable(pieces: Array[String], costs: Array[Long])
+    extends Serializable {
+  @transient private lazy val map = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](
+      pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) {
+      m.put(UTF8String.fromString(pieces(i)), costs(i)); i += 1
+    }
+    m
+  }
+
+  /** Max piece length in CHARACTERS (lattice edge bound). */
+  @transient private lazy val maxPieceLen =
+    if (pieces.isEmpty) 0 else pieces.map(_.length).max
+
+  def segment(word: UTF8String): ArrayData = {
+    val n = word.numChars()
+    // dp arrays over positions 0..n: cost, backpointer, piece
+    val INF = Long.MaxValue
+    val dpCost = new Array[Long](n + 1)
+    val dpBi = new Array[Int](n + 1)
+    val dpBp = new Array[UTF8String](n + 1)
+    java.util.Arrays.fill(dpCost, INF)
+    dpCost(0) = 0L; dpBi(0) = -1; dpBp(0) = UTF8String.EMPTY_UTF8
+    var j = 1
+    while (j <= n) {
+      // candidates: edges (i, j, piece = word[i..j)), i = j-l, l ≤ P
+      var best = INF; var bestBi = -1
+      var bestBp: UTF8String = null
+      var l = 1
+      val lMax = math.min(maxPieceLen, j)
+      while (l <= lMax) {
+        val i = j - l
+        if (dpCost(i) != INF) {
+          val piece = word.substringSQL(i + 1, l)
+          val c = map.get(piece)
+          if (c != null) {
+            val cand = dpCost(i) + c.longValue()
+            // strict lexicographic (cost, bi, bp) min — bp compared as
+            // binary UTF-8, Spark's struct-min string order
+            val better =
+              cand < best || (cand == best && (i < bestBi ||
+                (i == bestBi && (bestBp == null ||
+                  piece.compareTo(bestBp) < 0))))
+            if (better) { best = cand; bestBi = i; bestBp = piece }
+          }
+        }
+        l += 1
+      }
+      dpCost(j) = best; dpBi(j) = bestBi
+      dpBp(j) = if (bestBp == null) UTF8String.EMPTY_UTF8 else bestBp
+      j += 1
+    }
+    if (n == 0 || dpCost(n) == INF) return new GenericArrayData(new Array[AnyRef](0))
+    // backpointer walk from pos = n down to 0 (always terminates:
+    // every backpointer strictly decreases the position)
+    val out = new java.util.ArrayList[AnyRef](n)
+    var pos = n
+    while (pos > 0) {
+      out.add(dpBp(pos))
+      pos = dpBi(pos)
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+case class ViterbiSegment(child: Expression, table: PieceCostTable)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"viterbi_segment needs string, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "viterbi_segment"
+
+  override def nullSafeEval(input: Any): Any =
+    table.segment(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pieceTable", table,
+      classOf[PieceCostTable].getName)
+    nullSafeCodeGen(ctx, ev, w => s"${ev.value} = $ref.segment($w);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ViterbiSegment =
+    copy(child = newChild)
+}

@@ -181,28 +181,33 @@ object Inventory {
       .filter(col("bucket").isin(behind.map(x => x: Any): _*))
       .drop("bucket")
     // partition-pruned prior read: only the behind buckets' CURRENT
-    // versions are opened (older versions awaiting vacuum are skipped)
+    // versions are opened (older versions awaiting vacuum are skipped).
+    // The read lists the version-LEAF directories explicitly (basePath
+    // keeps the partition columns) rather than scanning the table root
+    // with a filter: same rows, and the write below then targets a
+    // DIFFERENT root path than any input relation, so the merge+write
+    // run as ONE job — the localCheckpoint that existed only to break
+    // the read-your-own-output-path rule is gone (one fewer serialized
+    // job and no extra materialization per inventory merge). MVCC
+    // makes the overlap safe: the write creates only NEW
+    // (bucket, merged_height) version dirs, never touching the leaf
+    // files being read.
     val priorPairs = behind.toSeq
       .flatMap(bk => bucketHeights.get(bk).map(bk -> _))
     val priorBehind =
       if (priorPairs.isEmpty) None
-      else Some(spark.read.parquet(stateDir)
-        .filter(priorPairs.map { case (bk, v) =>
-          col("bucket") === bk && col("merged_height") === v
-        }.reduce(_ || _))
+      else Some(spark.read.option("basePath", stateDir).parquet(
+          priorPairs.map { case (bk, v) =>
+            s"$stateDir/bucket=$bk/merged_height=$v" }: _*)
         .drop("bucket", "merged_height"))
     // state and batch agree on the hash, so the merge re-derives the
-    // bucket from the key — no cross-bucket movement possible
-    val merged = combine(priorBehind, bBehind).withColumn("bucket", bucket)
-    // localCheckpoint materializes the merged buckets (bounded: only
-    // the touched slice of state) and cuts the lineage back to
-    // stateDir, so the write below is not "overwriting a path being
-    // read". Dynamic overwrite targets the (bucket, NEW version)
-    // partitions — existing version partitions, including the ones the
-    // last commit references, are never touched; untouched buckets stay
+    // bucket from the key — no cross-bucket movement possible.
+    // Dynamic overwrite targets the (bucket, NEW version) partitions —
+    // existing version partitions, including the ones the last commit
+    // references, are never touched; untouched buckets stay
     // byte-identical on disk.
+    val merged = combine(priorBehind, bBehind).withColumn("bucket", bucket)
     merged.withColumn("merged_height", lit(mergedHeight))
-      .localCheckpoint()
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket", "merged_height")

@@ -88,10 +88,32 @@ object UnigramTrainer {
           .as("cost_milli"))
   }
 
+  /** [[segment]] as ONE map pass: the piece table is vocab-sized
+    * (singles + [[SeedMulti]] multis — a bounded model collect, the
+    * BPE-merge-table pattern), so the whole DP runs per row inside the
+    * codegen'd [[graft.expressions.ViterbiSegment]] kernel instead of
+    * 2·[[MaxWordLen]] vocab-sized staged joins (+ their per-stage
+    * checkpoints). Identical (word, piece) multiset — same lattice,
+    * same total-ordered (cost, bi, bp) tie-break, strings compared as
+    * binary UTF-8 like the struct min — pinned by UnigramTrainerSpec.
+    */
+  def segmentKernel(words: DataFrame, pieces: DataFrame): DataFrame = {
+    val rows = pieces.select(col("piece"), col("cost_milli")).collect()
+    val table = new graft.expressions.PieceCostTable(
+      rows.map(_.getString(0)), rows.map(_.getLong(1)))
+    words.select(col("word"), explode(
+        org.apache.spark.sql.GraftExpr.column(
+          graft.expressions.ViterbiSegment(
+            org.apache.spark.sql.GraftExpr.expression(col("word")),
+            table))).as("piece"))
+  }
+
   /** Minimum-cost segmentation of every word: returns (word, piece)
     * rows with multiplicity — the Viterbi path under `pieces`
     * costs. [[MaxWordLen]] DP stages + [[MaxWordLen]] backpointer
-    * stages, all vocab-sized joins.
+    * stages, all vocab-sized joins. (The serving path uses
+    * [[segmentKernel]]; this staged-join form is the engine-mirrored
+    * shape the oracle unrolls and the spec pins the kernel against.)
     */
   def segment(words: DataFrame, pieces: DataFrame): DataFrame = {
     val e = substrings(words)

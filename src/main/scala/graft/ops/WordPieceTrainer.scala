@@ -53,16 +53,30 @@ object WordPieceTrainer {
     val merges = Seq.newBuilder[Merge]
     var i = 1
     var exhausted = false
+    var sinceCp = 0
     while (i <= k && !exhausted) {
-      // own projection for the same reason as BpeTrainer: adjacentPairs
-      // indexes per element, and a non-attribute subtree in the lambda
-      // would re-split the padded string once per pair. Checkpointed so
-      // the unigram and pair aggregations share ONE unpad pass.
-      val toks = p.select(unpad(col("p")).as("toks")).localCheckpoint()
-      val uni = toks.select(explode(col("toks")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c"))
-      val pairs = toks.select(explode(adjacentPairs(col("toks"))).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      // ONE corpus pass per round: the unigram and pair histograms ride
+      // a single tagged explode (kind 0 = token, kind 1 = pair label)
+      // into one aggregation — the old shape materialized the token
+      // arrays and then scanned them twice. The AGGREGATED table is
+      // vocabulary-sized; it is checkpointed because the score join
+      // references it three times (pairs + both unigram sides).
+      // `toks` stays its own projection for the BpeTrainer reason:
+      // adjacentPairs indexes per element, and a non-attribute subtree
+      // in the lambda would re-split the padded string once per pair.
+      val counts = p.select(unpad(col("p")).as("toks"))
+        .select(explode(concat(
+          transform(col("toks"),
+            t => struct(lit(0).as("kind"), t.as("label"))),
+          transform(adjacentPairs(col("toks")),
+            q => struct(lit(1).as("kind"), q.as("label"))))).as("e"))
+        .groupBy(col("e.kind").as("kind"), col("e.label").as("label"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val uni = counts.filter(col("kind") === 0)
+        .select(col("label").as("tok"), col("c"))
+      val pairs = counts.filter(col("kind") === 1)
+        .select(col("label").as("pair"), col("c").as("cnt"))
       // vocabulary-sized join: halves of the pair label resolve to
       // their current unigram counts (a == b pairs see the same count
       // on both sides). The aggregated tables are tiny next to the
@@ -86,7 +100,12 @@ object WordPieceTrainer {
         merges += Merge(i, pair, cnt, score, merged)
         val search = " " + pair.replace(" ", "  ") + " "
         p = p.select(replace(col("p"), lit(search), lit(s" $merged "))
-          .as("p")).localCheckpoint()
+          .as("p"))
+        // checkpoint policy, not per round — BpeTrainer.CheckpointEvery
+        sinceCp += 1
+        if (sinceCp >= BpeTrainer.CheckpointEvery && i < k) {
+          p = p.localCheckpoint(); sinceCp = 0
+        }
       }
       i += 1
     }

@@ -65,7 +65,9 @@ object PipelineQueries22 {
       .wordCounts(Tables.documents(s, dir), tokens(col("text")))
       .localCheckpoint() // seed freq join + est join + apply share it
     val pieces = UnigramTrainer.seedPieces(words).localCheckpoint()
-    val seg = segArtifact(s, dir)(UnigramTrainer.segment(words, pieces))
+    // kernel segmentation: one map pass (spec-pinned == staged joins)
+    val seg = segArtifact(s, dir)(
+      UnigramTrainer.segmentKernel(words, pieces))
     (words, pieces, seg)
   }
 
@@ -77,7 +79,7 @@ object PipelineQueries22 {
         .wordCounts(Tables.documents(s, dir), tokens(col("text")))
         .localCheckpoint()
       val pieces = UnigramTrainer.seedPieces(words).localCheckpoint()
-      UnigramTrainer.segment(words, pieces)
+      UnigramTrainer.segmentKernel(words, pieces)
     }
 
   /** The DuckDB replay of the whole trainer: word counts → seed

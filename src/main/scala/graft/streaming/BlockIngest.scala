@@ -268,7 +268,12 @@ object BlockIngest {
     // replay filter: already-committed heights are dropped (idempotence)
     val fresh = batch.filter(col("height") > committed).cache()
     try {
-      val heights = fresh.select("height").as[Long].collect().sorted
+      // ONE bounded collect serves both the height-continuity check and
+      // the batch touch time (micro-batch-sized by contract) — the
+      // separate max(time) aggregation was a second driver round-trip
+      val hrows = fresh.select(col("height"), col("time"))
+        .as[(Long, Long)].collect()
+      val heights = hrows.map(_._1).sorted
       if (heights.isEmpty) return
       // strict order: continue from the watermark, no gaps
       // (ref: be_db_block.erl:96-100)
@@ -308,8 +313,8 @@ object BlockIngest {
 
       // deterministic updated_at touch value: the batch's newest block
       // time (the reproducible stand-in for the reference's NOW() touch
-      // trigger, ref: migrations/1580305069:4-10)
-      val batchTime = fresh.agg(max(col("time"))).head().getLong(0)
+      // trigger, ref: migrations/1580305069:4-10) — from the collect above
+      val batchTime = hrows.map(_._2).max
 
       // PHASE 1 — the fact tables (dynamic partition overwrite of the
       // (hb, slice) leaves: a replayed batch rewrites ONLY its own
@@ -323,6 +328,20 @@ object BlockIngest {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("hb", "slice")
           .parquet(s"$sinkDir/$table")
+      // the batch's actor rows, materialized ONCE: the fact write, the
+      // actor inventory, and the dirty sets all consume exactly this
+      // frame — the disk read-back they used to do forced a phase
+      // barrier (write facts, THEN read them back), serializing the
+      // batch into two max-leg latencies; the checkpoint is the same
+      // rows (the write lands this frame verbatim plus the hb/slice
+      // layout columns) without the barrier
+      val txnActors = Actors.transactionActors(txns).localCheckpoint()
+      // PHASE 1 — every height-sliced FACT table, dirty sets included:
+      // no leg reads another leg's output (the dirty sets fold the
+      // checkpointed actor frame, not the just-written partitions), so
+      // the fact group costs ONE max-leg latency, and the after-facts
+      // crash gate keeps its spec-pinned meaning — only `slice=`
+      // leaves can be pending at that tear
       par(
         "blocks" -> (() =>
           writeFact(fresh.select("height", "time", "block_hash",
@@ -330,24 +349,21 @@ object BlockIngest {
               "snapshot_hash"), "blocks", "height")),
         "txns" -> (() => writeFact(txns, "transactions", "block")),
         "actors" -> (() =>
-          writeFact(Actors.transactionActors(txns), "transaction_actors",
-            "block")),
+          writeFact(txnActors, "transaction_actors", "block")),
         "derived" -> (() =>
-          writeDerivedFacts(sinkDir, txns, writeFact(_, _, "block"))))
+          writeDerivedFacts(sinkDir, txns, writeFact(_, _, "block"))),
+        "dirty" -> (() =>
+          writeDirtySets(spark, sinkDir, fresh, committed, txnActors,
+            writeFact(_, _, "block"))))
       crash("after-facts")
 
-      // PHASE 2 — everything derived from the committed-height facts
-      // and the batch frames: the dirty sets + actor inventory read
-      // the transaction_actors partitions phase 1 just wrote; the
-      // other inventories and stats fold the in-memory batch frames
-      // against their own prior state
+      // PHASE 2 — the derived state (bucketed MVCC inventories, stats,
+      // snapshot manifest): every leg folds the in-memory batch frames
+      // against its own prior state — none reads phase 1's output
       par(
-        "dirty" -> (() =>
-          writeDirtySets(spark, sinkDir, fresh, committed,
-            writeFact(_, _, "block"))),
         "snap" -> (() => writeSnapshotManifest(spark, sinkDir, fresh)),
         "inv-actor" -> (() => mergeActorInventory(spark, sinkDir,
-          committed, newCommitted, batchTime)),
+          txnActors, newCommitted, batchTime)),
         "inv-gw" -> (() => mergeGatewayInventory(spark, sinkDir,
           newCommitted, txns, batchTime)),
         "inv-val" -> (() => mergeValidatorInventory(spark, sinkDir,
@@ -357,7 +373,7 @@ object BlockIngest {
         "inv-oui" -> (() => mergeOuiInventory(spark, sinkDir,
           newCommitted, txns)),
         "stats" -> (() => mergeStats(spark, sinkDir, newCommitted,
-          fresh, txns)))
+          heights.length.toLong, txns)))
       // write-time fingerprint sidecars for every fact partition this
       // batch produced — part of the batch's payload, so strictly
       // BEFORE the commit point (a torn batch's sidecars sit above
@@ -391,13 +407,12 @@ object BlockIngest {
     * (ref: migrations/1590689602:32-62).
     */
   private def mergeActorInventory(spark: SparkSession, sinkDir: String,
-                                  committed: Long, newCommitted: Long,
+                                  txnActors: DataFrame, newCommitted: Long,
                                   batchTime: Long): Unit = {
-    // slice pruning: the batch's rows are exactly the slices above the
-    // prior watermark — a batch-sized read, never the actor history
-    val batchActors = spark.read.parquet(s"$sinkDir/transaction_actors")
-      .where(col("slice") > committed)
-      .filter(col("block") > committed && col("block") <= newCommitted)
+    // the batch's actor rows — the checkpointed frame the fact write
+    // lands verbatim (same rows the old slice-pruned read-back
+    // returned, without serializing behind that write)
+    val batchActors = txnActors
       .select(col("actor"), col("block"), col("actor_role"))
     // the LARGEST inventory (one row per actor ever seen) uses the
     // bucket-partitioned state: a batch reads and rewrites only the
@@ -560,7 +575,13 @@ object BlockIngest {
       col("time"), from_json(col("fields"), Actors.fieldsSchema).as("f"))
     val f = col("f")
 
-    def write(df: DataFrame, table: String): Unit = writeFact(df, table)
+    // the four derived tables are independent writes into disjoint
+    // table dirs — submitted concurrently (guide §2.6), same as the
+    // phase they run inside; serialized they made "derived" phase 1's
+    // long pole (4 tiny dynamic-overwrite job latencies end to end)
+    val derivedWrites = Seq.newBuilder[(String, DataFrame)]
+    def write(df: DataFrame, table: String): Unit =
+      derivedWrites += (table -> df)
 
     write(parsed.filter(col("type").isin("rewards_v1", "rewards_v2"))
       .select(col("block"), col("hash"), col("time"),
@@ -605,6 +626,11 @@ object BlockIngest {
     write(parsed.filter(col("type") === "price_oracle_v1")
       .select(col("block"), col("time"), f("public_key").as("oracle"),
         f("price").as("price")), "oracle_prices")
+
+    graft.ops.Par.run(derivedWrites.result(), 4) {
+      case (table, df) => writeFact(df, table)
+    }
+    ()
   }
 
   /** Per-block dirty key sets — the keys each handler re-snapshots
@@ -628,6 +654,7 @@ object BlockIngest {
     */
   private def writeDirtySets(spark: SparkSession, sinkDir: String,
                              fresh: DataFrame, committed: Long,
+                             txnActors: DataFrame,
                              writeFact: (DataFrame, String) => Unit)
       : Unit = {
     val accountRoles = Seq("payer", "payee", "owner", "escrow")
@@ -635,11 +662,10 @@ object BlockIngest {
       "challenger", "challengee", "packet_receiver")
     val validatorRoles = Seq("validator", "consensus_member",
       "consensus_failure_member", "consensus_failure_failed_member")
-    // slice > committed = exactly the leaves phase 1 just wrote: the
-    // scan is batch-sized via slice-directory pruning, never a walk of
-    // the whole actor history
-    val actors = spark.read.parquet(s"$sinkDir/transaction_actors")
-      .where(col("slice") > committed)
+    // the batch's actor rows — the checkpointed frame the fact write
+    // lands verbatim (batch-sized by construction; the old read-back
+    // of the just-written slices serialized this behind that write)
+    val actors = txnActors
     val fromActors = actors.select(col("block"), col("actor"),
         when(col("actor_role").isin(accountRoles.map(x => x: Any): _*), "account")
           .when(col("actor_role").isin(gatewayRoles.map(x => x: Any): _*), "gateway")
@@ -1064,7 +1090,7 @@ object BlockIngest {
     * form equals a full recompute.
     */
   private def mergeStats(spark: SparkSession, sinkDir: String,
-                         newCommitted: Long, freshBlocks: DataFrame,
+                         newCommitted: Long, nBlocks: Long,
                          txns: DataFrame): Unit = {
     val statsDir = s"$sinkDir/stats_inventory"
     // MVCC: each batch writes a NEW whole-table version dir h=<height>;
@@ -1084,7 +1110,7 @@ object BlockIngest {
       count_if(col("type") === "consensus_group_v1"),
       count_if(col("type") === "poc_request_v1")).head()
     val deltas = Map(
-      "blocks" -> freshBlocks.count(),
+      "blocks" -> nBlocks, // the batch's height list, already collected
       "transactions" -> txnAgg.getLong(0),
       "consensus_groups" -> txnAgg.getLong(1),
       "challenges" -> txnAgg.getLong(2))

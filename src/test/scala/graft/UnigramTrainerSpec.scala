@@ -49,6 +49,23 @@ class UnigramTrainerSpec extends SparkSpec {
     }
   }
 
+  test("kernel segmentation == staged-join segmentation, exactly " +
+    "(same pieces per word, multiset-identical)") {
+    val docs = Seq(
+      "abab cdcd abab ee abcd abab cdcd xyz zzzz",
+      "abab ee xyz abcd statement merge merge state",
+      "statement state merge abab tie tiebreak break ababab").toDF("text")
+    val words = UnigramTrainer
+      .wordCounts(docs, TextAnalysis.tokens(col("text"))).localCheckpoint()
+    val pieces = UnigramTrainer.seedPieces(words).localCheckpoint()
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String)].collect().toSeq.sorted
+    assert(multiset(UnigramTrainer.segmentKernel(words, pieces)) ===
+      multiset(UnigramTrainer.segment(words, pieces)),
+      "the per-row Viterbi kernel must reproduce the staged-join DP " +
+        "verbatim — same lattice, same (cost, bi, bp) tie-break")
+  }
+
   test("a dominant repeated bigram is kept as one piece, not two chars") {
     // 'ab' appears so often its -ln cost undercuts 'a'+'b'
     val docs = Seq(Seq.fill(30)("abab").mkString(" "),
