@@ -131,6 +131,25 @@ object PipelineQueries81 {
           .as("accepted"))
   }
 
+  /** [[curateOnArrival]] behind the [[graft.ops.ArtifactStore]]: the
+    * audit frame is a deterministic function of the corpus (integer
+    * gates, hash-keyed dedup/decon), and BOTH q400 and q406 need
+    * exactly it — the first of the two in a sweep drives its arrival
+    * lifecycle and commits the frame, the second reads parquet instead
+    * of re-driving an identical lifecycle against its own store dirs.
+    * No artifact root → the inline lifecycle, the spec shape. */
+  private def curateAudit(s: SparkSession, dir: String,
+                          dedupStore: String,
+                          evalStore: String): DataFrame =
+    if (graft.ops.ArtifactStore.root(s).isEmpty)
+      curateOnArrival(s, dir, dedupStore, evalStore)
+    else graft.ops.ArtifactStore.buildOrServe(s, "curate_audit",
+      graft.ops.ArtifactStore.fingerprint(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        s"$dir#documents#id_text"),
+      s"nb=$NB,r=$R,minTok=$MinTokens", s"$dir#documents#curate")(
+      curateOnArrival(s, dir, dedupStore, evalStore))
+
   /** The gate CTEs — ONE copy for the q400 and q406 oracles: winnow
     * index tables (t/g/f), cross-slice dup pairs, eval fingerprints,
     * decon ids. Everything derives from the raw corpus. */
@@ -163,7 +182,7 @@ object PipelineQueries81 {
   val defs: Seq[QDef] = Seq(
 
     QDef("q400_curate_on_arrival",
-      (s, dir) => curateOnArrival(s, dir,
+      (s, dir) => curateAudit(s, dir,
         new java.io.File("target/curate_arrival_minhash").getAbsolutePath,
         new java.io.File("target/curate_arrival_winnow").getAbsolutePath),
       Some(s"""WITH $gateCtesSql
@@ -181,7 +200,7 @@ object PipelineQueries81 {
 
     QDef("q406_curate_shard_manifest",
       (s, dir) => {
-        val audit = curateOnArrival(s, dir,
+        val audit = curateAudit(s, dir,
           new java.io.File("target/chain_minhash").getAbsolutePath,
           new java.io.File("target/chain_winnow").getAbsolutePath)
         val accepted = audit.filter(col("accepted") === 1L)
