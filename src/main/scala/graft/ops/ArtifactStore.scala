@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types._
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -132,6 +132,40 @@ object ArtifactStore {
     (s.mod(Mod64), r.getLong(1))
   }
 
+  /** Is every hashed column of `schema` parquet-bit-exact — i.e. does
+    * xxhash64 over the WRITTEN evaluation provably equal xxhash64 over
+    * a parquet READ-BACK of the same rows? True for the atomic types
+    * (numerics — parquet stores the raw IEEE bits and Spark's xxhash64
+    * canonicalizes NaN identically on both sides —, strings, binary,
+    * boolean, date, timestamps at Spark's µs precision, decimals) and
+    * arrays/structs thereof. False for anything else (maps have no
+    * pinned iteration order, a UDT's round-trip is its own contract):
+    * the observe fast path must then FALL BACK to hashing the
+    * read-back, never silently commit a fingerprint that can never
+    * match a re-scan (a perpetual-rebuild availability bug — r16
+    * verdict #3). */
+  private[graft] def fingerprintBitExact(schema: StructType): Boolean = {
+    def ok(dt: DataType): Boolean = dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | BinaryType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case ArrayType(e, _) => ok(e)
+      case StructType(fs) => fs.forall(f => ok(f.dataType))
+      case _ => false
+    }
+    schema.fields.forall(f => ok(f.dataType))
+  }
+
+  /** Decode one observe metric pair (decimal sum, long count) into the
+    * canonical part-fingerprint summand. */
+  private def metricFp(s: Any, n: Any): (BigInt, Long) = {
+    val sum = Option(s).map(d =>
+      BigInt(d.asInstanceOf[java.math.BigDecimal].toBigInteger))
+      .getOrElse(BigInt(0))
+    (sum.mod(Mod64), n.asInstanceOf[Long])
+  }
+
   /** Write `df` to `path` (overwrite) and return its
     * [[partFingerprint]] — computed by a `Dataset.observe` metric
     * riding the SAME job, over exactly the row evaluation that was
@@ -142,8 +176,19 @@ object ArtifactStore {
     * round-trips every type here bit-exactly, and hashing the written
     * evaluation itself is the property the read-back existed to
     * guarantee (a SECOND evaluation of `df` could drift under
-    * non-deterministic lineage; this is the same evaluation). */
+    * non-deterministic lineage; this is the same evaluation).
+    *
+    * SCHEMA GUARD (r16 verdict #3): the written-evaluation hash basis
+    * equals a read-back only for parquet-bit-exact types
+    * ([[fingerprintBitExact]]). A store whose schema breaks that
+    * assumption transparently falls back to the historical shape —
+    * write, then hash the parquet read-back — instead of committing a
+    * sidecar that silently never matches a re-scan. */
   def writeWithFingerprint(df: DataFrame, path: String): (BigInt, Long) = {
+    if (!fingerprintBitExact(df.schema)) {
+      df.write.mode("overwrite").parquet(path)
+      return partFingerprint(df.sparkSession.read.parquet(path))
+    }
     val obs = org.apache.spark.sql.Observation()
     df.observe(obs,
         sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)
@@ -151,10 +196,58 @@ object ArtifactStore {
         count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(path)
     val m = obs.get
-    val s = Option(m("s")).map(d =>
-      BigInt(d.asInstanceOf[java.math.BigDecimal].toBigInteger))
-      .getOrElse(BigInt(0))
-    (s.mod(Mod64), m("n").asInstanceOf[Long])
+    metricFp(m("s"), m("n"))
+  }
+
+  /** GROUPED write-time fingerprints riding the write job — the
+    * per-partition twin of [[writeWithFingerprint]] for sinks that
+    * commit many partition leaves in one write (the ingest fact
+    * tables, the bucketed MVCC inventories). The caller knows the
+    * candidate partition values up front (the batch's height buckets,
+    * the touched state buckets), so each value gets a conditional
+    * (Σ xxhash64(hashCols), count) observe pair — all built-in
+    * declarative aggregates, whole-stage-codegen-friendly, no
+    * grouping (observe cannot group) — and the write's own job
+    * evaluates them. Replaces the grouped read-back scan + collect
+    * ([[partFingerprints]]) that cost one extra Spark job and a
+    * part-sized re-scan per batch commit.
+    *
+    * Returns the (value, fingerprint) pairs for values that wrote ≥1
+    * row (a partition with no rows writes no leaf, so it must get no
+    * sidecar), or None — the write still RAN (unobserved) and the
+    * caller must fingerprint its leaves by read-back — when the
+    * hashed schema is not parquet-bit-exact (same guard as
+    * [[writeWithFingerprint]]). `hashCols` must be the DATA columns
+    * in written order, exactly what the canonical per-part reader
+    * re-hashes. */
+  def observedPartFingerprints[T](df: DataFrame, partCol: String,
+                                  values: Seq[T], hashCols: Seq[String])
+                                 (write: DataFrame => Unit)
+      : Option[Seq[(T, (BigInt, Long))]] = {
+    val hashSchema = StructType(df.schema.fields
+      .filter(f => hashCols.contains(f.name)))
+    if (values.isEmpty || !fingerprintBitExact(hashSchema)) {
+      write(df)
+      return None
+    }
+    // the row hash is hoisted into ONE temporary column (dropped
+    // before the write, so the parquet schema is untouched): the
+    // metric accumulator evaluates its expressions per row without
+    // common-subexpression elimination, so an inline xxhash64 inside
+    // every per-value conditional would hash each row |values| times
+    val hCol = "_graft_fp_h"
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = values.zipWithIndex.flatMap { case (v, i) => Seq(
+      sum(when(col(partCol) === v, col(hCol))
+        .cast(DecimalType(38, 0))).as(s"s$i"),
+      count(when(col(partCol) === v, lit(1))).as(s"n$i")) }
+    write(df.withColumn(hCol, xxhash64(hashCols.map(col): _*))
+      .observe(obs, aggs.head, aggs.tail: _*)
+      .drop(hCol))
+    val m = obs.get
+    Some(values.zipWithIndex
+      .map { case (v, i) => v -> metricFp(m(s"s$i"), m(s"n$i")) }
+      .filter(_._2._2 > 0L))
   }
 
   /** Per-partition [[partFingerprint]]s in ONE grouped scan — for

@@ -152,10 +152,16 @@ object Inventory {
     val bucket = pmod(xxhash64(key.map(col): _*), lit(nBuckets)).cast("int")
     // the batch lineage can be expensive (JSON parse + explode for the
     // ledger folds) and is consumed twice (touched-bucket discovery and
-    // the merge) — materialize it once
-    val withBucket = batch.withColumn("bucket", bucket).localCheckpoint()
-    val touched = withBucket.select("bucket").distinct()
-      .collect().map(_.getInt(0)).sorted
+    // the merge) — materialize it once. Touched-bucket discovery rides
+    // the SAME checkpoint job as a collect_set observe metric: the
+    // separate distinct().collect() was one more serialized job (plus
+    // its shuffle) per inventory per batch, pure scheduling latency.
+    val obs = org.apache.spark.sql.Observation()
+    val withBucket = batch.withColumn("bucket", bucket)
+      .observe(obs, collect_set(col("bucket")).as("touched"))
+      .localCheckpoint()
+    val touched = obs.get("touched").asInstanceOf[scala.collection.Seq[Int]]
+      .toArray.sorted
     if (touched.isEmpty) return false
     val hasState = Files.exists(Paths.get(stateDir))
     // the bucket function is part of the state's on-disk layout: a
@@ -194,6 +200,15 @@ object Inventory {
     // files being read.
     val priorPairs = behind.toSeq
       .flatMap(bk => bucketHeights.get(bk).map(bk -> _))
+    // the one-job merge+write overlap below is safe ONLY because the
+    // write creates strictly NEW (bucket, merged_height) version dirs
+    // while the read holds strictly OLDER ones — a replay/refactor
+    // that violated that would race the write against its own input
+    // with no loud failure (r16 advice): refuse it here instead
+    require(!priorPairs.exists(_._2 == mergedHeight),
+      s"inventory merge at $stateDir: a read version equals the " +
+        s"version being written ($mergedHeight) — the no-overlap MVCC " +
+        "assumption the single-job merge rests on is violated")
     val priorBehind =
       if (priorPairs.isEmpty) None
       else Some(spark.read.option("basePath", stateDir).parquet(
@@ -207,30 +222,41 @@ object Inventory {
     // references, are never touched; untouched buckets stay
     // byte-identical on disk.
     val merged = combine(priorBehind, bBehind).withColumn("bucket", bucket)
-    merged.withColumn("merged_height", lit(mergedHeight))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket", "merged_height")
-      .parquet(stateDir)
-    Files.write(nbPath, nBuckets.toString.getBytes("UTF-8"))
+      .withColumn("merged_height", lit(mergedHeight))
+    def writeMerged(df: DataFrame): Unit =
+      df.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket", "merged_height")
+        .parquet(stateDir)
     // write-time fingerprint sidecars, one per rewritten (bucket,
     // version) — the fact-table protocol extended to the bucketed MVCC
     // stores, so an artifact over an inventory addresses and
-    // delta-rebuilds per TOUCHED bucket with no state scan. One
-    // grouped read-back over exactly the versions just written,
-    // hashing the DATA columns (the canonical [[readStatePart]]
-    // basis — a version-leaf read has no partition columns). A crash
-    // between the data write and this point leaves a version without
-    // its sidecar; [[committedStateParts]] heals from the data layout,
-    // which stays the source of truth.
-    val back = spark.read.option("basePath", stateDir).parquet(
-      behind.map(bk =>
-        s"$stateDir/bucket=$bk/merged_height=$mergedHeight"): _*)
-    val dataCols = back.columns.toSeq
+    // delta-rebuilds per TOUCHED bucket with no state scan. The
+    // per-bucket (sum, count) pairs ride the merge write's OWN job as
+    // observe metrics over the DATA columns in written order (the
+    // canonical [[readStatePart]] basis — a version-leaf read has no
+    // partition columns): the grouped read-back scan this replaces was
+    // one more serialized job plus a part-sized re-scan per inventory
+    // per batch. A non-bit-exact schema falls back to exactly that
+    // read-back (same guard as ArtifactStore.writeWithFingerprint). A
+    // crash between the data write and the sidecar writes leaves
+    // versions without sidecars; [[committedStateParts]] heals from
+    // the data layout, which stays the source of truth.
+    val dataCols = merged.columns.toSeq
       .filterNot(Set("bucket", "merged_height"))
-    ArtifactStore.partFingerprints(back, "bucket", dataCols).foreach {
-      case (pid, fp) =>
-        ArtifactStore.writeFpPart(stateDir, s"$pid.mh=$mergedHeight", fp)
+    val fps = ArtifactStore.observedPartFingerprints(merged, "bucket",
+        behind.toSeq, dataCols)(writeMerged)
+      .getOrElse {
+        val back = spark.read.option("basePath", stateDir).parquet(
+          behind.map(bk =>
+            s"$stateDir/bucket=$bk/merged_height=$mergedHeight"): _*)
+        ArtifactStore.partFingerprints(back, "bucket", dataCols)
+          .map { case (pid, fp) =>
+            pid.stripPrefix("bucket=").toInt -> fp }
+      }
+    Files.write(nbPath, nBuckets.toString.getBytes("UTF-8"))
+    fps.foreach { case (bk, fp) =>
+      ArtifactStore.writeFpPart(stateDir, s"bucket=$bk.mh=$mergedHeight", fp)
     }
     true
   }

@@ -268,11 +268,33 @@ object BlockIngest {
     // replay filter: already-committed heights are dropped (idempotence)
     val fresh = batch.filter(col("height") > committed).cache()
     try {
-      // ONE bounded collect serves both the height-continuity check and
-      // the batch touch time (micro-batch-sized by contract) — the
-      // separate max(time) aggregation was a second driver round-trip
-      val hrows = fresh.select(col("height"), col("time"))
-        .as[(Long, Long)].collect()
+      // ONE bounded collect serves the height-continuity check, the
+      // batch touch time, the snapshot manifest, the stats deltas, and
+      // the carried-scales presence flag (all micro-batch-sized by
+      // contract) — each used to be its own driver round-trip (a
+      // max(time) agg, an orderBy-limit collect, a txn-type agg, a
+      // limit(1).count), four serialized Spark jobs per batch that no
+      // data volume can amortize
+      // minimal spec fixtures omit the optional columns — reference
+      // them only when present (a gap-abort batch must fail on the
+      // continuity require, not on an analysis error here)
+      val have = fresh.columns.toSet
+      val snapCol = if (have("snapshot_hash")) col("snapshot_hash")
+        else lit(null).cast("string")
+      val scalesCol = if (have("cdc_keys"))
+        exists(coalesce(col("cdc_keys")("gateway_scales"),
+            array().cast("array<struct<gateway:string,scale:double>>")),
+          g => g("gateway").isNotNull)
+        else lit(false)
+      val hrows = fresh.select(col("height"), col("time"), snapCol,
+          size(col("transactions")).cast("long"),
+          size(filter(col("transactions"),
+            t => t("type") === "consensus_group_v1")).cast("long"),
+          size(filter(col("transactions"),
+            t => t("type") === "poc_request_v1")).cast("long"),
+          scalesCol)
+        .as[(Long, Long, Option[String], Long, Long, Long, Boolean)]
+        .collect()
       val heights = hrows.map(_._1).sorted
       if (heights.isEmpty) return
       // strict order: continue from the watermark, no gaps
@@ -321,13 +343,39 @@ object BlockIngest {
       // leaves; static mode would truncate the table). The height
       // column stays a DATA column — bucket dirs give height-range
       // directory pruning, row-group stats prune inside a bucket.
-      def writeFact(df: DataFrame, table: String, heightCol: String): Unit =
-        df.withColumn("hb", hbCol(heightCol, k))
+      //
+      // Each write carries its OWN `_fp` sidecar fingerprints as
+      // per-bucket observe metrics riding the write job (hash basis:
+      // the data columns in written order — exactly what the sidecar
+      // protocol's read-back hashed), so the post-phase grouped
+      // re-scan of every freshly-written leaf (9 tables × a scan +
+      // collect per batch) is gone. Sidecars land strictly AFTER
+      // their leaf's data (same thread) and strictly BEFORE the
+      // commit point; a torn batch's sidecars sit above the
+      // watermark, where factParts never reads them and
+      // cleanTornSlices removes them with their slices. A table whose
+      // schema is not parquet-bit-exact (none today) falls back to
+      // the read-back scan after phase 2.
+      val batchBuckets = heights.map(_ / k).distinct.sorted.toIndexedSeq
+      val sidecarReadBack =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      def writeFact(df: DataFrame, table: String, heightCol: String): Unit = {
+        val out = df.withColumn("hb", hbCol(heightCol, k))
           .withColumn("slice", lit(newCommitted))
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("hb", "slice")
-          .parquet(s"$sinkDir/$table")
+        val fps = graft.ops.ArtifactStore.observedPartFingerprints(
+          out, "hb", batchBuckets, df.columns.toSeq) {
+          _.write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("hb", "slice")
+            .parquet(s"$sinkDir/$table")
+        }
+        fps match {
+          case Some(ps) => ps.foreach { case (b, fp) =>
+            graft.ops.ArtifactStore.writeFpPart(s"$sinkDir/$table",
+              s"hb=$b.slice=$newCommitted", fp) }
+          case None => sidecarReadBack.add(table); ()
+        }
+      }
       // the batch's actor rows, materialized ONCE: the fact write, the
       // actor inventory, and the dirty sets all consume exactly this
       // frame — the disk read-back they used to do forced a phase
@@ -354,14 +402,15 @@ object BlockIngest {
           writeDerivedFacts(sinkDir, txns, writeFact(_, _, "block"))),
         "dirty" -> (() =>
           writeDirtySets(spark, sinkDir, fresh, committed, txnActors,
-            writeFact(_, _, "block"))))
+            hrows.exists(_._7), writeFact(_, _, "block"))))
       crash("after-facts")
 
       // PHASE 2 — the derived state (bucketed MVCC inventories, stats,
       // snapshot manifest): every leg folds the in-memory batch frames
       // against its own prior state — none reads phase 1's output
       par(
-        "snap" -> (() => writeSnapshotManifest(spark, sinkDir, fresh)),
+        "snap" -> (() => writeSnapshotManifest(sinkDir,
+          hrows.collect { case (h, _, Some(sh), _, _, _, _) => (h, sh) })),
         "inv-actor" -> (() => mergeActorInventory(spark, sinkDir,
           txnActors, newCommitted, batchTime)),
         "inv-gw" -> (() => mergeGatewayInventory(spark, sinkDir,
@@ -373,14 +422,15 @@ object BlockIngest {
         "inv-oui" -> (() => mergeOuiInventory(spark, sinkDir,
           newCommitted, txns)),
         "stats" -> (() => mergeStats(spark, sinkDir, newCommitted,
-          heights.length.toLong, txns)))
-      // write-time fingerprint sidecars for every fact partition this
-      // batch produced — part of the batch's payload, so strictly
-      // BEFORE the commit point (a torn batch's sidecars sit above
-      // the watermark, where factParts never reads them); needs the
-      // dirty/scales partitions, hence after phase 2
-      t("sidecars")(writeFactSidecars(spark, sinkDir,
-        heights.map(_ / k).distinct.toIndexedSeq, newCommitted))
+          heights.length.toLong, hrows.map(_._4).sum,
+          hrows.map(_._5).sum, hrows.map(_._6).sum)))
+      // fallback sidecars for tables whose schema defeated the
+      // observe fusion (none today): one grouped read-back per such
+      // table — still strictly BEFORE the commit point
+      if (!sidecarReadBack.isEmpty)
+        t("sidecars")(writeFactSidecars(spark, sinkDir,
+          batchBuckets, newCommitted,
+          sidecarReadBack.toArray(Array.empty[String]).toSeq))
       crash("before-commit")
 
       // THE commit point: one atomically-renamed manifest listing every
@@ -654,7 +704,7 @@ object BlockIngest {
     */
   private def writeDirtySets(spark: SparkSession, sinkDir: String,
                              fresh: DataFrame, committed: Long,
-                             txnActors: DataFrame,
+                             txnActors: DataFrame, hasScales: Boolean,
                              writeFact: (DataFrame, String) => Unit)
       : Unit = {
     val accountRoles = Seq("payer", "payee", "owner", "escrow")
@@ -730,8 +780,12 @@ object BlockIngest {
 
     // append the batch's carried scales to the bucketed log — a
     // replayed batch dynamic-overwrites its OWN leaves, so the write
-    // is idempotent and never mutates pre-batch history
-    if (carried.limit(1).count() > 0)
+    // is idempotent and never mutates pre-batch history. Presence
+    // (`∃ gateway_scales entry with a non-null gateway` — exactly
+    // `carried` being non-empty) was decided on the batch's one driver
+    // collect: the limit(1).count() here was one more serialized job
+    // per batch
+    if (hasScales)
       writeFact(carried, "gateway_scales")
   }
 
@@ -754,15 +808,18 @@ object BlockIngest {
     * overwrites its own leaves with identical rows, so the sidecar
     * overwrite is idempotent. */
   private def writeFactSidecars(spark: SparkSession, sinkDir: String,
-                                buckets: Seq[Long], slice: Long): Unit = {
+                                buckets: Seq[Long], slice: Long,
+                                tables: Seq[String]): Unit = {
     // one grouped scan per table, submitted CONCURRENTLY (Par.run —
-    // awaits all, so no straggler survives a failure): the nine scans
+    // awaits all, so no straggler survives a failure): the scans
     // are independent batch-sized jobs, and sequential submission made
     // the sidecar step job-count-bound (~9 tiny jobs of scheduling
     // overhead per batch, the q388 lifecycle measured it);
-    // writeFpPart is atomic per file, tables never share one
-    graft.ops.Par.run(factTables, factTables.size) {
-      case (table, _) =>
+    // writeFpPart is atomic per file, tables never share one.
+    // Since the observe-fused write-time sidecars this is only the
+    // FALLBACK for tables whose schema is not parquet-bit-exact.
+    graft.ops.Par.run(tables, math.max(tables.size, 1)) {
+      table =>
         val dir = s"$sinkDir/$table"
         // a table writes NO leaf for a bucket with no rows (e.g.
         // rewards on a rewardless range): sidecars exist iff data does
@@ -951,13 +1008,19 @@ object BlockIngest {
     val h = committedHeight(sinkDir)
     if (h <= 0) return 0
     cleanTornSlices(sinkDir, h)
-    var folded = 0
-    factTables.foreach { case (table, _) =>
-      val dir = s"$sinkDir/$table"
+    // every (table, bucket) fold touches only its own directories —
+    // submitted concurrently (guide §2.6): the sequential sweep paid
+    // one write-job latency per folded bucket end to end
+    val foldable = factTables.flatMap { case (table, _) =>
       committedFactLeaves(sinkDir, table, h).groupBy(_._1).toSeq
         .sortBy(_._1)
         .filter(_._2.size >= minSlices)
-        .foreach { case (b, leaves) =>
+        .map { case (b, leaves) => (table, b, leaves) }
+    }
+    val folded = if (foldable.isEmpty) 0
+    else graft.ops.Par.run(foldable, 8) {
+      case (table, b, leaves) =>
+          val dir = s"$sinkDir/$table"
           val slices = leaves.map(_._2).sorted
           val smax = slices.last
           val tmp = s"$dir/.compact-tmp-hb=$b"
@@ -991,9 +1054,7 @@ object BlockIngest {
           // metric captured at write time in step 1)
           graft.ops.ArtifactStore.writeFpPart(dir, s"hb=$b.slice=$smax",
             foldedFp)
-          folded += 1
-        }
-    }
+    }.size
     if (folded > 0) {
       // one manifest step for the whole sweep: newest regenerated
       // from the live layout, stale history pruned, then the old
@@ -1062,14 +1123,14 @@ object BlockIngest {
 
   /** Snapshot manifest (ref: src/be_db_block.erl:118-157): when a batch
     * carries snapshot blocks, record the newest as latest-snap.json.
+    * Pure driver work over the batch's already-collected
+    * (height, snapshot_hash) rows — the orderBy-limit collect it
+    * replaced was one more serialized Spark job per batch.
     */
-  private def writeSnapshotManifest(spark: SparkSession, sinkDir: String,
-                                    fresh: DataFrame): Unit = {
-    val snaps = fresh.filter(col("snapshot_hash").isNotNull)
-      .select(col("height"), col("snapshot_hash"))
-      .orderBy(col("height").desc).limit(1).collect()
-    snaps.headOption.foreach { r =>
-      val json = s"""{"height": ${r.getLong(0)}, "snapshot_hash": "${r.getString(1)}"}"""
+  private def writeSnapshotManifest(sinkDir: String,
+                                    snapRows: Seq[(Long, String)]): Unit = {
+    snapRows.sortBy(-_._1).headOption.foreach { case (h, sh) =>
+      val json = s"""{"height": $h, "snapshot_hash": "$sh"}"""
       Files.createDirectories(Paths.get(sinkDir))
       // atomic replace: a reader never sees a half-written manifest
       val tmp = Paths.get(s"$sinkDir/.latest-snap.json.tmp")
@@ -1091,7 +1152,8 @@ object BlockIngest {
     */
   private def mergeStats(spark: SparkSession, sinkDir: String,
                          newCommitted: Long, nBlocks: Long,
-                         txns: DataFrame): Unit = {
+                         nTxns: Long, nConsensus: Long,
+                         nChallenges: Long): Unit = {
     val statsDir = s"$sinkDir/stats_inventory"
     // MVCC: each batch writes a NEW whole-table version dir h=<height>;
     // the prior fold reads the newest existing version, the replay
@@ -1103,17 +1165,15 @@ object BlockIngest {
           .map(r => r.getAs[String]("name") -> r.getAs[Long]("value")).toMap
       }.getOrElse(Map.empty)
     if (prior.getOrElse("_merged_height", 0L) >= newCommitted) return
-    // one aggregation pass over the batch txns for all txn-derived
-    // counters (count_if is a conditional map-side count — no extra
-    // scans, no shuffle beyond the single global agg)
-    val txnAgg = txns.agg(count(lit(1)),
-      count_if(col("type") === "consensus_group_v1"),
-      count_if(col("type") === "poc_request_v1")).head()
+    // the txn-derived counters arrive pre-summed from the batch's ONE
+    // driver collect (per-block size/filter counts — a micro-batch is
+    // driver-sized by contract), so the separate txn aggregation job
+    // this leg used to run is gone
     val deltas = Map(
-      "blocks" -> nBlocks, // the batch's height list, already collected
-      "transactions" -> txnAgg.getLong(0),
-      "consensus_groups" -> txnAgg.getLong(1),
-      "challenges" -> txnAgg.getLong(2))
+      "blocks" -> nBlocks,
+      "transactions" -> nTxns,
+      "consensus_groups" -> nConsensus,
+      "challenges" -> nChallenges)
     val updated = deltas.map { case (k, d) => k -> (prior.getOrElse(k, 0L) + d) } +
       ("_merged_height" -> newCommitted)
     import spark.implicits._
