@@ -46,6 +46,18 @@ object Bench {
     med > floor * 1.1
   }
 
+  /** A monotone contention RAMP (r16 verdict #2): a co-tenant that
+    * spins up mid-run inflates only the LATE windows — under the
+    * per-window spike threshold AND under the whole-run median rule
+    * (the early probes drag the median down; the r16 sweep's
+    * 0.182 → 0.378 ramp passed both detectors and cost the judge a
+    * three-way reconstruction). Flag when the median of the last `k`
+    * bracketing probes exceeds the floor by >10% — the same margin as
+    * the epoch rule, applied to the tail the ramp actually hit. */
+  def rampSuspect(probes: Seq[Double], floor: Double,
+                  k: Int = 5): Boolean =
+    epochSuspect(probes.takeRight(k), floor)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -107,13 +119,21 @@ object Bench {
     val windowProbes = scala.collection.mutable.ArrayBuffer[Double]()
     val windowEnds = scala.collection.mutable.ArrayBuffer[Int]()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // per-query artifact build/serve counts (r16 verdict #4): ~25
+    // serve-side rows measure a parquet scan only because an earlier
+    // caller paid the build — the line must say which regime each
+    // number measured instead of leaving it to alphabetical archaeology
+    val artCounts = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
     val results = ordered.zipWithIndex.map { case ((name, fn), qi) =>
+      val (b0, s0) = graft.ops.ArtifactStore.resolutionCounts
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
         errors ::= name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val (b1, s1) = graft.ops.ArtifactStore.resolutionCounts
+      if (b1 != b0 || s1 != s0) artCounts += ((name, b1 - b0, s1 - s0))
       // free the query's leftover localCheckpoint RDDs (outside the
       // timed section): without this, ~100 queries of checkpoints
       // accumulate storage memory and the iterative tail queries pay
@@ -179,7 +199,11 @@ object Bench {
     // (r12 advice; it can't mark a window suspect, no query runs
     // after it).
     val contended = (allProbes :+ probeEnd).exists(_ > probeThr)
-    val epochSus = epochSuspect(allProbes :+ probeEnd, probeFloor)
+    // epoch_suspect covers BOTH uniform degradation (whole-run median)
+    // and a monotone late ramp (last-k median — the r16 hole)
+    val rampSus = rampSuspect(allProbes :+ probeEnd, probeFloor)
+    val epochSus = epochSuspect(allProbes :+ probeEnd, probeFloor) ||
+      rampSus
     val suspectJson = suspects.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
       .mkString("[", ",", "]")
     val probesJson = allProbes.map(ms).mkString("[", ",", "]")
@@ -224,11 +248,20 @@ object Bench {
     }.sum
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    // which regime each artifact-touching row measured: built parts
+    // vs served parts per query (full names in the file, short keys
+    // on the stdout line)
+    def artJson(short: Boolean) = artCounts.map { case (n, b, s) =>
+      "\"" + (if (short) n.takeWhile(_ != '_') else n) +
+        "\":\"b" + b + "s" + s + "\""
+    }.mkString("{", ",", "}")
+    val artBuilt = artCounts.map(_._2).sum
+    val artServed = artCounts.map(_._3).sum
     try {
       val w = new java.io.PrintWriter("target/bench_full.json")
-      try w.println(s"""{"total":${ms(total)},"probe_normalized_total":${ms(normTotal)},"queries":$fullQs,"window_probes":$probesJson,"suspect":${suspects.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"approx_shape":$approxJson,"sf":"$sfDir"}""") finally w.close()
+      try w.println(s"""{"total":${ms(total)},"probe_normalized_total":${ms(normTotal)},"queries":$fullQs,"artifacts":${artJson(short = false)},"window_probes":$probesJson,"suspect":${suspects.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"approx_shape":$approxJson,"sf":"$sfDir"}""") finally w.close()
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","probe_normalized_total":${ms(normTotal)},"contended":$contended,"epoch_suspect":$epochSus,"n_suspect":${suspects.size},"suspect":$suspectJson,"approx_shape":$approxJson,"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","probe_normalized_total":${ms(normTotal)},"contended":$contended,"epoch_suspect":$epochSus,"ramp_suspect":$rampSus,"n_suspect":${suspects.size},"suspect":$suspectJson,"approx_shape":$approxJson,"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"queries":$qs,"artifacts":${artJson(short = true)},"errors":$errJson,"sf":"$sfDir"}""")
     // The driver captures only the TAIL of stdout; with 250+ queries
     // the full line above overflows that window and is cut mid-map
     // FROM THE HEAD — BENCH_r09's committed artifact lost the total
@@ -237,7 +270,7 @@ object Bench {
     // lives in the full line above and in target/bench_full.json.
     // Distinct metric name: a consumer grepping "metric":"total" must
     // not double-count or land on the truncatable per-query line.
-    println(s"""{"metric":"total_summary","value":${ms(total)},"unit":"sec","probe_normalized_total":${ms(normTotal)},"contended":$contended,"epoch_suspect":$epochSus,"n_suspect":${suspects.size},"approx_shape":$approxJson,"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","queries_file":"target/bench_full.json"}""")
+    println(s"""{"metric":"total_summary","value":${ms(total)},"unit":"sec","probe_normalized_total":${ms(normTotal)},"contended":$contended,"epoch_suspect":$epochSus,"ramp_suspect":$rampSus,"n_suspect":${suspects.size},"approx_shape":$approxJson,"probe":{"start":${ms(probeStart)},"end":${ms(probeEnd)},"floor":${ms(probeFloor)}},"artifacts_built":$artBuilt,"artifacts_served":$artServed,"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir","queries_file":"target/bench_full.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -12,8 +12,6 @@ object JobLog {
 
   private class Log extends SparkListener {
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    private val nTasks = new java.util.concurrent.ConcurrentHashMap[
-      Int, java.util.concurrent.atomic.AtomicInteger]()
     override def onJobStart(j: SparkListenerJobStart): Unit = {
       // the result stage's name carries the action's call site
       val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
@@ -23,9 +21,13 @@ object JobLog {
         .getOrElse("")
       lines.add(f"[job] ${j.jobId}%4d $site%-60s $desc")
     }
-    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-      nTasks.computeIfAbsent(t.stageId,
-        _ => new java.util.concurrent.atomic.AtomicInteger()).incrementAndGet()
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val i = s.stageInfo
+      val tt = i.taskMetrics.executorRunTime / 1000.0
+      if (tt >= 0.2)
+        lines.add(f"[stage] ${i.stageId}%4d tt=$tt%7.2fs tasks=${i.numTasks}%-4d " +
+          i.name.replace(' ', '·'))
+    }
   }
 
   def main(args: Array[String]): Unit = {

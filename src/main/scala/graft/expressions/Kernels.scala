@@ -992,6 +992,16 @@ final class PieceCostTable(pieces: Array[String], costs: Array[Long])
 
   def segment(word: UTF8String): ArrayData = {
     val n = word.numChars()
+    // the staged-join shape runs exactly MaxWordLen DP stages and its
+    // path recovery requires pos == length, so it emits NO rows for a
+    // longer word — the kernel must refuse rather than silently
+    // diverge from that contract (today every caller pre-filters via
+    // wordCounts; this guards the next caller that doesn't)
+    require(n <= graft.ops.UnigramTrainer.MaxWordLen,
+      s"ViterbiSegment: word of $n chars exceeds MaxWordLen=" +
+        s"${graft.ops.UnigramTrainer.MaxWordLen} — the staged-join " +
+        "segmentation this kernel mirrors is undefined past the cap; " +
+        "pre-filter words to the cap before segmenting")
     // dp arrays over positions 0..n: cost, backpointer, piece
     val INF = Long.MaxValue
     val dpCost = new Array[Long](n + 1)

@@ -467,6 +467,19 @@ object ArtifactStore {
             "— resolutions continue unlogged")
   }
 
+  // ---- resolution counters (bench observability, r16 verdict #4) ----
+
+  private val buildCount = new java.util.concurrent.atomic.AtomicLong()
+  private val serveCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** (builds, serves) resolved since JVM start — one count per
+    * [[ensureCommitted]] resolution (so per PART for part-addressed
+    * artifacts), independent of the serve-log gate. The bench samples
+    * this around each query so its per-query line can say which
+    * regime — build or serve — the number measured (the serve-side
+    * rows are order-dependent by design; this makes them legible). */
+  def resolutionCounts: (Long, Long) = (buildCount.get, serveCount.get)
+
   /** Per-directory build locks: two threads of one JVM racing the same
     * artifact must build once. Cross-JVM races are resolved by the
     * unique-temp-dir build + ATOMIC rename publish below: each process
@@ -540,9 +553,11 @@ object ArtifactStore {
           // 10k-part scan must not cost 10k synchronized appends);
           // builds and vacuums always log: they are actual work,
           // bounded by what changed
+          serveCount.incrementAndGet()
           if (logServe) logEvent(root, name, fp, params, "serve", cfg)
           s"$dir/$p"
         case None =>
+          buildCount.incrementAndGet()
           val payload = s"payload-${java.util.UUID.randomUUID}"
           build.write.mode("overwrite").parquet(s"$dir/$payload")
           writeManifest(dir, name, fp, params, payload)

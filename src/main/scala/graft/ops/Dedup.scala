@@ -209,7 +209,11 @@ object Dedup {
     else ArtifactStore.buildOrServe(s, "neardup_minhash_pairs",
       ArtifactStore.fingerprint(
         docs.select(col(idCol), col(textCol)), fpKey),
-      s"nb=$numBands,r=$rowsPerBand,t=${math.round(threshold * 1000)}",
+      // full-precision threshold in the (MD5-hashed) params: rounding to
+      // milli-units collided thresholds within 0.0005 onto one content
+      // address — the silent-wrong-serve class the full hashing exists
+      // to prevent (r16 advice)
+      s"nb=$numBands,r=$rowsPerBand,t=$threshold",
       fpKey)(
       nearDupMinhash(docs, idCol, textCol, numBands, rowsPerBand,
         threshold))
@@ -324,7 +328,7 @@ object Dedup {
     else ArtifactStore.buildOrServe(s, "neardup_prefix_pairs",
       ArtifactStore.fingerprint(
         docs.select(col(idCol), col(textCol)), fpKey),
-      s"t=${math.round(threshold * 1000)}", fpKey)(
+      s"t=$threshold", fpKey)( // full precision — see nearDupMinhashArtifact
       nearDupPrefix(docs, idCol, textCol, threshold))
   }
 

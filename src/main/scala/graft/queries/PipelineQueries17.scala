@@ -216,8 +216,11 @@ object PipelineQueries17 {
         // per-language trains are independent driver-round loops over
         // disjoint slices of one checkpointed scan — concurrent, so
         // the wall cost is the slowest language, not the sum (result
-        // order preserved by Par.run)
-        graft.ops.Par.run(langs, langs.size) { l =>
+        // order preserved by Par.run). Pool CAPPED at 8: langs.size is
+        // data-dependent, and one thread per distinct language (each
+        // driving its own sequence of driver rounds + checkpoints)
+        // would flood the scheduler on a many-language corpus
+        graft.ops.Par.run(langs, math.min(langs.size, 8)) { l =>
           graft.ops.BpeTrainer
             .train(docs.filter(col("lang") === l), "text", k = 2)
             .map(m => (l, m.iter, m.pair, m.cnt, m.merged))

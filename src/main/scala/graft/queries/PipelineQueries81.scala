@@ -80,9 +80,14 @@ object PipelineQueries81 {
           .select(col("fp")).distinct()
           .localCheckpoint() // joined by the decon gate below
       case _ =>
-        // dedup-on-arrival rounds (q394's loop, verbatim contract)
+        // dedup-on-arrival rounds (q394's loop, verbatim contract);
+        // the round's band keys derive ONCE (checkpointed) and feed
+        // both the candidate join and the store commit — the apply
+        // used to re-run tokenize → shingle-md5 → minhash per round
         (0 until 3).map { b =>
           val batch = docs.where(pmod(col("doc_id"), lit(3)) === b)
+          val keys = StreamMinhashIndex
+            .batchKeys(batch, "doc_id", "text", NB, R).localCheckpoint()
           val cand =
             if (StreamMinhashIndex.appliedBid(dedupStore) < 0) None
             else {
@@ -90,16 +95,14 @@ object PipelineQueries81 {
                 NB, R)
               // materialized NOW (the q394 lesson): the next round's
               // serve vacuums this round's superseded part-artifacts
-              Some(StreamMinhashIndex
-                .batchKeys(batch, "doc_id", "text", NB, R).as("x")
+              Some(keys.as("x")
                 .join(idx.as("y"), col("x.bk") === col("y.bk"))
                 .select(col("x.doc_id").as("doc_new"),
                   col("y.doc_id").as("doc_prior"))
                 .distinct()
                 .localCheckpoint())
             }
-          StreamMinhashIndex.applyBatch(batch, b.toLong,
-            "doc_id", "text", NB, R, dedupStore)
+          StreamMinhashIndex.applyKeys(keys, b.toLong, NB, R, dedupStore)
           if (b == 1) StreamMinhashIndex.compact(s, dedupStore)
           cand
         }.flatten.reduce(_ unionAll _)

@@ -189,6 +189,13 @@ object PipelineQueries83 {
           "text", n = 512)
         val hits = (0 until 3).map { b =>
           val batch = docs.where(pmod(col("doc_id"), lit(3)) === b)
+          // the round's postings derive ONCE (batchPosts checkpoints
+          // its pre-explode frame): the candidate legs and the store
+          // commit share the same materialization — the apply used to
+          // re-run the tokenize → shingle-md5 → band-sort pass a
+          // second time per round
+          val posts = StreamContainIndex.batchPosts(batch, "doc_id",
+            "text", hot)
           val cand =
             if (StreamContainIndex.appliedBid(store) < 0) None
             else {
@@ -196,12 +203,9 @@ object PipelineQueries83 {
               // materialized NOW (the q394 lesson): the next round's
               // serve vacuums this round's superseded part-artifacts
               Some(StreamContainIndex.arrivalCandidates(
-                StreamContainIndex.batchPosts(batch, "doc_id", "text",
-                  hot),
-                prior, t).localCheckpoint())
+                posts, prior, t).localCheckpoint())
             }
-          StreamContainIndex.applyBatch(batch, b.toLong,
-            "doc_id", "text", store, hot)
+          StreamContainIndex.applyPosts(posts, b.toLong, store, hot)
           if (b == 1) StreamContainIndex.compact(s, store)
           cand
         }.flatten.reduce(_ unionAll _)

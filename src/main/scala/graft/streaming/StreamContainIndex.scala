@@ -231,11 +231,22 @@ object StreamContainIndex {
   private[graft] def applyBatch(batch: DataFrame, bid: Long,
                                 idCol: String, textCol: String,
                                 storeDir: String,
+                                hot: Seq[Long] = Seq.empty): Unit =
+    applyPosts(batchPosts(batch, idCol, textCol, hot), bid, storeDir, hot)
+
+  /** [[applyBatch]] over ALREADY-DERIVED postings — for arrival loops
+    * whose candidate leg computed [[batchPosts]] for the same batch
+    * one expression earlier: committing that frame directly skips the
+    * second tokenize → shingle-md5 → band-sort pass per round
+    * ([[batchPosts]] checkpoints its pre-explode frame, so both
+    * consumers share one materialization). */
+  private[graft] def applyPosts(posts: DataFrame, bid: Long,
+                                storeDir: String,
                                 hot: Seq[Long] = Seq.empty): Unit = {
     val st = store(storeDir)
     if (bid <= st.appliedBid) return
     checkGeometry(storeDir, hot)
-    st.applyPart(batchPosts(batch, idCol, textCol, hot), bid)
+    st.applyPart(posts, bid)
   }
 
   /** Repack every committed part — rows and store fingerprint

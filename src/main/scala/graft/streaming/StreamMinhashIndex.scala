@@ -168,12 +168,23 @@ object StreamMinhashIndex {
   private[graft] def applyBatch(batch: DataFrame, bid: Long,
                                 idCol: String, textCol: String,
                                 numBands: Int, rowsPerBand: Int,
-                                storeDir: String): Unit = {
+                                storeDir: String): Unit =
+    applyKeys(batchKeys(batch, idCol, textCol, numBands, rowsPerBand),
+      bid, numBands, rowsPerBand, storeDir)
+
+  /** [[applyBatch]] over ALREADY-DERIVED band keys — for arrival loops
+    * whose candidate leg computed [[batchKeys]] for the same batch one
+    * expression earlier: passing the (checkpointed) keys here commits
+    * the identical rows without re-running the tokenize → shingle-md5
+    * → minhash pass a second time per round (guide §1.2: don't compute
+    * things twice). */
+  private[graft] def applyKeys(keys: DataFrame, bid: Long,
+                               numBands: Int, rowsPerBand: Int,
+                               storeDir: String): Unit = {
     val st = store(storeDir)
     if (bid <= st.appliedBid) return
     checkGeometry(storeDir, numBands, rowsPerBand)
-    st.applyPart(
-      batchKeys(batch, idCol, textCol, numBands, rowsPerBand), bid)
+    st.applyPart(keys, bid)
   }
 
   /** Repack every committed part — rows and store fingerprint

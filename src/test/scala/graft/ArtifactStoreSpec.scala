@@ -463,4 +463,54 @@ class ArtifactStoreSpec extends SparkSpec {
         s"the aggregated hit must carry parts/built counts: $last")
     }
   }
+
+  test("write-time fingerprint schema guard (r16 verdict #3): NaN / -0.0 " +
+    "float columns are bit-exact through the observe fast path, and a " +
+    "non-exact schema transparently falls back to read-back hashing") {
+    val root = freshRoot()
+    // NaN payload + signed-zero floats and doubles: the observe path's
+    // written-evaluation hash must equal both the read-back hash and
+    // the one-shot full-scan fingerprint
+    val nan = Seq(
+      (1L, Float.NaN, Double.NaN),
+      (2L, -0.0f, -0.0),
+      (3L, java.lang.Float.intBitsToFloat(0x7fc00001),  // NaN payload
+        java.lang.Double.longBitsToDouble(0x7ff8000000000001L)),
+      (4L, 1.5f, -2.25)).toDF("id", "f", "d")
+    assert(ArtifactStore.fingerprintBitExact(nan.schema))
+    val obsFp = ArtifactStore.writeWithFingerprint(nan, s"$root/nan")
+    val back = spark.read.parquet(s"$root/nan")
+      .select(col("id"), col("f"), col("d"))
+    assert(ArtifactStore.combineParts(Seq(obsFp)) ===
+      ArtifactStore.combineParts(Seq(ArtifactStore.partFingerprint(back))),
+      "observe fingerprint must equal the parquet read-back hash " +
+        "for NaN/-0.0 payloads")
+    // a MapType column is NOT parquet-bit-exact for this protocol:
+    // the guard must route around the observe path (and the read-back
+    // hash then refuses loudly — Spark cannot hash maps — rather than
+    // committing a silently-never-matching sidecar)
+    val mapDf = Seq((1L, Map("a" -> 1L))).toDF("id", "m")
+    assert(!ArtifactStore.fingerprintBitExact(mapDf.schema))
+    val e = intercept[Exception] {
+      ArtifactStore.writeWithFingerprint(mapDf, s"$root/mapped")
+    }
+    assert(Files.exists(Paths.get(s"$root/mapped/_SUCCESS")),
+      "the fallback must still have WRITTEN the data before hashing")
+    // per-partition observe twin: same guard, same equality
+    val parts = Seq((0, 10L, 1.5), (0, 11L, Double.NaN),
+      (1, 12L, -0.0)).toDF("b", "v", "d")
+    val fps = ArtifactStore.observedPartFingerprints(parts, "b",
+      Seq(0, 1, 2), Seq("b", "v", "d")) { d =>
+      d.write.mode("overwrite").partitionBy("b").parquet(s"$root/parts")
+    }.get
+    assert(fps.map(_._1) === Seq(0, 1),
+      "a value with no rows must get no fingerprint")
+    val all = ArtifactStore.combineParts(fps.map(_._2))
+    val scan = spark.read.option("basePath", s"$root/parts")
+      .parquet(s"$root/parts")
+    val scanFp = ArtifactStore.partFingerprint(
+      scan.select(col("b"), col("v"), col("d")))
+    assert(all === ArtifactStore.combineParts(Seq(scanFp)),
+      "folded observe part fingerprints must equal the full-scan hash")
+  }
 }

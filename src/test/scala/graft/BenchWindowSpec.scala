@@ -62,4 +62,24 @@ class BenchWindowSpec extends AnyFunSuite {
     assert(!Bench.epochSuspect(Seq(0.275, 0.275, 0.275), 0.25))
     assert(Bench.epochSuspect(Seq(0.276, 0.276, 0.276), 0.25))
   }
+
+  test("rampSuspect flags a monotone late ramp that the epoch median " +
+    "misses (the r16 0.182->0.378 profile)") {
+    // early probes clean, late probes ~1.4x floor: whole-run median
+    // stays under 1.1x (epoch clean) but the last-5 median is not
+    val probes = Seq(0.182, 0.20, 0.21, 0.22, 0.23, 0.24, 0.25, 0.26,
+      0.30, 0.33, 0.35, 0.36, 0.378)
+    assert(!Bench.epochSuspect(probes, 0.25))
+    assert(Bench.rampSuspect(probes, 0.25))
+    // a clean run stays clean under both rules
+    val clean = Seq(0.20, 0.22, 0.24, 0.23, 0.22, 0.25, 0.24, 0.23)
+    assert(!Bench.rampSuspect(clean, 0.25))
+    // a ramp that recovers before the end (a mid-run burst) is the
+    // per-window detector's job, not the ramp rule's
+    val burst = Seq(0.20, 0.22, 0.40, 0.41, 0.22, 0.21, 0.23, 0.22)
+    assert(!Bench.rampSuspect(burst, 0.25))
+    // short runs degenerate to the epoch rule
+    assert(Bench.rampSuspect(Seq(0.30, 0.30), 0.25))
+    assert(!Bench.rampSuspect(Seq.empty, 0.25))
+  }
 }

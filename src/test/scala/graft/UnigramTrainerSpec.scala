@@ -79,4 +79,21 @@ class UnigramTrainerSpec extends SparkSpec {
     assert(ababPieces.forall(_ == "ab") || ababPieces == Seq("abab"),
       s"'abab' fell back to chars: $ababPieces")
   }
+
+  test("kernel refuses a word past MaxWordLen instead of silently " +
+    "diverging from the staged-join contract (r16 advice)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val table = new graft.expressions.PieceCostTable(
+      Array("a", "b"), Array(1L, 1L))
+    val over = "a" * (UnigramTrainer.MaxWordLen + 1)
+    val e = intercept[IllegalArgumentException] {
+      table.segment(UTF8String.fromString(over))
+    }
+    assert(e.getMessage.contains("MaxWordLen"),
+      s"the refusal must name the cap: ${e.getMessage}")
+    // at the cap itself the kernel still segments
+    assert(table.segment(UTF8String.fromString(
+      "a" * UnigramTrainer.MaxWordLen)).numElements() ===
+      UnigramTrainer.MaxWordLen)
+  }
 }
