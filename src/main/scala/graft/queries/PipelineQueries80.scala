@@ -384,15 +384,17 @@ object PipelineQueries80 {
             // q397/processBatch fan-out idiom)
             graft.ops.Par.run(fams, fams.size) { fam =>
               Seq(0, 1).foreach(apply(fam, _))
-              // built at the 2-batch address — goes STALE below
+              // built at the 2-batch address — goes STALE below.
+              // With a root set, buildOrServe COMMITS the build before
+              // returning (ensureCommitted writes eagerly), so the
+              // count() these calls used to carry was one redundant
+              // serve-read job per build — 10 jobs across the fleet
               ArtifactStore.buildOrServe(s, s"fleet_${fam}_rollup",
                 fp(fam), "agg=n", s"${dirs(fam)}#$fam")(readStore(fam))
-                .count()
               apply(fam, 2) // the store moves on; rollup not re-served
               // a sibling name built NOW — current by construction
               ArtifactStore.buildOrServe(s, s"fleet_${fam}_fresh",
                 fp(fam), "agg=n", s"${dirs(fam)}#$fam")(readStore(fam))
-                .count()
               fam -> fp(fam)
             }
           } finally prev match {
