@@ -772,21 +772,27 @@ object BlockIngest {
     // actor-dirty gateways are re-added harmlessly (distinct below) —
     // the reference's cache check only avoids double-processing
 
-    writeFact(actorDirty
+    // the two table writes are independent (disjoint dirs; the dirty
+    // frame's scale guard reads the gateway_scales LOG strictly at or
+    // below the committed watermark, and the concurrent append creates
+    // only slice = newCommitted > committed leaves, invisible to that
+    // read) — submitted concurrently, the leg was q388's phase-1 long
+    // pole at two serialized write latencies. The scales append's
+    // presence flag (`∃ gateway_scales entry with a non-null gateway`
+    // — exactly `carried` being non-empty) was decided on the batch's
+    // one driver collect: the limit(1).count() here was one more
+    // serialized job per batch.
+    val dirtyFrame = actorDirty
       .unionByName(fromCdcPlain)
       .unionByName(guarded)
       .unionByName(plainGw)
-      .distinct(), "dirty_sets")
-
-    // append the batch's carried scales to the bucketed log — a
-    // replayed batch dynamic-overwrites its OWN leaves, so the write
-    // is idempotent and never mutates pre-batch history. Presence
-    // (`∃ gateway_scales entry with a non-null gateway` — exactly
-    // `carried` being non-empty) was decided on the batch's one driver
-    // collect: the limit(1).count() here was one more serialized job
-    // per batch
-    if (hasScales)
-      writeFact(carried, "gateway_scales")
+      .distinct()
+    val writes = ("dirty_sets" -> dirtyFrame) ::
+      (if (hasScales) List("gateway_scales" -> carried) else Nil)
+    graft.ops.Par.run(writes, writes.size) {
+      case (table, df) => writeFact(df, table)
+    }
+    ()
   }
 
   // ---- write-time fingerprint sidecars over the fact tables ----
